@@ -1,0 +1,464 @@
+"""Document-level parsers: N-Triples, N-Quads, Turtle → triple/quad tuples.
+
+Parse semantics match the reference decoders:
+  * N-Triples: /root/reference/nt.go:22-100 (line grammar, 2-token lookahead)
+  * N-Quads:   /root/reference/nq.go:6-86 (optional 4th term, default graph)
+  * Turtle:    /root/reference/ttl.go:56-450 (directives, prefixed names,
+    property lists, collections, per-document blank-node counter)
+
+These are pure-Python, per-document routines designed to run inside
+Arrow-batched UDFs; errors raise :class:`ParseError` (the caller decides
+strict-abort vs quarantine — SURVEY.md §4.1 "fail-fast" row).
+"""
+
+from __future__ import annotations
+
+from rdf_spark import lexer as lx
+from rdf_spark.terms import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+    DEFAULT_GRAPH,
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    RDF_LANG_STRING,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+
+
+class ParseError(ValueError):
+    def __init__(self, line: int, col: int, msg: str):
+        super().__init__("%d:%d: %s" % (line, col, msg))
+        self.line = line
+        self.col = col
+        self.msg = msg
+
+
+class _TokenStream:
+    """Token cursor with unbounded pushback (covers the reference's 2- and
+    3-token lookahead buffers)."""
+
+    __slots__ = ("_lex", "_buf")
+
+    def __init__(self, lex: lx.Lexer):
+        self._lex = lex
+        self._buf: list[lx.Token] = []
+
+    def next(self) -> lx.Token:
+        if self._buf:
+            return self._buf.pop()
+        return self._lex.next_token()
+
+    def peek(self) -> lx.Token:
+        t = self.next()
+        self._buf.append(t)
+        return t
+
+    def backup(self, tok: lx.Token) -> None:
+        self._buf.append(tok)
+
+    def expect(self, context: str, *types: int) -> lx.Token:
+        t = self.next()
+        if t.typ in types:
+            return t
+        if t.typ == lx.ERROR:
+            raise ParseError(t.line, t.col, "syntax error: %s" % t.text)
+        raise ParseError(
+            t.line, t.col, "unexpected %s as %s" % (lx.TOKEN_NAMES.get(t.typ, t.typ), context)
+        )
+
+
+# ---------------------------------------------------------------------------
+# N-Triples / N-Quads (line formats)
+# ---------------------------------------------------------------------------
+
+
+def _parse_nt_object_literal(ts: _TokenStream, tok: lx.Token):
+    """Literal object with optional @lang / ^^<dt> (nt.go:52-70)."""
+    o, o_dt, o_lang = tok.text, XSD_STRING, None
+    p = ts.peek()
+    if p.typ == lx.LANG_MARKER:
+        ts.next()
+        lt = ts.expect("literal language", lx.LANG)
+        o_lang = lt.text
+        o_dt = RDF_LANG_STRING
+    elif p.typ == lx.DT_MARKER:
+        ts.next()
+        dt = ts.expect("literal datatype", lx.IRI_ABS)
+        o_dt = dt.text
+    return o, o_dt, o_lang
+
+
+def parse_ntriples(text: str) -> list[tuple]:
+    """Strict whole-document N-Triples parse → list of 7-tuples."""
+    ts = _TokenStream(lx.Lexer(text, line_mode=True))
+    out = []
+    while True:
+        while ts.peek().typ == lx.EOL:
+            ts.next()
+        if ts.peek().typ == lx.EOF:
+            return out
+
+        tok = ts.expect("subject", lx.IRI_ABS, lx.BNODE)
+        s = tok.text
+        s_kind = KIND_IRI if tok.typ == lx.IRI_ABS else KIND_BLANK
+
+        tok = ts.expect("predicate", lx.IRI_ABS)
+        p = tok.text
+
+        tok = ts.expect("object", lx.IRI_ABS, lx.BNODE, lx.LITERAL)
+        if tok.typ == lx.BNODE:
+            row = (s, s_kind, p, tok.text, KIND_BLANK, None, None)
+        elif tok.typ == lx.LITERAL:
+            o, o_dt, o_lang = _parse_nt_object_literal(ts, tok)
+            row = (s, s_kind, p, o, KIND_LITERAL, o_dt, o_lang)
+        else:
+            row = (s, s_kind, p, tok.text, KIND_IRI, None, None)
+
+        ts.expect("dot (.)", lx.DOT)
+        ts.expect("end of line", lx.EOL)
+        out.append(row)
+
+
+def parse_nquads(text: str) -> list[tuple]:
+    """Strict whole-document N-Quads parse → list of 9-tuples; the default
+    graph is the blank node ``_:defaultGraph`` (decoder.go:89)."""
+    ts = _TokenStream(lx.Lexer(text, line_mode=True))
+    out = []
+    while True:
+        while ts.peek().typ == lx.EOL:
+            ts.next()
+        if ts.peek().typ == lx.EOF:
+            return out
+
+        g, g_kind = DEFAULT_GRAPH, KIND_BLANK
+
+        tok = ts.expect("subject", lx.IRI_ABS, lx.BNODE)
+        s = tok.text
+        s_kind = KIND_IRI if tok.typ == lx.IRI_ABS else KIND_BLANK
+
+        tok = ts.expect("predicate", lx.IRI_ABS)
+        p = tok.text
+
+        tok = ts.expect("object", lx.IRI_ABS, lx.BNODE, lx.LITERAL)
+        if tok.typ == lx.BNODE:
+            o, o_kind, o_dt, o_lang = tok.text, KIND_BLANK, None, None
+        elif tok.typ == lx.LITERAL:
+            o, o_dt, o_lang = _parse_nt_object_literal(ts, tok)
+            o_kind = KIND_LITERAL
+        else:
+            o, o_kind, o_dt, o_lang = tok.text, KIND_IRI, None, None
+
+        nxt = ts.peek()
+        if nxt.typ == lx.IRI_ABS:
+            ts.next()
+            g, g_kind = nxt.text, KIND_IRI
+        elif nxt.typ == lx.BNODE:
+            ts.next()
+            g, g_kind = nxt.text, KIND_BLANK
+        elif nxt.typ != lx.DOT:
+            ts.expect("graph", lx.IRI_ABS, lx.BNODE)
+
+        ts.expect("dot (.)", lx.DOT)
+        ts.expect("end of line", lx.EOL)
+        out.append((s, s_kind, p, o, o_kind, o_dt, o_lang, g, g_kind))
+
+
+# ---------------------------------------------------------------------------
+# Turtle
+# ---------------------------------------------------------------------------
+
+_CTX_TOP = 0
+_CTX_COLL = 1
+_CTX_LIST = 2
+
+# term = (lex, kind, datatype, lang); subjects/predicates use datatype=lang=None
+_NIL_TERM = (RDF_NIL, KIND_IRI, None, None)
+
+
+class TurtleParser:
+    """Recursive-descent Turtle parser mirroring the ttl state machine
+    (ttl.go:100-445) as a plain driver loop: directives mutate parser state,
+    nested property lists / collections use an explicit context stack, and
+    anonymous blank nodes mint ``_:b%d`` from a per-document counter
+    (ttl.go:244-245 — the skolemization seed, see SURVEY.md §4.3)."""
+
+    def __init__(self, text: str, base: str = ""):
+        self.ts = _TokenStream(lx.Lexer(text, line_mode=False))
+        self.base = base
+        self.ns: dict[str, str] = {}
+        self.bnode_n = 0
+        # current triple: [subj, pred, obj, ctx]; terms are 4-tuples or None
+        self.cur = [None, None, None, _CTX_TOP]
+        self.stack: list[list] = []
+        self.out: list[tuple] = []
+
+    # -- helpers -----------------------------------------------------------
+
+    def _mint_bnode(self) -> tuple:
+        self.bnode_n += 1
+        return ("_:b%d" % self.bnode_n, KIND_BLANK, None, None)
+
+    def _emit(self) -> None:
+        s = self.cur[0]
+        p = self.cur[1]
+        o = self.cur[2]
+        self.out.append((s[0], s[1], p[0], o[0], o[1], o[2], o[3]))
+
+    def _push(self) -> None:
+        self.stack.append(list(self.cur))
+
+    def _pop(self) -> None:
+        if self.stack:
+            self.cur = self.stack.pop()
+        else:
+            self.cur = [None, None, None, _CTX_TOP]
+
+    def _pname(self, tok: lx.Token) -> str:
+        ns = self.ns.get(tok.text)
+        if ns is None:
+            raise ParseError(tok.line, tok.col, "missing namespace for prefix: '%s'" % tok.text)
+        suf = self.ts.expect("IRI suffix", lx.IRI_SUFFIX)
+        return ns + suf.text
+
+    # -- driver ------------------------------------------------------------
+
+    def parse_all(self) -> list[tuple]:
+        while True:
+            if self.ts.peek().typ == lx.EOF:
+                return self.out
+            self._parse_statement()
+
+    def _parse_statement(self) -> None:
+        ts = self.ts
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.PREFIX:
+            label = ts.expect("prefix label", lx.PREFIX_LABEL)
+            iri = ts.expect("prefix IRI", lx.IRI_ABS, lx.IRI_REL)
+            self.ns[label.text] = (self.base + iri.text) if iri.typ == lx.IRI_REL else iri.text
+            ts.expect("directive trailing dot", lx.DOT)
+        elif typ == lx.SPARQL_PREFIX:
+            label = ts.expect("prefix label", lx.PREFIX_LABEL)
+            iri = ts.expect("prefix IRI", lx.IRI_ABS)
+            self.ns[label.text] = iri.text
+        elif typ == lx.BASE:
+            iri = ts.expect("base IRI", lx.IRI_ABS, lx.IRI_REL)
+            # naive concat against current base (ttl.go:121-126)
+            self.base = (self.base + iri.text) if iri.typ == lx.IRI_REL else iri.text
+            ts.expect("directive trailing dot", lx.DOT)
+        elif typ == lx.SPARQL_BASE:
+            iri = ts.expect("base IRI", lx.IRI_ABS)
+            self.base = iri.text
+        elif typ == lx.EOF:
+            return
+        else:
+            ts.backup(tok)
+            self._parse_triple()
+
+    def _parse_triple(self) -> None:
+        state = self._parse_subject
+        while state is not None:
+            state = state()
+
+    def _parse_subject(self):
+        ts = self.ts
+        self._pop()
+        if self.cur[0] is not None:
+            return self._parse_predicate
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.IRI_ABS:
+            self.cur[0] = (tok.text, KIND_IRI, None, None)
+        elif typ == lx.IRI_REL:
+            self.cur[0] = (self.base + tok.text, KIND_IRI, None, None)
+        elif typ == lx.BNODE:
+            self.cur[0] = (tok.text, KIND_BLANK, None, None)
+        elif typ == lx.ANON_BNODE:
+            self.cur[0] = self._mint_bnode()
+        elif typ == lx.PREFIX_LABEL:
+            self.cur[0] = (self._pname(tok), KIND_IRI, None, None)
+        elif typ == lx.PLIST_START:
+            self.cur[0] = self._mint_bnode()
+            self._push()
+            self.cur[3] = _CTX_LIST
+        elif typ == lx.COLL_START:
+            if ts.peek().typ == lx.COLL_END:
+                self.cur[0] = _NIL_TERM
+            else:
+                self.cur[0] = self._mint_bnode()
+                self._push()
+                self.cur[1] = (RDF_FIRST, KIND_IRI, None, None)
+                self.cur[3] = _CTX_COLL
+                return self._parse_object
+        elif typ == lx.ERROR:
+            raise ParseError(tok.line, tok.col, "syntax error: %s" % tok.text)
+        else:
+            raise ParseError(
+                tok.line, tok.col, "unexpected %s as subject" % lx.TOKEN_NAMES.get(typ, typ)
+            )
+        return self._parse_predicate
+
+    def _parse_predicate(self):
+        ts = self.ts
+        if self.cur[1] is not None:
+            return self._parse_object
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.IRI_ABS:
+            self.cur[1] = (tok.text, KIND_IRI, None, None)
+        elif typ == lx.IRI_REL:
+            self.cur[1] = (self.base + tok.text, KIND_IRI, None, None)
+        elif typ == lx.RDF_TYPE:
+            self.cur[1] = (RDF_TYPE, KIND_IRI, None, None)
+        elif typ == lx.PREFIX_LABEL:
+            self.cur[1] = (self._pname(tok), KIND_IRI, None, None)
+        elif typ == lx.ERROR:
+            raise ParseError(tok.line, tok.col, "syntax error: %s" % tok.text)
+        else:
+            raise ParseError(
+                tok.line, tok.col, "unexpected %s as predicate" % lx.TOKEN_NAMES.get(typ, typ)
+            )
+        return self._parse_object
+
+    def _parse_object(self):
+        ts = self.ts
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.IRI_ABS:
+            self.cur[2] = (tok.text, KIND_IRI, None, None)
+        elif typ == lx.IRI_REL:
+            self.cur[2] = (self.base + tok.text, KIND_IRI, None, None)
+        elif typ == lx.BNODE:
+            self.cur[2] = (tok.text, KIND_BLANK, None, None)
+        elif typ == lx.ANON_BNODE:
+            self.cur[2] = self._mint_bnode()
+        elif typ in (lx.LITERAL, lx.LITERAL3):
+            o, o_dt, o_lang = tok.text, XSD_STRING, None
+            p = ts.peek()
+            if p.typ == lx.LANG_MARKER:
+                ts.next()
+                lt = ts.expect("literal language", lx.LANG)
+                o_lang = lt.text
+                o_dt = RDF_LANG_STRING
+            elif p.typ == lx.DT_MARKER:
+                ts.next()
+                dt = ts.expect("literal datatype", lx.IRI_ABS, lx.PREFIX_LABEL)
+                o_dt = dt.text if dt.typ == lx.IRI_ABS else self._pname(dt)
+            self.cur[2] = (o, KIND_LITERAL, o_dt, o_lang)
+        elif typ == lx.LITERAL_DOUBLE:
+            self.cur[2] = (tok.text, KIND_LITERAL, XSD_DOUBLE, None)
+        elif typ == lx.LITERAL_DECIMAL:
+            self.cur[2] = (tok.text, KIND_LITERAL, XSD_DECIMAL, None)
+        elif typ == lx.LITERAL_INTEGER:
+            self.cur[2] = (tok.text, KIND_LITERAL, XSD_INTEGER, None)
+        elif typ == lx.LITERAL_BOOLEAN:
+            self.cur[2] = (tok.text, KIND_LITERAL, XSD_BOOLEAN, None)
+        elif typ == lx.PREFIX_LABEL:
+            self.cur[2] = (self._pname(tok), KIND_IRI, None, None)
+        elif typ == lx.PLIST_START:
+            # blank node is object of current triple (ttl.go:376-391)
+            self._push()
+            self.cur[2] = self._mint_bnode()
+            self._emit()
+            self.cur[0] = self.cur[2]
+            self.cur[1] = None
+            self.cur[2] = None
+            self.cur[3] = _CTX_LIST
+            self._push()
+            return None
+        elif typ == lx.COLL_START:
+            if ts.peek().typ == lx.COLL_END:
+                ts.next()
+                self.cur[2] = _NIL_TERM
+            else:
+                self._push()
+                self.cur[2] = self._mint_bnode()
+                self._emit()
+                self.cur[0] = self.cur[2]
+                self.cur[1] = (RDF_FIRST, KIND_IRI, None, None)
+                self.cur[2] = None
+                self.cur[3] = _CTX_COLL
+                self._push()
+                return None
+        elif typ == lx.ERROR:
+            raise ParseError(tok.line, tok.col, "syntax error: %s" % tok.text)
+        else:
+            raise ParseError(
+                tok.line, tok.col, "unexpected %s as object" % lx.TOKEN_NAMES.get(typ, typ)
+            )
+
+        self._emit()
+        return self._parse_end
+
+    def _parse_end(self):
+        ts = self.ts
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.SEMICOLON:
+            p = ts.peek().typ
+            if p in (lx.SEMICOLON, lx.DOT):
+                return self._parse_end
+            if p == lx.EOF:
+                raise ParseError(tok.line, tok.col, "expected triple termination, got EOF")
+            self.cur[1] = None
+            self.cur[2] = None
+            self._push()
+            return None
+        if typ == lx.COMMA:
+            self.cur[2] = None
+            self._push()
+            return None
+        if typ == lx.PLIST_END:
+            self._pop()
+            if ts.peek().typ == lx.DOT:
+                ts.next()
+                return None
+            if self.cur[1] is None:
+                # property list was the subject
+                self._push()
+                return None
+            return self._parse_end
+        if typ == lx.COLL_END:
+            # close collection: { bnode rdf:rest rdf:nil }
+            self.cur[1] = (RDF_REST, KIND_IRI, None, None)
+            self.cur[2] = _NIL_TERM
+            self._emit()
+            self._pop()
+            if self.cur[1] is None:
+                self._push()
+                return None
+            return self._parse_end
+        if typ == lx.DOT:
+            if self.cur[3] == _CTX_COLL:
+                return self._parse_end
+            return None
+        if typ == lx.ERROR:
+            raise ParseError(tok.line, tok.col, "syntax error: %s" % tok.text)
+        if self.cur[3] == _CTX_COLL:
+            # next collection item: chain rdf:rest to a fresh bnode
+            ts.backup(tok)
+            nxt = self._mint_bnode()
+            self.cur[1] = (RDF_REST, KIND_IRI, None, None)
+            self.cur[2] = nxt
+            self._emit()
+            self.cur[0] = nxt
+            self.cur[2] = None
+            self.cur[1] = (RDF_FIRST, KIND_IRI, None, None)
+            self._push()
+            return None
+        raise ParseError(
+            tok.line, tok.col,
+            "expected triple termination, got %s" % lx.TOKEN_NAMES.get(typ, typ),
+        )
+
+
+def parse_turtle(text: str, base: str = "") -> list[tuple]:
+    """Strict whole-document Turtle parse → list of 7-tuples."""
+    return TurtleParser(text, base=base).parse_all()
