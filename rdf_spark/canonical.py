@@ -1,0 +1,149 @@
+"""Canonicalization operators: skolemization, validation, dedup, metrics.
+
+These are the pipeline stages between parse and materialize (SURVEY.md
+§2.6): everything here is pure DataFrame expressions (JVM-side, AQE- and
+pushdown-friendly) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_spark import terms
+from rdf_spark.terms import KIND_BLANK, KIND_IRI
+
+SKOLEM_PREFIX = "urn:skolem:"
+
+
+def _skolem_col(lex: Column, kind: Column, url: Column) -> Column:
+    """Blank label + document url → globally-unique deterministic IRI.
+
+    The reference mints ``_:b%d`` per document (ttl.go:244-245); labels are
+    only meaningful within one document (rdf.go:497-508), so cross-document
+    merges skolemize to a pure function of (url, label): SURVEY.md §4.3.
+    Keeps kind=0 so provenance as a blank node is preserved (§1.4).
+    """
+    skolem = F.concat(
+        F.lit(SKOLEM_PREFIX),
+        F.lower(F.hex(F.xxhash64(url))),
+        F.lit(":"),
+        F.substring(lex, 3, 2**30),  # strip '_:'
+    )
+    return F.when((kind == KIND_BLANK) & lex.startswith("_:"), skolem).otherwise(lex)
+
+
+def skolemize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Rewrite every blank-node label into a skolem IRI keyed by (url, label)."""
+    url = F.col(url_col)
+    out = df.withColumn("s", _skolem_col(F.col("s"), F.col("s_kind"), url)).withColumn(
+        "o", _skolem_col(F.col("o"), F.col("o_kind"), url)
+    )
+    if "graph" in df.columns:
+        out = out.withColumn("graph", _skolem_col(F.col("graph"), F.col("graph_kind"), url))
+    return out
+
+
+# IRI validity (NewIRI, rdf.go:224-239) as a single JVM regex.
+_BAD_IRI_RE = '[\\x00-\\x20<>"{}|^`\\\\]'
+
+
+def iri_valid_col(c: Column) -> Column:
+    return c.isNotNull() & (c != "") & ~c.rlike(_BAD_IRI_RE)
+
+
+def lang_valid_col(c: Column) -> Column:
+    """NewLangLiteral rule (rdf.go:365-392): one dash max, digits only
+    after the dash."""
+    return c.rlike("^[A-Za-z]+(-[A-Za-z0-9]+)?$")
+
+
+def validate_triples(df: DataFrame) -> DataFrame:
+    """Append a ``valid`` boolean column enforcing the positional constraints
+    of the term model (rdf.go:400-415) plus IRI wellformedness — the
+    DataFrame analogue of the reference's compile-time marker interfaces."""
+    s_ok = F.when(
+        F.col("s_kind") == KIND_IRI, iri_valid_col(F.col("s"))
+    ).otherwise(F.col("s").isNotNull() & (F.col("s") != ""))
+    p_ok = iri_valid_col(F.col("p"))
+    o_ok = F.when(F.col("o_kind") == KIND_IRI, iri_valid_col(F.col("o"))).otherwise(
+        F.col("o").isNotNull()
+    )
+    lang_ok = F.when(
+        F.col("o_lang").isNotNull() & (F.col("o_lang") != ""), lang_valid_col(F.col("o_lang"))
+    ).otherwise(F.lit(True))
+    return df.withColumn("valid", s_ok & p_ok & o_ok & lang_ok)
+
+
+_DEDUP_KEY = ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
+
+
+def dedup_triples(df: DataFrame, keep_lineage: bool = False) -> DataFrame:
+    """Exact triple dedup (generalizes encode-dedup E4, encoder.go:158-161).
+
+    ``dropDuplicates`` compiles to a partial+final hash aggregate: each
+    input partition dedups map-side before the shuffle, so hot triples
+    collapse before moving — no manual salting needed for *exact* dedup at
+    scale (the post-shuffle volume is already distinct keys).  With
+    ``keep_lineage`` the first-seen url and a source count are kept.
+    """
+    key = [k for k in _DEDUP_KEY if k in df.columns]
+    if "graph" in df.columns:
+        key += ["graph", "graph_kind"]
+    if keep_lineage and "url" in df.columns:
+        aggs = [F.min("url").alias("url"), F.count(F.lit(1)).alias("n_sources")]
+        return df.groupBy(*key).agg(*aggs)
+    return df.dropDuplicates(key)
+
+
+def iri_split_cols(c: Column) -> tuple[Column, Column]:
+    """Prefix/suffix at the last '/' or '#' (IRI.Split rdf.go:208-219)."""
+    prefix = F.regexp_extract(c, r"^(.*[/#])[^/#]*$", 1)
+    suffix = F.regexp_extract(c, r"^.*[/#]([^/#]*)$", 1)
+    return prefix, suffix
+
+
+def typed_object_col(datatype: str) -> Column:
+    """Lazy lexical→typed view of the object column (Literal.Typed
+    rdf.go:303-335); improves on the reference by using DecimalType for
+    xsd:decimal instead of float64."""
+    o = F.col("o")
+    if datatype in (terms.XSD_INTEGER,):
+        return o.cast("long")
+    if datatype in (terms.XSD_INT,):
+        return o.cast("int")
+    if datatype in (terms.XSD_DOUBLE, terms.XSD_FLOAT):
+        return o.cast("double")
+    if datatype == terms.XSD_DECIMAL:
+        return o.cast("decimal(38,18)")
+    if datatype == terms.XSD_BOOLEAN:
+        return o.cast("boolean")
+    if datatype == terms.XSD_DATETIME:
+        return F.coalesce(
+            F.to_timestamp(o, "yyyy-MM-dd'T'HH:mm:ssXXX"),
+            F.to_timestamp(o, "yyyy-MM-dd'T'HH:mm:ss"),
+        )
+    return o
+
+
+def predicate_histogram(df: DataFrame) -> DataFrame:
+    """Diagnostic: triples per predicate (no reference analogue — §2.5)."""
+    return df.groupBy("p").agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n"), F.asc("p"))
+
+
+def namespace_histogram(df: DataFrame) -> DataFrame:
+    """Distinct-namespace stats over all IRI positions (feeds prefix minting E6)."""
+    prefixes = []
+    for col, kind in (("s", "s_kind"), ("p", None), ("o", "o_kind")):
+        c = df
+        if kind is not None:
+            c = c.filter(F.col(kind) == KIND_IRI)
+        ns, _ = iri_split_cols(F.col(col))
+        prefixes.append(c.select(ns.alias("ns")))
+    allns = prefixes[0].unionAll(prefixes[1]).unionAll(prefixes[2])
+    return (
+        allns.filter(F.col("ns") != "")
+        .groupBy("ns")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ns"))
+    )

@@ -1,0 +1,231 @@
+"""Sinks: triples → canonical text (SURVEY.md §2.2).
+
+N-Triples / N-Quads serialization (E1/E2) is a pure column projection —
+whole-stage-codegen JVM expressions, no Python in the hot path.  The
+Turtle encoder (E3/E5/E6: subject/predicate sort, ';'/',' list compression,
+auto ``ns%d`` prefix minting) is a per-partition ``applyInPandas`` stage;
+golden single-document output requires a single partition, which is how
+the reference behaves anyway (one writer — encoder.go:128-216).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_spark import terms
+from rdf_spark.chars import escape_literal
+from rdf_spark.terms import KIND_IRI, KIND_LITERAL, XSD_STRING
+
+
+def escape_literal_col(c: Column) -> Column:
+    """Canonical N-Triples escaping (only \\n \\r \\\" \\\\ — rune.go:222-239)
+    as a JVM-side expression chain."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return c
+
+
+def term_nt_col(lex: Column, kind: Column, dt: Column = None, lang: Column = None) -> Column:
+    """Serialize one term position to its canonical N-Triples form
+    (Term.Serialize — rdf.go:202-204, 154-156, 260-284).
+
+    Blank nodes print their stored ``_:label``; skolemized blanks (kind=0
+    but an IRI lexical form, SURVEY.md §1.4) print as ``<iri>``.
+    """
+    esc = escape_literal_col(lex)
+    if dt is None:
+        dt = F.lit(None).cast("string")
+    if lang is None:
+        lang = F.lit(None).cast("string")
+    literal_form = (
+        F.when(lang.isNotNull() & (lang != ""), F.concat(F.lit('"'), esc, F.lit('"@'), lang))
+        .when(
+            dt.isNotNull() & (dt != XSD_STRING),
+            F.concat(F.lit('"'), esc, F.lit('"^^<'), dt, F.lit(">")),
+        )
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+    return (
+        F.when(kind == KIND_IRI, F.concat(F.lit("<"), lex, F.lit(">")))
+        .when(kind == KIND_LITERAL, literal_form)
+        .otherwise(
+            F.when(lex.startswith("_:"), lex).otherwise(F.concat(F.lit("<"), lex, F.lit(">")))
+        )
+    )
+
+
+def nt_line_col(df_or_prefix=None) -> Column:
+    """Column producing the canonical N-Triples line for the standard
+    triple schema columns (without trailing newline)."""
+    return F.concat_ws(
+        " ",
+        term_nt_col(F.col("s"), F.col("s_kind")),
+        F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+        term_nt_col(F.col("o"), F.col("o_kind"), F.col("o_datatype"), F.col("o_lang")),
+        F.lit("."),
+    )
+
+
+def nq_line_col() -> Column:
+    """Canonical N-Quads line column (Quad.Serialize rdf.go:465-495)."""
+    return F.concat_ws(
+        " ",
+        term_nt_col(F.col("s"), F.col("s_kind")),
+        F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+        term_nt_col(F.col("o"), F.col("o_kind"), F.col("o_datatype"), F.col("o_lang")),
+        term_nt_col(F.col("graph"), F.col("graph_kind")),
+        F.lit("."),
+    )
+
+
+def write_ntriples(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Serialize a triples DataFrame to N-Triples text files (E1)."""
+    df.select(nt_line_col().alias("value")).write.mode(mode).text(path)
+
+
+def write_nquads(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.select(nq_line_col().alias("value")).write.mode(mode).text(path)
+
+
+# ---------------------------------------------------------------------------
+# Turtle encoder (E3/E5/E6) — per-group stateful compression
+# ---------------------------------------------------------------------------
+
+
+def _py_term_turtle(lex, kind, dt, lang, ns, ns_order, generate, custom):
+    """Turtle form of one term with prefix compression (prefixify,
+    encoder.go:235-303). Mutates ns/ns_order when a new prefix is minted;
+    returns (text, directive_or_None)."""
+    directive = None
+    if kind == terms.KIND_IRI:
+        if lex == terms.RDF_TYPE:
+            return "a", None
+        first, rest = terms.iri_split(lex)
+        if first == "":
+            return "<%s>" % lex, None
+        prefix = ns.get(first)
+        if prefix is None:
+            prefix = custom.get(first)
+            if prefix is None:
+                if not generate:
+                    return "<%s>" % lex, None
+                prefix = "ns%d" % len(ns_order)
+            ns[first] = prefix
+            ns_order.append(first)
+            directive = "@prefix %s:\t<%s> .\n" % (prefix, first)
+        return "%s:%s" % (prefix, rest), directive
+    if kind == terms.KIND_BLANK:
+        return (lex if lex.startswith("_:") else "<%s>" % lex), None
+    # literal (Literal.Serialize Turtle shortcuts, rdf.go:271-278)
+    if lang:
+        return '"%s"@%s' % (escape_literal(lex), lang), None
+    if dt and dt != terms.XSD_STRING:
+        if dt in (terms.XSD_INTEGER, terms.XSD_DECIMAL, terms.XSD_BOOLEAN, terms.XSD_DOUBLE):
+            return lex, None
+        first, rest = terms.iri_split(dt)
+        if first == "":
+            return '"%s"^^<%s>' % (escape_literal(lex), dt), None
+        prefix = ns.get(first)
+        if prefix is None:
+            prefix = custom.get(first)
+            if prefix is None:
+                if not generate:
+                    return '"%s"^^<%s>' % (escape_literal(lex), dt), None
+                prefix = "ns%d" % len(ns_order)
+            ns[first] = prefix
+            ns_order.append(first)
+            directive = "@prefix %s:\t<%s> .\n" % (prefix, first)
+        if dt == terms.XSD_DATETIME:
+            return '"%s"^^%s:%s' % (lex, prefix, rest), directive
+        return '"%s"^^%s:%s' % (escape_literal(lex), prefix, rest), directive
+    return '"%s"' % escape_literal(lex), None
+
+
+def encode_turtle_pdf(pdf: pd.DataFrame, namespaces: dict | None = None,
+                      generate_namespaces: bool = True) -> str:
+    """Encode a pandas batch of triples into one Turtle document.
+
+    Mirrors TripleEncoder.EncodeAll (encoder.go:128-216): sort by
+    (subject, predicate) serialized form, compress into ';' predicate
+    lists and ',' object lists, skip adjacent duplicates, emit @prefix
+    directives lazily (closing any open statement first).
+    """
+    custom = dict(namespaces or {})
+    rows = list(
+        pdf[["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]].itertuples(index=False)
+    )
+    rows.sort(key=lambda r: (terms.term_nt(r[0], r[1]), "<%s>" % r[2]))
+
+    ns: dict[str, str] = {}
+    ns_order: list[str] = []
+    out: list[str] = []
+    cur_s = cur_p = None
+    open_stmt = False
+    prev = None
+
+    def render(lex, kind, dt=None, lang=None):
+        nonlocal open_stmt
+        text, directive = _py_term_turtle(lex, kind, dt, lang, ns, ns_order,
+                                          generate_namespaces, custom)
+        if directive is not None:
+            if open_stmt:
+                out.append(" .\n")
+                open_stmt = False
+            out.append(directive)
+        return text
+
+    for r in rows:
+        s, s_kind, p, o, o_kind, o_dt, o_lang = r
+        o_txt = render(o, o_kind, o_dt, o_lang)
+        if open_stmt and (s, s_kind) == cur_s:
+            if (p,) == cur_p:
+                if prev is not None and (o, o_kind, o_dt, o_lang) == prev:
+                    continue  # adjacent duplicate (encoder.go:158-161)
+                s_txt, p_txt = " ,\n\t", ""
+            else:
+                p_txt = render(p, terms.KIND_IRI)
+                if open_stmt:
+                    s_txt = " ;\n"
+                else:
+                    s_txt = render(s, s_kind)
+                cur_p = (p,)
+        else:
+            if open_stmt:
+                out.append(" .\n")
+                open_stmt = False
+            p_txt = render(p, terms.KIND_IRI)
+            s_txt = render(s, s_kind)
+            cur_s, cur_p = (s, s_kind), (p,)
+        open_stmt = True
+        prev = (o, o_kind, o_dt, o_lang)
+        out.append(s_txt)
+        out.append("\t")
+        out.append(p_txt)
+        out.append("\t")
+        out.append(o_txt)
+
+    if open_stmt:
+        out.append(" .")
+    return "".join(out)
+
+
+def write_turtle(df: DataFrame, path: str, namespaces: dict | None = None) -> None:
+    """Write a (small) triples DataFrame as a single Turtle document.
+
+    Golden-file-equal output needs one writer (SURVEY.md §3.3); at scale
+    prefer :func:`write_ntriples`, or group by subject-bucket to emit many
+    Turtle shards.
+    """
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in it]
+        pdf = pd.concat(parts) if parts else pd.DataFrame(columns=terms.TRIPLE_COLS)
+        yield pd.DataFrame({"value": [encode_turtle_pdf(pdf, namespaces)]})
+
+    df.coalesce(1).mapInPandas(enc, "value string").write.mode("overwrite").text(path)

@@ -1,0 +1,108 @@
+"""Spark sources: text/parquet → canonical triples DataFrames.
+
+Maps the reference's streaming decoders (SURVEY.md §2.1) onto Spark scans:
+
+* N-Triples / N-Quads files are line-parallel (nt.go:22-87): ``spark.read.text``
+  splits files at arbitrary line boundaries, then a vectorized pandas parse
+  runs per Arrow batch inside ``mapInPandas`` — a narrow (no-shuffle) stage.
+* Turtle (and later RDF/XML) are document-scoped (multi-line constructs,
+  stateful directives — ttl.go:100-138): the unit of parallelism is one
+  document row, parsed by the exact tokenizer inside ``mapInPandas``.
+
+Error handling: ``errors="quarantine"`` keeps an ``err`` column (null on
+success) so one malformed page cannot kill a 10^12-document job; strict
+mode raises, matching the reference's fail-fast DecodeAll (nt.go:91-100).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rdf_spark import parsing, terms, vectorized
+
+_TRIPLE_ERR_DDL = terms.TRIPLE_DDL + ", err string"
+_QUAD_ERR_DDL = terms.QUAD_DDL + ", err string"
+_DOC_TRIPLE_DDL = "url string, " + terms.TRIPLE_DDL + ", err string"
+
+
+def _lines_parser(fmt: str, strict: bool):
+    cols = terms.QUAD_COLS if fmt == "nquads" else terms.TRIPLE_COLS
+
+    def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = vectorized.parse_lines(pdf["value"], fmt=fmt)
+            if strict:
+                bad = out["err"].dropna()
+                if len(bad):
+                    raise parsing.ParseError(0, 0, str(bad.iloc[0]))
+            for k in ("s_kind", "o_kind", "graph_kind"):
+                if k in out.columns:
+                    out[k] = out[k].astype("object")
+            yield out[cols + ["err"]]
+
+    return parse_batches
+
+
+def read_ntriples(spark: SparkSession, path: str, errors: str = "quarantine") -> DataFrame:
+    """Read N-Triples file(s) into the canonical triples schema (+err)."""
+    lines = spark.read.text(path)
+    return lines.mapInPandas(_lines_parser("ntriples", errors == "strict"), _TRIPLE_ERR_DDL)
+
+
+def read_nquads(spark: SparkSession, path: str, errors: str = "quarantine") -> DataFrame:
+    """Read N-Quads file(s) into the canonical quads schema (+err)."""
+    lines = spark.read.text(path)
+    return lines.mapInPandas(_lines_parser("nquads", errors == "strict"), _QUAD_ERR_DDL)
+
+
+def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, strict: bool):
+    def parse_docs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url"] + terms.TRIPLE_COLS + ["err"]
+        for pdf in it:
+            recs: list[tuple] = []
+            for url, text in zip(pdf[url_col].astype(str), pdf[text_col]):
+                if text is None:
+                    continue
+                base = url if base_from_url else ""
+                try:
+                    if fmt == "turtle":
+                        rows = parsing.parse_turtle(text, base=base)
+                    elif fmt == "ntriples":
+                        rows = parsing.parse_ntriples(text)
+                    else:
+                        raise ValueError("unsupported format: %s" % fmt)
+                except parsing.ParseError as e:
+                    if strict:
+                        raise
+                    recs.append((url, None, None, None, None, None, None, None, str(e)))
+                    continue
+                for r in rows:
+                    recs.append((url,) + tuple(r) + (None,))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return parse_docs
+
+
+def parse_documents(
+    df: DataFrame,
+    fmt: str = "turtle",
+    text_col: str = "text",
+    url_col: str = "url",
+    base_from_url: bool = True,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Parse a DataFrame of documents into triples (narrow stage, no shuffle).
+
+    The per-document blank-node counter restarts at ``_:b1`` for each row
+    (ttl.go:16, SURVEY.md §4.3) — labels are only unique within a document;
+    run :func:`rdf_spark.canonical.skolemize` before any cross-document
+    merge.
+    """
+    return df.mapInPandas(
+        _doc_parser(fmt, text_col, url_col, base_from_url, errors == "strict"),
+        _DOC_TRIPLE_DDL,
+    )
