@@ -1,0 +1,40 @@
+"""Skew-handling primitives (north_rule: domain-skewed URL partitions).
+
+Spark's partial aggregation already collapses hot keys map-side for
+algebraic aggregates; explicit salting is for the cases it can't help:
+high-cardinality state per key (collect-like, exact distinct) and skewed
+shuffle joins when one side can't be broadcast.  AQE skew-join splitting
+is enabled session-wide (rdf_spark.session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "part_salt") -> DataFrame:
+    """Deterministic salt derived from the whole row's hash (not rand(),
+    so retries/resume stay idempotent)."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_distinct_count(df: DataFrame, key: str, value: str, n_salts: int = 32) -> DataFrame:
+    """Exact COUNT(DISTINCT value) GROUP BY key for skewed keys, two-phase:
+    phase 1 dedups (key, value) within (key, salt) buckets, phase 2 merges.
+    The hot key's state is spread over ``n_salts`` reducers instead of one.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)))
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.count_distinct(F.col(value)).alias("_partial")
+    )
+    return phase1.groupBy(key).agg(F.sum("_partial").alias("n_distinct"))
+
+
+def skew_join(big: DataFrame, small: DataFrame, on: str, how: str = "inner") -> DataFrame:
+    """Join with the small side broadcast when possible; callers with two
+    big skewed sides rely on AQE skew-join splitting (enabled in session)
+    plus an explicit repartition hint."""
+    return big.join(F.broadcast(small), on, how)

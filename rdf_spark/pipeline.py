@@ -1,0 +1,181 @@
+"""End-to-end KG construction: pages → canonical partitioned triple store.
+
+The north-star pipeline (BASELINE.json / SURVEY.md §2.6):
+
+    pages (url, warc_ts, html, text, lang)
+      → extract          (byte-identical text + embedded-RDF blocks; narrow)
+      → parse            (Turtle per document, quarantine errors; narrow)
+      → mention/link     (broadcast gazetteer join + top-1 window)
+      → canonicalize     (skolemize bnodes per (url,label); validate)
+      → dedup            (partial+final hash agg, lineage counts)
+      → materialize      (parquet partitioned by subject hash-bucket)
+
+Scale design: the only shuffles are the dedup aggregate and the top-1
+window (keyed by url — uniform, not domain-skewed).  Checkpoint-resume is
+shard-at-a-time: pages are split into ``n_shards`` url-hash shards; each
+shard is one idempotent job writing ``shard=K`` partitions plus a manifest
+row with counters — a resumed run skips shards whose manifest exists
+(at 10^12 documents each shard is one spark-submit of ~10^8-10^9 pages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_spark import canonical, extraction, sources
+
+TRIPLE_STORE_DIR = "triples"
+MANIFEST_DIR = "_manifest"
+QUARANTINE_DIR = "_quarantine"
+
+
+@dataclass
+class ShardResult:
+    shard: int
+    n_pages: int
+    n_rdf_triples: int
+    n_link_triples: int
+    n_parse_errors: int
+    n_invalid: int
+    n_triples_final: int
+    wall_s: float
+    skipped: bool = False
+
+
+def _shard_col(n_shards: int):
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
+
+
+def build_shard_triples(pages: DataFrame, aliases: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One shard's logical plan: returns (final_triples, quarantine)."""
+    extracted = extraction.extract_stage(pages)
+
+    # 1. embedded RDF: Turtle parse per document (base IRI = url)
+    rdf_docs = extracted.select("url", F.col("rdf_text").alias("text")).filter(
+        F.col("text") != ""
+    )
+    parsed = sources.parse_documents(rdf_docs, fmt="turtle")
+    quarantine = parsed.filter(F.col("err").isNotNull()).select("url", "err")
+    rdf_triples = parsed.filter(F.col("err").isNull()).drop("err")
+
+    # 2. mention detection + entity linking
+    mentions = extraction.detect_mentions(extracted, aliases)
+    links = extraction.link_entities(mentions, aliases)
+    link_triples = extraction.emit_link_triples(links)
+
+    # 3. canonicalize: skolemize + validate (invalid rows join the quarantine)
+    all_triples = rdf_triples.unionByName(link_triples)
+    sk = canonical.skolemize(all_triples)
+    validated = canonical.validate_triples(sk)
+    good = validated.filter(F.col("valid")).drop("valid")
+    invalid = validated.filter(~F.col("valid")).select(
+        "url", F.lit("invalid term").alias("err")
+    )
+    quarantine = quarantine.unionByName(invalid)
+
+    # 4. dedup with lineage
+    final = canonical.dedup_triples(good, keep_lineage=True)
+    return final, quarantine
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    out_dir: str,
+    n_shards: int = 4,
+    n_buckets: int = 16,
+    resume: bool = True,
+) -> list[ShardResult]:
+    """Run the full pipeline shard-by-shard with manifest-based resume."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    results = []
+    pages = pages.withColumn("_shard", _shard_col(n_shards))
+    for k in range(n_shards):
+        manifest_path = os.path.join(out_dir, MANIFEST_DIR, f"shard-{k}.json")
+        if resume and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            kwargs = {x: m[x] for x in m if x not in ("ts", "skipped")}
+            results.append(ShardResult(skipped=True, **kwargs))
+            continue
+        t0 = time.time()
+        shard_pages = pages.filter(F.col("_shard") == k).drop("_shard")
+        final, quarantine = build_shard_triples(shard_pages, aliases)
+
+        # materialize: subject hash-bucket partitioning → partition pruning
+        # for point lookups and co-located downstream merges
+        store = final.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int")
+        )
+        (
+            store.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, TRIPLE_STORE_DIR, f"shard={k}"))
+        )
+        quarantine.write.mode("overwrite").parquet(
+            os.path.join(out_dir, QUARANTINE_DIR, f"shard={k}")
+        )
+
+        # counters (single pass each over small aggregates)
+        n_pages = shard_pages.count()
+        qdf = spark.read.parquet(os.path.join(out_dir, QUARANTINE_DIR, f"shard={k}"))
+        qcounts = {
+            r.kind: r.n
+            for r in qdf.groupBy(
+                F.when(F.col("err") == "invalid term", "invalid")
+                .otherwise("parse")
+                .alias("kind")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        written = spark.read.parquet(os.path.join(out_dir, TRIPLE_STORE_DIR, f"shard={k}"))
+        counts = written.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                (F.col("p") == "http://kg.example/vocab#mentions").cast("long")
+            ).alias("links"),
+        ).collect()[0]
+        n_final = counts.total
+        n_link = counts.links or 0
+
+        res = ShardResult(
+            shard=k,
+            n_pages=n_pages,
+            n_rdf_triples=n_final - n_link,
+            n_link_triples=n_link,
+            n_parse_errors=qcounts.get("parse", 0),
+            n_invalid=qcounts.get("invalid", 0),
+            n_triples_final=n_final,
+            wall_s=round(time.time() - t0, 3),
+        )
+        # manifest written last → crash before this line reruns the shard
+        with open(manifest_path, "w") as f:
+            json.dump({**res.__dict__, "ts": time.time()}, f)
+        results.append(res)
+    return results
+
+
+def read_triple_store(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, TRIPLE_STORE_DIR))
+
+
+def domain_stats(triples: DataFrame) -> DataFrame:
+    """Per-domain triple counts — the domain-skewed aggregation of the
+    north rule.  Partial aggregation collapses the hot domain map-side;
+    with AQE on, any residual reducer skew is split at runtime."""
+    domain = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    return (
+        triples.groupBy(domain.alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.approx_count_distinct("s").alias("approx_subjects"),
+        )
+        .orderBy(F.desc("n_triples"))
+    )
