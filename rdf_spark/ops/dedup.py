@@ -1,0 +1,270 @@
+"""Deduplication families for web-scale corpora (graft additions).
+
+Four tiers, cheapest first:
+
+1. exact           — hash groupBy (partial agg collapses dups map-side)
+2. ngram-jaccard   — token-set similarity on candidate pairs
+3. MinHash + LSH   — shingle → signature (narrow pandas stage) → banded
+                     bucket join → candidate pairs → jaccard verify
+4. SimHash         — 64-bit weighted fingerprint, hamming-banded
+5. embedding       — cosine near-dup via ops.ann
+
+At 100 TB the only shuffles are the LSH bucket groupBys (keyed by band
+hash — uniform by construction) and the final candidate join; signatures
+are computed in a single narrow mapInPandas pass with numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf_spark.ops.text import fingerprint_col
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-content hash: one representative
+    (min id) + member count per group."""
+    return (
+        df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _hash63(data: bytes) -> int:
+    """Stable 63-bit content hash (Python's hash() is salted per process)."""
+    import zlib
+
+    return zlib.crc32(data) | ((zlib.adler32(data) & 0x7FFFFFFF) << 32)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(np.array([_hash63(s.encode()) for s in shingles], dtype=np.int64))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """doc → MinHash signature (array<long>), computed in one narrow
+    vectorized pass (no shuffle, numpy inner loop per batch)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = _hash_params(n_hashes, seed)
+        for pdf in it:
+            sigs = []
+            for text in pdf[text_col].fillna(""):
+                h = _shingle_hashes(text, shingle_k)
+                # (a*h + b) mod p, min over shingles, per hash function
+                vals = (h[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+                sigs.append(vals.min(axis=1).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+
+    return df.mapInPandas(run, f"{id_col} long, signature array<long>")
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+) -> DataFrame:
+    """Banded LSH: equal band-slice → same bucket → candidate pair.
+
+    Bucket grouping shuffles on (band, hash-of-slice) which is uniform;
+    pairs are generated inside each bucket (bucket sizes are the dup-cluster
+    sizes, bounded in practice).
+    """
+    n_hashes = len(signatures.select("signature").first()[0])
+    rows_per_band = n_hashes // n_bands
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("signature", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    grouped = bands.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    ).filter(F.size("ids") > 1)
+    # pairs (i<j) within a bucket, deduped across bands
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").dropDuplicates(["a", "b"])
+    return pairs
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact token-set (or n-gram-set) jaccard on candidate pairs."""
+    grams = ngram_set_col(F.col(text_col), ngram)
+    sets_df = df.select(F.col(id_col).alias("_id"), grams.alias("_set"))
+    j = (
+        candidates.join(sets_df.withColumnRenamed("_id", "a").withColumnRenamed("_set", "set_a"), "a")
+        .join(sets_df.withColumnRenamed("_id", "b").withColumnRenamed("_set", "set_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b")),
+                6,
+            ),
+        )
+        .select("a", "b", "jaccard")
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_set_col(text, n: int = 1):
+    """Distinct word n-gram set as an array column (pure JVM expressions)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(grams)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    verify_ngram: int = 1,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified pairs (a, b, jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidates(sigs, id_col, n_bands)
+    return jaccard_verify(cands, df, text_col, id_col, threshold, verify_ngram)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col_pd(texts: pd.Series, n_bits: int = 64) -> pd.Series:
+    """64-bit SimHash per document (vectorized-ish numpy loop per batch)."""
+    out = []
+    for text in texts.fillna(""):
+        toks = text.lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        acc = np.zeros(n_bits, dtype=np.int64)
+        for t in toks:
+            h = _hash63(t.encode())
+            bits = (h >> np.arange(n_bits)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        sig = int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+        out.append(sig - (1 << 63) if sig >= (1 << 63) else sig)  # to signed
+    return pd.Series(out, index=texts.index)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": simhash_col_pd(pdf[text_col])}
+            )
+
+    return df.mapInPandas(run, f"{id_col} long, simhash long")
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash: band the 64 bits into 4×16-bit keys (any pair
+    within hamming≤3 shares at least one exact band), bucket-join, then
+    verify the true hamming distance."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    grouped = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set(F.struct(id_col, "simhash"))).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), y -> struct(x, y))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col(f"p.x.{id_col}").alias("a"),
+        F.col(f"p.y.{id_col}").alias("b"),
+        F.col("p.x.simhash").alias("ha"),
+        F.col("p.y.simhash").alias("hb"),
+    ).dropDuplicates(["a", "b"])
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")
