@@ -1,0 +1,121 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "nt_triples_per_sec": ..., "kg_pages_per_sec": ...}
+
+Each query is forced end-to-end with the noop sink (no result IO, full
+computation — projections are not pruned away as they would be by count()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from rdf_spark.session import get_spark
+
+    spark = get_spark("rdf_spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    from rdf_spark import datagen, pipeline
+
+    qfns = entry.queries()
+
+    # headline set: parse throughput, KG pipeline, dedup, ANN, SQL classics
+    bench_queries = [
+        "nt_parse",
+        "nquads_parse",
+        "turtle_parse",
+        "nt_serialize",
+        "dedup_triples",
+        "mention_count",
+        "entity_link",
+        "dedup_exact",
+        "quality_score",
+        "minhash_near_dup",
+        "simhash",
+        "embedding_topk",
+        "embedding_near_dup",
+        "ngram_jaccard",
+        "tpch_q1",
+        "top_customers",
+        "events_sessionize",
+    ]
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM/python workers once (excluded from timings)
+    _force(qfns["tpch_q1"](spark, sf_dir))
+
+    for name in bench_queries:
+        t0 = time.time()
+        _force(qfns[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # NT parse throughput in triples/sec (the BASELINE.json headline unit)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_lines = lineitem.count()
+    lines = lineitem.select(
+        F.concat(
+            F.lit("<urn:order:"), F.col("l_orderkey"), F.lit(":"), F.col("l_linenumber"),
+            F.lit("> <urn:p:qty> \""), F.col("l_quantity").cast("long"),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+        ).alias("value")
+    )
+    from rdf_spark import sources
+
+    t0 = time.time()
+    _force(sources.parse_lines_df(lines, "ntriples"))
+    nt_wall = time.time() - t0
+    timings["nt_parse_throughput"] = round(nt_wall, 3)
+    nt_tps = round(n_lines / nt_wall, 1)
+
+    # KG pipeline end-to-end throughput (pages/sec), synthetic corpus
+    n_pages = 20000
+    pages = datagen.pages(spark, n_pages)
+    aliases = datagen.aliases(spark)
+    t0 = time.time()
+    final, _ = pipeline.build_shard_triples(pages, aliases)
+    _force(final)
+    kg_wall = time.time() - t0
+    timings["kg_pipeline_20k"] = round(kg_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "nt_triples_per_sec": nt_tps,
+                "kg_pages_per_sec": round(n_pages / kg_wall, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,164 @@
+"""Arrow-native (RE2) fast path for N-Triples / N-Quads line parsing.
+
+pandas object-dtype regex is memory-bandwidth-bound and stops scaling at
+~8 cores on this class of machine; pyarrow's RE2 ``extract_regex`` over
+contiguous string buffers is ~2× faster per core and scales to 32 cores
+(measured: 0.5M lines/s/core, 8.4M lines/s @32 procs).  This module keeps
+the same sound-not-complete contract as rdf_spark.vectorized: any line the
+fast pattern cannot prove safe falls back to the exact tokenizer.
+
+RE2 reports non-participating groups as empty strings (not nulls), so the
+arrow patterns capture WITH their delimiters — ``<iri>``, ``"lit"``,
+``@lang`` — making participation inferable from non-emptiness; delimiters
+are stripped afterwards with vectorized slices.
+
+Used via ``DataFrame.mapInArrow`` (see rdf_spark.sources).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rdf_spark import parsing, terms, vectorized
+from rdf_spark.chars import _PN_CHARS_RANGES, _PN_CHARS_U_RANGES
+
+_NO_STMT_PATTERN = vectorized._NO_STMT.pattern
+
+_IRI_BODY = r"[A-Za-z][A-Za-z0-9+.\-]*:[^ <>\"{}|^`\\]*"
+_BN_BODY = "_:[%s0-9](?:[%s.]*[%s])?" % (
+    _PN_CHARS_U_RANGES, _PN_CHARS_RANGES, _PN_CHARS_RANGES,
+)
+_WS = r"[ \t]*"
+
+
+def _mk_pattern(quads: bool) -> str:
+    pat = (
+        "^" + _WS
+        + "(?:<(?P<s_iri>" + _IRI_BODY + ")>|(?P<s_bn>" + _BN_BODY + "))"
+        + _WS + "<(?P<p>" + _IRI_BODY + ")>" + _WS
+        + "(?:<(?P<o_iri>" + _IRI_BODY + ")>|(?P<o_bn>" + _BN_BODY + ")"
+        + '|(?P<o_lit>"[^"\\\\]*")'
+        + "(?:(?P<lang>@[A-Za-z]+(?:-[A-Za-z0-9-]+)?)"
+        + r"|\^\^<(?P<dt>" + _IRI_BODY + ")>)?" + ")"
+    )
+    if quads:
+        pat += _WS + "(?:<(?P<g_iri>" + _IRI_BODY + ")>|(?P<g_bn>" + _BN_BODY + "))?"
+    pat += _WS + r"\.[ \t]*\r?(?:#.*)?$"
+    return pat
+
+
+_NT_PATTERN = _mk_pattern(False)
+_NQ_PATTERN = _mk_pattern(True)
+
+TRIPLE_FIELDS = [
+    ("s", pa.string()),
+    ("s_kind", pa.int8()),
+    ("p", pa.string()),
+    ("o", pa.string()),
+    ("o_kind", pa.int8()),
+    ("o_datatype", pa.string()),
+    ("o_lang", pa.string()),
+]
+QUAD_FIELDS = TRIPLE_FIELDS + [("graph", pa.string()), ("graph_kind", pa.int8())]
+
+TRIPLE_SCHEMA = pa.schema(TRIPLE_FIELDS + [("err", pa.string())])
+QUAD_SCHEMA = pa.schema(QUAD_FIELDS + [("err", pa.string())])
+
+
+def _i8(x):
+    return pa.scalar(x, pa.int8())
+
+
+def _null_str():
+    return pa.scalar(None, pa.string())
+
+
+def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
+    """Parse a string array of lines → table in TRIPLE/QUAD_SCHEMA.
+
+    Blank/comment lines are dropped; rows that fail produce err!=null."""
+    quads = fmt == "nquads"
+    schema = QUAD_SCHEMA if quads else TRIPLE_SCHEMA
+    pattern = _NQ_PATTERN if quads else _NT_PATTERN
+
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    if lines.null_count:
+        lines = pc.fill_null(lines, "")
+    keep = pc.invert(pc.match_substring_regex(lines, _NO_STMT_PATTERN))
+    work = pc.filter(lines, keep)
+    if len(work) == 0:
+        return schema.empty_table()
+
+    m = pc.extract_regex(work, pattern=pattern)
+    is_fast = m.is_valid()
+    fast = pc.filter(m, is_fast)
+
+    g = {f.name: pc.struct_field(fast, f.name) for f in fast.type}
+    part = {k: pc.not_equal(v, "") for k, v in g.items()}
+
+    def strip1(x):  # drop one leading char (e.g. '@lang')
+        return pc.utf8_slice_codeunits(x, 1)
+
+    s = pc.if_else(part["s_iri"], g["s_iri"], g["s_bn"])
+    s_kind = pc.if_else(part["s_iri"], _i8(terms.KIND_IRI), _i8(terms.KIND_BLANK))
+    o_lit_content = pc.utf8_slice_codeunits(g["o_lit"], 1, -1)
+    o = pc.if_else(
+        part["o_iri"], g["o_iri"], pc.if_else(part["o_bn"], g["o_bn"], o_lit_content)
+    )
+    o_kind = pc.if_else(
+        part["o_iri"],
+        _i8(terms.KIND_IRI),
+        pc.if_else(part["o_bn"], _i8(terms.KIND_BLANK), _i8(terms.KIND_LITERAL)),
+    )
+    o_datatype = pc.if_else(
+        part["lang"],
+        pa.scalar(terms.RDF_LANG_STRING),
+        pc.if_else(
+            part["dt"],
+            g["dt"],
+            pc.if_else(part["o_lit"], pa.scalar(terms.XSD_STRING), _null_str()),
+        ),
+    )
+    o_lang = pc.if_else(part["lang"], strip1(g["lang"]), _null_str())
+    cols = {
+        "s": s, "s_kind": s_kind, "p": g["p"], "o": o, "o_kind": o_kind,
+        "o_datatype": o_datatype, "o_lang": o_lang,
+    }
+    if quads:
+        cols["graph"] = pc.if_else(
+            part["g_iri"],
+            g["g_iri"],
+            pc.if_else(part["g_bn"], g["g_bn"], pa.scalar(terms.DEFAULT_GRAPH)),
+        )
+        cols["graph_kind"] = pc.if_else(
+            part["g_iri"], _i8(terms.KIND_IRI), _i8(terms.KIND_BLANK)
+        )
+    n_fast = len(fast)
+    cols["err"] = pa.nulls(n_fast, pa.string())
+    fast_tbl = pa.table([cols[f.name] for f in schema], schema=schema)
+
+    n_slow = len(work) - n_fast
+    if n_slow == 0:
+        return fast_tbl
+
+    slow_lines = pc.filter(work, pc.invert(is_fast)).to_pylist()
+    parse_one = parsing.parse_nquads if quads else parsing.parse_ntriples
+    n_cols = len(schema) - 1
+    recs: list[tuple] = []
+    for line in slow_lines:
+        try:
+            rows = parse_one(line)
+        except parsing.ParseError as e:
+            recs.append((None,) * n_cols + (str(e),))
+            continue
+        for r in rows:
+            recs.append(tuple(r) + (None,))
+    if not recs:
+        return fast_tbl
+    slow_tbl = pa.table(
+        [pa.array([r[i] for r in recs], type=f.type) for i, f in enumerate(schema)],
+        schema=schema,
+    )
+    return pa.concat_tables([fast_tbl, slow_tbl]).combine_chunks()

@@ -91,7 +91,16 @@ def dedup_triples(df: DataFrame, keep_lineage: bool = False) -> DataFrame:
     if "graph" in df.columns:
         key += ["graph", "graph_kind"]
     if keep_lineage and "url" in df.columns:
-        aggs = [F.min("url").alias("url"), F.count(F.lit(1)).alias("n_sources")]
+        if keep_lineage == "hash":
+            # long-typed agg buffer keeps the plan in HashAggregate (a
+            # var-len min(url) string buffer would force SortAggregate —
+            # an extra sort per side of the exchange at 10^12 rows)
+            aggs = [
+                F.min(F.xxhash64("url")).alias("url_hash"),
+                F.count(F.lit(1)).alias("n_sources"),
+            ]
+        else:
+            aggs = [F.min("url").alias("url"), F.count(F.lit(1)).alias("n_sources")]
         return df.groupBy(*key).agg(*aggs)
     return df.dropDuplicates(key)
 
@@ -119,9 +128,11 @@ def typed_object_col(datatype: str) -> Column:
     if datatype == terms.XSD_BOOLEAN:
         return o.cast("boolean")
     if datatype == terms.XSD_DATETIME:
+        # RFC3339 first, then the reference's no-TZ fallback (ttl.go:574-585);
+        # try_* because ANSI mode makes to_timestamp throw on non-matches
         return F.coalesce(
-            F.to_timestamp(o, "yyyy-MM-dd'T'HH:mm:ssXXX"),
-            F.to_timestamp(o, "yyyy-MM-dd'T'HH:mm:ss"),
+            F.try_to_timestamp(o, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+            F.try_to_timestamp(o, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
         )
     return o
 

@@ -99,10 +99,11 @@ def write_nquads(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 # ---------------------------------------------------------------------------
 
 
-def _py_term_turtle(lex, kind, dt, lang, ns, ns_order, generate, custom):
+def _py_term_turtle(lex, kind, dt, lang, ns, ns_count, generate, custom):
     """Turtle form of one term with prefix compression (prefixify,
-    encoder.go:235-303). Mutates ns/ns_order when a new prefix is minted;
-    returns (text, directive_or_None)."""
+    encoder.go:235-303).  ns_count is a 1-element list: the generated-name
+    counter only advances for ns%d prefixes, not custom ones
+    (encoder.go:256-257).  Returns (text, directive_or_None)."""
     directive = None
     if kind == terms.KIND_IRI:
         if lex == terms.RDF_TYPE:
@@ -116,9 +117,9 @@ def _py_term_turtle(lex, kind, dt, lang, ns, ns_order, generate, custom):
             if prefix is None:
                 if not generate:
                     return "<%s>" % lex, None
-                prefix = "ns%d" % len(ns_order)
+                prefix = "ns%d" % ns_count[0]
+                ns_count[0] += 1
             ns[first] = prefix
-            ns_order.append(first)
             directive = "@prefix %s:\t<%s> .\n" % (prefix, first)
         return "%s:%s" % (prefix, rest), directive
     if kind == terms.KIND_BLANK:
@@ -138,9 +139,9 @@ def _py_term_turtle(lex, kind, dt, lang, ns, ns_order, generate, custom):
             if prefix is None:
                 if not generate:
                     return '"%s"^^<%s>' % (escape_literal(lex), dt), None
-                prefix = "ns%d" % len(ns_order)
+                prefix = "ns%d" % ns_count[0]
+                ns_count[0] += 1
             ns[first] = prefix
-            ns_order.append(first)
             directive = "@prefix %s:\t<%s> .\n" % (prefix, first)
         if dt == terms.XSD_DATETIME:
             return '"%s"^^%s:%s' % (lex, prefix, rest), directive
@@ -164,7 +165,7 @@ def encode_turtle_pdf(pdf: pd.DataFrame, namespaces: dict | None = None,
     rows.sort(key=lambda r: (terms.term_nt(r[0], r[1]), "<%s>" % r[2]))
 
     ns: dict[str, str] = {}
-    ns_order: list[str] = []
+    ns_count = [0]
     out: list[str] = []
     cur_s = cur_p = None
     open_stmt = False
@@ -172,7 +173,7 @@ def encode_turtle_pdf(pdf: pd.DataFrame, namespaces: dict | None = None,
 
     def render(lex, kind, dt=None, lang=None):
         nonlocal open_stmt
-        text, directive = _py_term_turtle(lex, kind, dt, lang, ns, ns_order,
+        text, directive = _py_term_turtle(lex, kind, dt, lang, ns, ns_count,
                                           generate_namespaces, custom)
         if directive is not None:
             if open_stmt:

@@ -122,8 +122,155 @@ def link_entities(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     )
 
 
+MENTIONS_PREDICATE = "http://kg.example/vocab#mentions"
+
+
+def fused_extract_parse_link(
+    pages: DataFrame,
+    alias_rows: list[tuple[str, str, float]],
+    predicate: str = MENTIONS_PREDICATE,
+) -> DataFrame:
+    """ONE narrow stage: html → extracted text → Turtle parse → mention
+    scoring → tagged row stream.
+
+    Why fused: splitting extract/parse/link into separate DataFrame branches
+    makes Spark recompute the (expensive) extraction once per consumer, and
+    the broadcast-join + window top-1 adds a shuffle that pure per-document
+    scoring doesn't need — the gazetteer is global and small, so the best
+    entity per (url, surface) is computable inside the batch.  At 10^12
+    pages this is the difference between one scan and three.
+
+    Output rows are tagged: err=null → triple row (link triples use
+    ``predicate``); err!=null → quarantine row.  Also emits a per-page
+    extraction-invariant violation row (err='extract mismatch') when the
+    pages table carries a reference ``text`` column that differs from the
+    extractor output (BASELINE.json byte-identical invariant).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rdf_spark import parsing
+
+    # best candidate per surface: score = prior*log1p(n) with n identical
+    # across a surface's candidates ⇒ argmax is max prior (tie: min entity),
+    # a pure per-surface constant — no join, no window.
+    tmp: dict[str, tuple[str, float]] = {}
+    for s, e, p in alias_rows:
+        cur = tmp.get(s)
+        if cur is None or p > cur[1] or (p == cur[1] and e < cur[0]):
+            tmp[s] = (e, p)
+    best_entity = {s: ep[0] for s, ep in tmp.items()}
+    surfaces = sorted(best_entity, key=len, reverse=True)
+
+    out_ddl = (
+        "url string, s string, s_kind tinyint, p string, o string, "
+        "o_kind tinyint, o_datatype string, o_lang string, err string"
+    )
+    out_fields = [
+        ("url", pa.string()), ("s", pa.string()), ("s_kind", pa.int8()),
+        ("p", pa.string()), ("o", pa.string()), ("o_kind", pa.int8()),
+        ("o_datatype", pa.string()), ("o_lang", pa.string()), ("err", pa.string()),
+    ]
+    out_schema = pa.schema(out_fields)
+    _TTL_FIRST = r'(?s)<script\s+type="text/turtle"\s*>(?P<block>.*?)</script>'
+
+    def run(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in it:
+            tbl = pa.Table.from_batches([batch])
+            names = tbl.column_names
+            html = pc.cast(tbl.column("html"), pa.string())
+            # RE2 replace chain: drop script/style, strip tags, squash ws
+            s1 = pc.replace_substring_regex(html, pattern=r"(?is)<script\b[^>]*>.*?</script>", replacement=" ")
+            s2 = pc.replace_substring_regex(s1, pattern=r"(?is)<style\b[^>]*>.*?</style>", replacement=" ")
+            s3 = pc.replace_substring_regex(s2, pattern=r"<[^>]*>", replacement=" ")
+            s4 = pc.replace_substring_regex(s3, pattern=r"\s+", replacement=" ")
+            text = pc.utf8_trim_whitespace(s4)
+
+            urls = tbl.column("url").to_pylist()
+            n = len(urls)
+
+            parts: list[pa.Table] = []
+
+            # 1. extraction invariant rows
+            if "text" in names:
+                ref = tbl.column("text")
+                bad_mask = pc.and_kleene(ref.is_valid(), pc.not_equal(text, ref))
+                bad_urls = pc.filter(tbl.column("url"), pc.fill_null(bad_mask, False))
+                nb = len(bad_urls)
+                if nb:
+                    parts.append(pa.table({
+                        "url": bad_urls,
+                        "s": pa.nulls(nb, pa.string()), "s_kind": pa.nulls(nb, pa.int8()),
+                        "p": pa.nulls(nb, pa.string()), "o": pa.nulls(nb, pa.string()),
+                        "o_kind": pa.nulls(nb, pa.int8()),
+                        "o_datatype": pa.nulls(nb, pa.string()),
+                        "o_lang": pa.nulls(nb, pa.string()),
+                        "err": pa.array(["extract mismatch"] * nb),
+                    }, schema=out_schema))
+
+            # 2. embedded Turtle parse (first block vectorized; rare
+            #    multi-block pages via findall fallback)
+            first_block = pc.extract_regex(html, pattern=_TTL_FIRST)
+            n_blocks = pc.count_substring_regex(html, pattern='<script\\s+type="text/turtle"')
+            blocks = first_block.combine_chunks() if isinstance(first_block, pa.ChunkedArray) else first_block
+            block_list = pc.struct_field(blocks, "block").to_pylist() if len(blocks) else []
+            multi = pc.greater(n_blocks, 1).to_pylist()
+            html_list = None
+            recs: list[tuple] = []
+            for i in range(n):
+                rdf = block_list[i] if i < len(block_list) else None
+                if multi[i]:
+                    if html_list is None:
+                        html_list = html.to_pylist()
+                    rdf = "\n".join(_TTL_BLOCK_RE.findall(html_list[i]))
+                if not rdf:
+                    continue
+                url = urls[i]
+                try:
+                    for r in parsing.parse_turtle(rdf, base=url):
+                        recs.append((url,) + tuple(r) + (None,))
+                except parsing.ParseError as e:
+                    recs.append((url,) + (None,) * 7 + (str(e),))
+            if recs:
+                parts.append(pa.table(
+                    [pa.array([r[i] for r in recs], type=f.type)
+                     for i, f in enumerate(out_schema)],
+                    schema=out_schema,
+                ))
+
+            # 3. link triples: per-surface vectorized count (RE2), best
+            #    entity precomputed per surface
+            for surface in surfaces:
+                cnt = pc.count_substring(text, pattern=surface)
+                mask = pc.greater(cnt, 0)
+                m_urls = pc.filter(tbl.column("url"), mask)
+                nm = len(m_urls)
+                if nm == 0:
+                    continue
+                parts.append(pa.table({
+                    "url": m_urls,
+                    "s": m_urls,
+                    "s_kind": pa.array([1] * nm, pa.int8()),
+                    "p": pa.array([predicate] * nm),
+                    "o": pa.array([best_entity[surface]] * nm),
+                    "o_kind": pa.array([1] * nm, pa.int8()),
+                    "o_datatype": pa.nulls(nm, pa.string()),
+                    "o_lang": pa.nulls(nm, pa.string()),
+                    "err": pa.nulls(nm, pa.string()),
+                }, schema=out_schema))
+
+            if not parts:
+                continue
+            out = pa.concat_tables(parts).combine_chunks()
+            for ob in out.to_batches():
+                if len(ob):
+                    yield ob
+
+    return pages.mapInArrow(run, out_ddl)
+
+
 def emit_link_triples(links: DataFrame,
-                      predicate: str = "http://kg.example/vocab#mentions") -> DataFrame:
+                      predicate: str = MENTIONS_PREDICATE) -> DataFrame:
     """Linked entities → canonical triple rows (pure projection)."""
     return links.select(
         F.col("url").alias("s"),

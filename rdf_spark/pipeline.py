@@ -53,24 +53,22 @@ def _shard_col(n_shards: int):
 
 
 def build_shard_triples(pages: DataFrame, aliases: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One shard's logical plan: returns (final_triples, quarantine)."""
-    extracted = extraction.extract_stage(pages)
+    """One shard's logical plan: returns (final_triples, quarantine).
 
-    # 1. embedded RDF: Turtle parse per document (base IRI = url)
-    rdf_docs = extracted.select("url", F.col("rdf_text").alias("text")).filter(
-        F.col("text") != ""
-    )
-    parsed = sources.parse_documents(rdf_docs, fmt="turtle")
-    quarantine = parsed.filter(F.col("err").isNotNull()).select("url", "err")
-    rdf_triples = parsed.filter(F.col("err").isNull()).drop("err")
+    Extraction + Turtle parse + mention scoring run FUSED in a single
+    narrow mapInPandas stage (one scan of pages; see
+    extraction.fused_extract_parse_link) — the only shuffle in the shard
+    is the final dedup aggregate.
+    """
+    alias_rows = [(r.surface, r.entity_iri, r.prior) for r in aliases.collect()]
+    tagged = extraction.fused_extract_parse_link(pages, alias_rows)
+    quarantine = tagged.filter(F.col("err").isNotNull()).select("url", "err")
+    all_triples = tagged.filter(F.col("err").isNull()).drop("err")
+    # NOTE: triples and quarantine are two consumers of the same narrow
+    # stage; run_pipeline persists `tagged` per shard to avoid a second
+    # scan of pages (the expensive part at 10^12 docs).
 
-    # 2. mention detection + entity linking
-    mentions = extraction.detect_mentions(extracted, aliases)
-    links = extraction.link_entities(mentions, aliases)
-    link_triples = extraction.emit_link_triples(links)
-
-    # 3. canonicalize: skolemize + validate (invalid rows join the quarantine)
-    all_triples = rdf_triples.unionByName(link_triples)
+    # canonicalize: skolemize + validate (invalid rows join the quarantine)
     sk = canonical.skolemize(all_triples)
     validated = canonical.validate_triples(sk)
     good = validated.filter(F.col("valid")).drop("valid")
@@ -107,7 +105,21 @@ def run_pipeline(
             continue
         t0 = time.time()
         shard_pages = pages.filter(F.col("_shard") == k).drop("_shard")
-        final, quarantine = build_shard_triples(shard_pages, aliases)
+        alias_rows = [(r.surface, r.entity_iri, r.prior) for r in aliases.collect()]
+        tagged = extraction.fused_extract_parse_link(shard_pages, alias_rows)
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.DISK_ONLY)  # 2 consumers, 1 scan
+        quarantine = tagged.filter(F.col("err").isNotNull()).select("url", "err")
+        all_triples = tagged.filter(F.col("err").isNull()).drop("err")
+        sk = canonical.skolemize(all_triples)
+        validated = canonical.validate_triples(sk)
+        good = validated.filter(F.col("valid")).drop("valid")
+        invalid = validated.filter(~F.col("valid")).select(
+            "url", F.lit("invalid term").alias("err")
+        )
+        quarantine = quarantine.unionByName(invalid)
+        final = canonical.dedup_triples(good, keep_lineage=True)
 
         # materialize: subject hash-bucket partitioning → partition pruning
         # for point lookups and co-located downstream merges
@@ -145,6 +157,7 @@ def run_pipeline(
         n_final = counts.total
         n_link = counts.links or 0
 
+        tagged.unpersist()
         res = ShardResult(
             shard=k,
             n_pages=n_pages,

@@ -30,33 +30,47 @@ _DOC_TRIPLE_DDL = "url string, " + terms.TRIPLE_DDL + ", err string"
 
 
 def _lines_parser(fmt: str, strict: bool):
-    cols = terms.QUAD_COLS if fmt == "nquads" else terms.TRIPLE_COLS
+    """Arrow-batch line parser (RE2 fast path — rdf_spark.arrow_fast)."""
+    import pyarrow as pa
 
-    def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = vectorized.parse_lines(pdf["value"], fmt=fmt)
+    from rdf_spark import arrow_fast
+
+    schema = arrow_fast.QUAD_SCHEMA if fmt == "nquads" else arrow_fast.TRIPLE_SCHEMA
+
+    def parse_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in it:
+            arr = batch.column(0)
+            tbl = arrow_fast.parse_lines_arrow(arr, fmt=fmt)
             if strict:
-                bad = out["err"].dropna()
-                if len(bad):
-                    raise parsing.ParseError(0, 0, str(bad.iloc[0]))
-            for k in ("s_kind", "o_kind", "graph_kind"):
-                if k in out.columns:
-                    out[k] = out[k].astype("object")
-            yield out[cols + ["err"]]
+                n_err = len(tbl) - tbl.column("err").null_count
+                if n_err:
+                    bad = tbl.filter(tbl.column("err").is_valid()).column("err")[0]
+                    raise parsing.ParseError(0, 0, str(bad))
+            for out in tbl.combine_chunks().to_batches():
+                if len(out):
+                    yield out
 
     return parse_batches
+
+
+def parse_lines_df(lines: DataFrame, fmt: str = "ntriples", errors: str = "quarantine") -> DataFrame:
+    """Parse a DataFrame with a ``value`` string column of N-Triples/N-Quads
+    lines into the canonical schema (+err) — the same narrow vectorized
+    stage :func:`read_ntriples` uses, for lines that come from any source."""
+    ddl = _QUAD_ERR_DDL if fmt == "nquads" else _TRIPLE_ERR_DDL
+    return lines.mapInArrow(_lines_parser(fmt, errors == "strict"), ddl)
 
 
 def read_ntriples(spark: SparkSession, path: str, errors: str = "quarantine") -> DataFrame:
     """Read N-Triples file(s) into the canonical triples schema (+err)."""
     lines = spark.read.text(path)
-    return lines.mapInPandas(_lines_parser("ntriples", errors == "strict"), _TRIPLE_ERR_DDL)
+    return lines.mapInArrow(_lines_parser("ntriples", errors == "strict"), _TRIPLE_ERR_DDL)
 
 
 def read_nquads(spark: SparkSession, path: str, errors: str = "quarantine") -> DataFrame:
     """Read N-Quads file(s) into the canonical quads schema (+err)."""
     lines = spark.read.text(path)
-    return lines.mapInPandas(_lines_parser("nquads", errors == "strict"), _QUAD_ERR_DDL)
+    return lines.mapInArrow(_lines_parser("nquads", errors == "strict"), _QUAD_ERR_DDL)
 
 
 def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, strict: bool):
@@ -73,6 +87,10 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
                         rows = parsing.parse_turtle(text, base=base)
                     elif fmt == "ntriples":
                         rows = parsing.parse_ntriples(text)
+                    elif fmt == "rdfxml":
+                        from rdf_spark.rdfxml import parse_rdfxml
+
+                        rows = parse_rdfxml(text, base=base)
                     else:
                         raise ValueError("unsupported format: %s" % fmt)
                 except parsing.ParseError as e:

@@ -1,0 +1,71 @@
+"""Replicates the driver's correctness gate: every ``queries()`` entry with
+an ``oracle_sql()`` counterpart must match DuckDB row-for-row (order- and
+column-order-insensitive) on the same parquet tables."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.sql(sql).fetchdf()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        return f"{v:.6f}"
+    return str(v)
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return cols, sorted(rows)
+
+
+ORACLED = sorted(set(entry.queries()) & set(entry.oracle_sql()))
+ROWS_ONLY = sorted(set(entry.queries()) - set(entry.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, name):
+    got = entry.queries()[name](spark, SF_DIR).toPandas()
+    want = _duck(entry.oracle_sql()[name])
+    g_cols, g_rows = _norm(got)
+    w_cols, w_rows = _norm(want)
+    assert g_cols == w_cols, f"{name}: column mismatch {g_cols} vs {w_cols}"
+    assert len(g_rows) == len(w_rows), f"{name}: {len(g_rows)} rows vs {len(w_rows)}"
+    if g_rows != w_rows:
+        diffs = [(a, b) for a, b in zip(g_rows, w_rows) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0  # runs, stable schema
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,29 @@
+"""Turtle encoder golden round-trips: decode ttlBenchInputs[i] → encode
+must equal ttlBenchOutputs[i] byte-for-byte (reference TestEncodingTTL,
+ttl_test.go:488-514, with the custom rdf: namespace mapping)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from rdf_spark import terms
+from rdf_spark.encoders import encode_turtle_pdf
+from rdf_spark.parsing import parse_turtle
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load():
+    with open(os.path.join(FIXDIR, "turtle_encode_goldens.jsonl"), encoding="utf-8") as f:
+        return [json.loads(line) for line in f]
+
+
+@pytest.mark.parametrize("case", _load(), ids=lambda c: c["name"])
+def test_turtle_encode_golden(case):
+    pdf = pd.DataFrame(parse_turtle(case["input"]), columns=terms.TRIPLE_COLS)
+    got = encode_turtle_pdf(
+        pdf, namespaces={"http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf"}
+    )
+    assert got == case["expected"]

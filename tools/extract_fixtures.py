@@ -292,8 +292,83 @@ def extract_suite(path, var_name, kind):
     return cases
 
 
+def extract_string_array(path, var_name):
+    """Extract a `var X = []string{...}` literal as a list of strings."""
+    src = open(path, encoding="utf-8").read()
+    m = re.search(re.escape(var_name) + r"\s*=\s*\[\]string\s*\{", src)
+    if not m:
+        raise ValueError(f"{var_name} not found in {path}")
+    p = GoLit(src, m.end() - 1)
+    p.expect("{")
+    out = []
+    while not p.try_consume("}"):
+        out.append(p.string())
+        p.try_consume(",")
+    return out
+
+
+def extract_rdfxml_suite(path, var_name, kind):
+    """Entries are {file, rdfxml, nt, err} — expected output is canonical
+    N-Triples text compared after re-encoding (rdfxml_test.go:241-278)."""
+    src = open(path, encoding="utf-8").read()
+    m = re.search(re.escape(var_name) + r"\s*=\s*\[\]struct\s*\{", src)
+    if not m:
+        raise ValueError(f"{var_name} not found in {path}")
+    brace = src.index("{", m.end() - 1)
+    depth, i = 1, brace + 1
+    while depth:
+        c = src[i]
+        depth += c == "{"
+        depth -= c == "}"
+        i += 1
+    p = GoLit(src, i)
+    p.expect("{")
+    cases = []
+    idx = 0
+    while not p.try_consume("}"):
+        entry = p.composite(None)
+        file, rdfxml, nt, err = (entry["_items"] + ["", "", "", ""])[:4]
+        cases.append(
+            {
+                "name": f"{kind}-{idx:04d}",
+                "format": "rdfxml",
+                "file": file,
+                "base": "http://www.w3.org/2013/RDFXMLTests/" + file,
+                "input": rdfxml,
+                "expected_nt": nt if not err else None,
+                "error": bool(err),
+                "error_text": err or None,
+            }
+        )
+        idx += 1
+        p.try_consume(",")
+    return cases
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
+    for var, kind in [("rdfxmlExamples", "rdfxml-ex"), ("rdfxmlTestSuite", "rdfxml")]:
+        cases = extract_rdfxml_suite(os.path.join(REF, "rdfxml_test.go"), var, kind)
+        out_path = os.path.join(OUT, f"{kind.replace('-', '_')}.jsonl")
+        with open(out_path, "w", encoding="utf-8") as f:
+            for c in cases:
+                f.write(json.dumps(c, ensure_ascii=False) + "\n")
+        skipped = sum(1 for c in cases if c["error_text"] == "TODO")
+        neg = sum(1 for c in cases if c["error"] and c["error_text"] != "TODO")
+        print(f"{var}: {len(cases)} cases ({skipped} TODO-skipped, {neg} negative) -> {out_path}")
+    # Turtle encoder goldens: decode(ttlBenchInputs[i]) → encode must equal
+    # ttlBenchOutputs[i] byte-for-byte (TestEncodingTTL, ttl_test.go:488-514)
+    inputs = extract_string_array(os.path.join(REF, "ttl_test.go"), "ttlBenchInputs")
+    outputs = extract_string_array(os.path.join(REF, "ttl_test.go"), "ttlBenchOutputs")
+    goldens = [
+        {"name": f"ttl-encode-{i:02d}", "input": a, "expected": b}
+        for i, (a, b) in enumerate(zip(inputs, outputs))
+    ]
+    with open(os.path.join(OUT, "turtle_encode_goldens.jsonl"), "w", encoding="utf-8") as f:
+        for g in goldens:
+            f.write(json.dumps(g, ensure_ascii=False) + "\n")
+    print(f"turtle-encode goldens: {len(goldens)} cases")
+
     suites = [
         ("nt_test.go", "ntTestSuite", "ntriples", "ntriples.jsonl"),
         ("nq_test.go", "nqTestSuite", "nquads", "nquads.jsonl"),
