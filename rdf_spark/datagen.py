@@ -113,3 +113,77 @@ def pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 def expected_link_count(n: int) -> int:
     """Every page mentions exactly two surfaces (possibly equal)."""
     return n
+
+
+def _best_entities() -> list[str]:
+    """Best entity per gazetteer row's surface (max prior, tie → min IRI) —
+    the same selection rule as extraction.link_entities / the fused stage."""
+    best: dict[str, tuple[str, float]] = {}
+    for surface, entity, prior in ENTITIES:
+        cur = best.get(surface)
+        if cur is None or prior > cur[1] or (prior == cur[1] and entity < cur[0]):
+            best[surface] = (entity, prior)
+    return [best[surface][0] for surface, _, _ in ENTITIES]
+
+
+def expected_triples(spark: SparkSession, n: int, seed: int = 42):
+    """The EXACT canonical (post-skolemization, post-dedup) triple set the
+    pipeline must produce for ``pages(spark, n, seed)`` — the reference
+    oracle for the P/R metric (BASELINE.md).  Pure column expressions, so
+    the oracle itself scales with the corpus."""
+    from rdf_spark.canonical import SKOLEM_PREFIX
+
+    EX = "http://kg.example/vocab#"
+    df = spark.range(n).withColumn("h", F.xxhash64(F.col("id"), F.lit(seed)))
+    dsel = F.pmod(F.col("h"), F.lit(16))
+    domain = F.when(dsel < 8, F.lit(DOMAINS[0]))
+    for i, d in enumerate(DOMAINS[1:], start=1):
+        domain = domain.when(dsel == (7 + i), F.lit(d))
+    domain = domain.otherwise(F.lit(DOMAINS[-1]))
+    url = F.concat(F.lit("https://"), domain, F.lit("/page/"), F.col("id"))
+    subj = F.concat(url, F.lit("#product"))
+    skolem_b1 = F.concat(
+        F.lit(SKOLEM_PREFIX), F.lower(F.hex(F.xxhash64(url))), F.lit(":b1")
+    )
+    price = F.concat(
+        (F.pmod(F.col("h"), F.lit(900)) + 100).cast("string"),
+        F.lit("."),
+        F.pmod(F.col("h"), F.lit(100)).cast("string"),
+    )
+    tag = F.concat(F.lit("t"), F.pmod(F.col("h"), F.lit(7)).cast("string"))
+
+    base = df.select(F.col("id"), F.col("h"), url.alias("url"))
+
+    def tri(s, s_kind, p, o, o_kind, dt=None, lang=None):
+        return base.select(
+            s.alias("s"), F.lit(s_kind).cast("tinyint").alias("s_kind"),
+            F.lit(p).alias("p"), o.alias("o"),
+            F.lit(o_kind).cast("tinyint").alias("o_kind"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("o_datatype"),
+            (F.lit(lang) if lang else F.lit(None)).cast("string").alias("o_lang"),
+        )
+
+    from rdf_spark import terms
+
+    rdf_parts = [
+        tri(subj, 1, terms.RDF_TYPE, F.lit(EX + "Product"), 1),
+        tri(subj, 1, EX + "name", F.concat(F.lit("Item "), F.col("id")), 2,
+            terms.XSD_STRING),
+        tri(subj, 1, EX + "price", price, 2, terms.XSD_DECIMAL),
+        tri(subj, 1, EX + "tag", skolem_b1, 0),
+        tri(skolem_b1, 0, EX + "label", tag, 2, terms.RDF_LANG_STRING, "en"),
+    ]
+
+    best = _best_entities()
+    ents = F.array(*[F.lit(e) for e in best])
+    m1 = F.element_at(ents, (F.pmod(F.col("h"), F.lit(len(ENTITIES))) + 1).cast("int"))
+    m2 = F.element_at(ents, (F.pmod(F.col("h") + 7, F.lit(len(ENTITIES))) + 1).cast("int"))
+    links = [
+        tri(F.col("url"), 1, EX + "mentions", m1, 1),
+        tri(F.col("url"), 1, EX + "mentions", m2, 1),
+    ]
+
+    out = rdf_parts[0]
+    for part in rdf_parts[1:] + links:
+        out = out.unionByName(part)
+    return out.dropDuplicates()
