@@ -187,137 +187,206 @@ class Lexer:
 
 
 def _lex_any(l: Lexer):
-    r = l._next()
-    if r == _EOF_CH:
+    # bulk-skip inter-token whitespace, then dispatch on the next char via
+    # table lookup (the reference's switch, lex.go:355-515, as a dict).
+    inp = l.input
+    pos = l.pos
+    n = len(inp)
+    while pos < n and (inp[pos] == " " or inp[pos] == "\t"):
+        pos += 1
+    if pos != l.pos:
+        l.pos = pos
+        l.start = pos
+    if pos >= n:
+        l._width = 0
         l._ignore()
         l._emit(EOL)
         return None  # park until next line
-    if r == "@":
-        n = l._next()
-        if n == "p":
-            l.start += 1  # drop '@'
-            return _lex_prefix_directive
-        if n == "b":
-            l.start += 1
-            return _lex_base_directive
-        l._backup()
-        return l._errorf("unrecognized directive")
-    if r == "_":
-        if l._peek() != ":":
-            return l._errorf("illegal character in blank node identifier")
-        l._next()  # ':'
-        return _lex_bnode
-    if r == "<":
-        l._ignore()
-        return _lex_iri
-    if r == "a":
-        if l._peek() in _OK_AFTER_RDF_TYPE:
-            l._emit(RDF_TYPE)
-            return _lex_any
-        l.pos -= 1  # unread 'a'
+    r = inp[pos]
+    h = _DISPATCH.get(r)
+    if h is not None:
+        return h(l)
+    if chars.PN_CHARS_BASE_RE.match(r):
         return _lex_prefix_label
-    if r == ":":
-        l._backup()
-        return _lex_prefix_label
-    if r in "'\"":
-        l._backup()
-        return _lex_literal
-    if r in "+-":
-        if not l._peek().isdigit() or not l._peek().isascii():
-            return l._errorf("bad literal: illegal number syntax")
-        l._backup()
-        return _lex_number
-    if r.isascii() and r.isdigit():
-        l._backup()
-        return _lex_number
-    if r in " \t":
-        l._ignore()
+    l.pos = pos + 1
+    l._width = 1
+    return l._errorf("unexpected character: %r" % r)
+
+
+def _h_at(l: Lexer):
+    l._next()
+    nch = l._next()
+    if nch == "p":
+        l.start += 1  # drop '@'
+        return _lex_prefix_directive
+    if nch == "b":
+        l.start += 1
+        return _lex_base_directive
+    l._backup()
+    return l._errorf("unrecognized directive")
+
+
+def _h_bnode(l: Lexer):
+    l._next()
+    if l._peek() != ":":
+        return l._errorf("illegal character in blank node identifier")
+    l._next()  # ':'
+    return _lex_bnode
+
+
+def _h_iri(l: Lexer):
+    l._next()
+    l._ignore()
+    return _lex_iri
+
+
+def _h_a(l: Lexer):
+    l._next()
+    if l._peek() in _OK_AFTER_RDF_TYPE:
+        l._emit(RDF_TYPE)
         return _lex_any
-    if r == "[":
+    l.pos -= 1  # unread 'a'
+    return _lex_prefix_label
+
+
+def _h_quote(l: Lexer):
+    return _lex_literal
+
+
+def _h_sign(l: Lexer):
+    l._next()
+    p = l._peek()
+    if not (p.isascii() and p.isdigit()):
+        return l._errorf("bad literal: illegal number syntax")
+    l._backup()
+    return _lex_number
+
+
+def _h_digit(l: Lexer):
+    return _lex_number
+
+
+def _h_plist_open(l: Lexer):
+    r = l._next()
+    r = l._next()
+    while r in " \t" and r != _EOF_CH:
+        r = l._next()
+    if r == "]":
+        l._ignore()
+        l._emit(ANON_BNODE)
+        return _lex_any
+    l._backup()
+    l._ignore()
+    l._emit(PLIST_START)
+    return _lex_any
+
+
+def _h_plist_close(l: Lexer):
+    l._next()
+    l._ignore()
+    l._emit(PLIST_END)
+    return _lex_any
+
+
+def _h_coll_open(l: Lexer):
+    l._next()
+    l._ignore()
+    l._emit(COLL_START)
+    return _lex_any
+
+
+def _h_coll_close(l: Lexer):
+    l._next()
+    l._ignore()
+    l._emit(COLL_END)
+    return _lex_any
+
+
+def _h_dot(l: Lexer):
+    l._next()
+    p = l._peek()
+    if p != _EOF_CH and p.isascii() and p.isdigit():
+        return _lex_number  # number starting with '.' (scan restarts at start)
+    l._ignore()
+    l._emit(DOT)
+    return _lex_any
+
+
+def _h_cr(l: Lexer):
+    l._next()
+    if l._peek() == "\n":
+        l._next()
+        return _lex_any
+    l._ignore()
+    l._emit(EOL)
+    return _lex_any
+
+
+def _h_nl(l: Lexer):
+    l._next()
+    l._ignore()
+    l._emit(EOL)
+    return None
+
+
+def _h_semi(l: Lexer):
+    l._next()
+    l._emit(SEMICOLON)
+    return _lex_any
+
+
+def _h_comma(l: Lexer):
+    l._next()
+    l._emit(COMMA)
+    return _lex_any
+
+
+def _h_hash(l: Lexer):
+    l._next()
+    l._ignore()
+    l._emit(EOL)
+    return None  # comment: park until next line
+
+
+def _h_P(l: Lexer):
+    l._next()
+    if _accept_ci(l, "PREFIX"):
+        l._emit(SPARQL_PREFIX)
         r = l._next()
         while r in " \t" and r != _EOF_CH:
             r = l._next()
-        if r == "]":
-            l._ignore()
-            l._emit(ANON_BNODE)
-            return _lex_any
         l._backup()
         l._ignore()
-        l._emit(PLIST_START)
+        return _lex_prefix_label_in_directive
+    l._backup()
+    return _lex_prefix_label
+
+
+def _h_B(l: Lexer):
+    l._next()
+    if _accept_ci(l, "BASE"):
+        l._emit(SPARQL_BASE)
         return _lex_any
-    if r == "]":
-        l._ignore()
-        l._emit(PLIST_END)
+    l._backup()
+    return _lex_prefix_label
+
+
+def _h_t(l: Lexer):
+    l._next()
+    if _accept_exact(l, "true"):
+        l._emit(LITERAL_BOOLEAN)
         return _lex_any
-    if r == "(":
-        l._ignore()
-        l._emit(COLL_START)
+    l._backup()
+    return _lex_prefix_label
+
+
+def _h_f(l: Lexer):
+    l._next()
+    if _accept_exact(l, "false"):
+        l._emit(LITERAL_BOOLEAN)
         return _lex_any
-    if r == ")":
-        l._ignore()
-        l._emit(COLL_END)
-        return _lex_any
-    if r == ".":
-        p = l._peek()
-        if p.isascii() and p.isdigit():
-            return _lex_number  # number starting with '.' (scan restarts at start)
-        l._ignore()
-        l._emit(DOT)
-        return _lex_any
-    if r == "\r":
-        if l._peek() == "\n":
-            l._next()
-            return _lex_any
-        l._ignore()
-        l._emit(EOL)
-        return _lex_any
-    if r == "\n":
-        l._ignore()
-        l._emit(EOL)
-        return None
-    if r == ";":
-        l._emit(SEMICOLON)
-        return _lex_any
-    if r == ",":
-        l._emit(COMMA)
-        return _lex_any
-    if r == "#" or r == _EOF_CH:
-        l._ignore()
-        l._emit(EOL)
-        return None  # park until next line
-    if r in "Pp":
-        if _accept_ci(l, "PREFIX"):
-            l._emit(SPARQL_PREFIX)
-            r = l._next()
-            while r in " \t" and r != _EOF_CH:
-                r = l._next()
-            l._backup()
-            l._ignore()
-            return _lex_prefix_label_in_directive
-        l._backup()
-        return _lex_prefix_label
-    if r in "Bb":
-        if _accept_ci(l, "BASE"):
-            l._emit(SPARQL_BASE)
-            return _lex_any
-        l._backup()
-        return _lex_prefix_label
-    if r == "t":
-        if _accept_exact(l, "true"):
-            l._emit(LITERAL_BOOLEAN)
-            return _lex_any
-        l._backup()
-        return _lex_prefix_label
-    if r == "f":
-        if _accept_exact(l, "false"):
-            l._emit(LITERAL_BOOLEAN)
-            return _lex_any
-        l._backup()
-        return _lex_prefix_label
-    if chars.PN_CHARS_BASE_RE.match(r):
-        l._backup()
-        return _lex_prefix_label
-    return l._errorf("unexpected character: %r" % r)
+    l._backup()
+    return _lex_prefix_label
 
 
 def _accept_exact(l: Lexer, s: str) -> bool:
@@ -665,3 +734,24 @@ def _lex_iri_suffix(l: Lexer):
         l.pos -= 1
     l._emit(IRI_SUFFIX)
     return _lex_any
+
+
+# Dispatch table for _lex_any (built after all handlers are defined).
+# Plain ASCII letters that aren't keyword starters go straight to the
+# prefixed-name scanner; non-ASCII PN_CHARS_BASE falls back to the regex
+# check inside _lex_any.
+_DISPATCH = {
+    "@": _h_at, "_": _h_bnode, "<": _h_iri, "a": _h_a,
+    ":": _lex_prefix_label, "'": _h_quote, '"': _h_quote,
+    "+": _h_sign, "-": _h_sign,
+    "[": _h_plist_open, "]": _h_plist_close,
+    "(": _h_coll_open, ")": _h_coll_close,
+    ".": _h_dot, "\r": _h_cr, "\n": _h_nl,
+    ";": _h_semi, ",": _h_comma, "#": _h_hash,
+    "P": _h_P, "p": _h_P, "B": _h_B, "b": _h_B,
+    "t": _h_t, "f": _h_f,
+}
+for _d in "0123456789":
+    _DISPATCH[_d] = _h_digit
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _DISPATCH.setdefault(_c, _lex_prefix_label)
