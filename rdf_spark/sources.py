@@ -73,7 +73,8 @@ def read_nquads(spark: SparkSession, path: str, errors: str = "quarantine") -> D
     return lines.mapInArrow(_lines_parser("nquads", errors == "strict"), _QUAD_ERR_DDL)
 
 
-def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, strict: bool):
+def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, strict: bool,
+                fixed_base: str = ""):
     def parse_docs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url"] + terms.TRIPLE_COLS + ["err"]
         for pdf in it:
@@ -81,7 +82,7 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
             for url, text in zip(pdf[url_col].astype(str), pdf[text_col]):
                 if text is None:
                     continue
-                base = url if base_from_url else ""
+                base = url if base_from_url else fixed_base
                 try:
                     if fmt == "turtle":
                         rows = parsing.parse_turtle(text, base=base)
@@ -112,6 +113,7 @@ def parse_documents(
     url_col: str = "url",
     base_from_url: bool = True,
     errors: str = "quarantine",
+    base: str = "",
 ) -> DataFrame:
     """Parse a DataFrame of documents into triples (narrow stage, no shuffle).
 
@@ -121,6 +123,6 @@ def parse_documents(
     merge.
     """
     return df.mapInPandas(
-        _doc_parser(fmt, text_col, url_col, base_from_url, errors == "strict"),
+        _doc_parser(fmt, text_col, url_col, base_from_url, errors == "strict", base),
         _DOC_TRIPLE_DDL,
     )

@@ -1,0 +1,41 @@
+"""Format-conversion tests (rdf2rdf analogue): turtle → ntriples → nquads
+→ back, set-equal triples throughout."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from rdf_spark import convert, sources
+
+TTL = """@prefix ex: <http://e/> .
+ex:s a ex:T ; ex:p "v"@en ; ex:n 42 .
+"""
+
+
+def test_convert_turtle_to_ntriples_to_nquads(spark, tmp_path):
+    ttl_dir = tmp_path / "in_ttl"
+    ttl_dir.mkdir()
+    (ttl_dir / "doc1.ttl").write_text(TTL)
+
+    nt_out = str(tmp_path / "out_nt")
+    n = convert.convert(spark, str(ttl_dir), "turtle", nt_out, "ntriples")
+    assert n == 3
+    lines = []
+    for f in glob.glob(nt_out + "/part-*"):
+        lines += [ln for ln in open(f).read().splitlines() if ln]
+    assert len(lines) == 3
+    assert any('"v"@en' in ln for ln in lines)
+    assert any('"42"^^<http://www.w3.org/2001/XMLSchema#integer>' in ln for ln in lines)
+
+    nq_out = str(tmp_path / "out_nq")
+    n2 = convert.convert(spark, nt_out, "ntriples", nq_out, "nquads")
+    assert n2 == 3
+    back = sources.read_nquads(spark, nq_out).filter(F.col("err").isNull())
+    assert back.count() == 3
+    assert {r.graph for r in back.collect()} == {"_:defaultGraph"}
+
+    ttl_out = str(tmp_path / "out_ttl")
+    n3 = convert.convert(spark, nt_out, "ntriples", ttl_out, "turtle")
+    assert n3 == 3
+    back_ttl = convert.read_rdf(spark, ttl_out, "turtle")
+    assert back_ttl.filter(F.col("err").isNull()).count() == 3
