@@ -170,6 +170,19 @@ def q_predicate_histogram(spark, sf_dir):
     return canonical.predicate_histogram(tri).select("p", "n")
 
 
+def q_namespace_histogram(spark, sf_dir):
+    """E6 feeder: distinct-namespace stats over all IRI positions."""
+    lines = _t(spark, sf_dir, "part").select(
+        F.concat(
+            F.lit("<http://ex.org/part/"), F.col("p_partkey"),
+            F.lit("> <http://ex.org/v#size> <http://ex.org/size#"),
+            F.col("p_size"), F.lit("> ."),
+        ).alias("value")
+    )
+    tri = sources.parse_lines_df(lines, "ntriples")
+    return canonical.namespace_histogram(tri).select("ns", "n")
+
+
 def q_skolemize(spark, sf_dir):
     """C4: deterministic blank-node skolemization (rows-only: xxhash64 has
     no DuckDB equivalent)."""
@@ -377,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_triples": q_dedup_triples,
         "typed_literals": q_typed_literals,
         "predicate_histogram": q_predicate_histogram,
+        "namespace_histogram": q_namespace_histogram,
         "skolemize": q_skolemize,
         "turtle_encode": q_turtle_encode,
         "mention_count": q_mention_count,
@@ -476,6 +490,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:p:prio-' || regexp_replace(o_orderpriority, '[^A-Z0-9]', '_', 'g') AS p,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM orders GROUP BY 1
+        """,
+        "namespace_histogram": """
+            WITH iris AS (
+                SELECT 'http://ex.org/part/' || p_partkey AS iri FROM part
+                UNION ALL SELECT 'http://ex.org/v#size' FROM part
+                UNION ALL SELECT 'http://ex.org/size#' || p_size FROM part
+            )
+            SELECT regexp_extract(iri, '^(.*[/#])[^/#]*$', 1) AS ns,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM iris GROUP BY 1
         """,
         "mention_count": f"""
             WITH s(surface) AS (VALUES {_SURFACE_VALUES})

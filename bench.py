@@ -71,33 +71,35 @@ def main() -> int:
         _force(qfns[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # NT parse throughput in triples/sec (the BASELINE.json headline unit)
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    n_lines = lineitem.count()
-    lines = lineitem.select(
+    # NT parse throughput in triples/sec (the BASELINE.json headline unit).
+    # Sized so compute dominates fixed stage costs (~12M lines, ~4 s @32c).
+    from rdf_spark import sources
+
+    n_lines = 12_000_000
+    lines = spark.range(n_lines, numPartitions=cpus * 2).select(
         F.concat(
-            F.lit("<urn:order:"), F.col("l_orderkey"), F.lit(":"), F.col("l_linenumber"),
-            F.lit("> <urn:p:qty> \""), F.col("l_quantity").cast("long"),
+            F.lit("<urn:order:"), F.col("id"), F.lit("> <urn:p:qty> \""),
+            F.pmod(F.col("id"), F.lit(50)),
             F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
         ).alias("value")
     )
-    from rdf_spark import sources
-
+    parsed = sources.parse_lines_df(lines, "ntriples")
+    _force(parsed)  # warm python workers
     t0 = time.time()
-    _force(sources.parse_lines_df(lines, "ntriples"))
+    _force(parsed)
     nt_wall = time.time() - t0
     timings["nt_parse_throughput"] = round(nt_wall, 3)
     nt_tps = round(n_lines / nt_wall, 1)
 
     # KG pipeline end-to-end throughput (pages/sec), synthetic corpus
-    n_pages = 20000
+    n_pages = 60000
     pages = datagen.pages(spark, n_pages)
     aliases = datagen.aliases(spark)
     t0 = time.time()
     final, _ = pipeline.build_shard_triples(pages, aliases)
     _force(final)
     kg_wall = time.time() - t0
-    timings["kg_pipeline_20k"] = round(kg_wall, 3)
+    timings["kg_pipeline_60k"] = round(kg_wall, 3)
 
     total = round(sum(timings.values()), 3)
     print(

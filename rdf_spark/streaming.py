@@ -106,6 +106,72 @@ def crawl_rate_counters(pages_stream: DataFrame, window: str = "1 hour",
     )
 
 
+def stateful_dedup_stream(
+    triples_stream: DataFrame,
+    state_timeout_minutes: int | None = 60,
+    n_key_buckets: int = 1024,
+) -> DataFrame:
+    """Streaming cross-batch dedup as a custom stateful operator
+    (``applyInPandasWithState``): keyed by a subject hash-bucket, the state
+    holds the set of triple hashes already emitted; only first-seen triples
+    pass through.
+
+    State is bounded two ways: bucketing keeps per-key state mergeable and
+    the processing-time timeout drops buckets idle longer than
+    ``state_timeout_minutes`` (so dedup is exact within the window and
+    best-effort across it — the batch compaction remains the source of
+    global exactness).  NOTE: with a processing-time timeout Spark keeps
+    scheduling (empty) micro-batches to evaluate timers, so
+    ``processAllAvailable`` never returns — poll the sink instead, or pass
+    ``state_timeout_minutes=None`` for unbounded state without timers.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = [c for c in triples_stream.columns if c != "_kb"]
+    keyed = triples_stream.withColumn(
+        "_kb", F.pmod(F.xxhash64("s"), F.lit(n_key_buckets)).cast("int")
+    )
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in triples_stream.schema.fields)
+
+    use_timeout = state_timeout_minutes is not None
+
+    def dedup_fn(key, pdf_iter, state):
+        if use_timeout and state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdf_iter:
+            h64 = pd.util.hash_pandas_object(
+                pdf[["s", "p", "o", "o_datatype", "o_lang"]].astype(str), index=False
+            ).to_numpy().view("int64")
+            ph = pd.Series(h64, index=pdf.index)
+            fresh = ~ph.isin(list(seen)) & ~ph.duplicated()
+            seen.update(int(x) for x in ph[fresh])
+            out.append(pdf.loc[fresh, cols])
+        state.update((list(seen),))
+        if use_timeout:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        result = pd.concat(out) if out else None
+        if result is not None and len(result):
+            yield result
+
+    return keyed.groupBy("_kb").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_ddl,
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def read_stream_store(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read-through view of the streamed store with global dedup applied."""
     df = spark.read.parquet(os.path.join(out_dir, "triples_stream"))

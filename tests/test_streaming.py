@@ -61,3 +61,33 @@ def test_crawl_rate_counters(spark, tmp_path):
     # and the aggregation is well-formed
     rows = spark.sql("select * from crawl_counters").collect()
     assert rows is not None
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    from rdf_spark import streaming as S
+    from rdf_spark import terms
+
+    in_dir = str(tmp_path / "tri_in")
+    rows1 = [("http://s1", 1, "http://p", "a", 2, terms.XSD_STRING, None),
+             ("http://s2", 1, "http://p", "b", 2, terms.XSD_STRING, None)]
+    spark.createDataFrame(rows1, terms.TRIPLE_DDL).write.mode("overwrite").parquet(in_dir)
+
+    stream = (spark.readStream.schema(terms.TRIPLE_DDL)
+              .option("maxFilesPerTrigger", 8).parquet(in_dir))
+    deduped = S.stateful_dedup_stream(stream, state_timeout_minutes=None, n_key_buckets=8)
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out").start())
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("select count(*) n from dedup_out").first().n
+        assert n1 == 2
+        # batch 2: one duplicate of s1 + one new triple
+        rows2 = [("http://s1", 1, "http://p", "a", 2, terms.XSD_STRING, None),
+                 ("http://s3", 1, "http://p", "c", 2, terms.XSD_STRING, None)]
+        spark.createDataFrame(rows2, terms.TRIPLE_DDL).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        got = spark.sql("select s from dedup_out").collect()
+        subjects = sorted(r.s for r in got)
+        assert subjects == ["http://s1", "http://s2", "http://s3"]  # dup suppressed
+    finally:
+        q.stop()
