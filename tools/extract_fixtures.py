@@ -345,8 +345,41 @@ def extract_rdfxml_suite(path, var_name, kind):
     return cases
 
 
+def extract_lexer_tests(path):
+    """TestTokens' inline table (lex_test.go:85-398): {input, [(tokType, text)]}."""
+    src = open(path, encoding="utf-8").read()
+    m = re.search(r"lexTests\s*:=\s*\[\]struct\s*\{", src)
+    brace = src.index("{", m.end() - 1)
+    depth, i = 1, brace + 1
+    while depth:
+        depth += src[i] == "{"
+        depth -= src[i] == "}"
+        i += 1
+    p = GoLit(src, i)
+    p.expect("{")
+    cases = []
+    idx = 0
+    while not p.try_consume("}"):
+        entry = p.composite(None)
+        inp = entry["_items"][0]
+        toks = [
+            [t["_items"][0]["_ident"], t["_items"][1]]
+            for t in entry["_items"][1]["_items"]
+        ]
+        cases.append({"name": f"lex-{idx:04d}", "input": inp, "tokens": toks})
+        idx += 1
+        p.try_consume(",")
+    return cases
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
+    lex_cases = extract_lexer_tests(os.path.join(REF, "lex_test.go"))
+    with open(os.path.join(OUT, "lexer.jsonl"), "w", encoding="utf-8") as f:
+        for c in lex_cases:
+            f.write(json.dumps(c, ensure_ascii=False) + "\n")
+    print(f"lexer token tables: {len(lex_cases)} cases")
+
     for var, kind in [("rdfxmlExamples", "rdfxml-ex"), ("rdfxmlTestSuite", "rdfxml")]:
         cases = extract_rdfxml_suite(os.path.join(REF, "rdfxml_test.go"), var, kind)
         out_path = os.path.join(OUT, f"{kind.replace('-', '_')}.jsonl")
