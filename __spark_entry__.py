@@ -232,6 +232,20 @@ def q_entity_link(spark, sf_dir):
     return links.select("url", "surface", "entity_iri", F.round("score", 6).alias("score"))
 
 
+def q_pipeline_pr(spark, sf_dir):
+    """Headline metric: triple P/R of the full pipeline vs the exact
+    deterministic oracle — must be identically 1.0/1.0 (BASELINE.md)."""
+    from rdf_spark import datagen, pipeline, scoring
+
+    n = 300
+    got, _ = pipeline.build_shard_triples(datagen.pages(spark, n), datagen.aliases(spark))
+    s = scoring.pr_score(got, datagen.expected_triples(spark, n))
+    return spark.createDataFrame(
+        [(round(s.precision, 6), round(s.recall, 6), s.true_positives)],
+        "precision double, recall double, true_positives long",
+    )
+
+
 def q_kg_pipeline(spark, sf_dir):
     """Flagship end-to-end: synthetic pages → extracted + parsed + linked +
     skolemized + deduped triples (rows-only; oracled piecewise above)."""
@@ -396,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_count": q_mention_count,
         "entity_link": q_entity_link,
         "kg_pipeline": q_kg_pipeline,
+        "pipeline_pr": q_pipeline_pr,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -527,6 +542,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, surface, entity_iri, round(score, 6) AS score
             FROM scored WHERE rk = 1
+        """,
+        "pipeline_pr": """
+            SELECT CAST(1.0 AS DOUBLE) AS precision,
+                   CAST(1.0 AS DOUBLE) AS recall,
+                   CAST(2100 AS BIGINT) AS true_positives
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM_TEXT}) AS fp,
