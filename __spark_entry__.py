@@ -9,6 +9,11 @@ order-insensitively but compares names/types exactly).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -149,6 +154,9 @@ def q_dedup_triples(spark, sf_dir):
 
 def q_typed_literals(spark, sf_dir):
     """C9: lexical→typed conversion (xsd:dateTime both layouts, integers)."""
+    # oracle parity: DuckDB timestamps are UTC-naive; pin the session TZ so
+    # date_format/to_timestamp render identically regardless of driver conf
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("lex"),
