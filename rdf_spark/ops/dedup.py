@@ -195,20 +195,32 @@ def minhash_near_duplicates(
 
 
 def simhash_col_pd(texts: pd.Series, n_bits: int = 64) -> pd.Series:
-    """64-bit SimHash per document (vectorized-ish numpy loop per batch)."""
+    """64-bit SimHash per document.
+
+    Token hashes are cached across the batch (web text repeats tokens
+    heavily) and the bit expansion is one numpy matrix op per document,
+    not one per token."""
+    shifts = np.arange(n_bits, dtype=np.uint64)
+    cache: dict[str, int] = {}
     out = []
     for text in texts.fillna(""):
         toks = text.lower().split()
         if not toks:
             out.append(0)
             continue
-        acc = np.zeros(n_bits, dtype=np.int64)
-        for t in toks:
-            h = _hash63(t.encode())
-            bits = (h >> np.arange(n_bits)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        sig = int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
-        out.append(sig - (1 << 63) if sig >= (1 << 63) else sig)  # to signed
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = _hash63(t.encode())
+                cache[t] = h
+            hs[i] = h
+        bits = (hs[:, None] >> shifts[None, :]) & 1  # (n_toks, n_bits)
+        acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+        sig = 0
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= 1 << int(b)
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
     return pd.Series(out, index=texts.index)
 
 
