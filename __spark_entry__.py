@@ -27,6 +27,27 @@ XSD_STRING = terms.XSD_STRING
 XSD_INTEGER = terms.XSD_INTEGER
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make rdf_spark importable inside executor Python workers regardless
+    of the driver's cwd/PYTHONPATH (zip once, addPyFile)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import shutil
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(), "rdf_spark_pkg"), "zip",
+        root_dir=here, base_dir="rdf_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -192,21 +213,34 @@ def q_namespace_histogram(spark, sf_dir):
 
 
 def q_skolemize(spark, sf_dir):
-    """C4: deterministic blank-node skolemization (rows-only: xxhash64 has
-    no DuckDB equivalent)."""
+    """C4: deterministic blank-node skolemization.  The hash itself has no
+    DuckDB equivalent, so the oracle checks the structural invariants: the
+    label suffix, term kinds, and that both blanks of one document share
+    the same document-hash prefix."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"),
         F.lit('_:a <urn:p:rel> _:b .\n_:b <urn:p:rel> "x" .').alias("text"),
     )
     tri = sources.parse_documents(docs, fmt="ntriples", base_from_url=False)
     sk = canonical.skolemize(tri.filter(F.col("err").isNull()))
-    return sk.select("url", "s", "o", "s_kind", "o_kind")
+    prefix = lambda c: F.regexp_extract(c, r"^urn:skolem:([0-9a-f]+):", 1)  # noqa: E731
+    local = lambda c: F.regexp_extract(c, r"([^:]*)$", 1)  # noqa: E731
+    return sk.select(
+        "url",
+        local(F.col("s")).alias("s_local"),
+        F.when(F.col("o_kind") == 0, local(F.col("o"))).otherwise(F.col("o")).alias("o_local"),
+        F.col("s_kind").cast("int").alias("s_kind"),
+        F.col("o_kind").cast("int").alias("o_kind"),
+        F.when(F.col("o_kind") == 0, prefix(F.col("s")) == prefix(F.col("o")))
+        .otherwise(F.lit(True))
+        .alias("hash_consistent"),
+    )
 
 
 def q_turtle_encode(spark, sf_dir):
-    """E3/E5/E6: Turtle encoder round-trip — encode a small graph, reparse,
-    count triples per subject (rows-only at DataFrame level; golden-file
-    equality is covered in pytest)."""
+    """E3/E5/E6: Turtle encoder round-trip — encode a small graph, reparse;
+    the reparse must reproduce exactly the source projection (byte-level
+    golden equality is covered in pytest)."""
     docs = _t(spark, sf_dir, "nation").select(
         F.concat(F.lit("urn:doc:"), F.col("n_nationkey")).alias("url"),
         F.concat(
@@ -398,11 +432,23 @@ def q_events_sessionize(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: Turtle KG construction over sf0.001 (parse + canonical cols)."""
+    _ship_package(spark)
     return q_turtle_parse(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _wrap(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES = {
         "nt_parse": q_nt_parse,
         "nquads_parse": q_nquads_parse,
         "turtle_parse": q_turtle_parse,
@@ -523,6 +569,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT regexp_extract(iri, '^(.*[/#])[^/#]*$', 1) AS ns,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM iris GROUP BY 1
+        """,
+        "skolemize": """
+            SELECT CAST(doc_id AS VARCHAR) AS url, 'a' AS s_local, 'b' AS o_local,
+                   0 AS s_kind, 0 AS o_kind, TRUE AS hash_consistent
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'b', 'x', 0, 2, TRUE
+            FROM documents
+        """,
+        "turtle_encode": """
+            SELECT 'urn:nation:' || n_nationkey AS s, 'urn:p:name' AS p,
+                   n_name AS o
+            FROM nation
         """,
         "mention_count": f"""
             WITH s(surface) AS (VALUES {_SURFACE_VALUES})
