@@ -46,6 +46,19 @@ ORACLED = sorted(set(entry.queries()) & set(entry.oracle_sql()))
 ROWS_ONLY = sorted(set(entry.queries()) - set(entry.oracle_sql()))
 
 
+def _dtype_class(dt):
+    s = str(dt)
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    if "bool" in s:
+        return "bool"
+    if "datetime" in s:
+        return "ts"
+    return "str"
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
     got = entry.queries()[name](spark, SF_DIR).toPandas()
@@ -53,6 +66,9 @@ def test_query_matches_oracle(spark, name):
     g_cols, g_rows = _norm(got)
     w_cols, w_rows = _norm(want)
     assert g_cols == w_cols, f"{name}: column mismatch {g_cols} vs {w_cols}"
+    for c in g_cols:
+        gc, wc = _dtype_class(got[c].dtype), _dtype_class(want[c].dtype)
+        assert gc == wc, f"{name}.{c}: dtype class {got[c].dtype} vs {want[c].dtype}"
     assert len(g_rows) == len(w_rows), f"{name}: {len(g_rows)} rows vs {len(w_rows)}"
     if g_rows != w_rows:
         diffs = [(a, b) for a, b in zip(g_rows, w_rows) if a != b][:5]
