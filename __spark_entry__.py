@@ -261,6 +261,19 @@ def q_turtle_encode(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_property_table(spark, sf_dir):
+    """Graph accessor: subject × predicate pivot over parsed triples
+    (conditional hash aggregation — ops.graph.property_table)."""
+    from rdf_spark.ops import graph
+
+    tri = q_turtle_parse(spark, sf_dir).withColumnRenamed("o_kind", "o_kind_i")
+    tri = tri.withColumn("o_kind", F.col("o_kind_i").cast("tinyint"))
+    pt = graph.property_table(
+        tri, {"name": "urn:ex:name", "nation": "urn:ex:nation"}
+    )
+    return pt.select("s", "name", "nation")
+
+
 def q_mention_count(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     m = extraction.detect_mentions(docs, _aliases_df(spark))
@@ -461,6 +474,7 @@ _QUERIES = {
         "namespace_histogram": q_namespace_histogram,
         "skolemize": q_skolemize,
         "turtle_encode": q_turtle_encode,
+        "property_table": q_property_table,
         "mention_count": q_mention_count,
         "entity_link": q_entity_link,
         "kg_pipeline": q_kg_pipeline,
@@ -582,6 +596,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:nation:' || n_nationkey AS s, 'urn:p:name' AS p,
                    n_name AS o
             FROM nation
+        """,
+        "property_table": """
+            SELECT 'urn:cust:' || c_custkey AS s, c_name AS name,
+                   CAST(c_nationkey AS VARCHAR) AS nation
+            FROM customer
         """,
         "mention_count": f"""
             WITH s(surface) AS (VALUES {_SURFACE_VALUES})
