@@ -10,12 +10,12 @@ in this engine is across documents/partitions, not within one document
 (SURVEY.md §4.1).
 
 This module is pure Python with no Spark dependency so it can run inside
-Arrow-batched UDFs (mapInPandas) on executors.
+Arrow-batched UDFs on executors.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, NamedTuple, Optional
+from typing import Iterator, NamedTuple
 
 from rdf_spark import chars
 

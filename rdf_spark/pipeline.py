@@ -3,15 +3,16 @@
 The north-star pipeline (BASELINE.json / SURVEY.md §2.6):
 
     pages (url, warc_ts, html, text, lang)
-      → extract          (byte-identical text + embedded-RDF blocks; narrow)
-      → parse            (Turtle per document, quarantine errors; narrow)
-      → mention/link     (broadcast gazetteer join + top-1 window)
-      → canonicalize     (skolemize bnodes per (url,label); validate)
-      → dedup            (partial+final hash agg, lineage counts)
-      → materialize      (parquet partitioned by subject hash-bucket)
+      → extract+parse+link (ONE fused narrow mapInArrow stage: byte-
+                            identical text, embedded-RDF Turtle parse,
+                            gazetteer mention scoring — quarantine errors)
+      → canonicalize       (skolemize bnodes per (url,label); validate)
+      → dedup              (partial+final hash agg, lineage counts)
+      → materialize        (parquet partitioned by subject hash-bucket)
 
-Scale design: the only shuffles are the dedup aggregate and the top-1
-window (keyed by url — uniform, not domain-skewed).  Checkpoint-resume is
+Scale design: the only shuffle per shard is the dedup aggregate (page
+partitioning is url-hash — uniform regardless of domain skew).
+Checkpoint-resume is
 shard-at-a-time: pages are split into ``n_shards`` url-hash shards; each
 shard is one idempotent job writing ``shard=K`` partitions plus a manifest
 row with counters — a resumed run skips shards whose manifest exists
@@ -23,12 +24,12 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rdf_spark import canonical, extraction, sources
+from rdf_spark import canonical, extraction
 
 TRIPLE_STORE_DIR = "triples"
 MANIFEST_DIR = "_manifest"
@@ -56,7 +57,7 @@ def build_shard_triples(pages: DataFrame, aliases: DataFrame) -> tuple[DataFrame
     """One shard's logical plan: returns (final_triples, quarantine).
 
     Extraction + Turtle parse + mention scoring run FUSED in a single
-    narrow mapInPandas stage (one scan of pages; see
+    narrow mapInArrow stage (one scan of pages; see
     extraction.fused_extract_parse_link) — the only shuffle in the shard
     is the final dedup aggregate.
     """

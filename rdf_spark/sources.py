@@ -3,8 +3,8 @@
 Maps the reference's streaming decoders (SURVEY.md §2.1) onto Spark scans:
 
 * N-Triples / N-Quads files are line-parallel (nt.go:22-87): ``spark.read.text``
-  splits files at arbitrary line boundaries, then a vectorized pandas parse
-  runs per Arrow batch inside ``mapInPandas`` — a narrow (no-shuffle) stage.
+  splits files at arbitrary line boundaries, then the RE2 fast path parses
+  each Arrow batch inside ``mapInArrow`` — a narrow (no-shuffle) stage.
 * Turtle (and later RDF/XML) are document-scoped (multi-line constructs,
   stateful directives — ttl.go:100-138): the unit of parallelism is one
   document row, parsed by the exact tokenizer inside ``mapInPandas``.
