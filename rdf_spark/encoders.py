@@ -1,7 +1,11 @@
 """Sinks: triples → canonical text (SURVEY.md §2.2).
 
 N-Triples / N-Quads serialization (E1/E2) is a pure column projection —
-whole-stage-codegen JVM expressions, no Python in the hot path.  The
+whole-stage-codegen JVM expressions, no Python in the hot path.
+
+Encoders assume VALID terms (IRIs pass canonical.iri_valid_col) — run
+validate_triples first; an IRI with, e.g., an embedded space cannot be
+serialized in any RDF syntax.  The
 Turtle encoder (E3/E5/E6: subject/predicate sort, ';'/',' list compression,
 auto ``ns%d`` prefix minting) is a per-partition ``applyInPandas`` stage;
 golden single-document output requires a single partition, which is how
@@ -99,6 +103,38 @@ def write_nquads(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 # ---------------------------------------------------------------------------
 
 
+def _escape_local(rest: str) -> str | None:
+    """PN_LOCAL-escape a local name (E7, the reference's escapeLocal —
+    encoder.go:305-325 — which it defines but never calls, emitting
+    unparseable Turtle for reserved chars; we improve on that).  Returns
+    None when the local cannot form a valid PN_LOCAL even with escaping
+    (caller falls back to the full ``<iri>`` form)."""
+    from rdf_spark import chars as _chars
+
+    if rest == "":
+        return ""
+    out = []
+    n = len(rest)
+    for i, ch in enumerate(rest):
+        # prefer the raw char when it's already valid at this position
+        # (keeps golden-byte parity with the reference for benign names);
+        # '%' raw needs %HH and '\' raw starts an escape — never emit raw
+        raw_ok = ch not in "%\\" and bool(
+            _chars.PN_LOCAL_FIRST_RE.match(ch)
+            if i == 0
+            else _chars.PN_LOCAL_MID_RE.match(ch)
+        )
+        if ch == "." and (i == 0 or i == n - 1):
+            raw_ok = False  # leading/trailing dot is not PN_LOCAL
+        if raw_ok:
+            out.append(ch)
+        elif ch in _chars.PN_LOCAL_ESC:
+            out.append("\\" + ch)
+        else:
+            return None
+    return "".join(out)
+
+
 def _py_term_turtle(lex, kind, dt, lang, ns, ns_count, generate, custom):
     """Turtle form of one term with prefix compression (prefixify,
     encoder.go:235-303).  ns_count is a 1-element list: the generated-name
@@ -110,6 +146,9 @@ def _py_term_turtle(lex, kind, dt, lang, ns, ns_count, generate, custom):
             return "a", None
         first, rest = terms.iri_split(lex)
         if first == "":
+            return "<%s>" % lex, None
+        rest = _escape_local(rest)
+        if rest is None:
             return "<%s>" % lex, None
         prefix = ns.get(first)
         if prefix is None:
@@ -132,6 +171,9 @@ def _py_term_turtle(lex, kind, dt, lang, ns, ns_count, generate, custom):
             return lex, None
         first, rest = terms.iri_split(dt)
         if first == "":
+            return '"%s"^^<%s>' % (escape_literal(lex), dt), None
+        rest = _escape_local(rest)
+        if rest is None:
             return '"%s"^^<%s>' % (escape_literal(lex), dt), None
         prefix = ns.get(first)
         if prefix is None:

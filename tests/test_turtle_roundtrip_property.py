@@ -1,0 +1,49 @@
+"""Property: ANY triple set must survive Turtle encode → parse with set
+equality — including IRIs whose local names need PN_LOCAL escaping or the
+full-<iri> fallback (the reference emits unparseable Turtle here; we fix
+it while keeping byte-identical goldens for benign names)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import pandas as pd
+
+from rdf_spark import terms
+from rdf_spark.encoders import encode_turtle_pdf
+from rdf_spark.parsing import parse_turtle
+
+_iri_chars = "abcXYZ019-._~!$&'()*+,;=:@%/?#"
+iris = st.builds(
+    lambda s: "http://x/" + s, st.text(_iri_chars, min_size=1, max_size=12)
+)
+texts = st.text(
+    st.characters(codec="utf-8", blacklist_categories=("Cs",)), max_size=16
+)
+objects = st.one_of(
+    iris.map(lambda i: (i, 1, None, None)),
+    st.integers(1, 5).map(lambda i: (f"_:b{i}", 0, None, None)),
+    texts.map(lambda t: (t, 2, terms.XSD_STRING, None)),
+    texts.map(lambda t: (t, 2, terms.RDF_LANG_STRING, "en-US")),
+    st.integers(-99, 99).map(lambda i: (str(i), 2, terms.XSD_INTEGER, None)),
+    st.tuples(texts, iris).map(lambda ti: (ti[0], 2, ti[1], None)),
+)
+subjects = st.one_of(
+    iris.map(lambda i: (i, 1)),
+    st.integers(1, 3).map(lambda i: (f"_:s{i}", 0)),
+)
+triples = st.lists(
+    st.tuples(subjects, iris, objects).map(
+        lambda t: (t[0][0], t[0][1], t[1], t[2][0], t[2][1], t[2][2], t[2][3])
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=250, deadline=None)
+@given(triples)
+def test_turtle_encode_parse_set_roundtrip(rows):
+    pdf = pd.DataFrame(rows, columns=terms.TRIPLE_COLS)
+    ttl = encode_turtle_pdf(pdf)
+    back = parse_turtle(ttl)
+    assert sorted(set(back)) == sorted(set(map(tuple, rows)))
