@@ -1,0 +1,66 @@
+"""Differential tests between independent implementations of the same
+contract — the strongest guard against fast-path unsoundness:
+
+* arrow/RE2 line parser vs the exact tokenizer on random near-valid lines
+* JVM column N-Triples serializer vs the pure-python serializer
+"""
+
+import random
+
+import pyarrow as pa
+
+from rdf_spark import encoders, terms
+from rdf_spark.arrow_fast import parse_lines_arrow
+from rdf_spark.parsing import ParseError, parse_nquads, parse_ntriples
+
+_FRAGS = [
+    '<http://s>', '<rel>', '_:b1', '_:b.x', '"lit"', '"l\\nit"', '"a"@en',
+    '"a"@en-', '"x"^^<http://dt>', '.', ' ', '\t', '<http://a b>',
+    '"unterminated', '_:', '<>', '# c', '', '<http://g>', '""', '"a" @en',
+    '^^<http://dt>', '@en', '<http://s%2>', '_:b-', '<http://s\\u0041>',
+    '"\\u00e9"', '<http://s\\u003e>', '"q\\"q"', "'sq'", '1.5', 'true',
+]
+
+
+def test_arrow_vs_exact_on_random_lines():
+    rng = random.Random(9)
+    for _ in range(4000):
+        line = " ".join(rng.choices(_FRAGS, k=rng.randint(1, 7)))
+        for fmt, parse in (("ntriples", parse_ntriples), ("nquads", parse_nquads)):
+            res = parse_lines_arrow(pa.array([line]), fmt=fmt)
+            a_err = len(res) - res.column("err").null_count
+            ok = res.filter(res.column("err").is_null()).drop_columns(["err"])
+            a_rows = sorted(tuple(r.values()) for r in ok.to_pylist())
+            try:
+                e_rows = sorted(tuple(r) for r in parse(line))
+                e_err = 0
+            except ParseError:
+                e_rows, e_err = [], 1
+            assert (a_err > 0) == (e_err > 0) and a_rows == e_rows, repr(line)
+
+
+def test_jvm_vs_python_nt_serializer(spark):
+    rng = random.Random(3)
+
+    def rt():
+        return "".join(rng.choices('ab"\\\n\r\t\x01é€😀@<>', k=rng.randint(0, 12)))
+
+    rows = []
+    for i in range(600):
+        k = rng.random()
+        if k < 0.3:
+            o = (f"http://o/{i}", 1, None, None)
+        elif k < 0.4:
+            o = (f"_:b{i}", 0, None, None)
+        elif k < 0.6:
+            o = (rt(), 2, terms.XSD_STRING, None)
+        elif k < 0.75:
+            o = (rt(), 2, terms.RDF_LANG_STRING, "en")
+        else:
+            o = (rt(), 2, "http://dt/" + str(i % 5), None)
+        s = (f"http://s/{i}", 1) if k < 0.5 else (f"_:s{i}", 0)
+        rows.append((s[0], s[1], f"http://p/{i % 7}", o[0], o[1], o[2], o[3]))
+    df = spark.createDataFrame(rows, terms.TRIPLE_DDL)
+    jvm = sorted(r.line for r in df.select(encoders.nt_line_col().alias("line")).collect())
+    py = sorted(terms.triple_nt_line(r) for r in rows)
+    assert jvm == py
