@@ -64,3 +64,22 @@ def test_jvm_vs_python_nt_serializer(spark):
     jvm = sorted(r.line for r in df.select(encoders.nt_line_col().alias("line")).collect())
     py = sorted(terms.triple_nt_line(r) for r in rows)
     assert jvm == py
+
+
+def test_nt_documents_parse_identically_as_turtle():
+    """N-Triples is a Turtle subset: the line-mode and document-mode
+    parsers must emit identical triples for every NT-valid input."""
+    import json
+    import os
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    from rdf_spark.parsing import parse_turtle
+
+    with open(os.path.join(fixdir, "ntriples.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            c = json.loads(line)
+            try:
+                nt = parse_ntriples(c["input"])
+            except ParseError:
+                continue
+            assert sorted(nt) == sorted(parse_turtle(c["input"])), c["name"]
