@@ -116,17 +116,20 @@ def typed_object_col(datatype: str) -> Column:
     """Lazy lexical→typed view of the object column (Literal.Typed
     rdf.go:303-335); improves on the reference by using DecimalType for
     xsd:decimal instead of float64."""
+    # try_cast throughout: under ANSI mode a plain cast THROWS on malformed
+    # lexical values — a single bad literal must not kill the job (the
+    # reference returns a per-value error from Typed(); our analogue is null)
     o = F.col("o")
     if datatype in (terms.XSD_INTEGER,):
-        return o.cast("long")
+        return o.try_cast("long")
     if datatype in (terms.XSD_INT,):
-        return o.cast("int")
+        return o.try_cast("int")
     if datatype in (terms.XSD_DOUBLE, terms.XSD_FLOAT):
-        return o.cast("double")
+        return o.try_cast("double")
     if datatype == terms.XSD_DECIMAL:
-        return o.cast("decimal(38,18)")
+        return o.try_cast("decimal(38,18)")
     if datatype == terms.XSD_BOOLEAN:
-        return o.cast("boolean")
+        return o.try_cast("boolean")
     if datatype == terms.XSD_DATETIME:
         # RFC3339 first, then the reference's no-TZ fallback (ttl.go:574-585);
         # try_* because ANSI mode makes to_timestamp throw on non-matches

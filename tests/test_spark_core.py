@@ -152,3 +152,33 @@ def test_histograms(spark):
     ns = {r.ns: r.n for r in canonical.namespace_histogram(df).collect()}
     assert ns["http://a/"] == 4  # 2 subjects + 2 predicates
     assert ns["http://b#"] == 1
+
+
+def test_with_salt_deterministic(spark):
+    from rdf_spark.ops.skew import with_salt
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    s1 = {(r.k, r.part_salt) for r in with_salt(df, 16).collect()}
+    s2 = {(r.k, r.part_salt) for r in with_salt(df, 16).collect()}
+    assert s1 == s2  # row-hash salt, not rand(): idempotent across runs
+    assert all(0 <= s < 16 for _, s in s1)
+
+
+def test_typed_object_col_casts(spark):
+    from rdf_spark import canonical, terms
+
+    rows = [
+        ("42", terms.XSD_INTEGER), ("-7", terms.XSD_INT),
+        ("2.5", terms.XSD_DOUBLE), ("1.50", terms.XSD_DECIMAL),
+        ("true", terms.XSD_BOOLEAN), ("oops", terms.XSD_INTEGER),
+    ]
+    df = spark.createDataFrame(rows, "o string, dt string")
+    out = {}
+    for lex, dt in rows:
+        v = df.filter(F.col("o") == lex).select(
+            canonical.typed_object_col(dt).alias("t")
+        ).first().t
+        out[lex] = v
+    assert out["42"] == 42 and out["-7"] == -7
+    assert out["2.5"] == 2.5 and float(out["1.50"]) == 1.5
+    assert out["true"] is True
