@@ -296,8 +296,8 @@ def q_pipeline_pr(spark, sf_dir):
     got, _ = pipeline.build_shard_triples(datagen.pages(spark, n), datagen.aliases(spark))
     s = scoring.pr_score(got, datagen.expected_triples(spark, n))
     return spark.createDataFrame(
-        [(round(s.precision, 6), round(s.recall, 6), s.true_positives)],
-        "precision double, recall double, true_positives long",
+        [(round(s.precision, 6), round(s.recall, 6))],
+        "precision double, recall double",
     )
 
 
@@ -631,8 +631,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pipeline_pr": """
             SELECT CAST(1.0 AS DOUBLE) AS precision,
-                   CAST(1.0 AS DOUBLE) AS recall,
-                   CAST(2100 AS BIGINT) AS true_positives
+                   CAST(1.0 AS DOUBLE) AS recall
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM_TEXT}) AS fp,

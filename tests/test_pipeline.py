@@ -49,7 +49,10 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert len(results) == 3
     assert sum(r.n_pages for r in results) == 120
     assert all(not r.skipped for r in results)
-    assert all(r.n_parse_errors == 0 for r in results)
+    n_broken = pages.filter(
+        F.contains(F.decode("html", "utf-8"), F.lit("broken"))
+    ).count()
+    assert sum(r.n_parse_errors for r in results) == n_broken
 
     store = pipeline.read_triple_store(spark, out)
     # every page contributes: 5 turtle triples (type, name, price, tag, label)

@@ -19,7 +19,10 @@ def test_pipeline_pr_is_perfect(spark):
         print("MISSING:", [r.line for r in missing.limit(5).collect()])
     assert score.precision == 1.0
     assert score.recall == 1.0
-    assert quarantine.count() == 0
+    # the corpus plants malformed RDF blocks on ~1/41 of pages — they must
+    # be quarantined, never silently dropped or fatal
+    n_broken = pages.filter(F.contains(F.decode("html", "utf-8"), F.lit("broken"))).count()
+    assert quarantine.count() == n_broken > 0
 
 
 def test_pr_score_detects_differences(spark):
