@@ -150,7 +150,7 @@ def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
     for line in slow_lines:
         try:
             rows = parse_one(line)
-        except parsing.ParseError as e:
+        except parsing.QUARANTINE_ERRORS as e:
             recs.append((None,) * n_cols + (str(e),))
             continue
         for r in rows:

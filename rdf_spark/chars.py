@@ -103,12 +103,28 @@ _CTRL_UNESCAPES = {
 }
 
 
+def _chr_or_replacement(cp: int) -> str:
+    """chr(cp), except invalid code points become U+FFFD.
+
+    Go's bytes.Buffer.WriteRune emits utf8.RuneError (U+FFFD) for runes
+    above U+10FFFF or in the surrogate range, so an out-of-range
+    \\UXXXXXXXX escape parses successfully in the reference instead of
+    erroring; Python's chr() would raise ValueError there, which must
+    never escape a parse (it would kill a whole Spark job in
+    errors='quarantine' mode).
+    """
+    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return "�"
+    return chr(cp)
+
+
 def unescape_numeric(s: str) -> str:
     """Resolve string escapes: control escapes plus \\uXXXX / \\UXXXXXXXX.
 
     Mirrors unescapeNumericString (/root/reference/lex.go:144-192): exactly
     4 (resp. 8) hex digits are consumed after \\u (resp. \\U); validity was
-    established during tokenization.
+    established during tokenization.  Out-of-range code points become
+    U+FFFD, matching Go's WriteRune behaviour.
     """
     if "\\" not in s:
         return s
@@ -123,10 +139,10 @@ def unescape_numeric(s: str) -> str:
             continue
         e = s[i + 1]
         if e == "u":
-            out.append(chr(int(s[i + 2 : i + 6], 16)))
+            out.append(_chr_or_replacement(int(s[i + 2 : i + 6], 16)))
             i += 6
         elif e == "U":
-            out.append(chr(int(s[i + 2 : i + 10], 16)))
+            out.append(_chr_or_replacement(int(s[i + 2 : i + 10], 16)))
             i += 10
         else:
             out.append(_CTRL_UNESCAPES.get(e, ""))

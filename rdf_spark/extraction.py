@@ -229,7 +229,7 @@ def fused_extract_parse_link(
                 try:
                     for r in parsing.parse_turtle(rdf, base=url):
                         recs.append((url,) + tuple(r) + (None,))
-                except parsing.ParseError as e:
+                except parsing.QUARANTINE_ERRORS as e:
                     recs.append((url,) + (None,) * 7 + (str(e),))
             if recs:
                 parts.append(pa.table(

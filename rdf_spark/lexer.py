@@ -419,6 +419,13 @@ def _lex_iri(l: Lexer):
         if r == ">":
             break
         if r == "\\":
+            # Consume exactly 4 (resp. 8) hex digits — the slice that
+            # unescape_numeric will actually substitute — and validate that
+            # exact slice; any trailing hex characters are left to the
+            # normal IRI body scan.  (The reference's _lexIRI instead
+            # consumes the whole hex run and validates its LAST 4 runes,
+            # lex.go:562,576 — a quirk that checks a codepoint unescaping
+            # never uses; we validate the used slice.)
             esc = l._peek()
             if esc == "u":
                 l._next()
@@ -426,8 +433,8 @@ def _lex_iri(l: Lexer):
                 n_hex = (hm.end() - hm.start()) if hm else 0
                 if n_hex < 4:
                     return l._errorf("bad IRI: insufficent hex digits in unicode escape")
-                l.pos = hm.end()
-                ch = chr(int(s[l.pos - n_hex : l.pos - n_hex + 4], 16))
+                l.pos += 4
+                ch = chr(int(s[l.pos - 4 : l.pos], 16))
                 if ch in chars.BAD_IRI_CHARS_ESC:
                     return l._errorf("bad IRI: disallowed character in unicode escape")
                 l._unesc = True
@@ -437,9 +444,11 @@ def _lex_iri(l: Lexer):
                 n_hex = (hm.end() - hm.start()) if hm else 0
                 if n_hex < 8:
                     return l._errorf("bad IRI: insufficent hex digits in unicode escape")
-                l.pos = hm.end()
-                cp = int(s[l.pos - n_hex : l.pos - n_hex + 8], 16)
-                if cp <= 0x10FFFF and chr(cp) in chars.BAD_IRI_CHARS_ESC:
+                l.pos += 8
+                cp = int(s[l.pos - 8 : l.pos], 16)
+                if cp > 0x10FFFF:
+                    return l._errorf("bad IRI: unicode escape out of range")
+                if chr(cp) in chars.BAD_IRI_CHARS_ESC:
                     return l._errorf("bad IRI: disallowed character in unicode escape")
                 l._unesc = True
             elif esc == _EOF_CH:

@@ -40,6 +40,16 @@ class ParseError(ValueError):
         self.msg = msg
 
 
+# Exceptions a malformed input line/document may legitimately raise.  The
+# quarantine wrappers catch this tuple, never bare Exception: one malformed
+# page must not kill a 10^12-document job, but genuine code bugs (TypeError,
+# KeyError, ...) should still surface.  ValueError covers ParseError plus
+# stray conversion errors; RecursionError covers adversarially nested
+# Turtle collections / property lists; OverflowError covers pathological
+# numeric lexicals.
+QUARANTINE_ERRORS = (ValueError, OverflowError, RecursionError)
+
+
 class _TokenStream:
     """Token cursor with unbounded pushback (covers the reference's 2- and
     3-token lookahead buffers)."""

@@ -75,6 +75,17 @@ def read_nquads(spark: SparkSession, path: str, errors: str = "quarantine") -> D
 
 def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, strict: bool,
                 fixed_base: str = ""):
+    if fmt == "turtle":
+        parse_one = parsing.parse_turtle
+    elif fmt == "ntriples":
+        parse_one = lambda text, base: parsing.parse_ntriples(text)  # noqa: E731
+    elif fmt == "rdfxml":
+        from rdf_spark.rdfxml import parse_rdfxml
+
+        parse_one = parse_rdfxml
+    else:
+        raise ValueError("unsupported format: %s" % fmt)
+
     def parse_docs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url"] + terms.TRIPLE_COLS + ["err"]
         for pdf in it:
@@ -84,17 +95,8 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
                     continue
                 base = url if base_from_url else fixed_base
                 try:
-                    if fmt == "turtle":
-                        rows = parsing.parse_turtle(text, base=base)
-                    elif fmt == "ntriples":
-                        rows = parsing.parse_ntriples(text)
-                    elif fmt == "rdfxml":
-                        from rdf_spark.rdfxml import parse_rdfxml
-
-                        rows = parse_rdfxml(text, base=base)
-                    else:
-                        raise ValueError("unsupported format: %s" % fmt)
-                except parsing.ParseError as e:
+                    rows = parse_one(text, base=base)
+                except parsing.QUARANTINE_ERRORS as e:
                     if strict:
                         raise
                     recs.append((url, None, None, None, None, None, None, None, str(e)))

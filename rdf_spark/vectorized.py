@@ -126,7 +126,7 @@ def parse_lines(lines: pd.Series, fmt: str = "ntriples") -> pd.DataFrame:
             line = work.at[i]
             try:
                 rows = parse_one(line)
-            except parsing.ParseError as e:
+            except parsing.QUARANTINE_ERRORS as e:
                 out.loc[i, "err"] = str(e)
                 continue
             if not rows:
