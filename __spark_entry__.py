@@ -25,6 +25,8 @@ from rdf_spark.ops import text as textops
 
 XSD_STRING = terms.XSD_STRING
 XSD_INTEGER = terms.XSD_INTEGER
+_XSD_DECIMAL = terms.XSD_DECIMAL
+_RDF_LANG_STRING = terms.RDF_LANG_STRING
 
 
 _SHIPPED_SESSIONS: set[int] = set()
@@ -240,7 +242,8 @@ def q_skolemize(spark, sf_dir):
 def q_turtle_encode(spark, sf_dir):
     """E3/E5/E6: Turtle encoder round-trip — encode a small graph, reparse;
     the reparse must reproduce exactly the source projection (byte-level
-    golden equality is covered in pytest)."""
+    golden equality is covered in pytest).  The encode runs executor-side
+    (encoders.encode_turtle_df mapInPandas) — no driver collect."""
     docs = _t(spark, sf_dir, "nation").select(
         F.concat(F.lit("urn:doc:"), F.col("n_nationkey")).alias("url"),
         F.concat(
@@ -249,9 +252,9 @@ def q_turtle_encode(spark, sf_dir):
         ).alias("text"),
     )
     tri = sources.parse_documents(docs, fmt="ntriples", base_from_url=False).drop("url", "err")
-    pdf = tri.toPandas()
-    text = encoders.encode_turtle_pdf(pdf)
-    docs2 = spark.createDataFrame([("u", text)], ["url", "text"])
+    docs2 = encoders.encode_turtle_df(tri).select(
+        F.lit("u").alias("url"), F.col("value").alias("text")
+    )
     back = sources.parse_documents(docs2, fmt="turtle", base_from_url=False)
     return back.filter(F.col("err").isNull()).select("s", "p", "o")
 
@@ -302,13 +305,63 @@ def q_pipeline_pr(spark, sf_dir):
 
 
 def q_kg_pipeline(spark, sf_dir):
-    """Flagship end-to-end: synthetic pages → extracted + parsed + linked +
-    skolemized + deduped triples (rows-only; oracled piecewise above)."""
-    from rdf_spark import datagen, pipeline
+    """Flagship end-to-end, fully SQL-oracled: pages built from the
+    customer table (html with an embedded Turtle block + prose mention) →
+    fused extract/parse/link → skolemize → validate → dedup.  The skolem
+    hash itself is not SQL-expressible, so blank nodes are projected to
+    their ':bN' locals plus a hash-consistency boolean (same device as
+    q_skolemize); every other column is reconstructed exactly by the
+    DuckDB oracle.  ~1/41 pages carry a malformed RDF block — those
+    contribute only link triples (quarantine contract)."""
+    from rdf_spark import pipeline
+    from rdf_spark.canonical import SKOLEM_PREFIX
 
-    pages = datagen.pages(spark, 500)
-    final, _ = pipeline.build_shard_triples(pages, datagen.aliases(spark))
-    return final.select("s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang")
+    c = _t(spark, sf_dir, "customer")
+    surf = F.array(*[F.lit(s) for s in MENTION_SURFACES])
+    surface = F.element_at(surf, (F.pmod(F.col("c_custkey"), F.lit(5)) + 1).cast("int"))
+    prose = F.concat(F.lit("Doc about "), surface, F.lit(" engines."))
+    rating = F.concat(F.col("c_nationkey").cast("string"), F.lit(".5"))
+    turtle_ok = F.concat(
+        F.lit('@prefix ex: <urn:ex:> .\n<#c> a ex:Customer ;\n  ex:name "'),
+        F.col("c_name"),
+        F.lit('" ;\n  ex:rating '), rating,
+        F.lit(' ;\n  ex:addr [ ex:nation "'), F.col("c_nationkey").cast("string"),
+        F.lit('"@en ] .\n'),
+    )
+    broken = F.pmod(F.col("c_custkey"), F.lit(41)) == 0
+    turtle = F.when(broken, F.lit("@prefix broken .\n<oops")).otherwise(turtle_ok)
+    html = F.concat(
+        F.lit('<script type="text/turtle">\n'), turtle,
+        F.lit("</script><p>"), prose, F.lit("</p>"),
+    )
+    pages = c.select(
+        F.concat(F.lit("https://kg.test/c/"), F.col("c_custkey")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+        prose.alias("text"),
+    )
+    final, _ = pipeline.build_shard_triples(pages, _aliases_df(spark))
+
+    sk_local = lambda col: F.regexp_extract(col, r"^urn:skolem:[0-9a-f]+:(.*)$", 1)  # noqa: E731
+    sk_prefix = lambda col: F.regexp_extract(col, r"^urn:skolem:([0-9a-f]+):", 1)  # noqa: E731
+    expected_hash = F.lower(F.hex(F.xxhash64(F.col("url"))))
+    is_sk = lambda col: col.startswith(SKOLEM_PREFIX)  # noqa: E731
+    s_proj = F.when((F.col("s_kind") == 0) & is_sk(F.col("s")), sk_local(F.col("s"))).otherwise(F.col("s"))
+    o_proj = F.when((F.col("o_kind") == 0) & is_sk(F.col("o")), sk_local(F.col("o"))).otherwise(F.col("o"))
+    hash_ok = (
+        F.when(F.col("s_kind") == 0, sk_prefix(F.col("s")) == expected_hash).otherwise(F.lit(True))
+        & F.when(F.col("o_kind") == 0, sk_prefix(F.col("o")) == expected_hash).otherwise(F.lit(True))
+    )
+    return final.select(
+        "url",
+        s_proj.alias("s"),
+        F.col("s_kind").cast("int").alias("s_kind"),
+        "p",
+        o_proj.alias("o"),
+        F.col("o_kind").cast("int").alias("o_kind"),
+        "o_datatype",
+        "o_lang",
+        hash_ok.alias("hash_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -359,19 +412,51 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_near_dup(spark, sf_dir):
-    """MinHash+LSH near-dup (rows-only: signature hashing not SQL-expressible).
-    Appends exact-duplicate rows so the candidate path is exercised."""
+    """MinHash+LSH near-dup, self-verifying: exact-duplicate rows are
+    planted (doc_id+1000000), and the query returns the planted pairs the
+    full signature→band→candidate→verify path recovered.  Exact dups have
+    identical signatures, so LSH recall on them is guaranteed 1.0 — the
+    oracle is simply the planted set with jaccard 1.0.  (Organic-pair
+    recall is covered by pytest on planted NEAR-duplicates.)"""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     pairs = dedup.minhash_near_duplicates(d.unionByName(dup), threshold=0.9)
-    return pairs.select("a", "b", "jaccard")
+    planted = pairs.filter((F.col("a") < 20) & (F.col("b") - F.col("a") == 1000000))
+    return planted.select("a", "b", "jaccard")
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash signatures (rows-only)."""
-    return dedup.simhash_signatures(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    """SimHash, self-verifying via two algebraic invariants: the 64-bit
+    signature is a bag-of-words statistic, so (1) reversing token order
+    and (2) doubling the document (every token count ×2, acc → 2·acc,
+    same signs) must both leave it bit-identical.  Hamming distances are
+    computed JVM-side (bit_count(xor)); the oracle is all-zeros."""
+    import pandas as pd
+
+    from rdf_spark.ops.dedup import simhash_col_pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(it):
+        for pdf in it:
+            t = pdf["text"].fillna("")
+            rev = t.str.split().map(lambda x: " ".join(reversed(x)))
+            dbl = t + " " + t
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sig": simhash_col_pd(t),
+                "sig_rev": simhash_col_pd(rev),
+                "sig_dbl": simhash_col_pd(dbl),
+            })
+
+    sigs = d.mapInPandas(run, "doc_id long, sig long, sig_rev long, sig_dbl long")
+    return sigs.select(
+        "doc_id",
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("sig_rev"))).cast("int").alias("hamming_rev"),
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("sig_dbl"))).cast("int").alias("hamming_dbl"),
+    )
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -384,14 +469,17 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """LSH-bucketed cosine near-dup over embeddings + planted duplicates
-    (rows-only: hyperplane projections not SQL-expressible)."""
+    """LSH-bucketed cosine near-dup, self-verifying: identical embeddings
+    are planted (vec_id+1000000); identical vectors always share every
+    hyperplane bucket, so the bucketed path must recover each planted
+    pair with cosine exactly 1.0 — the oracle is the planted set."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     pairs = ann.embedding_near_duplicates(emb.unionByName(dup), dim=64, threshold=0.999)
-    return pairs.select("a", "b", "sim")
+    planted = pairs.filter((F.col("a") < 10) & (F.col("b") - F.col("a") == 1000000))
+    return planted.select("a", "b", "sim")
 
 
 # ---------------------------------------------------------------------------
@@ -632,6 +720,60 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pr": """
             SELECT CAST(1.0 AS DOUBLE) AS precision,
                    CAST(1.0 AS DOUBLE) AS recall
+        """,
+        "kg_pipeline": f"""
+            WITH c AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       'https://kg.test/c/' || c_custkey AS url,
+                       (c_custkey % 41 = 0) AS broken,
+                       (['spark','window','merge','batch','scan'])[(c_custkey % 5) + 1]
+                           AS surface
+                FROM customer
+            ),
+            best(surface, entity) AS (VALUES
+                ('spark','urn:tool:spark'), ('window','urn:op:window'),
+                ('merge','urn:op:merge'), ('batch','urn:op:batch'),
+                ('scan','urn:op:scan'))
+            SELECT url, url || '#c' AS s, 1 AS s_kind,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'urn:ex:Customer' AS o, 1 AS o_kind,
+                   CAST(NULL AS VARCHAR) AS o_datatype,
+                   CAST(NULL AS VARCHAR) AS o_lang, TRUE AS hash_ok
+            FROM c WHERE NOT broken
+            UNION ALL
+            SELECT url, url || '#c', 1, 'urn:ex:name', c_name, 2,
+                   '{XSD_STRING}', NULL, TRUE
+            FROM c WHERE NOT broken
+            UNION ALL
+            SELECT url, url || '#c', 1, 'urn:ex:rating',
+                   c_nationkey || '.5', 2, '{_XSD_DECIMAL}', NULL, TRUE
+            FROM c WHERE NOT broken
+            UNION ALL
+            SELECT url, url || '#c', 1, 'urn:ex:addr', 'b1', 0, NULL, NULL, TRUE
+            FROM c WHERE NOT broken
+            UNION ALL
+            SELECT url, 'b1', 0, 'urn:ex:nation', CAST(c_nationkey AS VARCHAR), 2,
+                   '{_RDF_LANG_STRING}', 'en', TRUE
+            FROM c WHERE NOT broken
+            UNION ALL
+            SELECT url, url, 1, 'http://kg.example/vocab#mentions',
+                   b.entity, 1, NULL, NULL, TRUE
+            FROM c JOIN best b USING (surface)
+        """,
+        "minhash_near_dup": """
+            SELECT doc_id AS a, doc_id + 1000000 AS b,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM documents WHERE doc_id < 20
+        """,
+        "simhash": """
+            SELECT doc_id, CAST(0 AS INTEGER) AS hamming_rev,
+                   CAST(0 AS INTEGER) AS hamming_dbl
+            FROM documents
+        """,
+        "embedding_near_dup": """
+            SELECT vec_id AS a, vec_id + 1000000 AS b,
+                   CAST(1.0 AS DOUBLE) AS sim
+            FROM embeddings WHERE vec_id < 10
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM_TEXT}) AS fp,

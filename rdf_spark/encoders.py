@@ -259,6 +259,24 @@ def encode_turtle_pdf(pdf: pd.DataFrame, namespaces: dict | None = None,
     return "".join(out)
 
 
+def encode_turtle_df(df: DataFrame, namespaces: dict | None = None) -> DataFrame:
+    """Encode a triples DataFrame into ONE Turtle document, executor-side.
+
+    Returns a one-row DataFrame (``value string``).  The encode runs in a
+    ``mapInPandas`` stage on the executors — no driver-side collect — and
+    ``coalesce(1)`` is inherent to the output contract (a single document
+    must be written by a single writer, SURVEY.md §3.3).  For large
+    graphs, group by subject bucket and call :func:`encode_turtle_pdf`
+    per group instead.
+    """
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in it]
+        pdf = pd.concat(parts) if parts else pd.DataFrame(columns=terms.TRIPLE_COLS)
+        yield pd.DataFrame({"value": [encode_turtle_pdf(pdf, namespaces)]})
+
+    return df.coalesce(1).mapInPandas(enc, "value string")
+
+
 def write_turtle(df: DataFrame, path: str, namespaces: dict | None = None) -> None:
     """Write a (small) triples DataFrame as a single Turtle document.
 
@@ -266,9 +284,4 @@ def write_turtle(df: DataFrame, path: str, namespaces: dict | None = None) -> No
     prefer :func:`write_ntriples`, or group by subject-bucket to emit many
     Turtle shards.
     """
-    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [p for p in it]
-        pdf = pd.concat(parts) if parts else pd.DataFrame(columns=terms.TRIPLE_COLS)
-        yield pd.DataFrame({"value": [encode_turtle_pdf(pdf, namespaces)]})
-
-    df.coalesce(1).mapInPandas(enc, "value string").write.mode("overwrite").text(path)
+    encode_turtle_df(df, namespaces).write.mode("overwrite").text(path)
