@@ -91,14 +91,29 @@ def lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 16,
-) -> DataFrame:
+    n_hashes: int | None = None,
+    max_bucket: int = 512,
+    stats: bool = False,
+):
     """Banded LSH: equal band-slice → same bucket → candidate pair.
 
     Bucket grouping shuffles on (band, hash-of-slice) which is uniform;
-    pairs are generated inside each bucket (bucket sizes are the dup-cluster
-    sizes, bounded in practice).
+    pairs are generated inside each bucket.  Bucket membership is capped
+    at ``max_bucket`` ids (sorted ascending, so planted/representative low
+    ids survive): a degenerate corpus (thousands of byte-identical
+    boilerplate docs → identical signatures) otherwise makes one bucket
+    O(n) and its pair expansion O(n²) in a single task.  Ids beyond the
+    cap in EVERY band lose their candidates — run :func:`exact_dedup`
+    first so identical docs never reach LSH in bulk, or raise the cap.
+
+    ``n_hashes`` should be passed by the caller (it always knows it);
+    ``None`` falls back to reading one row, which triggers an extra job
+    that recomputes the signature stage.  With ``stats=True`` returns
+    ``(pairs, oversize)`` where ``oversize`` counts the ids dropped per
+    overflowing (band, bucket) — the "log what was capped" channel.
     """
-    n_hashes = len(signatures.select("signature").first()[0])
+    if n_hashes is None:
+        n_hashes = len(signatures.select("signature").first()[0])
     rows_per_band = n_hashes // n_bands
     bands = signatures.select(
         F.col(id_col),
@@ -117,10 +132,15 @@ def lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     grouped = bands.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_set(id_col)).alias("ids")
-    ).filter(F.size("ids") > 1)
+        F.sort_array(F.collect_set(id_col)).alias("all_ids")
+    ).filter(F.size("all_ids") > 1)
+    capped = grouped.select(
+        "band", "bucket",
+        F.slice("all_ids", 1, max_bucket).alias("ids"),
+        (F.size("all_ids") - F.least(F.size("all_ids"), F.lit(max_bucket))).alias("n_dropped"),
+    )
     # pairs (i<j) within a bucket, deduped across bands
-    pairs = grouped.select(
+    pairs = capped.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
@@ -128,6 +148,9 @@ def lsh_candidates(
             )
         ).alias("p")
     ).select("p.a", "p.b").dropDuplicates(["a", "b"])
+    if stats:
+        oversize = capped.filter(F.col("n_dropped") > 0).select("band", "bucket", "n_dropped")
+        return pairs, oversize
     return pairs
 
 
@@ -182,10 +205,11 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.7,
     verify_ngram: int = 1,
+    max_bucket: int = 512,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified pairs (a, b, jaccard)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    cands = lsh_candidates(sigs, id_col, n_bands)
+    cands = lsh_candidates(sigs, id_col, n_bands, n_hashes=n_hashes, max_bucket=max_bucket)
     return jaccard_verify(cands, df, text_col, id_col, threshold, verify_ngram)
 
 
@@ -201,6 +225,7 @@ def simhash_col_pd(texts: pd.Series, n_bits: int = 64) -> pd.Series:
     heavily) and the bit expansion is one numpy matrix op per document,
     not one per token."""
     shifts = np.arange(n_bits, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.uint64)
     cache: dict[str, int] = {}
     out = []
     for text in texts.fillna(""):
@@ -208,18 +233,19 @@ def simhash_col_pd(texts: pd.Series, n_bits: int = 64) -> pd.Series:
         if not toks:
             out.append(0)
             continue
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
+        # hash per UNIQUE token only (web text repeats tokens heavily);
+        # per-occurrence weighting comes back via the counts vector
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hs = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
             h = cache.get(t)
             if h is None:
                 h = _hash63(t.encode())
                 cache[t] = h
             hs[i] = h
-        bits = (hs[:, None] >> shifts[None, :]) & 1  # (n_toks, n_bits)
-        acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
-        sig = 0
-        for b in np.nonzero(acc > 0)[0]:
-            sig |= 1 << int(b)
+        bits = (hs[:, None] >> shifts[None, :]) & 1  # (n_uniq, n_bits)
+        acc = (bits.astype(np.int64) * counts[:, None]).sum(axis=0) * 2 - len(toks)
+        sig = int((acc > 0).astype(np.uint64) @ powers)
         out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
     return pd.Series(out, index=texts.index)
 
@@ -235,11 +261,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, max_bucket: int = 512,
 ) -> DataFrame:
     """Near-dups by SimHash: band the 64 bits into 4×16-bit keys (any pair
     within hamming≤3 shares at least one exact band), bucket-join, then
-    verify the true hamming distance."""
+    verify the true hamming distance.  Bucket membership is capped at
+    ``max_bucket`` (see :func:`lsh_candidates` for the degenerate-corpus
+    rationale)."""
     sigs = simhash_signatures(df, text_col, id_col)
     bands = sigs.select(
         id_col,
@@ -260,8 +289,9 @@ def simhash_near_duplicates(
     ).select(id_col, "simhash", "bb.band", "bb.key")
     grouped = (
         bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set(F.struct(id_col, "simhash"))).alias("items"))
-        .filter(F.size("items") > 1)
+        .agg(F.sort_array(F.collect_set(F.struct(id_col, "simhash"))).alias("all_items"))
+        .filter(F.size("all_items") > 1)
+        .select("band", "key", F.slice("all_items", 1, max_bucket).alias("items"))
     )
     pairs = grouped.select(
         F.explode(

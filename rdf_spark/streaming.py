@@ -7,8 +7,9 @@ shards driving the SAME fused batch stage via ``foreachBatch``:
     readStream(pages dir) → fused extract/parse/link → skolemize/validate
       → per-batch dedup → append to the store + per-batch manifest row
 
-``foreachBatch`` + checkpointing gives exactly-once per micro-batch
-(re-delivered batches overwrite their own batch-id-keyed manifest), which
+``foreachBatch`` + checkpointing gives exactly-once per micro-batch:
+a re-delivered batch overwrites its own batch-id-keyed data partition
+AND manifest row (append alone would double triples on replay), which
 is the streaming twin of the batch pipeline's shard-manifest resume.
 Watermarked event-time counters over ``warc_ts`` ride the same stream.
 """
@@ -50,12 +51,26 @@ def start_streaming_pipeline(
     dropDuplicates view) — streaming global dedup state at 10^12 docs
     would be unbounded.
     """
+    tagged = extraction.fused_extract_parse_link(pages_stream, alias_rows)
+    process_batch = make_batch_processor(out_dir)
+    writer = (
+        tagged.writeStream.outputMode("append")
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_batch_processor(out_dir: str):
+    """The foreachBatch sink: tagged rows → skolemize/validate/dedup →
+    batch_id-keyed idempotent writes + manifest.  Factored out so replay
+    semantics (calling it twice with the same batch_id) are testable."""
     store_dir = os.path.join(out_dir, "triples_stream")
     quarantine_dir = os.path.join(out_dir, "quarantine_stream")
     manifest_dir = os.path.join(out_dir, "_stream_manifest")
     os.makedirs(manifest_dir, exist_ok=True)
-
-    tagged = extraction.fused_extract_parse_link(pages_stream, alias_rows)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
@@ -67,10 +82,18 @@ def start_streaming_pipeline(
         sk = canonical.skolemize(triples)
         good = canonical.validate_triples(sk).filter(F.col("valid")).drop("valid")
         final = canonical.dedup_triples(good, keep_lineage=True)
-        final.write.mode("append").parquet(store_dir)
+        # foreachBatch is at-least-once: a replayed micro-batch must not
+        # append its triples a second time.  Writing each batch into its
+        # own batch_id-keyed partition with overwrite makes the DATA write
+        # idempotent too (the manifest alone only made the counters so).
+        final.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
         n_q = quarantine.count()
         if n_q:
-            quarantine.write.mode("append").parquet(quarantine_dir)
+            quarantine.write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, f"batch_id={batch_id}")
+            )
         n = final.count()
         batch_df.unpersist()
         # batch-id-keyed manifest → idempotent on micro-batch replay
@@ -81,14 +104,7 @@ def start_streaming_pipeline(
                 f,
             )
 
-    writer = (
-        tagged.writeStream.outputMode("append")
-        .foreachBatch(process_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
-    )
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return process_batch
 
 
 def crawl_rate_counters(pages_stream: DataFrame, window: str = "1 hour",
@@ -104,6 +120,25 @@ def crawl_rate_counters(pages_stream: DataFrame, window: str = "1 hour",
             F.approx_count_distinct("url").alias("approx_urls"),
         )
     )
+
+
+def triple_hash_pd(pdf, key_cols: list[str]):
+    """64-bit identity hash of a triple batch over the FULL identity key.
+
+    Includes the kind discriminants (the same lexical as IRI vs literal
+    must NOT collide) and disambiguates nulls from the literal string
+    'None' / sentinel values by hashing the sentinel-filled values AND
+    the null mask, then mixing the two streams.
+    """
+    import pandas as pd
+
+    kf = pdf[key_cols]
+    filled = kf.astype("string").fillna("\x00")
+    h_vals = pd.util.hash_pandas_object(filled, index=False).to_numpy().view("int64")
+    h_mask = pd.util.hash_pandas_object(
+        kf.isna().astype("int8"), index=False
+    ).to_numpy().view("int64")
+    return pd.Series(h_vals ^ (h_mask * -0x61C8864680B583EB), index=pdf.index)
 
 
 def stateful_dedup_stream(
@@ -138,6 +173,9 @@ def stateful_dedup_stream(
 
     use_timeout = state_timeout_minutes is not None
 
+    key_cols = [c for c in ("s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang")
+                if c in triples_stream.columns]
+
     def dedup_fn(key, pdf_iter, state):
         if use_timeout and state.hasTimedOut:
             state.remove()
@@ -145,10 +183,7 @@ def stateful_dedup_stream(
         seen = set(state.get[0]) if state.exists else set()
         out = []
         for pdf in pdf_iter:
-            h64 = pd.util.hash_pandas_object(
-                pdf[["s", "p", "o", "o_datatype", "o_lang"]].astype(str), index=False
-            ).to_numpy().view("int64")
-            ph = pd.Series(h64, index=pdf.index)
+            ph = triple_hash_pd(pdf, key_cols)
             fresh = ~ph.isin(list(seen)) & ~ph.duplicated()
             seen.update(int(x) for x in ph[fresh])
             out.append(pdf.loc[fresh, cols])
@@ -175,4 +210,4 @@ def stateful_dedup_stream(
 def read_stream_store(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read-through view of the streamed store with global dedup applied."""
     df = spark.read.parquet(os.path.join(out_dir, "triples_stream"))
-    return canonical.dedup_triples(df.drop("url_hash", "n_sources", "url"))
+    return canonical.dedup_triples(df.drop("url_hash", "n_sources", "url", "batch_id"))

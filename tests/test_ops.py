@@ -136,3 +136,56 @@ def test_multimodal_stub(spark):
     assert frames.count() > 0
     with pytest.raises(NotImplementedError):
         multimodal.decode_images(media, stub=False)
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """10k identical docs: bucket cap bounds pair expansion (no O(n^2)
+    single-task straggler) while still pairing the capped members."""
+    import time
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated for every document here").alias("text"),
+    )
+    t0 = time.time()
+    sigs = dedup.minhash_signatures(df)
+    pairs, oversize = dedup.lsh_candidates(
+        sigs, n_hashes=64, max_bucket=100, stats=True
+    )
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    # 100 capped ids -> at most C(100,2) pairs; far below C(10k,2) ~ 50M
+    assert 0 < n_pairs <= 100 * 99 // 2
+    drops = oversize.agg(F.sum("n_dropped").alias("d")).collect()[0].d
+    assert drops == (n - 100) * 16  # every one of the 16 bands overflowed
+    assert wall < 120
+
+
+def test_lsh_cap_keeps_planted_pairs(spark, documents):
+    d = documents.select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pairs = dedup.minhash_near_duplicates(
+        d.unionByName(dup), threshold=0.9, max_bucket=64
+    )
+    planted = {
+        (r.a, r.b)
+        for r in pairs.filter(
+            (F.col("a") < 20) & (F.col("b") - F.col("a") == 1000000)
+        ).collect()
+    }
+    assert planted == {(i, i + 1000000) for i in range(20)}
+
+
+def test_simhash_bag_of_words_invariants(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    rev = df.select("doc_id", F.lit("dog lazy the over jumps fox brown quick the").alias("text"))
+    dbl = df.select("doc_id", F.concat("text", F.lit(" "), "text").alias("text"))
+    s0 = dedup.simhash_signatures(df).collect()[0].simhash
+    s1 = dedup.simhash_signatures(rev).collect()[0].simhash
+    s2 = dedup.simhash_signatures(dbl).collect()[0].simhash
+    assert s0 == s1 == s2 != 0

@@ -91,3 +91,68 @@ def test_stateful_dedup_stream(spark, tmp_path):
         assert subjects == ["http://s1", "http://s2", "http://s3"]  # dup suppressed
     finally:
         q.stop()
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing the same batch_id must
+    not double the stored triples (batch_id-keyed overwrite)."""
+    from rdf_spark import extraction
+
+    out_dir = str(tmp_path / "replay_store")
+    alias_rows = [(r.surface, r.entity_iri, r.prior)
+                  for r in datagen.aliases(spark).collect()]
+    tagged = extraction.fused_extract_parse_link(datagen.pages(spark, 60), alias_rows)
+    process = streaming.make_batch_processor(out_dir)
+    process(tagged, 0)
+    n_first = streaming.read_stream_store(spark, out_dir).count()
+    process(tagged, 0)  # replay of the SAME micro-batch
+    store = streaming.read_stream_store(spark, out_dir)
+    assert store.count() == n_first
+    raw = spark.read.parquet(os.path.join(out_dir, "triples_stream"))
+    assert raw.count() == n_first  # not even pre-dedup doubling
+
+
+def test_triple_hash_distinguishes_kinds_and_nulls():
+    import pandas as pd
+
+    from rdf_spark.streaming import triple_hash_pd
+
+    cols = ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
+    pdf = pd.DataFrame(
+        [
+            ("u:s", 1, "u:p", "u:x", 1, None, None),      # object as IRI
+            ("u:s", 1, "u:p", "u:x", 2, None, None),      # same lexical as literal
+            ("u:s", 1, "u:p", "v", 2, "dt", None),        # no lang
+            ("u:s", 1, "u:p", "v", 2, "dt", "None"),      # literal string 'None'
+            ("u:s", 1, "u:p", "\x00", 2, "dt", None),     # sentinel as value
+            ("u:s", 1, "u:p", None, 2, "dt", None),       # true null
+            ("u:s", 1, "u:p", "u:x", 1, None, None),      # dup of row 0
+        ],
+        columns=cols,
+    )
+    h = triple_hash_pd(pdf, cols)
+    assert h[0] != h[1] and h[2] != h[3] and h[4] != h[5]
+    assert h[0] == h[6]
+
+
+def test_stateful_dedup_keeps_iri_vs_literal(spark, tmp_path):
+    """Two triples with the same lexical object but different o_kind must
+    BOTH pass the streaming dedup (they are distinct triples)."""
+    from rdf_spark import streaming as S
+    from rdf_spark import terms
+
+    in_dir = str(tmp_path / "tri_kinds")
+    rows = [("http://s1", 1, "http://p", "http://x", 1, None, None),
+            ("http://s1", 1, "http://p", "http://x", 2, terms.XSD_STRING, None)]
+    spark.createDataFrame(rows, terms.TRIPLE_DDL).write.mode("overwrite").parquet(in_dir)
+    stream = (spark.readStream.schema(terms.TRIPLE_DDL)
+              .option("maxFilesPerTrigger", 8).parquet(in_dir))
+    deduped = S.stateful_dedup_stream(stream, state_timeout_minutes=None, n_key_buckets=4)
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_kinds").start())
+    try:
+        q.processAllAvailable()
+        n = spark.sql("select count(*) n from dedup_kinds").first().n
+        assert n == 2
+    finally:
+        q.stop()
