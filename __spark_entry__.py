@@ -176,17 +176,32 @@ def q_dedup_triples(spark, sf_dir):
 
 
 def q_typed_literals(spark, sf_dir):
-    """C9: lexical→typed conversion (xsd:dateTime both layouts, integers)."""
+    """C9: lexical→typed conversion — xsd:dateTime (both layouts + a
+    DateFormat-style override pattern, rdf.go:52) and xsd:byte→binary
+    (rdf.go:327-328; surfaced as hex so the oracle can compare bytes)."""
     # oracle parity: DuckDB timestamps are UTC-naive; pin the session TZ so
     # date_format/to_timestamp render identically regardless of driver conf
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("lex"),
+        F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss").alias("lex_us"),
+        F.col("o_orderpriority").alias("lex_bytes"),
     )
-    typed = o.withColumn("o", F.col("lex"))
     ts = canonical.typed_object_col(terms.XSD_DATETIME)
-    return typed.select("o_orderkey", "lex", ts.alias("ts_typed"))
+    ts_custom = canonical.typed_object_col(
+        terms.XSD_DATETIME, date_format="MM/dd/yyyy HH:mm:ss"
+    )
+    byte_typed = canonical.typed_object_col(terms.XSD_BYTE)
+    return (
+        o.withColumn("o", F.col("lex"))
+        .withColumn("ts_typed", ts)
+        .withColumn("o", F.col("lex_us"))
+        .withColumn("ts_custom", ts_custom)
+        .withColumn("o", F.col("lex_bytes"))
+        .withColumn("byte_hex", F.hex(byte_typed))
+        .select("o_orderkey", "lex", "ts_typed", "ts_custom", "byte_hex")
+    )
 
 
 def q_predicate_histogram(spark, sf_dir):
@@ -654,7 +669,9 @@ def oracle_sql() -> dict[str, str]:
         "typed_literals": """
             SELECT o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS lex,
-                   o_orderdate AS ts_typed
+                   o_orderdate AS ts_typed,
+                   o_orderdate AS ts_custom,
+                   hex(encode(o_orderpriority)) AS byte_hex
             FROM orders
         """,
         "predicate_histogram": """

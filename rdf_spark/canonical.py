@@ -112,10 +112,12 @@ def iri_split_cols(c: Column) -> tuple[Column, Column]:
     return prefix, suffix
 
 
-def typed_object_col(datatype: str) -> Column:
+def typed_object_col(datatype: str, date_format: str | None = None) -> Column:
     """Lazy lexical→typed view of the object column (Literal.Typed
     rdf.go:303-335); improves on the reference by using DecimalType for
-    xsd:decimal instead of float64."""
+    xsd:decimal instead of float64.  ``date_format`` mirrors the
+    package-level ``DateFormat`` override (rdf.go:52): when given, that
+    Spark pattern is tried first for xsd:dateTime."""
     # try_cast throughout: under ANSI mode a plain cast THROWS on malformed
     # lexical values — a single bad literal must not kill the job (the
     # reference returns a per-value error from Typed(); our analogue is null)
@@ -130,14 +132,66 @@ def typed_object_col(datatype: str) -> Column:
         return o.try_cast("decimal(38,18)")
     if datatype == terms.XSD_BOOLEAN:
         return o.try_cast("boolean")
+    if datatype == terms.XSD_BYTE:
+        # Typed() maps xsd:byte to the raw bytes of the lexical form
+        # ([]byte(l.str), rdf.go:327-328) → BinaryType (UTF-8 bytes)
+        return o.try_cast("binary")
     if datatype == terms.XSD_DATETIME:
         # RFC3339 first, then the reference's no-TZ fallback (ttl.go:574-585);
         # try_* because ANSI mode makes to_timestamp throw on non-matches
-        return F.coalesce(
-            F.try_to_timestamp(o, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-            F.try_to_timestamp(o, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-        )
+        patterns = ["yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ss"]
+        if date_format:
+            patterns.insert(0, date_format)
+        return F.coalesce(*[F.try_to_timestamp(o, F.lit(p)) for p in patterns])
     return o
+
+
+def literal_object_cols(
+    df: DataFrame, colname: str, date_format: str = "yyyy-MM-dd'T'HH:mm:ssXXX"
+) -> dict[str, Column]:
+    """Infer (lexical, datatype) literal columns from a TYPED DataFrame
+    column — the NewLiteral inference table (rdf.go:342-359) mapped onto
+    Spark types:
+
+        boolean            → xsd:boolean
+        byte/short/int/long → xsd:integer   (Go int/int32/int64)
+        float/double       → xsd:double
+        decimal            → xsd:decimal    (no Go analogue; SURVEY §1.2)
+        string             → xsd:string
+        timestamp/date     → xsd:dateTime   (lexical via ``date_format``,
+                                             mirroring DateFormat rdf.go:52)
+        binary             → xsd:byte       ([]byte, rdf.go:354-355)
+
+    Returns the four object columns ``{o, o_kind, o_datatype, o_lang}``
+    ready to splice into a canonical triple projection.  Unsupported
+    Spark types raise ValueError (rdf.go:356-357).
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[colname].dataType
+    c = F.col(colname)
+    if isinstance(dt, T.BooleanType):
+        lex, xsd = c.cast("string"), terms.XSD_BOOLEAN
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        lex, xsd = c.cast("string"), terms.XSD_INTEGER
+    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+        lex, xsd = c.cast("string"), terms.XSD_DOUBLE
+    elif isinstance(dt, T.DecimalType):
+        lex, xsd = c.cast("string"), terms.XSD_DECIMAL
+    elif isinstance(dt, T.StringType):
+        lex, xsd = c, terms.XSD_STRING
+    elif isinstance(dt, (T.TimestampType, T.DateType)):
+        lex, xsd = F.date_format(c, date_format), terms.XSD_DATETIME
+    elif isinstance(dt, T.BinaryType):
+        lex, xsd = c.cast("string"), terms.XSD_BYTE
+    else:
+        raise ValueError(f"cannot infer XSD datatype from Spark type {dt.simpleString()}")
+    return {
+        "o": lex,
+        "o_kind": F.lit(terms.KIND_LITERAL).cast("tinyint"),
+        "o_datatype": F.lit(xsd),
+        "o_lang": F.lit(None).cast("string"),
+    }
 
 
 def predicate_histogram(df: DataFrame) -> DataFrame:

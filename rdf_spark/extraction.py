@@ -161,6 +161,11 @@ def fused_extract_parse_link(
             tmp[s] = (e, p)
     best_entity = {s: ep[0] for s, ep in tmp.items()}
     surfaces = sorted(best_entity, key=len, reverse=True)
+    # surface → [(longer surface containing it, occurrences inside it)]
+    _containers = {
+        s: [(t, t.count(s)) for t in surfaces if t != s and s in t]
+        for s in surfaces
+    }
 
     out_ddl = (
         "url string, s string, s_kind tinyint, p string, o string, "
@@ -239,10 +244,21 @@ def fused_extract_parse_link(
                 ))
 
             # 3. link triples: per-surface vectorized count (RE2), best
-            #    entity precomputed per surface
+            #    entity precomputed per surface.  Longest-first parity with
+            #    detect_mentions' non-overlapping alternation: occurrences
+            #    of a shorter surface that lie inside a longer surface's
+            #    (already-adjusted) matches are subtracted, processing
+            #    surfaces in decreasing length order so nesting chains
+            #    (a ⊂ ab ⊂ abc) resolve correctly.
+            raw = {s: pc.count_substring(text, pattern=s) for s in surfaces}
+            adjusted: dict[str, "pa.Array"] = {}
+            for surface in surfaces:  # surfaces is sorted longest-first
+                cnt = raw[surface]
+                for longer, mult in _containers[surface]:
+                    cnt = pc.subtract(cnt, pc.multiply(adjusted[longer], mult))
+                adjusted[surface] = cnt
             for surface in surfaces:
-                cnt = pc.count_substring(text, pattern=surface)
-                mask = pc.greater(cnt, 0)
+                mask = pc.greater(adjusted[surface], 0)
                 m_urls = pc.filter(tbl.column("url"), mask)
                 nm = len(m_urls)
                 if nm == 0:

@@ -48,28 +48,48 @@ def property_table(triples: DataFrame, predicates: dict[str, str]) -> DataFrame:
     )
 
 
-def k_hop_neighbors(triples: DataFrame, start_iris: list[str], k: int = 2) -> DataFrame:
+def k_hop_neighbors(
+    triples: DataFrame,
+    start_iris: list[str],
+    k: int = 2,
+    broadcast_max_rows: int = 100_000,
+) -> DataFrame:
     """IRIs/blanks reachable from ``start_iris`` in ≤ k forward hops.
 
-    Iterative frontier expansion: each hop is one equi-join of the edge
-    set against the (small, broadcast) frontier; visited set accumulates
-    driver-side per hop — the pattern scales while frontiers stay
-    broadcastable (use GraphFrames-style iterate-to-fixpoint otherwise).
+    GraphFrames-style iterate-to-fixpoint BFS: the frontier and visited
+    sets stay DataFrames end-to-end (never collected to the driver), each
+    hop is one equi-join of the edge set against the frontier, and both
+    sets are ``localCheckpoint``-ed per hop so the logical plan does not
+    grow O(k) (lineage truncation is what makes deep / hub-heavy graphs
+    viable).  The frontier join broadcasts only while the frontier is
+    small (≤ ``broadcast_max_rows``); a hub-node blowup past that falls
+    back to a shuffle hash join — no broadcast OOM.  Early-exits at the
+    fixpoint (empty frontier).  The per-hop ``count()`` is inherent to
+    BFS (each hop depends on the previous one), not a driver-side loop
+    over data.
     """
     edges = triples.filter(F.col("o_kind") != 2).select(
         F.col("s").alias("src"), F.col("o").alias("dst")
     )
     spark = triples.sparkSession
     frontier = spark.createDataFrame([(i,) for i in start_iris], "node string")
-    visited = frontier
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    n_frontier = len(start_iris)
     for _ in range(k):
+        if n_frontier == 0:
+            break
+        f = F.broadcast(frontier) if n_frontier <= broadcast_max_rows else frontier
         nxt = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            edges.join(f, edges.src == f.node)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = nxt.join(visited, "node", "left_anti")
-        visited = visited.unionByName(frontier).distinct()
+        frontier = nxt.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        n_frontier = frontier.count()
+        # frontier is distinct and disjoint from visited (anti-join), so
+        # the union needs no extra distinct — one fewer shuffle per hop
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     return visited
 
 

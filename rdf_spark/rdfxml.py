@@ -407,7 +407,7 @@ class RdfXmlParser:
                 if local in ("Bag", "Seq", "Alt"):
                     self._store_prefix_ns(attrs)
                     self._push_ctx()
-                    # continue as typed node element below
+                    # containers take the typed-node path that follows
                 elif local in _DISALLOWED_NODE:
                     raise ParseError(0, 0, "disallowed as node element name: rdf:%s" % local)
                 # other rdf: locals fall through as typed node elements

@@ -189,3 +189,78 @@ def test_simhash_bag_of_words_invariants(spark):
     s1 = dedup.simhash_signatures(rev).collect()[0].simhash
     s2 = dedup.simhash_signatures(dbl).collect()[0].simhash
     assert s0 == s1 == s2 != 0
+
+
+def _perturbed_embeddings(spark, embeddings):
+    """Originals + deterministic slightly-rotated copies (cos ≈ 0.95-0.99)."""
+    import numpy as np
+    import pandas as pd
+
+    def perturb(it):
+        for pdf in it:
+            rng = np.random.RandomState(7)
+            out = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(vec, dtype=np.float64)
+                nrm = np.linalg.norm(v)
+                noise = np.random.RandomState(int(vid) + 7).randn(len(v))
+                w = v + noise * (0.18 * nrm / np.linalg.norm(noise))
+                out.append((int(vid) + 1000000, [float(x) for x in w]))
+            del rng
+            yield pd.DataFrame(out, columns=["vec_id", "embedding"])
+
+    dup = embeddings.select("vec_id", "embedding").mapInPandas(
+        perturb, "vec_id long, embedding array<double>"
+    )
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(dup)
+
+
+def test_multi_table_lsh_near_dup_recall(spark, embeddings):
+    """VERDICT item 6: with n_tables=4 the bucketed near-dup path must
+    recover ≥95% of the true cos≥0.95 pairs; a single 10-bit table misses
+    noticeably more."""
+    both = _perturbed_embeddings(spark, embeddings).cache()
+    # brute-force ground truth: all pairs with true cos >= 0.95
+    e = both
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
+    allp = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    sim = ann.cosine_col(F.col("_va"), F.col("_vb"))
+    truth = {
+        (r.a, r.b)
+        for r in allp.select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.95).collect()
+    }
+    assert len(truth) >= 100  # the perturbation planted real near-dups
+
+    got4 = {
+        (r.a, r.b)
+        for r in ann.embedding_near_duplicates(
+            both, dim=64, threshold=0.95, n_tables=4
+        ).collect()
+    }
+    recall4 = len(got4 & truth) / len(truth)
+    assert recall4 >= 0.95, recall4
+    assert got4 <= truth  # exact verify: no false positives
+
+
+def test_multi_table_lsh_topk_recall(spark, embeddings):
+    """LSH top-k must recover the true nearest neighbor (the planted
+    cos≈0.98 twin) for ≥90% of queries with 8 tables — low-similarity
+    rank-2/3 neighbors of random vectors are out of LSH's design scope."""
+    both = _perturbed_embeddings(spark, embeddings)
+    queries = both.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_top1 = {
+        (r.query_id, r.vec_id)
+        for r in ann.brute_force_topk(both, queries, k=2).collect()
+        if r.rank == 2  # rank 1 is the query itself (sim 1.0)
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann.lsh_topk(both, queries, dim=64, k=5, n_bits=8, n_tables=8).collect()
+    }
+    assert len(approx & exact_top1) / len(exact_top1) >= 0.9

@@ -95,3 +95,42 @@ def test_salted_distinct_count(spark):
     )
     got = {r.k: r.n_distinct for r in salted_distinct_count(df, "k", "v").collect()}
     assert got == {"hot": 57, "cold": 1}
+
+
+def test_fused_overlapping_surfaces_longest_first(spark):
+    """Fused stage must apply the same longest-first, non-overlapping match
+    semantics as detect_mentions when one gazetteer surface is a substring
+    of another (e.g. 'window' inside 'window manager')."""
+    aliases = [
+        ("window", "urn:e:window", 0.9),
+        ("window manager", "urn:e:wm", 0.8),
+    ]
+    rows = [
+        # only the long surface: the embedded 'window' must NOT link
+        ("u:1", b"<p>all about the window manager here</p>", "all about the window manager here"),
+        # both: one standalone 'window' plus one 'window manager'
+        ("u:2", b"<p>window manager and a window</p>", "window manager and a window"),
+        # only the short surface
+        ("u:3", b"<p>a window</p>", "a window"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    got = {
+        (r.s, r.o)
+        for r in extraction.fused_extract_parse_link(pages, aliases)
+        .filter(F.col("err").isNull())
+        .collect()
+    }
+    assert got == {
+        ("u:1", "urn:e:wm"),
+        ("u:2", "urn:e:wm"),
+        ("u:2", "urn:e:window"),
+        ("u:3", "urn:e:window"),
+    }
+
+    # parity with the unfused path
+    docs = pages.select("url", F.col("text").alias("extracted_text"))
+    adf = spark.createDataFrame(aliases, "surface string, entity_iri string, prior double")
+    m = extraction.detect_mentions(docs, adf)
+    links = extraction.link_entities(m, adf)
+    unfused = {(r.url, r.entity_iri) for r in links.collect()}
+    assert unfused == got

@@ -182,3 +182,67 @@ def test_typed_object_col_casts(spark):
     assert out["42"] == 42 and out["-7"] == -7
     assert out["2.5"] == 2.5 and float(out["1.50"]) == 1.5
     assert out["true"] is True
+
+
+def test_typed_object_byte_and_dateformat(spark):
+    from rdf_spark import canonical, terms
+
+    df = spark.createDataFrame([("Pé",), ("ab",)], ["o"])
+    got = df.select(canonical.typed_object_col(terms.XSD_BYTE).alias("b")).collect()
+    assert [bytes(r.b) for r in got] == ["Pé".encode(), b"ab"]
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df2 = spark.createDataFrame([("03/15/2024 10:30:00",)], ["o"])
+    ts = df2.select(
+        canonical.typed_object_col(
+            terms.XSD_DATETIME, date_format="MM/dd/yyyy HH:mm:ss"
+        ).alias("t")
+    ).collect()[0].t
+    assert (ts.year, ts.month, ts.day, ts.hour, ts.minute) == (2024, 3, 15, 10, 30)
+    # default patterns still work when an override is present
+    df3 = spark.createDataFrame([("2024-03-15T10:30:00",)], ["o"])
+    ts3 = df3.select(
+        canonical.typed_object_col(
+            terms.XSD_DATETIME, date_format="MM/dd/yyyy HH:mm:ss"
+        ).alias("t")
+    ).collect()[0].t
+    assert ts3 is not None
+
+
+def test_literal_object_cols_inference(spark):
+    """C6: NewLiteral's Go-value→(lexical, datatype) inference table
+    (rdf.go:342-359) from typed Spark columns."""
+    import datetime
+    import decimal
+
+    from rdf_spark import canonical, terms
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [(True, 42, 2.5, decimal.Decimal("1.50"), "s",
+          datetime.datetime(2024, 3, 15, 10, 30), b"\x01A")],
+        "c_bool boolean, c_long long, c_dbl double, c_dec decimal(10,2), "
+        "c_str string, c_ts timestamp, c_bin binary",
+    )
+    expect = {
+        "c_bool": ("true", terms.XSD_BOOLEAN),
+        "c_long": ("42", terms.XSD_INTEGER),
+        "c_dbl": ("2.5", terms.XSD_DOUBLE),
+        "c_dec": ("1.50", terms.XSD_DECIMAL),
+        "c_str": ("s", terms.XSD_STRING),
+        "c_ts": ("2024-03-15T10:30:00Z", terms.XSD_DATETIME),
+        "c_bin": ("\x01A", terms.XSD_BYTE),
+    }
+    for col, (lex, dt) in expect.items():
+        cols = canonical.literal_object_cols(df, col)
+        row = df.select(
+            cols["o"].alias("o"), cols["o_kind"].alias("k"),
+            cols["o_datatype"].alias("dt"), cols["o_lang"].alias("lang")
+        ).collect()[0]
+        assert (row.o, row.k, row.dt, row.lang) == (lex, 2, dt, None), col
+
+    import pytest as _pytest
+
+    arr = spark.createDataFrame([([1, 2],)], "c array<long>")
+    with _pytest.raises(ValueError):
+        canonical.literal_object_cols(arr, "c")
