@@ -123,6 +123,27 @@ def q_turtle_parse(spark, sf_dir):
     )
 
 
+def q_turtle_flat_parse(spark, sf_dir):
+    """S5 fast path: FLAT Turtle documents ('a' sugar, numeric shorthand,
+    plain statements) skip the Python tokenizer entirely via the arrow
+    flat-doc path (arrow_fast.parse_turtle_docs_arrow) — differential-
+    tested equivalent to the exact parser."""
+    docs = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("urn:doc:"), F.col("o_orderkey")).alias("url"),
+        F.concat(
+            F.lit("<urn:order:"), F.col("o_orderkey"), F.lit("> a <urn:ex:Order> .\n"),
+            F.lit("<urn:order:"), F.col("o_orderkey"), F.lit('> <urn:p:prio> "'),
+            F.col("o_orderpriority"), F.lit('" .\n'),
+            F.lit("<urn:order:"), F.col("o_orderkey"), F.lit("> <urn:p:total> "),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"), F.lit(" .\n"),
+        ).alias("text"),
+    )
+    tri = sources.parse_documents(docs, fmt="turtle", base_from_url=False)
+    return tri.filter(F.col("err").isNull()).select(
+        "s", "p", "o", F.col("o_kind").cast("int").alias("o_kind"), "o_datatype"
+    )
+
+
 def q_rdfxml_parse(spark, sf_dir):
     """S6: RDF/XML decode (rdf:Description/about, property elements)."""
     docs = _t(spark, sf_dir, "nation").select(
@@ -568,6 +589,7 @@ _QUERIES = {
         "nt_parse": q_nt_parse,
         "nquads_parse": q_nquads_parse,
         "turtle_parse": q_turtle_parse,
+        "turtle_flat_parse": q_turtle_flat_parse,
         "rdfxml_parse": q_rdfxml_parse,
         "nt_serialize": q_nt_serialize,
         "iri_split": q_iri_split,
@@ -634,6 +656,22 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
                    'urn:ex:Customer', 1, NULL, NULL
             FROM customer
+        """,
+        "turtle_flat_parse": f"""
+            SELECT 'urn:order:' || o_orderkey AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'urn:ex:Order' AS o, 1 AS o_kind,
+                   CAST(NULL AS VARCHAR) AS o_datatype
+            FROM orders
+            UNION ALL
+            SELECT 'urn:order:' || o_orderkey, 'urn:p:prio',
+                   o_orderpriority, 2, '{XSD_STRING}'
+            FROM orders
+            UNION ALL
+            SELECT 'urn:order:' || o_orderkey, 'urn:p:total',
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 2,
+                   '{_XSD_DECIMAL}'
+            FROM orders
         """,
         "rdfxml_parse": f"""
             SELECT 'http://ex.org/nation/' || n_nationkey AS s,

@@ -45,6 +45,7 @@ def main() -> int:
         "nt_parse",
         "nquads_parse",
         "turtle_parse",
+        "turtle_flat_parse",
         "nt_serialize",
         "dedup_triples",
         "mention_count",

@@ -32,12 +32,28 @@ _BN_BODY = "_:[%s0-9](?:[%s.]*[%s])?" % (
 _WS = r"[ \t]*"
 
 
-def _mk_pattern(quads: bool) -> str:
+# Turtle numeric/boolean shorthand (ttl grammar INTEGER/DECIMAL/DOUBLE):
+# double must come first so its integer/decimal prefixes can't win
+_EXP = "[eE][+-]?[0-9]+"
+_NUM_BODY = (
+    r"(?P<o_dbl>[+-]?(?:[0-9]+\.[0-9]*" + _EXP + r"|\.[0-9]+" + _EXP
+    + r"|[0-9]+" + _EXP + r"))"
+    + r"|(?P<o_dec>[+-]?[0-9]*\.[0-9]+)"
+    + r"|(?P<o_num>[+-]?[0-9]+)"
+    + r"|(?P<o_bool>true|false)"
+)
+
+
+def _mk_pattern(quads: bool, turtle: bool = False) -> str:
+    pred = "<(?P<p>" + _IRI_BODY + ")>"
+    if turtle:
+        pred = "(?:" + pred + "|(?P<p_a>a))"
     pat = (
         "^" + _WS
         + "(?:<(?P<s_iri>" + _IRI_BODY + ")>|(?P<s_bn>" + _BN_BODY + "))"
-        + _WS + "<(?P<p>" + _IRI_BODY + ")>" + _WS
+        + _WS + pred + _WS
         + "(?:<(?P<o_iri>" + _IRI_BODY + ")>|(?P<o_bn>" + _BN_BODY + ")"
+        + ('|' + _NUM_BODY if turtle else "")
         + '|(?P<o_lit>"[^"\\\\]*")'
         + "(?:(?P<lang>@[A-Za-z]+(?:-[A-Za-z0-9-]+)?)"
         + r"|\^\^<(?P<dt>" + _IRI_BODY + ")>)?" + ")"
@@ -50,6 +66,7 @@ def _mk_pattern(quads: bool) -> str:
 
 _NT_PATTERN = _mk_pattern(False)
 _NQ_PATTERN = _mk_pattern(True)
+_TTL_FLAT_PATTERN = _mk_pattern(False, turtle=True)
 
 TRIPLE_FIELDS = [
     ("s", pa.string()),
@@ -74,27 +91,9 @@ def _null_str():
     return pa.scalar(None, pa.string())
 
 
-def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
-    """Parse a string array of lines → table in TRIPLE/QUAD_SCHEMA.
-
-    Blank/comment lines are dropped; rows that fail produce err!=null."""
-    quads = fmt == "nquads"
-    schema = QUAD_SCHEMA if quads else TRIPLE_SCHEMA
-    pattern = _NQ_PATTERN if quads else _NT_PATTERN
-
-    if isinstance(lines, pa.ChunkedArray):
-        lines = lines.combine_chunks()
-    if lines.null_count:
-        lines = pc.fill_null(lines, "")
-    keep = pc.invert(pc.match_substring_regex(lines, _NO_STMT_PATTERN))
-    work = pc.filter(lines, keep)
-    if len(work) == 0:
-        return schema.empty_table()
-
-    m = pc.extract_regex(work, pattern=pattern)
-    is_fast = m.is_valid()
-    fast = pc.filter(m, is_fast)
-
+def _match_cols(fast, quads: bool = False, turtle: bool = False) -> dict:
+    """Canonical triple/quad columns from a filtered extract_regex struct
+    array (participation inferred from non-empty groups)."""
     g = {f.name: pc.struct_field(fast, f.name) for f in fast.type}
     part = {k: pc.not_equal(v, "") for k, v in g.items()}
 
@@ -122,8 +121,17 @@ def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
         ),
     )
     o_lang = pc.if_else(part["lang"], strip1(g["lang"]), _null_str())
+    p = g["p"]
+    if turtle:
+        # 'a' predicate sugar + numeric/boolean shorthand lexicals
+        p = pc.if_else(part["p_a"], pa.scalar(terms.RDF_TYPE), p)
+        for grp, dt in (("o_num", terms.XSD_INTEGER), ("o_dec", terms.XSD_DECIMAL),
+                        ("o_dbl", terms.XSD_DOUBLE), ("o_bool", terms.XSD_BOOLEAN)):
+            o = pc.if_else(part[grp], g[grp], o)
+            o_kind = pc.if_else(part[grp], _i8(terms.KIND_LITERAL), o_kind)
+            o_datatype = pc.if_else(part[grp], pa.scalar(dt), o_datatype)
     cols = {
-        "s": s, "s_kind": s_kind, "p": g["p"], "o": o, "o_kind": o_kind,
+        "s": s, "s_kind": s_kind, "p": p, "o": o, "o_kind": o_kind,
         "o_datatype": o_datatype, "o_lang": o_lang,
     }
     if quads:
@@ -135,6 +143,90 @@ def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
         cols["graph_kind"] = pc.if_else(
             part["g_iri"], _i8(terms.KIND_IRI), _i8(terms.KIND_BLANK)
         )
+    return cols
+
+
+def parse_turtle_docs_arrow(urls: pa.Array, texts: pa.Array):
+    """Vectorized fast path for FLAT Turtle documents.
+
+    A document is *flat* when every statement-bearing line is a complete
+    single-line, prefix-free, absolute-IRI triple (optionally with the
+    ``a`` predicate sugar, numeric/boolean shorthand, plain/typed/lang
+    string literals, ``_:`` labels) — i.e. a line the RE2 pattern can
+    prove safe.  Directives, pnames, relative IRIs, ``;``/``,`` lists,
+    ``[]``/``()`` and multi-line strings all make a line unmatchable, and
+    ONE unmatchable statement line disqualifies the WHOLE document (an
+    unterminated ``\"\"\"`` opener never matches, so a line *inside* a long
+    string can never be mistaken for a statement of a flat doc).  Flat
+    docs skip the Python tokenizer entirely, the way N-Triples lines do
+    (sound-not-complete; equivalence is differential-tested over the
+    conformance corpus).
+
+    Returns ``(table, fallback_mask)``: a table in url+TRIPLE_SCHEMA
+    holding all triples of the flat documents, plus a boolean numpy mask
+    of documents that must go through the exact parser.
+    """
+    import numpy as np
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    texts_f = pc.fill_null(texts, "")
+    lines_list = pc.split_pattern(texts_f, "\n")
+    lines = pc.list_flatten(lines_list)
+    doc_idx = pc.list_parent_indices(lines_list).to_numpy(zero_copy_only=False)
+
+    no_stmt = pc.match_substring_regex(lines, _NO_STMT_PATTERN)
+    m = pc.extract_regex(lines, pattern=_TTL_FLAT_PATTERN)
+    matched = m.is_valid().to_numpy(zero_copy_only=False)
+    line_bad = ~(matched | no_stmt.to_numpy(zero_copy_only=False))
+
+    fallback = np.zeros(n_docs, dtype=bool)
+    np.logical_or.at(fallback, doc_idx[line_bad], True)
+    # null-text docs are skipped entirely (caller contract), not fallback
+    null_text = np.zeros(n_docs, dtype=bool)
+    if texts.null_count:
+        null_text = texts.is_null().to_numpy(zero_copy_only=False)
+        fallback &= ~null_text
+
+    keep = matched & ~fallback[doc_idx] & ~null_text[doc_idx]
+    fast = pc.filter(m, pa.array(keep))
+    cols = _match_cols(fast, turtle=True)
+    n = len(fast)
+    out = pa.table(
+        {
+            "url": pc.take(urls, pa.array(doc_idx[keep])),
+            **cols,
+            "err": pa.nulls(n, pa.string()),
+        }
+    )
+    return out, fallback
+
+
+def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
+    """Parse a string array of lines → table in TRIPLE/QUAD_SCHEMA.
+
+    Blank/comment lines are dropped; rows that fail produce err!=null."""
+    quads = fmt == "nquads"
+    schema = QUAD_SCHEMA if quads else TRIPLE_SCHEMA
+    pattern = _NQ_PATTERN if quads else _NT_PATTERN
+
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    if lines.null_count:
+        lines = pc.fill_null(lines, "")
+    keep = pc.invert(pc.match_substring_regex(lines, _NO_STMT_PATTERN))
+    work = pc.filter(lines, keep)
+    if len(work) == 0:
+        return schema.empty_table()
+
+    m = pc.extract_regex(work, pattern=pattern)
+    is_fast = m.is_valid()
+    fast = pc.filter(m, is_fast)
+
+    cols = _match_cols(fast, quads=quads)
     n_fast = len(fast)
     cols["err"] = pa.nulls(n_fast, pa.string())
     fast_tbl = pa.table([cols[f.name] for f in schema], schema=schema)

@@ -17,7 +17,11 @@ def get_spark(
     app_name: str = "rdf_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    streaming_state: str | None = None,
 ) -> SparkSession:
+    """``streaming_state="rocksdb"`` selects the RocksDB state store
+    provider (ships with Spark) so stateful streaming state spills
+    off-heap/disk — required by :func:`rdf_spark.streaming.global_dedup_stream`."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"
@@ -36,4 +40,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if streaming_state == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        ).config(
+            # incremental (changelog) checkpoints: upload deltas, not full
+            # RocksDB snapshots, per micro-batch
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     return builder.getOrCreate()

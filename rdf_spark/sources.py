@@ -89,6 +89,22 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
     def parse_docs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url"] + terms.TRIPLE_COLS + ["err"]
         for pdf in it:
+            parts: list[pd.DataFrame] = []
+            if fmt == "turtle" and len(pdf):
+                # Arrow fast path: documents made entirely of flat
+                # single-line statements skip the Python tokenizer the way
+                # N-Triples lines do; everything else falls back per doc
+                import pyarrow as pa
+
+                from rdf_spark import arrow_fast
+
+                tbl, fb = arrow_fast.parse_turtle_docs_arrow(
+                    pa.array(pdf[url_col].astype(str)),
+                    pa.array(pdf[text_col], type=pa.string()),
+                )
+                if len(tbl):
+                    parts.append(tbl.to_pandas())
+                pdf = pdf.loc[pdf.index[fb]]
             recs: list[tuple] = []
             for url, text in zip(pdf[url_col].astype(str), pdf[text_col]):
                 if text is None:
@@ -103,7 +119,9 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
                     continue
                 for r in rows:
                     recs.append((url,) + tuple(r) + (None,))
-            yield pd.DataFrame(recs, columns=cols)
+            if recs:
+                parts.append(pd.DataFrame(recs, columns=cols))
+            yield pd.concat(parts) if parts else pd.DataFrame(recs, columns=cols)
 
     return parse_docs
 

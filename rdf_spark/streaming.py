@@ -207,6 +207,99 @@ def stateful_dedup_stream(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _stateful_processor_cls():
+    # deferred import: pyspark.sql.streaming.stateful_processor exists only
+    # on Spark 4+; keep module import safe elsewhere
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class GlobalDedupProcessor(StatefulProcessor):
+        """Cross-batch exact dedup state: one MapState entry per seen
+        triple hash.  Point lookups/inserts against the (RocksDB) state
+        store — the state is never materialized wholesale per batch the
+        way the ListState/applyInPandasWithState variant rewrites it, so
+        it survives indefinitely and scales past executor memory."""
+
+        def __init__(self, key_cols: list[str], out_cols: list[str]):
+            self._key_cols = key_cols
+            self._out_cols = out_cols
+
+        def init(self, handle) -> None:
+            self._seen = handle.getMapState("seen", "h long", "v tinyint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            for pdf in rows:
+                ph = triple_hash_pd(pdf, self._key_cols)
+                batch_seen: set[int] = set()
+                keep = []
+                for h in ph:
+                    h = int(h)
+                    if h in batch_seen or self._seen.containsKey((h,)):
+                        keep.append(False)
+                    else:
+                        batch_seen.add(h)
+                        self._seen.updateValue((h,), (1,))
+                        keep.append(True)
+                out = pdf.loc[keep, self._out_cols]
+                if len(out):
+                    yield out
+
+        def close(self) -> None:
+            pass
+
+    return GlobalDedupProcessor
+
+
+def global_dedup_stream(
+    triples_stream: DataFrame,
+    n_key_buckets: int = 1024,
+) -> DataFrame:
+    """Globally-exact streaming cross-batch dedup on the state store.
+
+    Unlike :func:`stateful_dedup_stream`'s default (windowed-exact: a
+    processing-time timeout bounds the list state), exactness here never
+    expires.  Run it with the RocksDB state store provider — start the
+    session with ``get_spark(streaming_state="rocksdb")`` or set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    :data:`ROCKSDB_PROVIDER` before the query starts — so state lives
+    off-heap/on-disk instead of executor memory.
+
+    Preferred plan: ``transformWithStateInPandas`` with one MapState entry
+    per seen triple hash (RocksDB point lookups/inserts; the state is
+    never rewritten wholesale).  That API needs the ``google.protobuf``
+    package in the Python workers; where it is unavailable (this
+    container), falls back to ``applyInPandasWithState`` with NoTimeout —
+    same exact semantics, still RocksDB-resident, but the per-bucket hash
+    list is reserialized each batch (raise ``n_key_buckets`` to keep
+    individual state rows small).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_proto = True
+    except ImportError:
+        has_proto = False
+    if not has_proto:
+        return stateful_dedup_stream(
+            triples_stream, state_timeout_minutes=None, n_key_buckets=n_key_buckets
+        )
+    cols = [c for c in triples_stream.columns if c != "_kb"]
+    key_cols = [c for c in ("s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang")
+                if c in triples_stream.columns]
+    keyed = triples_stream.withColumn(
+        "_kb", F.pmod(F.xxhash64("s"), F.lit(n_key_buckets)).cast("int")
+    )
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in triples_stream.schema.fields)
+    proc = _stateful_processor_cls()(key_cols, cols)
+    return keyed.groupBy("_kb").transformWithStateInPandas(
+        proc, outputStructType=out_ddl, outputMode="append", timeMode="none"
+    )
+
+
 def read_stream_store(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read-through view of the streamed store with global dedup applied."""
     df = spark.read.parquet(os.path.join(out_dir, "triples_stream"))

@@ -83,3 +83,67 @@ def test_nt_documents_parse_identically_as_turtle():
             except ParseError:
                 continue
             assert sorted(nt) == sorted(parse_turtle(c["input"])), c["name"]
+
+
+def test_turtle_flat_doc_fast_path_vs_exact_on_conformance():
+    """Every Turtle conformance input through the flat-doc fast path: docs
+    the arrow pattern claims as flat must yield EXACTLY the tokenizer's
+    triples; error docs must never be claimed flat."""
+    import json
+
+    from rdf_spark.arrow_fast import parse_turtle_docs_arrow
+    from rdf_spark.parsing import parse_turtle
+
+    cases = [json.loads(l) for l in open("tests/fixtures/turtle.jsonl")]
+    texts = [c["input"] for c in cases]
+    urls = [c["name"] for c in cases]
+    tbl, fallback = parse_turtle_docs_arrow(pa.array(urls), pa.array(texts))
+    by_doc: dict[str, list] = {}
+    for r in tbl.to_pylist():
+        assert r.pop("err") is None
+        by_doc.setdefault(r.pop("url"), []).append(tuple(r.values()))
+    n_flat = 0
+    for i, c in enumerate(cases):
+        if fallback[i]:
+            continue
+        n_flat += 1
+        assert not c["error"], f"{c['name']}: error doc claimed flat"
+        exact = sorted(tuple(r) for r in parse_turtle(c["input"]))
+        got = sorted(by_doc.get(c["name"], []))
+        assert got == exact, c["name"]
+    # the fast path must actually fire on a meaningful share of the corpus
+    assert n_flat >= 30, n_flat
+
+
+def test_turtle_flat_doc_fast_path_features():
+    """Flat-doc coverage: 'a' sugar, numeric/boolean shorthand, lang/typed
+    literals, bnode labels, comments; disqualifiers fall back whole-doc."""
+    from rdf_spark.arrow_fast import parse_turtle_docs_arrow
+    from rdf_spark.parsing import parse_turtle
+
+    flat_doc = (
+        "# header comment\n"
+        '<http://s> a <http://T> .\n'
+        "<http://s> <http://p> 42 .\n"
+        "<http://s> <http://p> -3.5 .  # trailing\n"
+        "<http://s> <http://p> 1.0e3 .\n"
+        "<http://s> <http://p> true .\n"
+        '_:x <http://p> "v"@en-GB .\n'
+        '<http://s> <http://p> "t"^^<http://dt> .\n'
+    )
+    non_flat = [
+        "@prefix ex: <http://e/> .\n<http://s> ex:p <http://o> .",
+        "<http://s> <http://p> <http://o> ;\n  <http://q> <http://r> .",
+        '<http://s> <http://p> """multi\n<http://x> <http://y> <http://z> .\n""" .',
+        "<rel> <http://p> <http://o> .",
+        "<http://s> <http://p> [ <http://q> <http://r> ] .",
+    ]
+    texts = [flat_doc] + non_flat
+    urls = [f"d{i}" for i in range(len(texts))]
+    tbl, fb = parse_turtle_docs_arrow(pa.array(urls), pa.array(texts))
+    assert list(fb) == [False, True, True, True, True, True]
+    got = sorted(
+        tuple(v for k, v in r.items() if k not in ("url", "err"))
+        for r in tbl.to_pylist()
+    )
+    assert got == sorted(tuple(r) for r in parse_turtle(flat_doc))

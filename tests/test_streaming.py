@@ -156,3 +156,44 @@ def test_stateful_dedup_keeps_iri_vs_literal(spark, tmp_path):
         assert n == 2
     finally:
         q.stop()
+
+
+def test_global_dedup_stream_rocksdb(spark, tmp_path):
+    """VERDICT item 7: a duplicate arriving across 3 separate micro-batches
+    is emitted exactly once, with seen-hash state in the RocksDB state
+    store (point lookups, no timeout window)."""
+    from rdf_spark import terms
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", streaming.ROCKSDB_PROVIDER
+    )
+    try:
+        in_dir = str(tmp_path / "tri_global")
+        t = lambda s, o: (s, 1, "http://p", o, 2, None, None)  # noqa: E731
+
+        def write(rows, mode):
+            spark.createDataFrame(rows, terms.TRIPLE_DDL).coalesce(1).write.mode(
+                mode
+            ).parquet(in_dir)
+
+        write([t("http://s1", "a"), t("http://s2", "b")], "overwrite")
+        stream = (spark.readStream.schema(terms.TRIPLE_DDL)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        deduped = streaming.global_dedup_stream(stream, n_key_buckets=4)
+        q = (deduped.writeStream.outputMode("append").format("memory")
+             .queryName("global_dedup").start())
+        try:
+            q.processAllAvailable()
+            write([t("http://s1", "a"), t("http://s3", "c")], "append")  # dup batch 2
+            q.processAllAvailable()
+            write([t("http://s1", "a"), t("http://s4", "d")], "append")  # dup batch 3
+            q.processAllAvailable()
+            got = spark.sql("select s, o from global_dedup").collect()
+            assert sorted((r.s, r.o) for r in got) == [
+                ("http://s1", "a"), ("http://s2", "b"),
+                ("http://s3", "c"), ("http://s4", "d"),
+            ]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
