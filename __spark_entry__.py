@@ -144,6 +144,26 @@ def q_turtle_flat_parse(spark, sf_dir):
     )
 
 
+def q_trig_parse(spark, sf_dir):
+    """TriG decode (EXCEEDS reference parity, rdf.go:14-22): named-graph
+    blocks + default-graph statements → quad schema."""
+    docs = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("urn:doc:"), F.col("s_suppkey")).alias("url"),
+        F.concat(
+            F.lit("GRAPH <urn:g:"), F.col("s_nationkey"),
+            F.lit("> { <urn:sup:"), F.col("s_suppkey"), F.lit('> <urn:p:name> "'),
+            F.col("s_name"), F.lit('" }\n<urn:sup:'), F.col("s_suppkey"),
+            F.lit("> <urn:p:acct> "),
+            F.col("s_acctbal").cast("decimal(12,2)").cast("string"), F.lit(" .\n"),
+        ).alias("text"),
+    )
+    q = sources.parse_documents(docs, fmt="trig", base_from_url=False)
+    return q.filter(F.col("err").isNull()).select(
+        "s", "p", "o", F.col("o_kind").cast("int").alias("o_kind"),
+        "o_datatype", "graph", F.col("graph_kind").cast("int").alias("graph_kind"),
+    )
+
+
 def q_rdfxml_parse(spark, sf_dir):
     """S6: RDF/XML decode (rdf:Description/about, property elements)."""
     docs = _t(spark, sf_dir, "nation").select(
@@ -590,6 +610,7 @@ _QUERIES = {
         "nquads_parse": q_nquads_parse,
         "turtle_parse": q_turtle_parse,
         "turtle_flat_parse": q_turtle_flat_parse,
+        "trig_parse": q_trig_parse,
         "rdfxml_parse": q_rdfxml_parse,
         "nt_serialize": q_nt_serialize,
         "iri_split": q_iri_split,
@@ -672,6 +693,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 2,
                    '{_XSD_DECIMAL}'
             FROM orders
+        """,
+        "trig_parse": f"""
+            SELECT 'urn:sup:' || s_suppkey AS s, 'urn:p:name' AS p,
+                   s_name AS o, 2 AS o_kind, '{XSD_STRING}' AS o_datatype,
+                   'urn:g:' || s_nationkey AS graph, 1 AS graph_kind
+            FROM supplier
+            UNION ALL
+            SELECT 'urn:sup:' || s_suppkey, 'urn:p:acct',
+                   CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR), 2,
+                   '{_XSD_DECIMAL}', '_:defaultGraph', 0
+            FROM supplier
         """,
         "rdfxml_parse": f"""
             SELECT 'http://ex.org/nation/' || n_nationkey AS s,

@@ -2,8 +2,9 @@
 companion tool (cited in /root/reference/rdf.go:38): read any supported
 serialization, write any supported serialization, at cluster scale.
 
-Support matrix mirrors the reference (rdf.go:14-22): decode NT/NQ/Turtle/
-RDF-XML, encode NT/NQ/Turtle.
+Support matrix mirrors the reference (rdf.go:14-22) plus TriG in both
+directions (exceeds parity): decode NT/NQ/Turtle/TriG/RDF-XML, encode
+NT/NQ/Turtle/TriG.
 """
 
 from __future__ import annotations
@@ -13,8 +14,8 @@ from pyspark.sql import functions as F
 
 from rdf_spark import encoders, sources
 
-DECODERS = {"ntriples", "nquads", "turtle", "rdfxml"}
-ENCODERS = {"ntriples", "nquads", "turtle"}
+DECODERS = {"ntriples", "nquads", "turtle", "trig", "rdfxml"}
+ENCODERS = {"ntriples", "nquads", "turtle", "trig"}
 
 
 def read_rdf(spark: SparkSession, path: str, fmt: str, base: str = "",
@@ -56,6 +57,14 @@ def write_rdf(df: DataFrame, path: str, fmt: str) -> None:
                 "graph_kind", F.lit(0).cast("tinyint")
             )
         encoders.write_nquads(df, path)
+    elif fmt == "trig":
+        if "graph" not in df.columns:
+            from rdf_spark import terms
+
+            df = df.withColumn("graph", F.lit(terms.DEFAULT_GRAPH)).withColumn(
+                "graph_kind", F.lit(0).cast("tinyint")
+            )
+        encoders.write_trig(df, path)
     else:
         encoders.write_turtle(df, path)
 

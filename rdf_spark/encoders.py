@@ -192,13 +192,17 @@ def _py_term_turtle(lex, kind, dt, lang, ns, ns_count, generate, custom):
 
 
 def encode_turtle_pdf(pdf: pd.DataFrame, namespaces: dict | None = None,
-                      generate_namespaces: bool = True) -> str:
+                      generate_namespaces: bool = True,
+                      _declared: dict | None = None) -> str:
     """Encode a pandas batch of triples into one Turtle document.
 
     Mirrors TripleEncoder.EncodeAll (encoder.go:128-216): sort by
     (subject, predicate) serialized form, compress into ';' predicate
     lists and ',' object lists, skip adjacent duplicates, emit @prefix
-    directives lazily (closing any open statement first).
+    directives lazily (closing any open statement first).  ``_declared``
+    pre-seeds namespaces whose directives were already emitted by the
+    caller (the TriG encoder hoists them above the graph blocks, where
+    directives are illegal).
     """
     custom = dict(namespaces or {})
     rows = list(
@@ -206,7 +210,7 @@ def encode_turtle_pdf(pdf: pd.DataFrame, namespaces: dict | None = None,
     )
     rows.sort(key=lambda r: (terms.term_nt(r[0], r[1]), "<%s>" % r[2]))
 
-    ns: dict[str, str] = {}
+    ns: dict[str, str] = dict(_declared or {})
     ns_count = [0]
     out: list[str] = []
     cur_s = cur_p = None
@@ -257,6 +261,62 @@ def encode_turtle_pdf(pdf: pd.DataFrame, namespaces: dict | None = None,
     if open_stmt:
         out.append(" .")
     return "".join(out)
+
+
+def encode_trig_pdf(pdf: pd.DataFrame, namespaces: dict | None = None) -> str:
+    """Encode a pandas batch of QUADS into one TriG document (EXCEEDS
+    reference parity — the reference has no TriG encoder, rdf.go:14-22).
+
+    Default-graph quads (null graph or ``_:defaultGraph``) render as
+    top-level Turtle statements; each named graph becomes a
+    ``label { … }`` block, blocks sorted by serialized label.  ``@prefix``
+    directives are legal only at document level in TriG, so they are
+    emitted up front for the namespaces the caller passes (ns-IRI →
+    prefix) and NOT auto-minted inside blocks.
+    """
+    custom = dict(namespaces or {})
+    out: list[str] = []
+    for ns_iri, prefix in custom.items():
+        out.append("@prefix %s:\t<%s> .\n" % (prefix, ns_iri))
+
+    tcols = ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
+    if "graph" in pdf.columns:
+        g = pdf["graph"]
+        default_mask = g.isna() | (g == terms.DEFAULT_GRAPH)
+    else:
+        default_mask = pd.Series(True, index=pdf.index)
+
+    def enc(sub: pd.DataFrame) -> str:
+        return encode_turtle_pdf(sub[tcols], namespaces=custom,
+                                 generate_namespaces=False, _declared=custom)
+
+    default = pdf[default_mask]
+    if len(default):
+        out.append(enc(default))
+        out.append("\n")
+    named = pdf[~default_mask]
+    if len(named):
+        labels = sorted(
+            {(r.graph, int(r.graph_kind)) for r in
+             named[["graph", "graph_kind"]].itertuples(index=False)},
+            key=lambda t: terms.term_nt(t[0], t[1]),
+        )
+        for lex, kind in labels:
+            block = named[named["graph"] == lex]
+            label = "<%s>" % lex if kind == terms.KIND_IRI else lex
+            out.append("%s {\n%s\n}\n" % (label, enc(block)))
+    return "".join(out)
+
+
+def write_trig(df: DataFrame, path: str, namespaces: dict | None = None) -> None:
+    """Write a (small) quads DataFrame as a single TriG document
+    (executor-side encode, one writer — same contract as write_turtle)."""
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in it]
+        pdf = pd.concat(parts) if parts else pd.DataFrame(columns=terms.QUAD_COLS)
+        yield pd.DataFrame({"value": [encode_trig_pdf(pdf, namespaces)]})
+
+    df.coalesce(1).mapInPandas(enc, "value string").write.mode("overwrite").text(path)
 
 
 def encode_turtle_df(df: DataFrame, namespaces: dict | None = None) -> DataFrame:

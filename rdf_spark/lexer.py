@@ -51,7 +51,10 @@ from rdf_spark import chars
     PLIST_END,
     COLL_START,
     COLL_END,
-) = range(30)
+    GRAPH_KW,
+    BLOCK_START,
+    BLOCK_END,
+) = range(33)
 
 TOKEN_NAMES = {
     EOF: "EOF", EOL: "EOL", ERROR: "error", IRI_ABS: "IRI (absolute)",
@@ -65,6 +68,8 @@ TOKEN_NAMES = {
     SPARQL_BASE: "BASE", ANON_BNODE: "anonymous blank node",
     PLIST_START: "property list start", PLIST_END: "property list end",
     COLL_START: "collection start", COLL_END: "collection end",
+    GRAPH_KW: "GRAPH", BLOCK_START: "graph block start",
+    BLOCK_END: "graph block end",
 }
 
 _EOF_CH = ""  # sentinel "rune" for end of current buffer
@@ -369,6 +374,37 @@ def _h_B(l: Lexer):
         return _lex_any
     l._backup()
     return _lex_prefix_label
+
+
+# chars that may legally follow the GRAPH keyword (a graph label or block);
+# frozenset, NOT an `in`-string test — the EOF sentinel "" is in every string
+_AFTER_GRAPH = frozenset(" \t\r\n<_{[")
+
+
+def _h_G(l: Lexer):
+    """TriG GRAPH keyword (case-insensitive, exceeds knakk/rdf parity —
+    the reference has no TriG, rdf.go:14-22); 'graph…' otherwise lexes as
+    a prefixed name exactly as before."""
+    l._next()
+    if _accept_ci(l, "GRAPH") and l._peek() in _AFTER_GRAPH:
+        l._emit(GRAPH_KW)
+        return _lex_any
+    l.pos = l.start
+    return _lex_prefix_label
+
+
+def _h_block_open(l: Lexer):
+    l._next()
+    l._ignore()
+    l._emit(BLOCK_START)
+    return _lex_any
+
+
+def _h_block_close(l: Lexer):
+    l._next()
+    l._ignore()
+    l._emit(BLOCK_END)
+    return _lex_any
 
 
 def _h_t(l: Lexer):
@@ -759,6 +795,8 @@ _DISPATCH = {
     ";": _h_semi, ",": _h_comma, "#": _h_hash,
     "P": _h_P, "p": _h_P, "B": _h_B, "b": _h_B,
     "t": _h_t, "f": _h_f,
+    "G": _h_G, "g": _h_G,
+    "{": _h_block_open, "}": _h_block_close,
 }
 for _d in "0123456789":
     _DISPATCH[_d] = _h_digit

@@ -472,3 +472,110 @@ class TurtleParser:
 def parse_turtle(text: str, base: str = "") -> list[tuple]:
     """Strict whole-document Turtle parse → list of 7-tuples."""
     return TurtleParser(text, base=base).parse_all()
+
+
+class TrigParser(TurtleParser):
+    """TriG = Turtle + named-graph blocks (EXCEEDS reference parity: the
+    reference supports no TriG, rdf.go:14-22; grammar per W3C TriG 1.1).
+
+    Adds ``[GRAPH] label { … }`` blocks and ``{ … }`` default-graph
+    blocks; top-level plain triples land in the default graph
+    (``_:defaultGraph``, matching the N-Quads decoder, decoder.go:89).
+    Blank-node labels and the anonymous-bnode counter stay document-
+    scoped across graphs, as the spec requires.  Emits 9-tuples
+    (…, graph, graph_kind).
+    """
+
+    def __init__(self, text: str, base: str = ""):
+        super().__init__(text, base=base)
+        self.graph: tuple | None = None  # (lex, kind) or None = default
+
+    def _emit(self) -> None:
+        s, p, o = self.cur[0], self.cur[1], self.cur[2]
+        g, g_kind = self.graph if self.graph is not None else (DEFAULT_GRAPH, KIND_BLANK)
+        self.out.append((s[0], s[1], p[0], o[0], o[1], o[2], o[3], g, g_kind))
+
+    def _graph_label(self) -> tuple:
+        ts = self.ts
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.IRI_ABS:
+            return (tok.text, KIND_IRI)
+        if typ == lx.IRI_REL:
+            return (self.base + tok.text, KIND_IRI)
+        if typ == lx.BNODE:
+            return (tok.text, KIND_BLANK)
+        if typ == lx.ANON_BNODE:
+            b = self._mint_bnode()
+            return (b[0], KIND_BLANK)
+        if typ == lx.PREFIX_LABEL:
+            return (self._pname(tok), KIND_IRI)
+        raise ParseError(
+            tok.line, tok.col,
+            "unexpected %s as graph label" % lx.TOKEN_NAMES.get(typ, typ),
+        )
+
+    def _parse_block(self, label: tuple | None) -> None:
+        ts = self.ts
+        prev = self.graph
+        self.graph = label
+        while True:
+            p = ts.peek()
+            if p.typ == lx.BLOCK_END:
+                ts.next()
+                break
+            if p.typ == lx.EOF:
+                raise ParseError(p.line, p.col, "unterminated graph block")
+            if p.typ == lx.ERROR:
+                raise ParseError(p.line, p.col, "syntax error: %s" % p.text)
+            self._parse_triple()
+        self.graph = prev
+
+    def _parse_statement(self) -> None:
+        ts = self.ts
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.GRAPH_KW:
+            label = self._graph_label()
+            ts.expect("graph block start", lx.BLOCK_START)
+            return self._parse_block(label)
+        if typ == lx.BLOCK_START:
+            return self._parse_block(None)
+        if typ in (lx.IRI_ABS, lx.IRI_REL, lx.BNODE):
+            nxt = ts.peek()
+            if nxt.typ == lx.BLOCK_START:
+                ts.next()
+                if typ == lx.IRI_ABS:
+                    label = (tok.text, KIND_IRI)
+                elif typ == lx.IRI_REL:
+                    label = (self.base + tok.text, KIND_IRI)
+                else:
+                    label = (tok.text, KIND_BLANK)
+                return self._parse_block(label)
+        elif typ == lx.PREFIX_LABEL:
+            t2 = ts.next()
+            if t2.typ == lx.IRI_SUFFIX:
+                if ts.peek().typ == lx.BLOCK_START:
+                    ts.next()
+                    ns = self.ns.get(tok.text)
+                    if ns is None:
+                        raise ParseError(
+                            tok.line, tok.col,
+                            "missing namespace for prefix: '%s'" % tok.text,
+                        )
+                    return self._parse_block((ns + t2.text, KIND_IRI))
+            ts.backup(t2)
+        ts.backup(tok)
+        super()._parse_statement()
+
+    def _parse_end(self):
+        # the '.' after the last triple of a graph block is optional
+        if self.graph is not None and self.cur[3] == _CTX_TOP and not self.stack:
+            if self.ts.peek().typ == lx.BLOCK_END:
+                return None
+        return super()._parse_end()
+
+
+def parse_trig(text: str, base: str = "") -> list[tuple]:
+    """Strict whole-document TriG parse → list of 9-tuples (quads)."""
+    return TrigParser(text, base=base).parse_all()

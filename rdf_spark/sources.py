@@ -27,6 +27,7 @@ from rdf_spark import parsing, terms, vectorized
 _TRIPLE_ERR_DDL = terms.TRIPLE_DDL + ", err string"
 _QUAD_ERR_DDL = terms.QUAD_DDL + ", err string"
 _DOC_TRIPLE_DDL = "url string, " + terms.TRIPLE_DDL + ", err string"
+_DOC_QUAD_DDL = "url string, " + terms.QUAD_DDL + ", err string"
 
 
 def _lines_parser(fmt: str, strict: bool):
@@ -77,6 +78,8 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
                 fixed_base: str = ""):
     if fmt == "turtle":
         parse_one = parsing.parse_turtle
+    elif fmt == "trig":
+        parse_one = parsing.parse_trig
     elif fmt == "ntriples":
         parse_one = lambda text, base: parsing.parse_ntriples(text)  # noqa: E731
     elif fmt == "rdfxml":
@@ -85,9 +88,11 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
         parse_one = parse_rdfxml
     else:
         raise ValueError("unsupported format: %s" % fmt)
+    term_cols = terms.QUAD_COLS if fmt == "trig" else terms.TRIPLE_COLS
+    n_term = len(term_cols)
 
     def parse_docs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url"] + terms.TRIPLE_COLS + ["err"]
+        cols = ["url"] + term_cols + ["err"]
         for pdf in it:
             parts: list[pd.DataFrame] = []
             if fmt == "turtle" and len(pdf):
@@ -115,7 +120,7 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
                 except parsing.QUARANTINE_ERRORS as e:
                     if strict:
                         raise
-                    recs.append((url, None, None, None, None, None, None, None, str(e)))
+                    recs.append((url,) + (None,) * n_term + (str(e),))
                     continue
                 for r in rows:
                     recs.append((url,) + tuple(r) + (None,))
@@ -140,9 +145,9 @@ def parse_documents(
     The per-document blank-node counter restarts at ``_:b1`` for each row
     (ttl.go:16, SURVEY.md §4.3) — labels are only unique within a document;
     run :func:`rdf_spark.canonical.skolemize` before any cross-document
-    merge.
+    merge.  ``fmt="trig"`` yields the quad schema (graph, graph_kind).
     """
     return df.mapInPandas(
         _doc_parser(fmt, text_col, url_col, base_from_url, errors == "strict", base),
-        _DOC_TRIPLE_DDL,
+        _DOC_QUAD_DDL if fmt == "trig" else _DOC_TRIPLE_DDL,
     )
