@@ -69,17 +69,22 @@ def build_shard_triples(pages: DataFrame, aliases: DataFrame) -> tuple[DataFrame
     # stage; run_pipeline persists `tagged` per shard to avoid a second
     # scan of pages (the expensive part at 10^12 docs).
 
-    # canonicalize: skolemize + validate (invalid rows join the quarantine)
-    sk = canonical.skolemize(all_triples)
-    validated = canonical.validate_triples(sk)
+    # canonicalize: validate, then skolemize the valid rows.  Validation
+    # is invariant under skolemization (it only rewrites blank-node
+    # lexicals, which stay non-empty; IRI columns are untouched), and
+    # validating FIRST keeps Catalyst from inlining the skolem
+    # concat+xxhash64 CASE expression into the validity filter where it
+    # would be re-evaluated several times per row.
+    validated = canonical.validate_triples(all_triples)
     good = validated.filter(F.col("valid")).drop("valid")
     invalid = validated.filter(~F.col("valid")).select(
         "url", F.lit("invalid term").alias("err")
     )
     quarantine = quarantine.unionByName(invalid)
+    sk = canonical.skolemize(good)
 
     # 4. dedup with lineage
-    final = canonical.dedup_triples(good, keep_lineage=True)
+    final = canonical.dedup_triples(sk, keep_lineage=True)
     return final, quarantine
 
 
@@ -113,14 +118,16 @@ def run_pipeline(
         tagged = tagged.persist(StorageLevel.DISK_ONLY)  # 2 consumers, 1 scan
         quarantine = tagged.filter(F.col("err").isNotNull()).select("url", "err")
         all_triples = tagged.filter(F.col("err").isNull()).drop("err")
-        sk = canonical.skolemize(all_triples)
-        validated = canonical.validate_triples(sk)
+        # validate BEFORE skolemize (see build_shard_triples): same rows
+        # quarantined, but the skolem hash expression stays out of the
+        # validity filter
+        validated = canonical.validate_triples(all_triples)
         good = validated.filter(F.col("valid")).drop("valid")
         invalid = validated.filter(~F.col("valid")).select(
             "url", F.lit("invalid term").alias("err")
         )
         quarantine = quarantine.unionByName(invalid)
-        final = canonical.dedup_triples(good, keep_lineage=True)
+        final = canonical.dedup_triples(canonical.skolemize(good), keep_lineage=True)
 
         # materialize: subject hash-bucket partitioning → partition pruning
         # for point lookups and co-located downstream merges

@@ -79,9 +79,8 @@ def make_batch_processor(out_dir: str):
         batch_df = batch_df.persist(StorageLevel.DISK_ONLY)
         quarantine = batch_df.filter(F.col("err").isNotNull()).select("url", "err")
         triples = batch_df.filter(F.col("err").isNull()).drop("err")
-        sk = canonical.skolemize(triples)
-        good = canonical.validate_triples(sk).filter(F.col("valid")).drop("valid")
-        final = canonical.dedup_triples(good, keep_lineage=True)
+        good = canonical.validate_triples(triples).filter(F.col("valid")).drop("valid")
+        final = canonical.dedup_triples(canonical.skolemize(good), keep_lineage=True)
         # foreachBatch is at-least-once: a replayed micro-batch must not
         # append its triples a second time.  Writing each batch into its
         # own batch_id-keyed partition with overwrite makes the DATA write

@@ -47,3 +47,33 @@ def test_turtle_encode_parse_set_roundtrip(rows):
     ttl = encode_turtle_pdf(pdf)
     back = parse_turtle(ttl)
     assert sorted(set(back)) == sorted(set(map(tuple, rows)))
+
+
+graphs = st.one_of(
+    st.none(),
+    iris.map(lambda i: (i, 1)),
+    st.integers(1, 3).map(lambda i: (f"_:g{i}", 0)),
+)
+quads = st.lists(
+    st.tuples(subjects, iris, objects, graphs).map(
+        lambda t: (
+            t[0][0], t[0][1], t[1], t[2][0], t[2][1], t[2][2], t[2][3],
+            t[3][0] if t[3] else terms.DEFAULT_GRAPH,
+            t[3][1] if t[3] else 0,
+        )
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=250, deadline=None)
+@given(quads)
+def test_trig_encode_parse_set_roundtrip(rows):
+    from rdf_spark.encoders import encode_trig_pdf
+    from rdf_spark.parsing import parse_trig
+
+    pdf = pd.DataFrame(rows, columns=terms.QUAD_COLS)
+    trig = encode_trig_pdf(pdf)
+    back = parse_trig(trig)
+    assert sorted(set(back)) == sorted(set(map(tuple, rows)))
