@@ -164,6 +164,24 @@ def q_trig_parse(spark, sf_dir):
     )
 
 
+def q_jsonld_parse(spark, sf_dir):
+    """JSON-LD core-subset decode (EXCEEDS reference parity): inline
+    @context with compact IRIs, @type, typed scalars → quad schema."""
+    docs = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("urn:doc:"), F.col("p_partkey")).alias("url"),
+        F.concat(
+            F.lit('{"@context": {"v": "urn:v:"}, "@id": "urn:part:'),
+            F.col("p_partkey"),
+            F.lit('", "@type": "v:Part", "v:name": "'), F.col("p_name"),
+            F.lit('", "v:size": '), F.col("p_size"), F.lit("}"),
+        ).alias("text"),
+    )
+    q = sources.parse_documents(docs, fmt="jsonld", base_from_url=False)
+    return q.filter(F.col("err").isNull()).select(
+        "s", "p", "o", F.col("o_kind").cast("int").alias("o_kind"), "o_datatype"
+    )
+
+
 def q_rdfxml_parse(spark, sf_dir):
     """S6: RDF/XML decode (rdf:Description/about, property elements)."""
     docs = _t(spark, sf_dir, "nation").select(
@@ -611,6 +629,7 @@ _QUERIES = {
         "turtle_parse": q_turtle_parse,
         "turtle_flat_parse": q_turtle_flat_parse,
         "trig_parse": q_trig_parse,
+        "jsonld_parse": q_jsonld_parse,
         "rdfxml_parse": q_rdfxml_parse,
         "nt_serialize": q_nt_serialize,
         "iri_split": q_iri_split,
@@ -704,6 +723,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR), 2,
                    '{_XSD_DECIMAL}', '_:defaultGraph', 0
             FROM supplier
+        """,
+        "jsonld_parse": f"""
+            SELECT 'urn:part:' || p_partkey AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'urn:v:Part' AS o, 1 AS o_kind,
+                   CAST(NULL AS VARCHAR) AS o_datatype
+            FROM part
+            UNION ALL
+            SELECT 'urn:part:' || p_partkey, 'urn:v:name', p_name, 2,
+                   '{XSD_STRING}'
+            FROM part
+            UNION ALL
+            SELECT 'urn:part:' || p_partkey, 'urn:v:size',
+                   CAST(p_size AS VARCHAR), 2, '{XSD_INTEGER}'
+            FROM part
         """,
         "rdfxml_parse": f"""
             SELECT 'http://ex.org/nation/' || n_nationkey AS s,

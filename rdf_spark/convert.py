@@ -2,9 +2,9 @@
 companion tool (cited in /root/reference/rdf.go:38): read any supported
 serialization, write any supported serialization, at cluster scale.
 
-Support matrix mirrors the reference (rdf.go:14-22) plus TriG in both
-directions (exceeds parity): decode NT/NQ/Turtle/TriG/RDF-XML, encode
-NT/NQ/Turtle/TriG.
+Support matrix mirrors the reference (rdf.go:14-22) plus TriG and a
+JSON-LD core subset in both directions (exceeds parity): decode
+NT/NQ/Turtle/TriG/JSON-LD/RDF-XML, encode NT/NQ/Turtle/TriG/JSON-LD.
 """
 
 from __future__ import annotations
@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 
 from rdf_spark import encoders, sources
 
-DECODERS = {"ntriples", "nquads", "turtle", "trig", "rdfxml"}
-ENCODERS = {"ntriples", "nquads", "turtle", "trig"}
+DECODERS = {"ntriples", "nquads", "turtle", "trig", "jsonld", "rdfxml"}
+ENCODERS = {"ntriples", "nquads", "turtle", "trig", "jsonld"}
 
 
 def read_rdf(spark: SparkSession, path: str, fmt: str, base: str = "",
@@ -57,6 +57,8 @@ def write_rdf(df: DataFrame, path: str, fmt: str) -> None:
                 "graph_kind", F.lit(0).cast("tinyint")
             )
         encoders.write_nquads(df, path)
+    elif fmt == "jsonld":
+        encoders.write_jsonld(df, path)
     elif fmt == "trig":
         if "graph" not in df.columns:
             from rdf_spark import terms

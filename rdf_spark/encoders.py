@@ -319,6 +319,22 @@ def write_trig(df: DataFrame, path: str, namespaces: dict | None = None) -> None
     df.coalesce(1).mapInPandas(enc, "value string").write.mode("overwrite").text(path)
 
 
+def write_jsonld(df: DataFrame, path: str, indent: int | None = None) -> None:
+    """Write a (small) triples/quads DataFrame as one expanded-form
+    JSON-LD document (executor-side encode, one writer)."""
+    from rdf_spark.jsonld import encode_jsonld
+
+    cols = terms.QUAD_COLS if "graph" in df.columns else terms.TRIPLE_COLS
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in it]
+        pdf = pd.concat(parts) if parts else pd.DataFrame(columns=cols)
+        rows = list(pdf[cols].itertuples(index=False))
+        yield pd.DataFrame({"value": [encode_jsonld(rows, indent=indent)]})
+
+    df.coalesce(1).mapInPandas(enc, "value string").write.mode("overwrite").text(path)
+
+
 def encode_turtle_df(df: DataFrame, namespaces: dict | None = None) -> DataFrame:
     """Encode a triples DataFrame into ONE Turtle document, executor-side.
 
