@@ -46,6 +46,8 @@ def main() -> int:
         "nquads_parse",
         "turtle_parse",
         "turtle_flat_parse",
+        "trig_parse",
+        "jsonld_parse",
         "nt_serialize",
         "dedup_triples",
         "mention_count",
