@@ -81,10 +81,16 @@ class _Context:
             raise _err("invalid @context")
         for term, defn in ctx.items():
             if term == "@vocab":
+                if defn is not None and not isinstance(defn, str):
+                    raise _err("@vocab must be a string")
                 self.vocab = defn
             elif term == "@base":
+                if defn is not None and not isinstance(defn, str):
+                    raise _err("@base must be a string")
                 self.base = defn if defn is not None else ""
             elif term == "@language":
+                if defn is not None and not isinstance(defn, str):
+                    raise _err("@language must be a string")
                 self.language = defn
             elif term.startswith("@"):
                 raise _err("unsupported @context keyword: %s" % term)
@@ -106,6 +112,8 @@ class _Context:
 
     def expand_iri(self, value: str, vocab: bool = False) -> str | None:
         """Term / compact-IRI / IRI expansion (None = drop: not resolvable)."""
+        if not isinstance(value, str):
+            raise _err("expected an IRI/term string, got %s" % type(value).__name__)
         if value.startswith("@"):
             return value
         t = self.terms.get(value)
@@ -194,7 +202,11 @@ class JsonLdParser:
         types = node.get("@type", [])
         if isinstance(types, str):
             types = [types]
+        if not isinstance(types, list):
+            raise _err("@type must be a string or array of strings")
         for t in types:
+            if not isinstance(t, str):
+                raise _err("@type entries must be strings")
             iri = ctx.expand_iri(t, vocab=True)
             if iri is None:
                 raise _err("cannot expand @type: %r" % t)
@@ -274,6 +286,10 @@ class JsonLdParser:
         v = value["@value"]
         lang = value.get("@language")
         dt = value.get("@type")
+        if lang is not None and not isinstance(lang, str):
+            raise _err("@language must be a string")
+        if dt is not None and not isinstance(dt, str):
+            raise _err("value-object @type must be a string")
         if lang is not None and dt is not None:
             raise _err("@language and @type are mutually exclusive")
         if dt is not None:
@@ -302,6 +318,8 @@ class JsonLdParser:
                     raise _err("cannot expand coercion datatype: %r" % coerce)
                 return (v, KIND_LITERAL, iri, None)
             lang = tdef.get("@language", ctx.language)
+            if lang is not None and not isinstance(lang, str):
+                raise _err("@language must be a string")
             if lang:
                 return (v, KIND_LITERAL, RDF_LANG_STRING, lang)
             return (v, KIND_LITERAL, XSD_STRING, None)

@@ -41,3 +41,51 @@ def test_rdfxml_never_crashes(text):
         parse_rdfxml(text, base="http://b/")
     except ParseError:
         pass
+
+
+_trigish = st.lists(
+    st.sampled_from([
+        "<http://s>", "<http://g>", '"lit"', "@prefix", "p:x", "_:b1", "a",
+        ";", ",", ".", "{", "}", "GRAPH", "graph", "Graph", "[", "]",
+        "(", ")", "@en", "^^", "123", "true", "\n", "#c",
+    ]),
+    max_size=25,
+).map(" ".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.one_of(_garbage, _trigish))
+def test_trig_never_crashes(text):
+    from rdf_spark.parsing import parse_trig
+
+    try:
+        parse_trig(text)
+    except ParseError:
+        pass
+
+
+_jsonish = st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(-99, 99),
+              st.floats(allow_nan=False, allow_infinity=False),
+              st.sampled_from(["@id", "@type", "@value", "@list", "@graph",
+                               "http://x", "_:b", "p:x", "x", ""])),
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=4),
+        st.dictionaries(
+            st.sampled_from(["@context", "@id", "@type", "@value", "@language",
+                             "@list", "@graph", "@vocab", "p", "http://p"]),
+            kids, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.one_of(_garbage, _jsonish.map(lambda v: __import__("json").dumps(v))))
+def test_jsonld_never_crashes(text):
+    from rdf_spark.jsonld import parse_jsonld
+
+    try:
+        parse_jsonld(text)
+    except ParseError:
+        pass
