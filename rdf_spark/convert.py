@@ -44,29 +44,28 @@ def read_rdf(spark: SparkSession, path: str, fmt: str, base: str = "",
     ).drop("url")
 
 
+def _ensure_graph_cols(df: DataFrame) -> DataFrame:
+    """Add the default-graph columns when a triples DF feeds a quad sink."""
+    if "graph" in df.columns:
+        return df
+    from rdf_spark import terms
+
+    return df.withColumn("graph", F.lit(terms.DEFAULT_GRAPH)).withColumn(
+        "graph_kind", F.lit(0).cast("tinyint")
+    )
+
+
 def write_rdf(df: DataFrame, path: str, fmt: str) -> None:
     if fmt not in ENCODERS:
         raise ValueError(f"no encoder for format: {fmt}")
     if fmt == "ntriples":
         encoders.write_ntriples(df, path)
     elif fmt == "nquads":
-        if "graph" not in df.columns:
-            from rdf_spark import terms
-
-            df = df.withColumn("graph", F.lit(terms.DEFAULT_GRAPH)).withColumn(
-                "graph_kind", F.lit(0).cast("tinyint")
-            )
-        encoders.write_nquads(df, path)
+        encoders.write_nquads(_ensure_graph_cols(df), path)
     elif fmt == "jsonld":
         encoders.write_jsonld(df, path)
     elif fmt == "trig":
-        if "graph" not in df.columns:
-            from rdf_spark import terms
-
-            df = df.withColumn("graph", F.lit(terms.DEFAULT_GRAPH)).withColumn(
-                "graph_kind", F.lit(0).cast("tinyint")
-            )
-        encoders.write_trig(df, path)
+        encoders.write_trig(_ensure_graph_cols(df), path)
     else:
         encoders.write_turtle(df, path)
 

@@ -110,16 +110,25 @@ class _Context:
             else:
                 raise _err("invalid term definition for %r" % term)
 
-    def expand_iri(self, value: str, vocab: bool = False) -> str | None:
-        """Term / compact-IRI / IRI expansion (None = drop: not resolvable)."""
+    def expand_iri(self, value: str, vocab: bool = False,
+                   _seen: frozenset = frozenset()) -> str | None:
+        """Term / compact-IRI / IRI expansion (None = drop: not resolvable).
+
+        ``_seen`` guards term-definition cycles ({"x": "x"} or a→b→a):
+        they raise ParseError instead of exhausting the Python stack.
+        """
         if not isinstance(value, str):
             raise _err("expected an IRI/term string, got %s" % type(value).__name__)
         if value.startswith("@"):
             return value
         t = self.terms.get(value)
         if t is not None:
+            if value in _seen:
+                raise _err("cyclic @context term definition: %r" % value)
             iri = t.get("@id")
-            return self.expand_iri(iri, vocab=True) if iri is not None else None
+            if iri is None:
+                return None
+            return self.expand_iri(iri, vocab=True, _seen=_seen | {value})
         if value.startswith("_:"):
             return value
         if ":" in value:
@@ -127,7 +136,12 @@ class _Context:
             if not rest.startswith("//"):
                 p = self.terms.get(prefix)
                 if p is not None and "@id" in p:
-                    return self.expand_iri(p["@id"], vocab=True) + rest
+                    if prefix in _seen:
+                        raise _err("cyclic @context term definition: %r" % prefix)
+                    ns = self.expand_iri(p["@id"], vocab=True, _seen=_seen | {prefix})
+                    if ns is None:
+                        raise _err("prefix %r does not expand to an IRI" % prefix)
+                    return ns + rest
             if _ABS_IRI_RE.match(value):
                 return value
         if vocab and self.vocab:

@@ -376,9 +376,12 @@ def _h_B(l: Lexer):
     return _lex_prefix_label
 
 
-# chars that may legally follow the GRAPH keyword (a graph label or block);
-# frozenset, NOT an `in`-string test — the EOF sentinel "" is in every string
-_AFTER_GRAPH = frozenset(" \t\r\n<_{[")
+# chars that may legally ABUT the GRAPH keyword (whitespace, an <IRI>,
+# or the block itself); frozenset, NOT an `in`-string test — the EOF
+# sentinel "" is in every string.  '_' is deliberately absent: 'GRAPH_'
+# is itself a valid PN_PREFIX, so 'graph_:s' / 'GRAPH_:b' are prefixed
+# names — a blank-node graph label needs whitespace after the keyword.
+_AFTER_GRAPH = frozenset(" \t\r\n<{[")
 
 
 def _h_G(l: Lexer):

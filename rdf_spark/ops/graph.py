@@ -72,10 +72,13 @@ def k_hop_neighbors(
         F.col("s").alias("src"), F.col("o").alias("dst")
     )
     spark = triples.sparkSession
-    frontier = spark.createDataFrame([(i,) for i in start_iris], "node string")
+    # dedup the seed driver-side: every later frontier is distinct and
+    # disjoint from visited by construction, so unions never re-distinct
+    seeds = sorted(set(start_iris))
+    frontier = spark.createDataFrame([(i,) for i in seeds], "node string")
     visited = frontier.localCheckpoint(eager=True)
     frontier = visited
-    n_frontier = len(start_iris)
+    n_frontier = len(seeds)
     for _ in range(k):
         if n_frontier == 0:
             break

@@ -489,6 +489,7 @@ class TrigParser(TurtleParser):
     def __init__(self, text: str, base: str = ""):
         super().__init__(text, base=base)
         self.graph: tuple | None = None  # (lex, kind) or None = default
+        self._block_depth = 0  # >0 inside { } (incl. default-graph blocks)
 
     def _emit(self) -> None:
         s, p, o = self.cur[0], self.cur[1], self.cur[2]
@@ -519,6 +520,7 @@ class TrigParser(TurtleParser):
         ts = self.ts
         prev = self.graph
         self.graph = label
+        self._block_depth += 1
         while True:
             p = ts.peek()
             if p.typ == lx.BLOCK_END:
@@ -530,6 +532,7 @@ class TrigParser(TurtleParser):
                 raise ParseError(p.line, p.col, "syntax error: %s" % p.text)
             self._parse_triple()
         self.graph = prev
+        self._block_depth -= 1
 
     def _parse_statement(self) -> None:
         ts = self.ts
@@ -541,7 +544,7 @@ class TrigParser(TurtleParser):
             return self._parse_block(label)
         if typ == lx.BLOCK_START:
             return self._parse_block(None)
-        if typ in (lx.IRI_ABS, lx.IRI_REL, lx.BNODE):
+        if typ in (lx.IRI_ABS, lx.IRI_REL, lx.BNODE, lx.ANON_BNODE):
             nxt = ts.peek()
             if nxt.typ == lx.BLOCK_START:
                 ts.next()
@@ -549,6 +552,9 @@ class TrigParser(TurtleParser):
                     label = (tok.text, KIND_IRI)
                 elif typ == lx.IRI_REL:
                     label = (self.base + tok.text, KIND_IRI)
+                elif typ == lx.ANON_BNODE:
+                    b = self._mint_bnode()
+                    label = (b[0], KIND_BLANK)
                 else:
                     label = (tok.text, KIND_BLANK)
                 return self._parse_block(label)
@@ -569,8 +575,9 @@ class TrigParser(TurtleParser):
         super()._parse_statement()
 
     def _parse_end(self):
-        # the '.' after the last triple of a graph block is optional
-        if self.graph is not None and self.cur[3] == _CTX_TOP and not self.stack:
+        # the '.' after the last triple of ANY graph block (named or
+        # default/anonymous) is optional: wrappedGraph ::= '{' triplesBlock? '}'
+        if self._block_depth > 0 and self.cur[3] == _CTX_TOP and not self.stack:
             if self.ts.peek().typ == lx.BLOCK_END:
                 return None
         return super()._parse_end()

@@ -77,3 +77,13 @@ def test_k_hop_unreachable_and_cycle(spark):
     )
     got = {r.node for r in graph.k_hop_neighbors(triples, ["n:a"], k=10).collect()}
     assert got == {"n:a", "n:b"}
+
+
+def test_k_hop_duplicate_seeds(spark):
+    triples = spark.createDataFrame(
+        [("n:a", 1, "n:p", "n:b", 1, None, None)],
+        "s string, s_kind tinyint, p string, o string, o_kind tinyint, "
+        "o_datatype string, o_lang string",
+    )
+    got = [r.node for r in graph.k_hop_neighbors(triples, ["n:a", "n:a"], k=1).collect()]
+    assert sorted(got) == ["n:a", "n:b"]  # seed deduped

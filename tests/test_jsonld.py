@@ -171,3 +171,16 @@ def test_convert_jsonld_roundtrip(spark, tmp_path):
     assert {(r.s, r.graph) for r in back2.collect()} == {
         ("http://s1", terms.DEFAULT_GRAPH), ("http://s2", "http://g"),
     }
+
+
+def test_jsonld_review_regressions():
+    """Round-2 code-review fixes: unresolvable prefix and cyclic @context
+    must raise ParseError (never TypeError/RecursionError)."""
+    with pytest.raises(ParseError, match="does not expand"):
+        parse_jsonld('{"@context": {"p": {"@id": "notAbsolute"}}, '
+                     '"@id": "http://s", "p:x": "v"}')
+    with pytest.raises(ParseError, match="cyclic"):
+        parse_jsonld('{"@context": {"x": "x"}, "@id": "http://s", "x": 1}')
+    with pytest.raises(ParseError, match="cyclic"):
+        parse_jsonld('{"@context": {"a": "b:x", "b": "a:y"}, '
+                     '"@id": "http://s", "a:z": 1}')

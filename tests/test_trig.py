@@ -141,3 +141,22 @@ def test_convert_trig_nquads_roundtrip(spark, tmp_path):
     assert n2 == 2
     back2 = convert.read_rdf(spark, trig_out, "trig").filter(F.col("err").isNull())
     assert {(r.s, r.graph) for r in back2.collect()} == got
+
+
+def test_trig_review_regressions():
+    """Round-2 code-review fixes: pname prefixes starting with 'graph',
+    optional dot in DEFAULT blocks, anonymous-bnode graph labels."""
+    # 'graph_' is a valid PN_PREFIX — must lex as a pname, not GRAPH
+    assert parse_turtle(
+        "@prefix graph_: <http://example/> .\ngraph_:s graph_:p graph_:o ."
+    ) == [("http://example/s", 1, "http://example/p", "http://example/o", 1, None, None)]
+    # default-graph block: final '.' optional
+    assert parse_trig("{ <http://s> <http://p> <http://o> }") == [
+        ("http://s", 1, "http://p", "http://o", 1, None, None, terms.DEFAULT_GRAPH, 0)
+    ]
+    # anonymous blank node as graph label (labelOrSubject includes ANON)
+    got = parse_trig("[] { <http://s> <http://p> <http://o> . }")
+    assert got[0][7] == "_:b1" and got[0][8] == 0
+    # keyword abutting an <IRI> / block still lexes as GRAPH
+    got2 = parse_trig("GRAPH<http://g>{<http://s> <http://p> <http://o>}")
+    assert got2[0][7] == "http://g"
