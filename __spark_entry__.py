@@ -533,6 +533,31 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: pair graph → connected components (iterative
+    min-label propagation) → (doc_id, cluster=min id).  The edge set is
+    deterministic (planted duplicate pairs + an explicit chain, so the
+    oracle can state the expected components in closed form; LSH pair
+    RECOVERY is verified separately by minhash_near_dup)."""
+    from rdf_spark.ops.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000000).alias("b")
+    )
+    chain = d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") <= 48)).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    )
+    comps = connected_components(planted.unionByName(chain), "a", "b")
+    nodes = d.select(F.col("doc_id").alias("node")).unionByName(
+        d.filter(F.col("doc_id") < 20).select((F.col("doc_id") + 1000000).alias("node"))
+    )
+    out = nodes.join(comps.withColumnRenamed("node", "n"), nodes.node == F.col("n"), "left")
+    return out.select(
+        "node", F.coalesce("comp", F.col("node")).alias("cluster")
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -651,6 +676,7 @@ _QUERIES = {
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dup": q_minhash_near_dup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -885,6 +911,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS a, doc_id + 1000000 AS b,
                    CAST(1.0 AS DOUBLE) AS jaccard
             FROM documents WHERE doc_id < 20
+        """,
+        "dedup_clusters": """
+            WITH nodes AS (
+                SELECT doc_id AS node FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 FROM documents WHERE doc_id < 20
+            )
+            SELECT node,
+                   CASE
+                       WHEN node >= 1000000 THEN node - 1000000
+                       WHEN node BETWEEN 40 AND 49 THEN 40
+                       ELSE node
+                   END AS cluster
+            FROM nodes
         """,
         "simhash": """
             SELECT doc_id, CAST(0 AS INTEGER) AS hamming_rev,

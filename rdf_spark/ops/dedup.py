@@ -213,6 +213,30 @@ def minhash_near_duplicates(
     return jaccard_verify(cands, df, text_col, id_col, threshold, verify_ngram)
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: verified MinHash-LSH pairs → transitive
+    closure → ``(doc_id, cluster)`` with cluster = min doc id.
+
+    This is the operator a dedup pipeline actually keeps: pick
+    ``doc_id == cluster`` rows as the retained representatives and drop
+    the rest.  Docs with no near-duplicate form singleton clusters.
+    """
+    from rdf_spark.ops.graph import connected_components
+
+    pairs = minhash_near_duplicates(df, text_col, id_col, **minhash_kwargs)
+    comps = connected_components(pairs, "a", "b").withColumnRenamed("node", id_col)
+    return (
+        df.select(id_col)
+        .join(comps, id_col, "left")
+        .select(id_col, F.coalesce("comp", F.col(id_col)).alias("cluster"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

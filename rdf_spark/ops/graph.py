@@ -98,3 +98,56 @@ def k_hop_neighbors(
 
 def describe(triples: DataFrame, iri: str) -> DataFrame:
     return triples.filter((F.col("s") == iri) | (F.col("o") == iri))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation →
+    ``(node, component)`` where component = min node id of the component.
+
+    Each round every node takes the min label among itself and its
+    neighbors; convergence needs O(component diameter) rounds — near-dup
+    clusters are shallow (pairs all touch a representative), so 2-4
+    rounds in practice.  Per round: one shuffle join + one aggregate,
+    labels ``localCheckpoint``-ed so the plan stays O(1) deep.  Early-
+    exits when a round changes no label.  (For adversarially long chains
+    prefer the O(log n)-round large-star/small-star variant; at that
+    point the input is not a dedup-cluster graph.)
+
+    Works for any orderable node type; node ids are compared with
+    ``least`` so the component representative is deterministic.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among each node's neighbors
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels

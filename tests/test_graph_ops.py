@@ -87,3 +87,57 @@ def test_k_hop_duplicate_seeds(spark):
     )
     got = [r.node for r in graph.k_hop_neighbors(triples, ["n:a", "n:a"], k=1).collect()]
     assert sorted(got) == ["n:a", "n:b"]  # seed deduped
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to the min representative
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_differential(spark):
+    """Random graphs vs a driver-side union-find oracle."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 200
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.node: r.comp for r in graph.connected_components(df).collect()}
+        want = _uf_components(edges)
+        # normalize: union-find min-rep == min-label propagation rep
+        assert got == want, trial
+
+
+def test_connected_components_chain_and_star(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.comp for r in graph.connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_near_dup_clusters(spark):
+    from rdf_spark.ops import dedup
+
+    rows = [(i, f"unique document number {i} with its own words {i*7}") for i in range(20)]
+    # docs 0-3 share identical text -> one cluster with rep 0
+    for i in range(4):
+        rows[i] = (i, "identical boilerplate text appearing many times here")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster for r in dedup.near_dup_clusters(df, threshold=0.9).collect()}
+    assert all(got[i] == 0 for i in range(4))
+    assert all(got[i] == i for i in range(4, 20))  # singletons keep their id
