@@ -2,9 +2,9 @@
 companion tool (cited in /root/reference/rdf.go:38): read any supported
 serialization, write any supported serialization, at cluster scale.
 
-Support matrix mirrors the reference (rdf.go:14-22) plus TriG and a
-JSON-LD core subset in both directions (exceeds parity): decode
-NT/NQ/Turtle/TriG/JSON-LD/RDF-XML, encode NT/NQ/Turtle/TriG/JSON-LD.
+Support matrix: decode NT/NQ/Turtle/TriG/JSON-LD/RDF-XML, encode all
+six (the reference decodes 4 / encodes 3, rdf.go:14-22 — TriG, JSON-LD,
+and the RDF/XML encoder exceed parity).
 """
 
 from __future__ import annotations
@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from rdf_spark import encoders, sources
 
 DECODERS = {"ntriples", "nquads", "turtle", "trig", "jsonld", "rdfxml"}
-ENCODERS = {"ntriples", "nquads", "turtle", "trig", "jsonld"}
+ENCODERS = {"ntriples", "nquads", "turtle", "trig", "jsonld", "rdfxml"}
 
 
 def read_rdf(spark: SparkSession, path: str, fmt: str, base: str = "",
@@ -64,6 +64,8 @@ def write_rdf(df: DataFrame, path: str, fmt: str) -> None:
         encoders.write_nquads(_ensure_graph_cols(df), path)
     elif fmt == "jsonld":
         encoders.write_jsonld(df, path)
+    elif fmt == "rdfxml":
+        encoders.write_rdfxml(df, path)
     elif fmt == "trig":
         encoders.write_trig(_ensure_graph_cols(df), path)
     else:

@@ -335,6 +335,19 @@ def write_jsonld(df: DataFrame, path: str, indent: int | None = None) -> None:
     df.coalesce(1).mapInPandas(enc, "value string").write.mode("overwrite").text(path)
 
 
+def write_rdfxml(df: DataFrame, path: str, namespaces: dict | None = None) -> None:
+    """Write a (small) triples DataFrame as one RDF/XML document
+    (executor-side encode, one writer — same contract as write_turtle)."""
+    from rdf_spark.rdfxml import encode_rdfxml_pdf
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in it]
+        pdf = pd.concat(parts) if parts else pd.DataFrame(columns=terms.TRIPLE_COLS)
+        yield pd.DataFrame({"value": [encode_rdfxml_pdf(pdf, namespaces)]})
+
+    df.coalesce(1).mapInPandas(enc, "value string").write.mode("overwrite").text(path)
+
+
 def encode_turtle_df(df: DataFrame, namespaces: dict | None = None) -> DataFrame:
     """Encode a triples DataFrame into ONE Turtle document, executor-side.
 

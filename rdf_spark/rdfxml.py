@@ -1,4 +1,5 @@
-"""RDF/XML decoder (decode-only, like the reference — rdf.go:17).
+"""RDF/XML decoder + encoder (the reference is decode-only, rdf.go:17;
+the encoder at the bottom of this module EXCEEDS parity).
 
 Port of the reference's XML-token state machine semantics
 (/root/reference/rdfxml.go:64-1252) onto Python's expat: rdf:about/ID/
@@ -484,6 +485,14 @@ class RdfXmlParser:
                 self._obj_literal("")
                 self._emit()
                 self._reify_check()
+                # clear the in-scope xml:lang, as _st_prop_elem_end does for
+                # non-empty literals.  DEVIATION: the reference skips this
+                # for the empty-literal path (rdfxml.go:418-428), leaking a
+                # property element's xml:lang onto its SIBLINGS — xml:lang
+                # scopes to the element subtree, so we clear it (the W3C
+                # suite doesn't pin the buggy behavior; encoder round-trips
+                # depend on the correct one).
+                self.lang = ""
                 nxt[0] = self._st_prop_or_node_end
                 return None
             self._next_tok()
@@ -809,3 +818,116 @@ def _slash_idx(s: str, n: int) -> int:
 def parse_rdfxml(text: str, base: str = "") -> list[tuple]:
     """Strict whole-document RDF/XML parse → list of 7-tuples."""
     return RdfXmlParser(text, base=base).parse_all()
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML encoder (EXCEEDS reference parity: knakk/rdf is decode-only for
+# RDF/XML, rdf.go:14-22).  rdf:Description per subject, property elements
+# with rdf:resource / rdf:nodeID / rdf:datatype / xml:lang.
+# ---------------------------------------------------------------------------
+
+_ENC_NCNAME_SUFFIX_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+_ENC_NCNAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+# XML 1.0 cannot represent most C0 control characters at all
+_XML_BAD_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+
+
+def _split_predicate_xml(iri: str) -> tuple[str, str]:
+    """Split a predicate IRI into (namespace, NCName local) for use as an
+    XML element name — the longest valid-NCName suffix becomes the local
+    part.  Raises ParseError when no split exists (a genuine RDF/XML
+    limitation: such graphs must go to NT/Turtle/TriG instead)."""
+    m = _ENC_NCNAME_SUFFIX_RE.search(iri)
+    if m is None or m.start() == 0:
+        raise ParseError(0, 0, "predicate %r has no XML-serializable local name" % iri)
+    return iri[: m.start()], iri[m.start():]
+
+
+def _xml_text(s: str) -> str:
+    if _XML_BAD_RE.search(s):
+        raise ParseError(0, 0, "literal contains characters XML 1.0 cannot encode")
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _xml_attr(s: str) -> str:
+    return _xml_text(s).replace('"', "&quot;")
+
+
+def encode_rdfxml_pdf(pdf, namespaces: dict | None = None) -> str:
+    """Encode a pandas batch of triples into one RDF/XML document.
+
+    Subjects group into ``rdf:Description`` blocks (``rdf:about`` for
+    IRIs, ``rdf:nodeID`` for blanks — labels must be NCNames; run
+    skolemize first for arbitrary labels).  Predicate namespaces are
+    compressed to ``ns%d`` prefixes like the Turtle encoder (a caller map
+    ``{namespace-iri: prefix}`` is honored first).  Round-trips through
+    :func:`parse_rdfxml`.
+    """
+    custom = dict(namespaces or {})
+    rows = sorted(
+        pdf[["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]]
+        .itertuples(index=False),
+        key=lambda r: (r[1], r[0], r[2], str(r[3])),
+    )
+    ns: dict[str, str] = {}
+    counter = [0]
+
+    def prefix_of(ns_iri: str) -> str:
+        p = ns.get(ns_iri)
+        if p is None:
+            p = custom.get(ns_iri)
+            if p is None:
+                p = "ns%d" % counter[0]
+                counter[0] += 1
+            ns[ns_iri] = p
+        return p
+
+    body: list[str] = []
+    cur_subj = None
+    from rdf_spark.terms import XSD_STRING
+
+    for s, s_kind, p, o, o_kind, o_dt, o_lang in rows:
+        pred_ns, local = _split_predicate_xml(p)
+        pfx = prefix_of(pred_ns)
+        if (s, s_kind) != cur_subj:
+            if cur_subj is not None:
+                body.append("  </rdf:Description>\n")
+            if s_kind == 0:
+                label = s[2:] if s.startswith("_:") else s
+                if not _ENC_NCNAME_RE.match(label):
+                    raise ParseError(
+                        0, 0, "blank label %r is not an NCName; skolemize first" % s
+                    )
+                body.append('  <rdf:Description rdf:nodeID="%s">\n' % _xml_attr(label))
+            else:
+                body.append('  <rdf:Description rdf:about="%s">\n' % _xml_attr(s))
+            cur_subj = (s, s_kind)
+        if o_kind == 1:
+            body.append('    <%s:%s rdf:resource="%s"/>\n' % (pfx, local, _xml_attr(o)))
+        elif o_kind == 0:
+            label = o[2:] if o.startswith("_:") else o
+            if not _ENC_NCNAME_RE.match(label):
+                raise ParseError(
+                    0, 0, "blank label %r is not an NCName; skolemize first" % o
+                )
+            body.append('    <%s:%s rdf:nodeID="%s"/>\n' % (pfx, local, _xml_attr(label)))
+        else:
+            attrs = ""
+            if o_lang:
+                attrs = ' xml:lang="%s"' % _xml_attr(o_lang)
+            elif o_dt and o_dt != XSD_STRING:
+                attrs = ' rdf:datatype="%s"' % _xml_attr(o_dt)
+            body.append(
+                "    <%s:%s%s>%s</%s:%s>\n" % (pfx, local, attrs, _xml_text(o), pfx, local)
+            )
+    if cur_subj is not None:
+        body.append("  </rdf:Description>\n")
+
+    decls = "".join(
+        ' xmlns:%s="%s"' % (pfx, _xml_attr(ns_iri)) for ns_iri, pfx in ns.items()
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"%s>\n'
+        "%s</rdf:RDF>\n" % (decls, "".join(body))
+    )

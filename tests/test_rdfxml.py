@@ -40,3 +40,94 @@ def test_rdfxml_examples(case):
 @pytest.mark.parametrize("case", _load("rdfxml"), ids=lambda c: c["name"])
 def test_rdfxml_w3c_suite(case):
     _run(case)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (EXCEEDS parity: the reference is decode-only for RDF/XML)
+# ---------------------------------------------------------------------------
+
+
+def test_rdfxml_encode_roundtrip():
+    import pandas as pd
+
+    from rdf_spark import terms
+    from rdf_spark.rdfxml import encode_rdfxml_pdf, parse_rdfxml
+
+    rows = [
+        ("http://s", 1, "http://e/p", "http://o", 1, None, None),
+        ("http://s", 1, "http://e/q", "5", 2, "http://dt", None),
+        ("http://s", 1, "http://e/r", "hi <&> \"there\"", 2,
+         terms.RDF_LANG_STRING, "en"),
+        ("_:b1", 0, "http://e/z", "plain", 2, terms.XSD_STRING, None),
+        ("http://s", 1, "http://e/link", "_:b1", 0, None, None),
+        ("http://s", 1, terms.RDF_TYPE, "http://T", 1, None, None),
+    ]
+    pdf = pd.DataFrame(rows, columns=terms.TRIPLE_COLS)
+    text = encode_rdfxml_pdf(pdf)
+    assert sorted(parse_rdfxml(text)) == sorted(rows)
+    # caller-provided prefix map is honored
+    text2 = encode_rdfxml_pdf(pdf, namespaces={"http://e/": "e"})
+    assert "<e:p " in text2 or "<e:p>" in text2 or '<e:p rdf:resource' in text2
+    assert sorted(parse_rdfxml(text2)) == sorted(rows)
+
+
+def test_rdfxml_encode_rejects_unserializable():
+    import pandas as pd
+    import pytest as _pytest
+
+    from rdf_spark import terms
+    from rdf_spark.parsing import ParseError as PE
+    from rdf_spark.rdfxml import encode_rdfxml_pdf
+
+    def enc(rows):
+        return encode_rdfxml_pdf(pd.DataFrame(rows, columns=terms.TRIPLE_COLS))
+
+    # predicate with no NCName local part
+    with _pytest.raises(PE, match="local name"):
+        enc([("http://s", 1, "http://e/123", "x", 2, None, None)])
+    # blank label that is not an NCName
+    with _pytest.raises(PE, match="NCName"):
+        enc([("_:b:1", 0, "http://e/p", "x", 2, None, None)])
+    # control character XML 1.0 cannot encode
+    with _pytest.raises(PE, match="cannot encode"):
+        enc([("http://s", 1, "http://e/p", "a\x01b", 2, None, None)])
+
+
+def test_rdfxml_encode_property_roundtrip():
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf_spark import terms
+    from rdf_spark.rdfxml import encode_rdfxml_pdf, parse_rdfxml
+
+    xml_text = st.text(
+        st.characters(codec="utf-8", blacklist_categories=("Cs", "Cc")),
+        max_size=12,
+    )
+    iris = st.builds(lambda s: "http://x/p" + s, st.text("abcXYZ019", max_size=6))
+    objects = st.one_of(
+        iris.map(lambda i: (i, 1, None, None)),
+        st.integers(1, 5).map(lambda i: (f"_:b{i}", 0, None, None)),
+        xml_text.map(lambda t: (t, 2, terms.XSD_STRING, None)),
+        xml_text.map(lambda t: (t, 2, terms.RDF_LANG_STRING, "en")),
+        st.tuples(xml_text, iris).map(lambda ti: (ti[0], 2, ti[1], None)),
+    )
+    subjects = st.one_of(
+        iris.map(lambda i: (i, 1)), st.integers(1, 3).map(lambda i: (f"_:s{i}", 0))
+    )
+    triples = st.lists(
+        st.tuples(subjects, iris, objects).map(
+            lambda t: (t[0][0], t[0][1], t[1], t[2][0], t[2][1], t[2][2], t[2][3])
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(triples)
+    def check(rows):
+        pdf = pd.DataFrame(rows, columns=terms.TRIPLE_COLS)
+        text = encode_rdfxml_pdf(pdf)
+        assert sorted(set(parse_rdfxml(text))) == sorted(set(map(tuple, rows)))
+
+    check()
