@@ -80,6 +80,58 @@ def decode_images(df: DataFrame, dim: int = 16, stub: bool = True) -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, width: int, height: int, stub: bool = True) -> DataFrame:
+    """image rows → resized payloads + updated metadata (codec stubbed).
+
+    The Spark-side contract is the real one: a narrow Arrow-batched
+    ``mapInPandas`` that rewrites (payload, width, height) and preserves
+    every other column; a real deployment swaps the stub body for
+    Pillow's ``Image.resize`` with identical batch shape.  The stub is a
+    deterministic payload transform (seeded bytes of the target size) so
+    downstream stages see realistic size distributions.
+    """
+    if not stub:
+        raise NotImplementedError(
+            "real image resize requires Pillow (not in this container)"
+        )
+    out_ddl = MEDIA_DDL
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(16, (width * height) // 256)  # fake compressed size
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                h = hashlib.sha256(bytes(p)).digest()
+                rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
+                payloads.append(rng.bytes(target))
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, out_ddl)
+
+
+def media_near_duplicates(
+    df: DataFrame, dim: int = 16, threshold: float = 0.999, n_tables: int = 4
+) -> DataFrame:
+    """Near-duplicate media via the decode→feature→LSH pipeline: the
+    multimodal twin of text near-dup.  Feature extraction is the (stubbed)
+    decode stage; candidate generation and exact verification are the
+    same bucketed `ops.ann` path used for document embeddings — identical
+    payloads always collide (same features), so exact media dups are
+    guaranteed found without any all-pairs comparison."""
+    from rdf_spark.ops import ann
+
+    feats = decode_images(df, dim=dim).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    return ann.embedding_near_duplicates(
+        feats, dim=dim, threshold=threshold, n_tables=n_tables
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True) -> DataFrame:
     """video rows → (media_id, frame_ts_ms) sampling grid; the frame decode
     itself is stubbed, but the explode/partition shape is the real one."""

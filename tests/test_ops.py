@@ -264,3 +264,33 @@ def test_multi_table_lsh_topk_recall(spark, embeddings):
         for r in ann.lsh_topk(both, queries, dim=64, k=5, n_bits=8, n_tables=8).collect()
     }
     assert len(approx & exact_top1) / len(exact_top1) >= 0.9
+
+
+def test_resize_images_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 60)
+    out = multimodal.resize_images(media, 64, 48)
+    rows = out.collect()
+    assert len(rows) == media.filter(F.col("kind") == "image").count()
+    assert all(r.width == 64 and r.height == 48 for r in rows)
+    assert all(len(bytes(r.payload)) == max(16, (64 * 48) // 256) for r in rows)
+    # deterministic: same input -> same resized payload
+    again = {r.media_id: bytes(r.payload) for r in multimodal.resize_images(media, 64, 48).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 64, 48, stub=False)
+
+
+def test_media_near_duplicates(spark):
+    media = multimodal.synthetic_media(spark, 120)
+    images = media.filter(F.col("kind") == "image")
+    # plant exact payload duplicates
+    dup = images.limit(5).select(
+        (F.col("media_id") + 1000000).alias("media_id"), "kind", "payload",
+        "mime", "width", "height", "duration_ms",
+    )
+    planted_ids = [r.media_id for r in images.limit(5).collect()]
+    pairs = multimodal.media_near_duplicates(media.unionByName(dup))
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert {(i, i + 1000000) for i in planted_ids} <= got
