@@ -351,6 +351,36 @@ def q_property_table(spark, sf_dir):
     return pt.select("s", "name", "nation")
 
 
+def q_bgp_match(spark, sf_dir):
+    """SPARQL-style basic-graph-pattern matching compiled to equi-joins
+    (ops.graph.bgp_match): customers → their nation's name via a
+    3-pattern BGP with two shared variables."""
+    from rdf_spark.ops.graph import bgp_match
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    tri = (
+        c.select(
+            F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+            F.lit("rdf:type").alias("p"), F.lit("urn:ex:Customer").alias("o"),
+        )
+        .unionByName(c.select(
+            F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+            F.lit("urn:ex:inNation").alias("p"),
+            F.concat(F.lit("urn:nation:"), F.col("c_nationkey")).alias("o"),
+        ))
+        .unionByName(n.select(
+            F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit("urn:ex:name").alias("p"), F.col("n_name").alias("o"),
+        ))
+    )
+    return bgp_match(tri, [
+        ("?c", "rdf:type", "urn:ex:Customer"),
+        ("?c", "urn:ex:inNation", "?n"),
+        ("?n", "urn:ex:name", "?nm"),
+    ])
+
+
 def q_mention_count(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     m = extraction.detect_mentions(docs, _aliases_df(spark))
@@ -665,6 +695,7 @@ _QUERIES = {
         "skolemize": q_skolemize,
         "turtle_encode": q_turtle_encode,
         "property_table": q_property_table,
+        "bgp_match": q_bgp_match,
         "mention_count": q_mention_count,
         "entity_link": q_entity_link,
         "kg_pipeline": q_kg_pipeline,
@@ -836,6 +867,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:cust:' || c_custkey AS s, c_name AS name,
                    CAST(c_nationkey AS VARCHAR) AS nation
             FROM customer
+        """,
+        "bgp_match": """
+            SELECT DISTINCT 'urn:cust:' || c_custkey AS c,
+                   'urn:nation:' || c_nationkey AS n,
+                   n_name AS nm
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "mention_count": f"""
             WITH s(surface) AS (VALUES {_SURFACE_VALUES})

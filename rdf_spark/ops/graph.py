@@ -100,6 +100,81 @@ def describe(triples: DataFrame, iri: str) -> DataFrame:
     return triples.filter((F.col("s") == iri) | (F.col("o") == iri))
 
 
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching compiled to Catalyst
+    equi-joins — the KG query shape the reference (a parser library with
+    no query layer, SURVEY §2.5) leaves to us.
+
+    ``patterns`` is a list of (s, p, o) triple patterns; strings starting
+    with ``?`` are variables, everything else is a constant matched
+    against the lexical column.  Each pattern becomes a filtered
+    projection of the triple table; patterns join on their shared
+    variables (plain equi-joins, so broadcast/AQE/reorder apply — a
+    selective pattern's filter pushes into the scan).  Returns one column
+    per variable.  Matching is on lexical forms; constrain kinds/datatypes
+    by filtering the input first.
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    out = None
+    bound: set[str] = set()
+    for i, (ps, pp, po) in enumerate(patterns):
+        t = triples
+        var_cols: dict[str, str] = {}  # var → triple column (first occurrence)
+        for col, term in (("s", ps), ("p", pp), ("o", po)):
+            if term.startswith("?"):
+                var = term[1:]
+                if var in var_cols:  # repeated var within one pattern
+                    t = t.filter(F.col(col) == F.col(var_cols[var]))
+                else:
+                    var_cols[var] = col
+            else:
+                t = t.filter(F.col(col) == term)
+        if var_cols:
+            part = t.select(
+                *[F.col(c).alias(f"_v_{v}_{i}") for v, c in var_cols.items()]
+            )
+        else:
+            # all-constant pattern: EXISTS semantics (one row or none)
+            part = t.select(F.lit(1).alias(f"_m_{i}")).limit(1)
+        if out is None:
+            out = part
+            new_vars = {c[3:].rsplit("_", 1)[0] for c in part.columns if c.startswith("_v_")}
+        else:
+            shared = []
+            new_vars = set()
+            for c in part.columns:
+                if not c.startswith("_v_"):
+                    continue
+                var = c[3:].rsplit("_", 1)[0]
+                if var in bound:
+                    shared.append((var, c))
+                else:
+                    new_vars.add(var)
+            cond = None
+            for var, c in shared:
+                eq = out[f"_v_{var}_bound"] == part[c]
+                cond = eq if cond is None else (cond & eq)
+            out = out.crossJoin(part) if cond is None else out.join(part, cond)
+            for _, c in shared:
+                out = out.drop(part[c])
+        # canonicalize newly-bound variable columns to a stable name
+        for var in new_vars:
+            src_col = next(
+                c for c in out.columns if c.startswith(f"_v_{var}_")
+            )
+            out = out.withColumnRenamed(src_col, f"_v_{var}_bound")
+        bound |= new_vars
+    result = out.select(
+        *[F.col(f"_v_{v}_bound").alias(v) for v in sorted(bound)]
+    )
+    return result.distinct() if distinct else result
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",

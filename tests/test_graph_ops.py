@@ -141,3 +141,64 @@ def test_near_dup_clusters(spark):
     got = {r.doc_id: r.cluster for r in dedup.near_dup_clusters(df, threshold=0.9).collect()}
     assert all(got[i] == 0 for i in range(4))
     assert all(got[i] == i for i in range(4, 20))  # singletons keep their id
+
+
+def _bgp_triples(spark):
+    rows = [
+        ("u:alice", 1, "rdf:type", "u:Person", 1, None, None),
+        ("u:bob", 1, "rdf:type", "u:Person", 1, None, None),
+        ("u:acme", 1, "rdf:type", "u:Org", 1, None, None),
+        ("u:alice", 1, "u:knows", "u:bob", 1, None, None),
+        ("u:alice", 1, "u:worksFor", "u:acme", 1, None, None),
+        ("u:bob", 1, "u:worksFor", "u:acme", 1, None, None),
+        ("u:alice", 1, "u:name", "Alice", 2, None, None),
+        ("u:bob", 1, "u:name", "Bob", 2, None, None),
+        ("u:self", 1, "u:sameAs", "u:self", 1, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s string, s_kind tinyint, p string, o string, o_kind tinyint, "
+        "o_datatype string, o_lang string",
+    )
+
+
+def test_bgp_match_joins(spark):
+    t = _bgp_triples(spark)
+    # who knows whom, with names: 3-pattern join on shared variables
+    got = {
+        (r.an, r.bn)
+        for r in graph.bgp_match(t, [
+            ("?a", "u:knows", "?b"),
+            ("?a", "u:name", "?an"),
+            ("?b", "u:name", "?bn"),
+        ]).collect()
+    }
+    assert got == {("Alice", "Bob")}
+    # colleagues at the same org (self-pairs included; filter afterwards)
+    pairs = {
+        (r.x, r.y)
+        for r in graph.bgp_match(t, [
+            ("?x", "u:worksFor", "?org"),
+            ("?y", "u:worksFor", "?org"),
+        ]).collect()
+    }
+    assert ("u:alice", "u:bob") in pairs and ("u:bob", "u:alice") in pairs
+
+
+def test_bgp_match_constant_and_repeated_var(spark):
+    t = _bgp_triples(spark)
+    # all-constant pattern acts as EXISTS (no row multiplication)
+    people = graph.bgp_match(t, [
+        ("?p", "rdf:type", "u:Person"),
+        ("u:acme", "rdf:type", "u:Org"),
+    ])
+    assert sorted(r.p for r in people.collect()) == ["u:alice", "u:bob"]
+    # absent constant pattern -> empty result
+    none = graph.bgp_match(t, [
+        ("?p", "rdf:type", "u:Person"),
+        ("u:ghost", "rdf:type", "u:Org"),
+    ])
+    assert none.count() == 0
+    # repeated variable within one pattern: reflexive edges only
+    selfs = graph.bgp_match(t, [("?n", "u:sameAs", "?n")])
+    assert [r.n for r in selfs.collect()] == ["u:self"]
