@@ -54,6 +54,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a synthesized input to the session's parallelism.
+
+    The test tables are single small parquet files → one input split →
+    any per-row Python stage would run on ONE core.  A real crawl input
+    arrives as thousands of splits; this round-robin repartition puts the
+    synthetic benchmark in the same regime.  Applied ONLY where per-row
+    Python work dominates (document tokenizers, pandas UDF scans) — for
+    the arrow/RE2 line parsers the extra shuffle costs more than the
+    single-task parse."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # --- document/gazetteer fixtures shared by Spark and oracle sides ----------
 
 MENTION_SURFACES = ["spark", "window", "merge", "batch", "scan"]
@@ -72,7 +85,7 @@ def _aliases_df(spark: SparkSession) -> DataFrame:
 
 
 def _docs_as_urls(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("url"), F.col("text").alias("extracted_text")
     )
 
@@ -117,7 +130,7 @@ def q_turtle_parse(spark, sf_dir):
             F.col("c_nationkey"), F.lit(" ;\n  a ex:Customer .\n"),
         ).alias("text"),
     )
-    tri = sources.parse_documents(docs, fmt="turtle", base_from_url=False)
+    tri = sources.parse_documents(_spread(docs), fmt="turtle", base_from_url=False)
     return tri.filter(F.col("err").isNull()).select(
         "s", "p", "o", F.col("o_kind").cast("int").alias("o_kind"), "o_datatype", "o_lang"
     )
@@ -138,7 +151,7 @@ def q_turtle_flat_parse(spark, sf_dir):
             F.col("o_totalprice").cast("decimal(12,2)").cast("string"), F.lit(" .\n"),
         ).alias("text"),
     )
-    tri = sources.parse_documents(docs, fmt="turtle", base_from_url=False)
+    tri = sources.parse_documents(_spread(docs), fmt="turtle", base_from_url=False)
     return tri.filter(F.col("err").isNull()).select(
         "s", "p", "o", F.col("o_kind").cast("int").alias("o_kind"), "o_datatype"
     )
@@ -157,7 +170,7 @@ def q_trig_parse(spark, sf_dir):
             F.col("s_acctbal").cast("decimal(12,2)").cast("string"), F.lit(" .\n"),
         ).alias("text"),
     )
-    q = sources.parse_documents(docs, fmt="trig", base_from_url=False)
+    q = sources.parse_documents(_spread(docs), fmt="trig", base_from_url=False)
     return q.filter(F.col("err").isNull()).select(
         "s", "p", "o", F.col("o_kind").cast("int").alias("o_kind"),
         "o_datatype", "graph", F.col("graph_kind").cast("int").alias("graph_kind"),
@@ -176,7 +189,7 @@ def q_jsonld_parse(spark, sf_dir):
             F.lit('", "v:size": '), F.col("p_size"), F.lit("}"),
         ).alias("text"),
     )
-    q = sources.parse_documents(docs, fmt="jsonld", base_from_url=False)
+    q = sources.parse_documents(_spread(docs), fmt="jsonld", base_from_url=False)
     return q.filter(F.col("err").isNull()).select(
         "s", "p", "o", F.col("o_kind").cast("int").alias("o_kind"), "o_datatype"
     )
@@ -196,7 +209,7 @@ def q_rdfxml_parse(spark, sf_dir):
             F.lit('"/>\n</rdf:Description>\n</rdf:RDF>'),
         ).alias("text"),
     )
-    tri = sources.parse_documents(docs, fmt="rdfxml", base_from_url=False)
+    tri = sources.parse_documents(_spread(docs), fmt="rdfxml", base_from_url=False)
     return tri.filter(F.col("err").isNull()).select("s", "p", "o", "o_datatype")
 
 
@@ -297,7 +310,7 @@ def q_skolemize(spark, sf_dir):
         F.col("doc_id").cast("string").alias("url"),
         F.lit('_:a <urn:p:rel> _:b .\n_:b <urn:p:rel> "x" .').alias("text"),
     )
-    tri = sources.parse_documents(docs, fmt="ntriples", base_from_url=False)
+    tri = sources.parse_documents(_spread(docs), fmt="ntriples", base_from_url=False)
     sk = canonical.skolemize(tri.filter(F.col("err").isNull()))
     prefix = lambda c: F.regexp_extract(c, r"^urn:skolem:([0-9a-f]+):", 1)  # noqa: E731
     local = lambda c: F.regexp_extract(c, r"([^:]*)$", 1)  # noqa: E731
@@ -438,11 +451,11 @@ def q_kg_pipeline(spark, sf_dir):
         F.lit('<script type="text/turtle">\n'), turtle,
         F.lit("</script><p>"), prose, F.lit("</p>"),
     )
-    pages = c.select(
+    pages = _spread(c.select(
         F.concat(F.lit("https://kg.test/c/"), F.col("c_custkey")).alias("url"),
         F.encode(html, "utf-8").alias("html"),
         prose.alias("text"),
-    )
+    ))
     final, _ = pipeline.build_shard_triples(pages, _aliases_df(spark))
 
     sk_local = lambda col: F.regexp_extract(col, r"^urn:skolem:[0-9a-f]+:(.*)$", 1)  # noqa: E731
@@ -522,7 +535,7 @@ def q_minhash_near_dup(spark, sf_dir):
     identical signatures, so LSH recall on them is guaranteed 1.0 — the
     oracle is simply the planted set with jaccard 1.0.  (Organic-pair
     recall is covered by pytest on planted NEAR-duplicates.)"""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     dup = d.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -541,7 +554,7 @@ def q_simhash(spark, sf_dir):
 
     from rdf_spark.ops.dedup import simhash_col_pd
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
 
     def run(it):
         for pdf in it:
