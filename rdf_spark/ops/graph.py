@@ -162,12 +162,11 @@ def bgp_match(
             out = out.crossJoin(part) if cond is None else out.join(part, cond)
             for _, c in shared:
                 out = out.drop(part[c])
-        # canonicalize newly-bound variable columns to a stable name
+        # canonicalize newly-bound variable columns to a stable name;
+        # exact source name _v_{var}_{i} — a prefix match would confuse
+        # ?x with ?x_y
         for var in new_vars:
-            src_col = next(
-                c for c in out.columns if c.startswith(f"_v_{var}_")
-            )
-            out = out.withColumnRenamed(src_col, f"_v_{var}_bound")
+            out = out.withColumnRenamed(f"_v_{var}_{i}", f"_v_{var}_bound")
         bound |= new_vars
     result = out.select(
         *[F.col(f"_v_{v}_bound").alias(v) for v in sorted(bound)]
@@ -205,6 +204,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    n_changed = -1
     for _ in range(max_iter):
         # min label among each node's neighbors
         nbr_min = (
@@ -225,4 +225,12 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # silently returning partial labels would split real clusters —
+        # make non-convergence loud (chains this deep mean the input is
+        # not a dedup-pair graph; use a large-star/small-star variant)
+        raise RuntimeError(
+            "connected_components did not converge in %d rounds "
+            "(graph diameter exceeds max_iter; raise max_iter)" % max_iter
+        )
     return labels

@@ -846,11 +846,21 @@ def _split_predicate_xml(iri: str) -> tuple[str, str]:
 def _xml_text(s: str) -> str:
     if _XML_BAD_RE.search(s):
         raise ParseError(0, 0, "literal contains characters XML 1.0 cannot encode")
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # \r MUST go out as a character reference: XML line-ending
+    # normalization would silently rewrite a raw \r to \n on parse
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\r", "&#13;")
+    )
 
 
 def _xml_attr(s: str) -> str:
-    return _xml_text(s).replace('"', "&quot;")
+    # \t/\n also need references in attributes (attribute-value
+    # normalization turns raw ones into spaces)
+    return (
+        _xml_text(s).replace('"', "&quot;")
+        .replace("\n", "&#10;").replace("\t", "&#9;")
+    )
 
 
 def encode_rdfxml_pdf(pdf, namespaces: dict | None = None) -> str:
@@ -864,12 +874,25 @@ def encode_rdfxml_pdf(pdf, namespaces: dict | None = None) -> str:
     :func:`parse_rdfxml`.
     """
     custom = dict(namespaces or {})
+    # the header hard-declares xmlns:rdf; a redundant RDF_NS→"rdf" entry is
+    # dropped (prefix_of then resolves it without re-declaring), any other
+    # use of the 'rdf' prefix or a duplicate prefix would emit duplicate
+    # xmlns attributes = unparseable XML
+    if custom.get(RDF_NS) == "rdf":
+        del custom[RDF_NS]
+    if "rdf" in custom.values():
+        raise ParseError(0, 0, "prefix 'rdf' is reserved for the RDF namespace")
+    if len(set(custom.values())) != len(custom):
+        raise ParseError(0, 0, "duplicate prefixes in the namespaces map")
+    taken = set(custom.values()) | {"rdf"}
     rows = sorted(
         pdf[["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]]
         .itertuples(index=False),
         key=lambda r: (r[1], r[0], r[2], str(r[3])),
     )
-    ns: dict[str, str] = {}
+    # pre-seed the header's hard declaration so rdf-namespace predicates
+    # (rdf:type, rdf:first, ...) reuse 'rdf' instead of minting ns%d
+    ns: dict[str, str] = {RDF_NS: "rdf"}
     counter = [0]
 
     def prefix_of(ns_iri: str) -> str:
@@ -877,6 +900,10 @@ def encode_rdfxml_pdf(pdf, namespaces: dict | None = None) -> str:
         if p is None:
             p = custom.get(ns_iri)
             if p is None:
+                # generated names must never collide with caller prefixes
+                # (duplicate xmlns attributes = unparseable XML)
+                while ("ns%d" % counter[0]) in taken:
+                    counter[0] += 1
                 p = "ns%d" % counter[0]
                 counter[0] += 1
             ns[ns_iri] = p
@@ -924,7 +951,9 @@ def encode_rdfxml_pdf(pdf, namespaces: dict | None = None) -> str:
         body.append("  </rdf:Description>\n")
 
     decls = "".join(
-        ' xmlns:%s="%s"' % (pfx, _xml_attr(ns_iri)) for ns_iri, pfx in ns.items()
+        ' xmlns:%s="%s"' % (pfx, _xml_attr(ns_iri))
+        for ns_iri, pfx in ns.items()
+        if pfx != "rdf"  # the header already declares xmlns:rdf
     )
     return (
         '<?xml version="1.0" encoding="UTF-8"?>\n'

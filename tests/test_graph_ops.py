@@ -202,3 +202,27 @@ def test_bgp_match_constant_and_repeated_var(spark):
     # repeated variable within one pattern: reflexive edges only
     selfs = graph.bgp_match(t, [("?n", "u:sameAs", "?n")])
     assert [r.n for r in selfs.collect()] == ["u:self"]
+
+
+def test_bgp_underscore_variable_names(spark):
+    """Review fix: ?x and ?x_y must not alias each other's columns."""
+    t = _bgp_triples(spark)
+    got = {
+        (r.x_y, r.x, r.nm)
+        for r in graph.bgp_match(t, [
+            ("?x_y", "u:knows", "?x"),
+            ("?x", "u:name", "?nm"),
+        ]).collect()
+    }
+    assert got == {("u:alice", "u:bob", "Bob")}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], "a long, b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(chain, max_iter=3)
+    # and with enough rounds it converges to one component
+    got = {r.comp for r in graph.connected_components(chain, max_iter=40).collect()}
+    assert got == {0}

@@ -285,12 +285,14 @@ def test_resize_images_plumbing(spark):
 def test_media_near_duplicates(spark):
     media = multimodal.synthetic_media(spark, 120)
     images = media.filter(F.col("kind") == "image")
-    # plant exact payload duplicates
-    dup = images.limit(5).select(
+    # plant exact payload duplicates (deterministic pick: lowest 5 ids —
+    # two independent limit() calls could select different rows)
+    five = images.orderBy("media_id").limit(5).cache()
+    dup = five.select(
         (F.col("media_id") + 1000000).alias("media_id"), "kind", "payload",
         "mime", "width", "height", "duration_ms",
     )
-    planted_ids = [r.media_id for r in images.limit(5).collect()]
+    planted_ids = [r.media_id for r in five.collect()]
     pairs = multimodal.media_near_duplicates(media.unionByName(dup))
     got = {(r.a, r.b) for r in pairs.collect()}
     assert {(i, i + 1000000) for i in planted_ids} <= got

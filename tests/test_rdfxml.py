@@ -131,3 +131,50 @@ def test_rdfxml_encode_property_roundtrip():
         assert sorted(set(parse_rdfxml(text))) == sorted(set(map(tuple, rows)))
 
     check()
+
+
+def test_rdfxml_encoder_review_regressions():
+    """Round-2 review fixes: CR survives via &#13;, generated prefixes
+    never collide with caller prefixes, rdf namespace reuses 'rdf'."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from rdf_spark import terms
+    from rdf_spark.parsing import ParseError as PE
+    from rdf_spark.rdfxml import encode_rdfxml_pdf, parse_rdfxml
+
+    rows = [
+        ("http://s", 1, "http://a/p", "x\r\ny", 2, terms.XSD_STRING, None),
+        ("http://s", 1, "http://b/q", "http://o", 1, None, None),
+        ("http://s", 1, terms.RDF_TYPE, "http://T", 1, None, None),
+    ]
+    pdf = pd.DataFrame(rows, columns=terms.TRIPLE_COLS)
+    # caller takes 'ns0': the generator must skip it, and the output must
+    # still be parseable and faithful (incl. the carriage return)
+    text = encode_rdfxml_pdf(pdf, namespaces={"http://b/": "ns0"})
+    assert "&#13;" in text
+    assert sorted(parse_rdfxml(text)) == sorted(rows)
+    assert text.count("xmlns:rdf") == 1 and "<rdf:type" in text
+    with _pytest.raises(PE, match="reserved"):
+        encode_rdfxml_pdf(pdf, namespaces={"http://a/": "rdf"})
+    with _pytest.raises(PE, match="duplicate prefixes"):
+        encode_rdfxml_pdf(pdf, namespaces={"http://a/": "x", "http://b/": "x"})
+
+
+def test_convert_rdfxml_roundtrip(spark, tmp_path):
+    """write_rdfxml through the Spark/convert path (the mapInPandas +
+    coalesce(1) sink), reparsed with read_rdf."""
+    from pyspark.sql import functions as F
+
+    from rdf_spark import convert, sources
+
+    nt = str(tmp_path / "in_nt")
+    with open(nt + ".nt", "w") as f:
+        f.write('<http://s> <http://e/p> "v" .\n_:b1 <http://e/q> <http://o> .\n')
+    xml_out = str(tmp_path / "out_xml")
+    n = convert.convert(spark, nt + ".nt", "ntriples", xml_out, "rdfxml")
+    assert n == 2
+    back = convert.read_rdf(spark, xml_out, "rdfxml").filter(F.col("err").isNull())
+    got = {(r.s, r.p, r.o) for r in back.collect()}
+    assert ("http://s", "http://e/p", "v") in got
+    assert any(p == "http://e/q" and o == "http://o" for _, p, o in got)
