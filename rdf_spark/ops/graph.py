@@ -174,6 +174,85 @@ def bgp_match(
     return result.distinct() if distinct else result
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") →
+    ``(node, component)`` with component = min node id.
+
+    Converges in O(log n) rounds regardless of graph diameter — the
+    right choice for adversarially chain-shaped graphs where
+    min-label propagation's O(diameter) rounds would be the bottleneck.
+    Each half-round is one aggregate + one join, no per-node adjacency
+    lists are materialized (hub-safe).  Per-round ``localCheckpoint``
+    truncates lineage; stops when a full round rewrites no edge.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # orient + symmetrize once; invariant kept: edges point small ← large
+    e = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+
+    def _min_nbr(df):
+        # m(u) = min over Γ(u) ∪ {u}; with the small←large orientation the
+        # grouped min over v already is ≤ u
+        return df.groupBy("u").agg(F.min("v").alias("m"))
+
+    for _ in range(max_iter):
+        # large-star: connect every neighbor w > u of each node u to m(u).
+        # With edges oriented (u > v), Γ appears on both sides: build the
+        # symmetric view only as a projection (no dedup shuffle needed —
+        # groupBy aggregates it anyway).
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("m"))
+        m = m.select("u", F.least("u", "m").alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = (
+            large.filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        # small-star: for each u, connect all neighbors ≤ u (and u) to m(u)
+        m1 = _min_nbr(e1).select("u", F.least("u", "m").alias("m"))
+        small = (
+            e1.join(m1, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m1.select(F.col("u"), F.col("m").alias("v")))
+        )
+        e2 = (
+            small.filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        # converged when the round was a no-op (star graphs are fixpoints)
+        if (
+            e2.count() == e.count()
+            and e2.exceptAll(e).limit(1).count() == 0
+        ):
+            e = e2
+            break
+        e = e2
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = (
+        e.select(F.col("v").alias("node")).distinct()
+        .join(labels.select(F.col("node")), "node", "left_anti")
+        .withColumn("comp", F.col("node"))
+    )
+    return labels.unionByName(roots)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
@@ -188,9 +267,9 @@ def connected_components(
     clusters are shallow (pairs all touch a representative), so 2-4
     rounds in practice.  Per round: one shuffle join + one aggregate,
     labels ``localCheckpoint``-ed so the plan stays O(1) deep.  Early-
-    exits when a round changes no label.  (For adversarially long chains
-    prefer the O(log n)-round large-star/small-star variant; at that
-    point the input is not a dedup-cluster graph.)
+    exits when a round changes no label; raises on non-convergence —
+    use :func:`connected_components_star` (O(log n) rounds) for
+    adversarially chain-shaped graphs.
 
     Works for any orderable node type; node ids are compared with
     ``least`` so the component representative is deterministic.

@@ -226,3 +226,23 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough rounds it converges to one component
     got = {r.comp for r in graph.connected_components(chain, max_iter=40).collect()}
     assert got == {0}
+
+
+def test_connected_components_star_differential(spark):
+    """large-star/small-star vs the same union-find oracle, plus a long
+    chain (diameter ≫ rounds) that label propagation cannot finish."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(2):
+        n = 150
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(100)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.node: r.comp for r in graph.connected_components_star(df).collect()}
+        assert got == _uf_components(edges), trial
+
+    # 400-node chain: O(log n) rounds, where label propagation would need 400
+    chain = spark.createDataFrame([(i, i + 1) for i in range(400)], "a long, b long")
+    got = {r.comp for r in graph.connected_components_star(chain, max_iter=25).collect()}
+    assert got == {0}
