@@ -219,6 +219,64 @@ def materialize_triples(
     )
 
 
+def merge_new_triples(
+    spark: SparkSession,
+    store_path: str,
+    new_triples: DataFrame,
+    n_buckets: int = 16,
+) -> int:
+    """Incremental upsert into a bucket-partitioned triple store: append
+    only triples not already present; returns the number appended.
+
+    The dedup anti-join reads ONLY the buckets the new rows hash into
+    (hive partition pruning on ``bucket=``), so a small delta never
+    rescans the full store — at 10^12 triples that is the difference
+    between touching ~|delta| bytes and touching everything.  The write
+    itself appends whole files into the affected bucket partitions
+    (parquet is append-only; compaction stays a store-maintenance job).
+    With an Iceberg catalog prefer ``MERGE INTO`` on the
+    ``materialize_triples(table_format="iceberg")`` table instead.
+    """
+    key = [k for k in _DEDUP_KEY_COLS if k in new_triples.columns]
+    new_b = (
+        new_triples.dropDuplicates(key)
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int"))
+    )
+    from pyspark import StorageLevel
+
+    new_b = new_b.persist(StorageLevel.MEMORY_AND_DISK)
+    affected = [r.bucket for r in new_b.select("bucket").distinct().collect()]
+    existing = (
+        spark.read.parquet(store_path)
+        .filter(F.col("bucket").isin(affected))  # → hive PartitionFilters
+        .select(*key, "bucket")
+    )
+    # null-safe equality: o_datatype/o_lang/graph are nullable key columns,
+    # and a plain equi-join would treat every null-keyed triple as absent
+    cond = None
+    for k in key + ["bucket"]:
+        eq = new_b[k].eqNullSafe(existing[k])
+        cond = eq if cond is None else cond & eq
+    # materialize BEFORE the append: the anti-join is lazy and would
+    # otherwise re-read the store after its own write (seeing itself)
+    fresh = new_b.join(existing, cond, "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    n = fresh.count()
+    if n:
+        (
+            fresh.repartition("bucket")
+            .sortWithinPartitions("s", "p")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(store_path)
+        )
+    fresh.unpersist()
+    new_b.unpersist()
+    return n
+
+
+_DEDUP_KEY_COLS = ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
+
+
 def read_triple_store(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, TRIPLE_STORE_DIR))
 

@@ -134,3 +134,48 @@ def test_fused_overlapping_surfaces_longest_first(spark):
     links = extraction.link_entities(m, adf)
     unfused = {(r.url, r.entity_iri) for r in links.collect()}
     assert unfused == got
+
+
+def test_merge_new_triples_incremental(spark, tmp_path):
+    """Incremental upsert: only absent triples append, and the dedup
+    anti-join prunes to the affected bucket partitions."""
+    from rdf_spark import terms
+    from rdf_spark.pipeline import materialize_triples, merge_new_triples
+
+    def tri(i):
+        return (f"urn:s:{i}", 1, "urn:p", f"v{i}", 2, terms.XSD_STRING, None)
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame([tri(i) for i in range(100)], terms.TRIPLE_DDL)
+    materialize_triples(base, store, n_buckets=8)
+    n0 = spark.read.parquet(store).count()
+    assert n0 == 100
+
+    # delta: 50 already present + 30 new
+    delta = spark.createDataFrame(
+        [tri(i) for i in range(50, 130)], terms.TRIPLE_DDL
+    )
+    appended = merge_new_triples(spark, store, delta, n_buckets=8)
+    assert appended == 30
+    after = spark.read.parquet(store)
+    assert after.count() == 130
+    assert after.dropDuplicates(
+        ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
+    ).count() == 130  # no duplicates introduced
+
+    # idempotent: merging the same delta again appends nothing
+    assert merge_new_triples(spark, store, delta, n_buckets=8) == 0
+
+    # pruning: the existing-side scan carries a bucket partition filter
+    one = spark.createDataFrame([tri(999)], terms.TRIPLE_DDL)
+    from pyspark.sql import functions as F2
+
+    b = one.select(
+        F2.pmod(F2.xxhash64("s"), F2.lit(8)).cast("int").alias("b")
+    ).first().b
+    plan = (
+        spark.read.parquet(store)
+        .filter(F2.col("bucket").isin([b]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
