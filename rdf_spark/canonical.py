@@ -78,6 +78,16 @@ def validate_triples(df: DataFrame) -> DataFrame:
 _DEDUP_KEY = ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
 
 
+def dedup_key(columns) -> list[str]:
+    """The full triple/quad identity key present in ``columns`` — the ONE
+    definition every dedup/merge path must share (a triple and the same
+    triple in another graph are different quads)."""
+    key = [k for k in _DEDUP_KEY if k in columns]
+    if "graph" in columns:
+        key += ["graph", "graph_kind"]
+    return key
+
+
 def dedup_triples(df: DataFrame, keep_lineage: bool = False) -> DataFrame:
     """Exact triple dedup (generalizes encode-dedup E4, encoder.go:158-161).
 
@@ -87,9 +97,7 @@ def dedup_triples(df: DataFrame, keep_lineage: bool = False) -> DataFrame:
     scale (the post-shuffle volume is already distinct keys).  With
     ``keep_lineage`` the first-seen url and a source count are kept.
     """
-    key = [k for k in _DEDUP_KEY if k in df.columns]
-    if "graph" in df.columns:
-        key += ["graph", "graph_kind"]
+    key = dedup_key(df.columns)
     if keep_lineage and "url" in df.columns:
         if keep_lineage == "hash":
             # long-typed agg buffer keeps the plan in HashAggregate (a

@@ -191,9 +191,16 @@ def connected_components_star(
     lists are materialized (hub-safe).  Per-round ``localCheckpoint``
     truncates lineage; stops when a full round rewrites no edge.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes whose only edges are self-loops must still appear (singleton
+    # components) — same coverage as connected_components
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    e = raw.filter(F.col("u") != F.col("v"))
     # orient + symmetrize once; invariant kept: edges point small ← large
     e = (
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
@@ -237,20 +244,33 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         # converged when the round was a no-op (star graphs are fixpoints)
-        if (
+        converged = (
             e2.count() == e.count()
             and e2.exceptAll(e).limit(1).count() == 0
-        ):
-            e = e2
-            break
+        )
         e = e2
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            "connected_components_star did not converge in %d rounds "
+            "(raise max_iter)" % max_iter
+        )
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    singletons = (
+        all_nodes.join(
+            labels.select("node").unionByName(
+                e.select(F.col("v").alias("node"))
+            ).distinct(),
+            "node", "left_anti",
+        ).withColumn("comp", F.col("node"))
+    )
     roots = (
         e.select(F.col("v").alias("node")).distinct()
         .join(labels.select(F.col("node")), "node", "left_anti")
         .withColumn("comp", F.col("node"))
     )
-    return labels.unionByName(roots)
+    return labels.unionByName(roots).unionByName(singletons)
 
 
 def connected_components(

@@ -217,27 +217,68 @@ def materialize_triples(
         .partitionBy("bucket")
         .parquet(target)
     )
+    # record the bucketing so merge_new_triples can validate it (the
+    # underscore prefix keeps the file invisible to parquet readers)
+    with open(os.path.join(target, "_bucketing.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "column": "s", "fn": "pmod(xxhash64(s))"}, f)
+
+
+def _store_n_buckets(store_path: str) -> int | None:
+    """Read the bucketing metadata materialize_triples records (the
+    underscore-prefixed file is invisible to parquet readers)."""
+    meta = os.path.join(store_path, "_bucketing.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return json.load(f)["n_buckets"]
+    return None
+
+
+def _pruned_store_scan(spark: SparkSession, store_path: str, affected: list[int],
+                       key: list[str]) -> DataFrame:
+    """Existing-side scan for the merge anti-join: ONLY the affected
+    bucket partitions (hive PartitionFilters) — tested directly so a
+    regression to a full rescan is visible."""
+    return (
+        spark.read.parquet(store_path)
+        .filter(F.col("bucket").isin(affected))
+        .select(*key, "bucket")
+    )
 
 
 def merge_new_triples(
     spark: SparkSession,
     store_path: str,
     new_triples: DataFrame,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> int:
     """Incremental upsert into a bucket-partitioned triple store: append
-    only triples not already present; returns the number appended.
+    only triples/quads not already present; returns the number appended.
 
-    The dedup anti-join reads ONLY the buckets the new rows hash into
-    (hive partition pruning on ``bucket=``), so a small delta never
-    rescans the full store — at 10^12 triples that is the difference
-    between touching ~|delta| bytes and touching everything.  The write
-    itself appends whole files into the affected bucket partitions
-    (parquet is append-only; compaction stays a store-maintenance job).
-    With an Iceberg catalog prefer ``MERGE INTO`` on the
+    The dedup anti-join (null-safe over the FULL identity key incl.
+    graph, canonical.dedup_key) reads ONLY the buckets the new rows hash
+    into — at 10^12 triples that is the difference between touching
+    ~|delta| bytes and touching everything.  The bucket count comes from
+    the store's ``_bucketing.json`` (written by materialize_triples); a
+    mismatched explicit ``n_buckets`` raises rather than silently
+    appending rows under an inconsistent bucketing scheme.  With an
+    Iceberg catalog prefer ``MERGE INTO`` on the
     ``materialize_triples(table_format="iceberg")`` table instead.
     """
-    key = [k for k in _DEDUP_KEY_COLS if k in new_triples.columns]
+    from rdf_spark.canonical import dedup_key
+
+    stored = _store_n_buckets(store_path)
+    if n_buckets is None:
+        if stored is None:
+            raise ValueError(
+                "store has no _bucketing.json and no n_buckets was given"
+            )
+        n_buckets = stored
+    elif stored is not None and stored != n_buckets:
+        raise ValueError(
+            f"n_buckets={n_buckets} does not match the store's bucketing "
+            f"({stored}); merging would corrupt subject-bucket pruning"
+        )
+    key = dedup_key(new_triples.columns)
     new_b = (
         new_triples.dropDuplicates(key)
         .withColumn("bucket", F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int"))
@@ -246,11 +287,7 @@ def merge_new_triples(
 
     new_b = new_b.persist(StorageLevel.MEMORY_AND_DISK)
     affected = [r.bucket for r in new_b.select("bucket").distinct().collect()]
-    existing = (
-        spark.read.parquet(store_path)
-        .filter(F.col("bucket").isin(affected))  # → hive PartitionFilters
-        .select(*key, "bucket")
-    )
+    existing = _pruned_store_scan(spark, store_path, affected, key)
     # null-safe equality: o_datatype/o_lang/graph are nullable key columns,
     # and a plain equi-join would treat every null-keyed triple as absent
     cond = None
@@ -272,9 +309,6 @@ def merge_new_triples(
     fresh.unpersist()
     new_b.unpersist()
     return n
-
-
-_DEDUP_KEY_COLS = ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
 
 
 def read_triple_store(spark: SparkSession, out_dir: str) -> DataFrame:

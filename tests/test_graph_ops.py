@@ -246,3 +246,14 @@ def test_connected_components_star_differential(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(400)], "a long, b long")
     got = {r.comp for r in graph.connected_components_star(chain, max_iter=25).collect()}
     assert got == {0}
+
+    # non-convergence raises (same contract as the label variant)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components_star(chain, max_iter=2)
+
+    # self-loop-only nodes stay visible as singleton components
+    loops = spark.createDataFrame([(5, 5), (1, 2)], "a long, b long")
+    comp = {r.node: r.comp for r in graph.connected_components_star(loops).collect()}
+    assert comp == {5: 5, 1: 1, 2: 1}

@@ -166,16 +166,38 @@ def test_merge_new_triples_incremental(spark, tmp_path):
     # idempotent: merging the same delta again appends nothing
     assert merge_new_triples(spark, store, delta, n_buckets=8) == 0
 
-    # pruning: the existing-side scan carries a bucket partition filter
-    one = spark.createDataFrame([tri(999)], terms.TRIPLE_DDL)
-    from pyspark.sql import functions as F2
+    # pruning: the scan merge actually uses carries a bucket partition
+    # filter (test the production helper, not a reconstruction)
+    from rdf_spark.pipeline import _pruned_store_scan
 
-    b = one.select(
-        F2.pmod(F2.xxhash64("s"), F2.lit(8)).cast("int").alias("b")
-    ).first().b
+    key = ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
     plan = (
-        spark.read.parquet(store)
-        .filter(F2.col("bucket").isin([b]))
+        _pruned_store_scan(spark, store, [3], key)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "bucket" in plan
+
+    # bucketing metadata: inferred when omitted, mismatches rejected
+    import pytest as _pytest
+
+    assert merge_new_triples(spark, store, delta) == 0  # n_buckets inferred
+    with _pytest.raises(ValueError, match="does not match"):
+        merge_new_triples(spark, store, delta, n_buckets=32)
+
+
+def test_merge_new_triples_quads_keep_graph(spark, tmp_path):
+    """The identity key includes graph: the same (s,p,o) in another graph
+    is a DIFFERENT quad and must append."""
+    from rdf_spark import terms
+    from rdf_spark.pipeline import materialize_triples, merge_new_triples
+
+    store = str(tmp_path / "qstore")
+    q = ("urn:s", 1, "urn:p", "v", 2, terms.XSD_STRING, None, "urn:g1", 1)
+    base = spark.createDataFrame([q], terms.QUAD_DDL)
+    materialize_triples(base, store, n_buckets=4)
+    delta = spark.createDataFrame(
+        [q, ("urn:s", 1, "urn:p", "v", 2, terms.XSD_STRING, None, "urn:g2", 1)],
+        terms.QUAD_DDL,
+    )
+    assert merge_new_triples(spark, store, delta) == 1  # only the g2 quad
+    assert spark.read.parquet(store).count() == 2
