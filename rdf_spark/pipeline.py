@@ -106,7 +106,7 @@ def run_pipeline(
         if resume and os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 m = json.load(f)
-            kwargs = {x: m[x] for x in m if x not in ("ts", "skipped")}
+            kwargs = {x: m[x] for x in m if x not in ("ts", "skipped", "buckets")}
             results.append(ShardResult(skipped=True, **kwargs))
             continue
         t0 = time.time()
@@ -150,14 +150,20 @@ def run_pipeline(
             ).agg(F.count(F.lit(1)).alias("n")).collect()
         }
         written = spark.read.parquet(os.path.join(out_dir, TRIPLE_STORE_DIR, f"shard={k}"))
-        counts = written.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(
-                (F.col("p") == "http://kg.example/vocab#mentions").cast("long")
-            ).alias("links"),
-        ).collect()[0]
-        n_final = counts.total
-        n_link = counts.links or 0
+        # per-PARTITION lineage counters (north rule): triple count per
+        # store bucket in one pass with the totals — resumable audits can
+        # localize loss/skew to a single bucket partition without a rescan
+        per_bucket = {
+            int(r.bucket): (r.n, r.links or 0)
+            for r in written.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("p") == "http://kg.example/vocab#mentions").cast("long")
+                ).alias("links"),
+            ).collect()
+        }
+        n_final = sum(n for n, _ in per_bucket.values())
+        n_link = sum(l for _, l in per_bucket.values())
 
         tagged.unpersist()
         res = ShardResult(
@@ -172,7 +178,14 @@ def run_pipeline(
         )
         # manifest written last → crash before this line reruns the shard
         with open(manifest_path, "w") as f:
-            json.dump({**res.__dict__, "ts": time.time()}, f)
+            json.dump(
+                {
+                    **res.__dict__,
+                    "ts": time.time(),
+                    "buckets": {str(b): n for b, (n, _) in sorted(per_bucket.items())},
+                },
+                f,
+            )
         results.append(res)
     return results
 

@@ -201,3 +201,31 @@ def test_merge_new_triples_quads_keep_graph(spark, tmp_path):
     )
     assert merge_new_triples(spark, store, delta) == 1  # only the g2 quad
     assert spark.read.parquet(store).count() == 2
+
+
+def test_manifest_per_bucket_counters(spark, tmp_path):
+    """North rule: per-partition lineage counters — each shard manifest
+    records its per-bucket triple counts, summing to the shard total."""
+    import glob
+    import json as _json
+
+    from rdf_spark import datagen, pipeline
+
+    out = str(tmp_path / "kg_buckets")
+    results = pipeline.run_pipeline(
+        spark, datagen.pages(spark, 80), datagen.aliases(spark), out,
+        n_shards=2, n_buckets=4,
+    )
+    for m in glob.glob(f"{out}/_manifest/*.json"):
+        man = _json.load(open(m))
+        assert man["buckets"], m
+        assert sum(man["buckets"].values()) == man["n_triples_final"]
+    # resume still parses manifests with the new field
+    again = pipeline.run_pipeline(
+        spark, datagen.pages(spark, 80), datagen.aliases(spark), out,
+        n_shards=2, n_buckets=4,
+    )
+    assert all(r.skipped for r in again)
+    assert sum(r.n_triples_final for r in again) == sum(
+        r.n_triples_final for r in results
+    )
