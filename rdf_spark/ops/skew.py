@@ -38,3 +38,33 @@ def skew_join(big: DataFrame, small: DataFrame, on: str, how: str = "inner") -> 
     big skewed sides rely on AQE skew-join splitting (enabled in session)
     plus an explicit repartition hint."""
     return big.join(F.broadcast(small), on, how)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Big×big equi-join where ``skewed`` has hot join keys and ``other``
+    is too large to broadcast: the classic salt-and-replicate plan.
+
+    Each skewed-side row gets a deterministic salt from its FULL row hash
+    (identical retries land identically — resume-idempotent; note that
+    byte-identical duplicate rows share a salt, so dedup first if the hot
+    key is made of duplicates); the other side is replicated ``n_salts``×
+    with one row per salt.  The shuffle key becomes (on, salt), spreading
+    a hot key over ``n_salts`` reducers at the cost of replicating the
+    other side — profitable when |other| · n_salts ≪ the hot key's row
+    count.  AQE skew splitting handles moderate skew without this; reach
+    for salting when single keys exceed what one task can hold.
+    """
+    salted = skewed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)).cast("int"),
+    )
+    replicated = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted.join(replicated, [on, "_salt"], how).drop("_salt")

@@ -229,3 +229,26 @@ def test_manifest_per_bucket_counters(spark, tmp_path):
     assert sum(r.n_triples_final for r in again) == sum(
         r.n_triples_final for r in results
     )
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salt-and-replicate join must be exactly equivalent to a plain join
+    on a hot-keyed input (deterministic salts, no lost or doubled rows)."""
+    from rdf_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(5000)] + [("cold", i) for i in range(5)],
+        "k string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("absent", "A")], "k string, label string"
+    )
+    got = salted_join(big, dim, "k", n_salts=8)
+    plain = big.join(dim, "k")
+    assert got.count() == plain.count() == 5005
+    assert got.exceptAll(plain).count() == 0
+    # left join keeps unmatched skewed rows exactly once
+    big2 = big.unionByName(spark.createDataFrame([("orphan", 1)], "k string, v long"))
+    left = salted_join(big2, dim, "k", n_salts=8, how="left")
+    assert left.count() == 5006
+    assert left.filter("label IS NULL").count() == 1
