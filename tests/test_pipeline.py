@@ -252,3 +252,36 @@ def test_salted_join_matches_plain_join(spark):
     left = salted_join(big2, dim, "k", n_salts=8, how="left")
     assert left.count() == 5006
     assert left.filter("label IS NULL").count() == 1
+
+
+def test_spark_submit_job_entrypoint(spark, tmp_path):
+    """The spark-submit entry point end-to-end (argument parsing, pipeline
+    invocation, JSON summary, resume skip) — in-process via getOrCreate."""
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    out = str(tmp_path / "job_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--synthetic", "60", "--out", out, "--shards", "2", "--buckets", "4"]
+        )
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["pages"] == 60 and summary["shards"] == 2
+    assert summary["triples"] > 0 and summary["skipped"] == 0
+
+    # second run resumes: all shards skipped, same totals
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        assert kg_construct_job.main(
+            ["--synthetic", "60", "--out", out, "--shards", "2", "--buckets", "4"]
+        ) == 0
+    summary2 = _json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert summary2["skipped"] == 2
+    assert summary2["triples"] == summary["triples"]
