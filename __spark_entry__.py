@@ -610,6 +610,24 @@ def q_embedding_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "sim", "rank")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means inverted lists + probe + exact rerank),
+    self-verifying: identical planted vectors always land in the same
+    inverted list (deterministic argmax on identical inputs), so each
+    query's top-2 must be itself (rank 1, ties broken by id) and its
+    planted twin (rank 2), both at cosine exactly 1.0."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(dup)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.ivf_topk(both, queries, dim=64, k=2, n_lists=16, n_probe=2)
+    return out.select("query_id", "vec_id", "sim", "rank")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """LSH-bucketed cosine near-dup, self-verifying: identical embeddings
     are planted (vec_id+1000000); identical vectors always share every
@@ -723,6 +741,7 @@ _QUERIES = {
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
@@ -1063,6 +1082,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+        """,
+        "ivf_topk": """
+            SELECT vec_id AS query_id, vec_id,
+                   CAST(1.0 AS DOUBLE) AS sim, 1 AS rank
+            FROM embeddings WHERE vec_id < 5
+            UNION ALL
+            SELECT vec_id, vec_id + 1000000, CAST(1.0 AS DOUBLE), 2
+            FROM embeddings WHERE vec_id < 5
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -139,6 +139,120 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 64,
+    vec_col: str = "embedding",
+    sample_size: int = 50_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Train the IVF coarse quantizer: k-means on a bounded driver-side
+    sample (spherical: vectors L2-normalized, assignment by max dot
+    product = cosine).  The sample collect is the ONLY driver-side data
+    movement in the IVF path and is capped at ``sample_size`` rows — at
+    100 TB you train on a sample regardless; assignment and search stay
+    distributed.  Deterministic (seeded init, fixed iterations)."""
+    n_total = embeddings.count()
+    frac = min(1.0, sample_size / max(n_total, 1))
+    sample = (
+        embeddings.sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    n_lists = min(n_lists, len(mat))
+    centroids = mat[rng.choice(len(mat), size=n_lists, replace=False)]
+    for _ in range(n_iter):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(n_lists):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, list_id) assignment rows — each vector's ``n_probe`` nearest
+    centroids (data side uses n_probe=1; the query side probes several).
+    One narrow numpy pass; the centroid matrix rides the task closure
+    (n_lists × dim floats — broadcast-sized by construction)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ centroids.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "list_id": top.reshape(-1).astype(np.int32),
+            })
+
+    return df.mapInPandas(run, f"{id_col} long, list_id int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 64,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer → inverted lists → probe the
+    ``n_probe`` nearest lists per query → exact cosine rerank.
+
+    The scale shape: candidates ≈ n·(n_probe/n_lists) per query instead
+    of n, the inverted-list join shuffles on uniform-ish list ids, and
+    recall is tuned by ``n_probe`` (monotone: n_probe=n_lists degrades to
+    exact brute force).  Pass a pre-trained ``centroids`` matrix to share
+    one quantizer across jobs (IVF's index-build/search split)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, dim, n_lists, vec_col, seed=seed
+        )
+    e_assign = ivf_assign(embeddings, centroids, id_col, vec_col, n_probe=1)
+    q_assign = ivf_assign(
+        queries.withColumnRenamed(query_id_col, id_col), centroids, id_col, vec_col,
+        n_probe=n_probe,
+    ).withColumnRenamed(id_col, query_id_col)
+    cands = (
+        e_assign.join(F.broadcast(q_assign), "list_id")
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_ev"))
+    q = queries.select(query_id_col, F.col(vec_col).cast("array<double>").alias("_qv"))
+    sim = F.round(cosine_col(F.col("_qv"), F.col("_ev")), 6)
+    scored = (
+        cands.join(e, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(query_id_col, id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     dim: int,

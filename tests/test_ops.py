@@ -296,3 +296,40 @@ def test_media_near_duplicates(spark):
     pairs = multimodal.media_near_duplicates(media.unionByName(dup))
     got = {(r.a, r.b) for r in pairs.collect()}
     assert {(i, i + 1000000) for i in planted_ids} <= got
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF: planted cos≈0.98 twins must be found as the true top-1 for
+    ≥90% of queries at n_probe=4/64 lists; identical vectors land in the
+    same list so exact-duplicate recall is structural."""
+    both = _perturbed_embeddings(spark, embeddings)
+    queries = both.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_top1 = {
+        (r.query_id, r.vec_id)
+        for r in ann.brute_force_topk(both, queries, k=2).collect()
+        if r.rank == 2
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ann.ivf_topk(both, queries, dim=64, k=5, n_lists=32, n_probe=4).collect()
+    }
+    assert len(got & exact_top1) / len(exact_top1) >= 0.9
+    # every query at least finds itself (same list as itself, sim 1.0)
+    self_hits = {r.query_id for r in ann.ivf_topk(
+        both, queries, dim=64, k=1, n_lists=32, n_probe=1
+    ).collect() if r.query_id == r.vec_id}
+    assert len(self_hits) == 30
+
+
+def test_ivf_deterministic_and_shared_centroids(spark, embeddings):
+    import numpy as np
+
+    c1 = ann.train_ivf_centroids(embeddings, dim=64, n_lists=16)
+    c2 = ann.train_ivf_centroids(embeddings, dim=64, n_lists=16)
+    assert np.allclose(c1, c2)  # seeded: same data -> same quantizer
+    queries = embeddings.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = ann.ivf_topk(embeddings, queries, dim=64, k=3, centroids=c1).collect()
+    b = ann.ivf_topk(embeddings, queries, dim=64, k=3, centroids=c1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
