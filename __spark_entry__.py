@@ -544,6 +544,20 @@ def q_minhash_near_dup(spark, sf_dir):
     return planted.select("a", "b", "jaccard")
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint overlap, self-verifying:
+    identical planted docs share their entire fingerprint set, so every
+    planted pair must surface with containment exactly 1.0 (organic
+    partial overlaps are covered by pytest)."""
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pairs = dedup.winnow_overlap_pairs(d.unionByName(dup), threshold=0.99)
+    planted = pairs.filter((F.col("a") < 20) & (F.col("b") - F.col("a") == 1000000))
+    return planted.select("a", "b", "containment")
+
+
 def q_simhash(spark, sf_dir):
     """SimHash, self-verifying via two algebraic invariants: the 64-bit
     signature is a bag-of-words statistic, so (1) reversing token order
@@ -740,6 +754,7 @@ _QUERIES = {
         "minhash_near_dup": q_minhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "winnow_overlap": q_winnow_overlap,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -994,6 +1009,11 @@ def oracle_sql() -> dict[str, str]:
                        ELSE node
                    END AS cluster
             FROM nodes
+        """,
+        "winnow_overlap": """
+            SELECT doc_id AS a, doc_id + 1000000 AS b,
+                   CAST(1.0 AS DOUBLE) AS containment
+            FROM documents WHERE doc_id < 20
         """,
         "simhash": """
             SELECT doc_id, CAST(0 AS INTEGER) AS hamming_rev,

@@ -238,6 +238,113 @@ def near_dup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints, Schleimer/Wilkerson/Aiken)
+# ---------------------------------------------------------------------------
+
+_WINNOW_B = np.uint64(1_000_003)  # odd → invertible mod 2^64
+
+
+def _rolling_kgram_hashes(text: str, k: int) -> np.ndarray:
+    """All character k-gram hashes of ``text`` via a TRUE rolling
+    polynomial hash, fully vectorized: uint64 arithmetic wraps mod 2^64
+    for free, and because the base is odd its modular inverse exists, so
+    window sums of c[j]·B^j rebase to position-independent hashes with
+    one cumsum + one cumprod — no per-gram Python loop."""
+    codes = np.array([ord(c) for c in text], dtype=np.uint64) + np.uint64(1)
+    n = len(codes)
+    if n < k:
+        return np.array([], dtype=np.uint64)
+    powers = np.ones(n, dtype=np.uint64)
+    powers[1:] = _WINNOW_B
+    powers = np.cumprod(powers)  # B^j mod 2^64
+    binv = pow(int(_WINNOW_B), -1, 1 << 64)
+    binv_powers = np.ones(n - k + 1, dtype=np.uint64)
+    binv_powers[1:] = np.uint64(binv)
+    binv_powers = np.cumprod(binv_powers)  # B^-i mod 2^64
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    prefix[1:] = np.cumsum(codes * powers)  # wraps mod 2^64
+    return (prefix[k:] - prefix[:-k]) * binv_powers
+
+
+def winnow_fingerprints_pd(texts: pd.Series, k: int = 8, window: int = 4) -> pd.Series:
+    """Winnowing fingerprint set per document: the minimum k-gram hash of
+    every ``window``-sized window of consecutive k-grams (deduped).  The
+    winnowing guarantee: any shared substring of at least k+window-1
+    characters yields at least one shared fingerprint — position-robust
+    overlap detection, unlike whole-document hashes."""
+    out = []
+    for text in texts.fillna(""):
+        h = _rolling_kgram_hashes(" ".join(text.lower().split()), k)
+        if len(h) == 0:
+            out.append([])
+            continue
+        if len(h) < window:
+            mins = np.array([h.min()])
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        out.append(np.unique(mins).view(np.int64).tolist())
+    return pd.Series(out, index=texts.index)
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """doc → winnowing fingerprint set (array<long>), one narrow pass."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "fingerprints": winnow_fingerprints_pd(pdf[text_col], k, window),
+            })
+
+    return df.mapInPandas(run, f"{id_col} long, fingerprints array<long>")
+
+
+def winnow_overlap_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, window: int = 4, threshold: float = 0.5,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """Containment-style near-dup/plagiarism pairs: docs sharing winnowing
+    fingerprints, scored by |common| / min(|a|, |b|) (containment, so a
+    paragraph lifted into a larger doc still scores high — jaccard would
+    dilute it).  Same bucketed shape as the other families: explode →
+    fingerprint-keyed shuffle (capped buckets) → per-pair aggregation;
+    never all-pairs."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    sizes = fps.select(F.col(id_col), F.size("fingerprints").alias("n_fp"))
+    posts = fps.select(
+        F.col(id_col), F.explode("fingerprints").alias("fp")
+    )
+    buckets = (
+        posts.groupBy("fp")
+        .agg(F.slice(F.sort_array(F.collect_set(id_col)), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n_common"))
+    sa = sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n_fp", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n_fp", "n_b")
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "n_common", "containment")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -333,3 +333,25 @@ def test_ivf_deterministic_and_shared_centroids(spark, embeddings):
     a = ann.ivf_topk(embeddings, queries, dim=64, k=3, centroids=c1).collect()
     b = ann.ivf_topk(embeddings, queries, dim=64, k=3, centroids=c1).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_winnow_fingerprints_and_overlap(spark):
+    shared = "THE SHARED PARAGRAPH OF TEXT APPEARS IN BOTH DOCUMENTS HERE"
+    rows = [
+        (1, f"unrelated prefix one {shared} trailing words alpha"),
+        (2, f"other document body {shared} different ending beta"),
+        (3, "nothing in common whatsoever with the others at all zzz"),
+        (4, f"unrelated prefix one {shared} trailing words alpha"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set(r.fingerprints) for r in dedup.winnow_fingerprints(df).collect()}
+    assert fps[1] == fps[4]                       # identical docs
+    assert len(fps[1] & fps[2]) >= 1              # winnowing guarantee
+    assert not (fps[1] & fps[3])                  # unrelated
+    pairs = {
+        (r.a, r.b): r.containment
+        for r in dedup.winnow_overlap_pairs(df, threshold=0.3).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
