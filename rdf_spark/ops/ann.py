@@ -100,6 +100,29 @@ def hyperplane_signatures(
     return df.mapInPandas(run, f"{id_col} long, table int, bucket long")
 
 
+def _exact_rerank(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared tail of every approximate path: exact cosine over the
+    candidate (query, vector) pairs, deterministic top-k per query."""
+    e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_ev"))
+    q = queries.select(query_id_col, F.col(vec_col).cast("array<double>").alias("_qv"))
+    sim = F.round(cosine_col(F.col("_qv"), F.col("_ev")), 6)
+    scored = (
+        cands.join(e, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(query_id_col, id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -127,16 +150,7 @@ def lsh_topk(
         .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_ev"))
-    q = queries.select(query_id_col, F.col(vec_col).cast("array<double>").alias("_qv"))
-    sim = F.round(cosine_col(F.col("_qv"), F.col("_ev")), 6)
-    scored = (
-        cands.join(e, id_col)
-        .join(F.broadcast(q), query_id_col)
-        .select(query_id_col, id_col, sim.alias("sim"))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _exact_rerank(cands, embeddings, queries, k, id_col, vec_col, query_id_col)
 
 
 def train_ivf_centroids(
@@ -147,22 +161,28 @@ def train_ivf_centroids(
     sample_size: int = 50_000,
     n_iter: int = 10,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> "np.ndarray":
     """Train the IVF coarse quantizer: k-means on a bounded driver-side
     sample (spherical: vectors L2-normalized, assignment by max dot
     product = cosine).  The sample collect is the ONLY driver-side data
     movement in the IVF path and is capped at ``sample_size`` rows — at
     100 TB you train on a sample regardless; assignment and search stay
-    distributed.  Deterministic (seeded init, fixed iterations)."""
-    n_total = embeddings.count()
-    frac = min(1.0, sample_size / max(n_total, 1))
-    sample = (
-        embeddings.sample(fraction=frac, seed=seed)
-        .limit(sample_size)
-        .select(vec_col)
-        .collect()
-    )
+    distributed.  ``sample_fraction`` draws a uniform sample first
+    (recommended at scale; the default ``limit`` alone is cheaper — no
+    extra pass — but partition-biased).  Deterministic (seeded init,
+    fixed iterations)."""
+    src = embeddings.select(vec_col)
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    sample = src.limit(sample_size).collect()
+    if not sample:
+        raise ValueError("cannot train IVF centroids on an empty embeddings table")
     mat = np.array([r[0] for r in sample], dtype=np.float64)
+    if mat.shape[1] != dim:
+        raise ValueError(
+            f"embedding dim {mat.shape[1]} does not match dim={dim}"
+        )
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     n_lists = min(n_lists, len(mat))
@@ -241,16 +261,7 @@ def ivf_topk(
         .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_ev"))
-    q = queries.select(query_id_col, F.col(vec_col).cast("array<double>").alias("_qv"))
-    sim = F.round(cosine_col(F.col("_qv"), F.col("_ev")), 6)
-    scored = (
-        cands.join(e, id_col)
-        .join(F.broadcast(q), query_id_col)
-        .select(query_id_col, id_col, sim.alias("sim"))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _exact_rerank(cands, embeddings, queries, k, id_col, vec_col, query_id_col)
 
 
 def embedding_near_duplicates(

@@ -242,6 +242,7 @@ def near_dup_clusters(
 # ---------------------------------------------------------------------------
 
 _WINNOW_B = np.uint64(1_000_003)  # odd → invertible mod 2^64
+_WINNOW_BINV = np.uint64(pow(1_000_003, -1, 1 << 64))
 
 
 def _rolling_kgram_hashes(text: str, k: int) -> np.ndarray:
@@ -249,17 +250,19 @@ def _rolling_kgram_hashes(text: str, k: int) -> np.ndarray:
     polynomial hash, fully vectorized: uint64 arithmetic wraps mod 2^64
     for free, and because the base is odd its modular inverse exists, so
     window sums of c[j]·B^j rebase to position-independent hashes with
-    one cumsum + one cumprod — no per-gram Python loop."""
-    codes = np.array([ord(c) for c in text], dtype=np.uint64) + np.uint64(1)
+    one cumsum + one cumprod — no per-character Python loop (codepoints
+    come straight from the UTF-32 encoding of the string)."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    ) + np.uint64(1)
     n = len(codes)
     if n < k:
         return np.array([], dtype=np.uint64)
     powers = np.ones(n, dtype=np.uint64)
     powers[1:] = _WINNOW_B
     powers = np.cumprod(powers)  # B^j mod 2^64
-    binv = pow(int(_WINNOW_B), -1, 1 << 64)
     binv_powers = np.ones(n - k + 1, dtype=np.uint64)
-    binv_powers[1:] = np.uint64(binv)
+    binv_powers[1:] = _WINNOW_BINV
     binv_powers = np.cumprod(binv_powers)  # B^-i mod 2^64
     prefix = np.zeros(n + 1, dtype=np.uint64)
     prefix[1:] = np.cumsum(codes * powers)  # wraps mod 2^64
@@ -305,22 +308,31 @@ def winnow_fingerprints(
 def winnow_overlap_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, window: int = 4, threshold: float = 0.5,
-    max_bucket: int = 512,
+    max_df: int = 512,
 ) -> DataFrame:
     """Containment-style near-dup/plagiarism pairs: docs sharing winnowing
     fingerprints, scored by |common| / min(|a|, |b|) (containment, so a
     paragraph lifted into a larger doc still scores high — jaccard would
-    dilute it).  Same bucketed shape as the other families: explode →
-    fingerprint-keyed shuffle (capped buckets) → per-pair aggregation;
-    never all-pairs."""
+    dilute it).
+
+    Fingerprints appearing in more than ``max_df`` documents are stopword
+    grams (boilerplate shared corpus-wide): they are dropped from BOTH
+    the pair generation AND the containment denominator — this bounds
+    every bucket at ``max_df`` (no O(n²) blowup, no silent truncation
+    that would skew scores) and keeps identical documents at containment
+    exactly 1.0 at any corpus scale.  The hot-fingerprint list is tiny by
+    construction, so the filter is a broadcast anti-join.  Explode →
+    fingerprint-keyed shuffle → per-pair aggregation; never all-pairs."""
     fps = winnow_fingerprints(df, text_col, id_col, k, window)
-    sizes = fps.select(F.col(id_col), F.size("fingerprints").alias("n_fp"))
     posts = fps.select(
         F.col(id_col), F.explode("fingerprints").alias("fp")
     )
+    hot = posts.groupBy("fp").count().filter(F.col("count") > max_df).select("fp")
+    posts = posts.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     buckets = (
         posts.groupBy("fp")
-        .agg(F.slice(F.sort_array(F.collect_set(id_col)), 1, max_bucket).alias("ids"))
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     pairs = buckets.select(

@@ -60,10 +60,20 @@ def salted_join(
     count.  AQE skew splitting handles moderate skew without this; reach
     for salting when single keys exceed what one task can hold.
     """
-    salted = skewed.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)).cast("int"),
-    )
+    # right/full outer are NOT salted-join-expressible: an unmatched
+    # other-side row exists once per salt replica and would surface
+    # n_salts times — reject instead of returning silently wrong rows
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r} "
+            "(unmatched replicated rows would duplicate)"
+        )
+    for df, name in ((skewed, "skewed"), (other, "other")):
+        if "_salt" in df.columns:
+            raise ValueError(f"the {name} side already has a '_salt' column")
+    salted = with_salt(skewed, n_salts, "_salt")
     replicated = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

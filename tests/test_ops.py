@@ -355,3 +355,48 @@ def test_winnow_fingerprints_and_overlap(spark):
     assert pairs[(1, 4)] == 1.0
     assert (1, 2) in pairs and pairs[(1, 2)] < 1.0
     assert not any(3 in p for p in pairs)
+
+
+def test_winnow_overlap_planted_pairs_at_scale(spark):
+    """The round-2 review found the planted-pair oracle broke at sf0.1:
+    a corpus-wide boilerplate fingerprint overflowed the bucket cap and
+    cut planted dup ids out.  Stopword-fingerprint dropping (max_df on
+    BOTH the pairs and the denominator) keeps identical docs at
+    containment exactly 1.0 regardless of how hot the corpus is."""
+    d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pairs = dedup.winnow_overlap_pairs(d.unionByName(dup), threshold=0.99)
+    planted = {
+        (r.a, r.b): r.containment
+        for r in pairs.filter(
+            (F.col("a") < 20) & (F.col("b") - F.col("a") == 1000000)
+        ).collect()
+    }
+    assert set(planted) == {(i, i + 1000000) for i in range(20)}
+    assert all(c == 1.0 for c in planted.values())
+
+
+def test_salted_join_rejects_unexpressible_how(spark):
+    from rdf_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame([("k", 1)], "k string, v long")
+    dim = spark.createDataFrame([("k", "L")], "k string, label string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, dim, "k", how="full")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(big.withColumn("_salt", F.lit(1)), dim, "k")
+
+
+def test_ivf_error_paths(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        ann.train_ivf_centroids(empty, dim=64)
+    bad = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="does not match"):
+        ann.train_ivf_centroids(bad, dim=64)
