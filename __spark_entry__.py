@@ -520,6 +520,14 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", textops.lang_id_col(F.col("text")).alias("lang_guess"))
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Character-trigram language-ID (pure JVM regexp counts + argmax)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textops.lang_id_ngram_col(F.col("text")).alias("lang_guess")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     ids = d.select(F.col("doc_id").alias("a"))
@@ -750,6 +758,7 @@ _QUERIES = {
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dup": q_minhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
@@ -764,6 +773,7 @@ _QUERIES = {
     }
 
 
+_TG = textops.TRIGRAM_PATTERNS
 _EN_STOP_SQL = "|".join(textops.EN_STOPWORDS)
 _DE_STOP_SQL = "|".join(textops.DE_STOPWORDS)
 _ALIAS_VALUES = ", ".join(f"('{s}', '{e}', {p})" for s, e, p in ALIASES)
@@ -1076,6 +1086,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de > en AND de > 0 THEN 'de'
                         ELSE 'und' END AS lang_guess
             FROM f
+        """,
+        "lang_id_ngram": rf"""
+            WITH s AS (
+                SELECT doc_id,
+                       length(regexp_extract_all(' ' || lower(text) || ' ',
+                           '{_TG["en"]}')) AS en,
+                       length(regexp_extract_all(' ' || lower(text) || ' ',
+                           '{_TG["de"]}')) AS de,
+                       length(regexp_extract_all(' ' || lower(text) || ' ',
+                           '{_TG["fr"]}')) AS fr,
+                       length(regexp_extract_all(' ' || lower(text) || ' ',
+                           '{_TG["es"]}')) AS es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                        WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                        WHEN fr >= es AND fr > 0 THEN 'fr'
+                        WHEN es > 0 THEN 'es'
+                        ELSE 'und' END AS lang_guess
+            FROM s
         """,
         "ngram_jaccard": r"""
             WITH t AS (

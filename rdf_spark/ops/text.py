@@ -7,6 +7,8 @@ Everything here is pure JVM column expressions (whole-stage codegen): at
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +52,53 @@ def lang_id_col(text: Column) -> Column:
         .when((de > en) & (de > 0), "de")
         .otherwise("und")
     )
+
+
+# Character-trigram profiles (most-frequent trigrams per language, from
+# published frequency tables; spaces mark word boundaries).  One compiled
+# alternation per language keeps scoring a handful of JVM regexp_count
+# calls — no Python in the hot path, argmax via greatest().
+_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", "ing", "nd ", " an", "and", "ion", "ed ",
+           " to", "to ", " of", "of ", "er ", "at ", " in", "hat", "is "],
+    "de": ["der", "ein", "sch", " de", "die", "und", " di", "en ", "ich",
+           "cht", " un", "ch ", "nde", "ung", "das", "ie ", "gen", "ne "],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", "nt ", "que", " qu",
+           "la ", " la", "ion", "re ", " pa", "ous", "ait", "eur", " et"],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu",
+           "ión", "ent", "as ", " en", "ado", "los", " co", "es ", "ar "],
+}
+
+
+# final alternation string per language — shared verbatim with the DuckDB
+# oracle so both sides count exactly the same matches
+TRIGRAM_PATTERNS = {
+    lang: "|".join(re.escape(g) for g in grams)
+    for lang, grams in _TRIGRAM_PROFILES.items()
+}
+
+
+def lang_id_ngram_col(text: Column) -> Column:
+    """Character-trigram language heuristic → 'en'|'de'|'fr'|'es'|'und'.
+
+    Scores each language by occurrences of its top trigrams (one RE2
+    alternation per language over the lowercased text, space-padded so
+    boundary trigrams fire) and takes the argmax; ties and zero scores
+    fall to 'und'.  Pure JVM expressions — no Python, no shuffle — the
+    n-gram counterpart of the stopword heuristic :func:`lang_id_col`.
+    """
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: F.regexp_count(padded, F.lit(pat))
+        for lang, pat in TRIGRAM_PATTERNS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic tie-break: first language (insertion order) wins;
+    # built in reverse so earlier langs override later ones on ties
+    for lang in reversed(list(scores)):
+        out = F.when((scores[lang] == best) & (best > 0), lang).otherwise(out)
+    return out
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

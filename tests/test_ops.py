@@ -400,3 +400,18 @@ def test_ivf_error_paths(spark):
     bad = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="does not match"):
         ann.train_ivf_centroids(bad, dim=64)
+
+
+def test_lang_id_ngram(spark):
+    rows = [
+        (1, "The quick brown fox and the lazy dog are in the garden of the house."),
+        (2, "Der schnelle braune Fuchs und der faule Hund sind in dem Garten des Hauses."),
+        (3, "Le renard brun rapide et le chien paresseux sont dans le jardin de la maison."),
+        (4, "El zorro marrón rápido y el perro perezoso están en el jardín de la casa."),
+        (5, "zzz qqq xxx 12345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", textops.lang_id_ngram_col(F.col("text")).alias("lang")
+    ).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
