@@ -1,0 +1,54 @@
+"""spark-submit entry point for RDF format conversion — the distributed
+analogue of the reference's rdf2rdf companion CLI (cited in
+/root/reference/rdf.go:38), over the full six-format matrix:
+
+    spark-submit --py-files /tmp/rdf_spark.zip jobs/rdf_convert_job.py \\
+        --in  <path> --in-format  turtle \\
+        --out <path> --out-format nquads \\
+        [--base <iri>] [--keep-blank-labels]
+
+Decode: ntriples nquads turtle trig jsonld rdfxml; encode: all six.
+Blank labels are skolemized by default (labels are only unique within
+one input document); --keep-blank-labels preserves them for
+single-document conversions, matching rdf2rdf.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="in_path", required=True)
+    ap.add_argument("--in-format", required=True)
+    ap.add_argument("--out", dest="out_path", required=True)
+    ap.add_argument("--out-format", required=True)
+    ap.add_argument("--base", default="")
+    ap.add_argument("--keep-blank-labels", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("rdf-convert").getOrCreate()
+
+    from rdf_spark import convert
+
+    n = convert.convert(
+        spark,
+        args.in_path,
+        args.in_format,
+        args.out_path,
+        args.out_format,
+        base=args.base,
+        skolemize=not args.keep_blank_labels,
+    )
+    print(json.dumps({"triples": n, "out": args.out_path,
+                      "format": args.out_format}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,3 +39,29 @@ def test_convert_turtle_to_ntriples_to_nquads(spark, tmp_path):
     assert n3 == 3
     back_ttl = convert.read_rdf(spark, ttl_out, "turtle")
     assert back_ttl.filter(F.col("err").isNull()).count() == 3
+
+
+def test_rdf_convert_job_entrypoint(spark, tmp_path):
+    """The rdf2rdf-analogue spark-submit CLI end-to-end."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import rdf_convert_job
+
+    src = str(tmp_path / "in.ttl")
+    with open(src, "w") as f:
+        f.write('@prefix ex: <http://e/> .\n<http://s> ex:p "v"@en , 42 .\n')
+    out = str(tmp_path / "out_nq")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = rdf_convert_job.main([
+            "--in", src, "--in-format", "turtle",
+            "--out", out, "--out-format", "nquads",
+        ])
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["triples"] == 2
+    back = sources.read_nquads(spark, out).filter(F.col("err").isNull())
+    assert back.count() == 2
