@@ -22,10 +22,12 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
+    from rdf_spark.convert import DECODERS, ENCODERS
+
     ap.add_argument("--in", dest="in_path", required=True)
-    ap.add_argument("--in-format", required=True)
+    ap.add_argument("--in-format", required=True, choices=sorted(DECODERS))
     ap.add_argument("--out", dest="out_path", required=True)
-    ap.add_argument("--out-format", required=True)
+    ap.add_argument("--out-format", required=True, choices=sorted(ENCODERS))
     ap.add_argument("--base", default="")
     ap.add_argument("--keep-blank-labels", action="store_true")
     args = ap.parse_args(argv)

@@ -40,7 +40,14 @@ def skolemize(df: DataFrame, url_col: str = "url") -> DataFrame:
         "o", _skolem_col(F.col("o"), F.col("o_kind"), url)
     )
     if "graph" in df.columns:
-        out = out.withColumn("graph", _skolem_col(F.col("graph"), F.col("graph_kind"), url))
+        # the default-graph sentinel is a dataset-level constant
+        # (decoder.go:89), NOT a document-scoped label — never skolemize it
+        out = out.withColumn(
+            "graph",
+            F.when(
+                F.col("graph") == terms.DEFAULT_GRAPH, F.col("graph")
+            ).otherwise(_skolem_col(F.col("graph"), F.col("graph_kind"), url)),
+        )
     return out
 
 

@@ -79,12 +79,16 @@ def convert(spark: SparkSession, in_path: str, in_fmt: str, out_path: str,
     ``skolemize=True`` (default) rewrites blank labels to per-document
     skolem IRIs: blank labels are only unique within one input document
     (rdf.go:497-508), so merging many files without skolemization would
-    collide ``_:b1`` across documents.  Pass False for single-document
-    conversions that must preserve labels (reference-rdf2rdf behavior).
+    collide ``_:b1`` across documents — for line formats this routes
+    through the per-FILE document parser so labels get the correct
+    file scope.  Pass False for single-document conversions that must
+    preserve labels (reference-rdf2rdf behavior; line formats then take
+    the fully line-parallel fast path).
     """
-    if in_fmt in ("ntriples", "nquads"):
+    if in_fmt in ("ntriples", "nquads") and not skolemize:
+        # label-preserving fast path: fully line-parallel (the right mode
+        # for single-document conversions, matching rdf2rdf)
         df = read_rdf(spark, in_path, in_fmt, base=base)
-        # line formats carry no per-document identity; labels pass through
         good = df.filter(F.col("err").isNull()).drop("err")
     else:
         if in_fmt not in DECODERS:

@@ -273,7 +273,19 @@ class RdfXmlParser:
                 if rest.startswith("//"):
                     return path
                 if i + 1 < len(path):
-                    return self._get_ns(path[:i]) + rest
+                    try:
+                        return self._get_ns(path[:i]) + rest
+                    except ParseError:
+                        # DEVIATION: the reference QName-resolves ANY
+                        # prefix:suffix here (rdfxml.go:992-996), which
+                        # makes non-hierarchical absolute IRIs (urn:...,
+                        # mailto:...) undecodable in rdf:about/resource.
+                        # When the prefix is unbound but a valid URI
+                        # scheme, treat the value as the absolute IRI the
+                        # RDF/XML spec says it is.
+                        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*$", path[:i]):
+                            return path
+                        raise
                 break
         if not base:
             return path
@@ -919,25 +931,30 @@ def encode_rdfxml_pdf(pdf, namespaces: dict | None = None) -> str:
         if (s, s_kind) != cur_subj:
             if cur_subj is not None:
                 body.append("  </rdf:Description>\n")
-            if s_kind == 0:
-                label = s[2:] if s.startswith("_:") else s
+            if s_kind == 0 and s.startswith("_:"):
+                label = s[2:]
                 if not _ENC_NCNAME_RE.match(label):
                     raise ParseError(
                         0, 0, "blank label %r is not an NCName; skolemize first" % s
                     )
                 body.append('  <rdf:Description rdf:nodeID="%s">\n' % _xml_attr(label))
             else:
+                # IRIs, incl. skolemized blanks (kind 0 with an IRI lexical,
+                # SURVEY §1.4) — same dispatch as the NT/Turtle encoders
                 body.append('  <rdf:Description rdf:about="%s">\n' % _xml_attr(s))
             cur_subj = (s, s_kind)
         if o_kind == 1:
             body.append('    <%s:%s rdf:resource="%s"/>\n' % (pfx, local, _xml_attr(o)))
-        elif o_kind == 0:
-            label = o[2:] if o.startswith("_:") else o
+        elif o_kind == 0 and o.startswith("_:"):
+            label = o[2:]
             if not _ENC_NCNAME_RE.match(label):
                 raise ParseError(
                     0, 0, "blank label %r is not an NCName; skolemize first" % o
                 )
             body.append('    <%s:%s rdf:nodeID="%s"/>\n' % (pfx, local, _xml_attr(label)))
+        elif o_kind == 0:
+            # skolemized blank: IRI lexical → rdf:resource
+            body.append('    <%s:%s rdf:resource="%s"/>\n' % (pfx, local, _xml_attr(o)))
         else:
             attrs = ""
             if o_lang:

@@ -86,13 +86,15 @@ def _doc_parser(fmt: str, text_col: str, url_col: str, base_from_url: bool, stri
         parse_one = parse_jsonld
     elif fmt == "ntriples":
         parse_one = lambda text, base: parsing.parse_ntriples(text)  # noqa: E731
+    elif fmt == "nquads":
+        parse_one = lambda text, base: parsing.parse_nquads(text)  # noqa: E731
     elif fmt == "rdfxml":
         from rdf_spark.rdfxml import parse_rdfxml
 
         parse_one = parse_rdfxml
     else:
         raise ValueError("unsupported format: %s" % fmt)
-    term_cols = terms.QUAD_COLS if fmt in ("trig", "jsonld") else terms.TRIPLE_COLS
+    term_cols = terms.QUAD_COLS if fmt in ("trig", "jsonld", "nquads") else terms.TRIPLE_COLS
     n_term = len(term_cols)
 
     def parse_docs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,10 +151,12 @@ def parse_documents(
     The per-document blank-node counter restarts at ``_:b1`` for each row
     (ttl.go:16, SURVEY.md §4.3) — labels are only unique within a document;
     run :func:`rdf_spark.canonical.skolemize` before any cross-document
-    merge.  ``fmt="trig"`` / ``fmt="jsonld"`` yield the quad schema
-    (graph, graph_kind).
+    merge.  ``fmt="trig"`` / ``fmt="jsonld"`` / ``fmt="nquads"`` yield the
+    quad schema (graph, graph_kind); the document-scoped nquads variant
+    exists for label-correct cross-file merges — the line-parallel
+    :func:`read_nquads` is the throughput path.
     """
     return df.mapInPandas(
         _doc_parser(fmt, text_col, url_col, base_from_url, errors == "strict", base),
-        _DOC_QUAD_DDL if fmt in ("trig", "jsonld") else _DOC_TRIPLE_DDL,
+        _DOC_QUAD_DDL if fmt in ("trig", "jsonld", "nquads") else _DOC_TRIPLE_DDL,
     )

@@ -65,3 +65,40 @@ def test_rdf_convert_job_entrypoint(spark, tmp_path):
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["triples"] == 2
     back = sources.read_nquads(spark, out).filter(F.col("err").isNull())
     assert back.count() == 2
+
+
+def test_convert_line_formats_skolemize_per_file(spark, tmp_path):
+    """Review fix: _:b1 in two different N-Triples files is TWO distinct
+    nodes (labels are file-scoped); the skolemizing default must not merge
+    them, while --keep-blank-labels preserves raw labels on the fast path."""
+    src = tmp_path / "nt_in"
+    src.mkdir()
+    (src / "a.nt").write_text('_:b1 <http://p> "from-a" .\n')
+    (src / "b.nt").write_text('_:b1 <http://p> "from-b" .\n')
+    out = str(tmp_path / "out_nt")
+    n = convert.convert(spark, str(src), "ntriples", out, "ntriples")
+    assert n == 2
+    back = sources.read_ntriples(spark, out).filter(F.col("err").isNull())
+    subjects = {r.s for r in back.collect()}
+    assert len(subjects) == 2  # distinct skolem IRIs, not a merged _:b1
+    assert all(s.startswith("urn:skolem:") for s in subjects)
+
+    # label-preserving mode keeps both _:b1 (single-document semantics)
+    out2 = str(tmp_path / "out_nt2")
+    n2 = convert.convert(spark, str(src), "ntriples", out2, "ntriples",
+                         skolemize=False)
+    assert n2 == 2
+    back2 = sources.read_ntriples(spark, out2).filter(F.col("err").isNull())
+    assert {r.s for r in back2.collect()} == {"_:b1"}
+
+
+def test_convert_nquads_documents_keep_graph(spark, tmp_path):
+    src = tmp_path / "nq_in"
+    src.mkdir()
+    (src / "a.nq").write_text('_:b1 <http://p> "x" <http://g1> .\n')
+    out = str(tmp_path / "out_nq3")
+    n = convert.convert(spark, str(src), "nquads", out, "nquads")
+    assert n == 1
+    back = sources.read_nquads(spark, out).filter(F.col("err").isNull()).collect()
+    assert back[0].graph == "http://g1"
+    assert back[0].s.startswith("urn:skolem:")
