@@ -45,13 +45,19 @@ _NUM_BODY = (
 
 
 def _mk_pattern(quads: bool, turtle: bool = False) -> str:
-    pred = "<(?P<p>" + _IRI_BODY + ")>"
+    pred = _WS + "<(?P<p>" + _IRI_BODY + ")>" + _WS
     if turtle:
-        pred = "(?:" + pred + "|(?P<p_a>a))"
+        # The bare 'a' predicate must be whitespace-delimited on BOTH
+        # sides: with optional delimiters, RE2 would fabricate rdf:type
+        # triples from malformed docs ('<s> atrue .', '<s> a42 .',
+        # '_:ba42 .' — the bnode alternative shortens to '_:b').  RE2 has
+        # no lookahead, so abutting-but-VALID Turtle like '<s>a<o>.'
+        # simply falls back to the exact tokenizer (sound-not-complete).
+        pred = "(?:" + pred + r"|[ \t]+(?P<p_a>a)[ \t]+)"
     pat = (
         "^" + _WS
         + "(?:<(?P<s_iri>" + _IRI_BODY + ")>|(?P<s_bn>" + _BN_BODY + "))"
-        + _WS + pred + _WS
+        + pred
         + "(?:<(?P<o_iri>" + _IRI_BODY + ")>|(?P<o_bn>" + _BN_BODY + ")"
         + ('|' + _NUM_BODY if turtle else "")
         + '|(?P<o_lit>"[^"\\\\]*")'

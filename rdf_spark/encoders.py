@@ -302,7 +302,10 @@ def encode_trig_pdf(pdf: pd.DataFrame, namespaces: dict | None = None) -> str:
             key=lambda t: terms.term_nt(t[0], t[1]),
         )
         for lex, kind in labels:
-            block = named[named["graph"] == lex]
+            # filter on BOTH columns: the same lexical can name an IRI
+            # graph and a blank graph; matching on lexical alone would
+            # emit those quads twice, once under each label
+            block = named[(named["graph"] == lex) & (named["graph_kind"] == kind)]
             label = "<%s>" % lex if kind == terms.KIND_IRI else lex
             out.append("%s {\n%s\n}\n" % (label, enc(block)))
     return "".join(out)

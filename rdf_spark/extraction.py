@@ -73,18 +73,78 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(run, out_ddl)
 
 
+def _nonnested_overlaps(surfaces: list[str]) -> bool:
+    """True when two surfaces can overlap in text WITHOUT one containing
+    the other — i.e. a non-empty proper suffix of one equals a prefix of
+    the other (e.g. 'ab'/'bc' across 'abc').  Containment-nested
+    gazetteers (a ⊂ ab ⊂ abc) return False."""
+    for s in surfaces:
+        for t in surfaces:
+            if s == t or s in t or t in s:
+                continue
+            for k in range(1, min(len(s), len(t))):
+                if s[-k:] == t[:k]:
+                    return True
+    return False
+
+
+#: Above this many distinct surfaces the single alternation regex stops
+#: being viable (Python re alternation of literals is O(|alternatives|)
+#: per scan position, and the compiled pattern itself grows unbounded);
+#: detect_mentions switches to the Aho-Corasick automaton, which matches
+#: in O(|text|) regardless of dictionary size.
+AHO_THRESHOLD = 10_000
+
+
 def detect_mentions(text_df: DataFrame, aliases: DataFrame,
-                    text_col: str = "extracted_text") -> DataFrame:
+                    text_col: str = "extracted_text",
+                    engine: str = "auto") -> DataFrame:
     """Candidate mention detection: count occurrences of every gazetteer
     surface per document → (url, surface, n_hits).
 
-    The gazetteer is broadcast into the UDF closure once per executor; the
-    scan is one compiled alternation regex over the batch (vectorized
-    ``str.extractall``), not a per-surface loop.
+    The gazetteer is broadcast into the UDF closure once per executor.
+    Two engines with IDENTICAL match semantics (leftmost scan, longest
+    surface wins at each position, matches never overlap):
+
+    - ``regex`` — one compiled longest-first alternation over the batch
+      (vectorized ``str.extractall``).  Fastest for small dictionaries,
+      but Python re alternation degrades superlinearly with dictionary
+      size: unusable at real entity-linking scale (10^5-10^7 surfaces).
+    - ``aho`` — Aho-Corasick automaton (rdf_spark.automaton, pure
+      Python, no external dep): O(|text|) matching independent of
+      dictionary size; all-occurrence hits are reduced to the regex's
+      non-overlapping-longest-first semantics by a greedy interval pass.
+
+    ``engine="auto"`` picks regex below :data:`AHO_THRESHOLD` distinct
+    surfaces and aho at or above it.  Equivalence between engines is
+    asserted by tests on overlapping-surface gazetteers.
     """
     surfaces = [r.surface for r in aliases.select("surface").distinct().collect()]
     # longest-first alternation so overlapping surfaces prefer the longest match
     surfaces.sort(key=len, reverse=True)
+    if engine not in ("auto", "regex", "aho"):
+        raise ValueError(f"detect_mentions engine must be auto|regex|aho, got {engine!r}")
+    use_aho = engine == "aho" or (engine == "auto" and len(surfaces) >= AHO_THRESHOLD)
+
+    if use_aho:
+        from rdf_spark.automaton import AhoCorasick
+
+        ac = AhoCorasick(surfaces)
+
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                urls, hit_surfaces, n_hits = [], [], []
+                for url, text in zip(pdf["url"], pdf[text_col].fillna("")):
+                    for surface, c in ac.count_nonoverlapping(text).items():
+                        urls.append(url)
+                        hit_surfaces.append(surface)
+                        n_hits.append(c)
+                yield pd.DataFrame(
+                    {"url": urls, "surface": hit_surfaces, "n_hits": n_hits}
+                )
+
+        return text_df.mapInPandas(run, "url string, surface string, n_hits long")
+
     pattern = re.compile("(" + "|".join(re.escape(s) for s in surfaces) + ")")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,6 +226,18 @@ def fused_extract_parse_link(
         s: [(t, t.count(s)) for t in surfaces if t != s and s in t]
         for s in surfaces
     }
+    # The count-and-subtract scheme below assumes overlapping surfaces are
+    # containment-NESTED (a ⊂ ab ⊂ abc).  Surfaces that overlap WITHOUT
+    # containment (e.g. 'ab' and 'bc' across 'abc') would double-count
+    # relative to detect_mentions' non-overlapping alternation, so such
+    # gazetteers are validated up front and routed through the exact
+    # alternation regex per batch instead (slower, but bit-identical to
+    # detect_mentions by construction).
+    _exact_fallback = _nonnested_overlaps(surfaces)
+    _alt_pattern = (
+        re.compile("(" + "|".join(re.escape(s) for s in surfaces) + ")")
+        if _exact_fallback and surfaces else None
+    )
 
     out_ddl = (
         "url string, s string, s_kind tinyint, p string, o string, "
@@ -249,14 +321,28 @@ def fused_extract_parse_link(
             #    of a shorter surface that lie inside a longer surface's
             #    (already-adjusted) matches are subtracted, processing
             #    surfaces in decreasing length order so nesting chains
-            #    (a ⊂ ab ⊂ abc) resolve correctly.
-            raw = {s: pc.count_substring(text, pattern=s) for s in surfaces}
-            adjusted: dict[str, "pa.Array"] = {}
-            for surface in surfaces:  # surfaces is sorted longest-first
-                cnt = raw[surface]
-                for longer, mult in _containers[surface]:
-                    cnt = pc.subtract(cnt, pc.multiply(adjusted[longer], mult))
-                adjusted[surface] = cnt
+            #    (a ⊂ ab ⊂ abc) resolve correctly.  Non-nested overlapping
+            #    gazetteers take the exact alternation fallback instead
+            #    (validated at build time, see _exact_fallback above).
+            if _exact_fallback:
+                ts = pd.Series(text.to_pylist())
+                counts = {s: [0] * n for s in surfaces}
+                hits = ts.str.extractall(_alt_pattern) if _alt_pattern else pd.DataFrame()
+                if len(hits):
+                    grouped_hits = hits[0].groupby(
+                        [hits.index.get_level_values(0), hits[0]]
+                    ).size()
+                    for (row_i, surface), c in grouped_hits.items():
+                        counts[surface][row_i] = int(c)
+                adjusted = {s: pa.array(v, pa.int64()) for s, v in counts.items()}
+            else:
+                raw = {s: pc.count_substring(text, pattern=s) for s in surfaces}
+                adjusted = {}
+                for surface in surfaces:  # surfaces is sorted longest-first
+                    cnt = raw[surface]
+                    for longer, mult in _containers[surface]:
+                        cnt = pc.subtract(cnt, pc.multiply(adjusted[longer], mult))
+                    adjusted[surface] = cnt
             for surface in surfaces:
                 mask = pc.greater(adjusted[surface], 0)
                 m_urls = pc.filter(tbl.column("url"), mask)

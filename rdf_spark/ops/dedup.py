@@ -21,7 +21,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdf_spark.ops.text import fingerprint_col
@@ -79,7 +79,13 @@ def minhash_signatures(
             sigs = []
             for text in pdf[text_col].fillna(""):
                 h = _shingle_hashes(text, shingle_k)
-                # (a*h + b) mod p, min over shingles, per hash function
+                # (a*h + b) "mod p" computed in WRAPPING int64: a*h
+                # overflows before the mod, so this is NOT the textbook
+                # universal family mod the Mersenne prime — it is a
+                # deliberate, deterministic, well-mixed variant (the wrap
+                # is itself a mod-2^64 mix).  Do NOT "fix" the overflow:
+                # signatures are part of the oracle/determinism contract
+                # and must stay bit-identical across versions.
                 vals = (h[None, :] * a[:, None] + b[:, None]) % _MERSENNE
                 sigs.append(vals.min(axis=1).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
@@ -131,14 +137,28 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    grouped = bands.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_set(id_col)).alias("all_ids")
-    ).filter(F.size("all_ids") > 1)
-    capped = grouped.select(
-        "band", "bucket",
-        F.slice("all_ids", 1, max_bucket).alias("ids"),
-        (F.size("all_ids") - F.least(F.size("all_ids"), F.lit(max_bucket))).alias("n_dropped"),
-    )
+    # Pre-cap the AGGREGATION STATE itself, not just the pair expansion:
+    # a row_number window (sort-based, spills to disk) keeps only the
+    # ``max_bucket`` smallest ids per (band, bucket) BEFORE collect_set,
+    # so a degenerate bucket of 10^8 identical signatures never
+    # materializes a 10^8-element array inside one reducer's hash-agg
+    # buffer — the collect_set input is bounded at max_bucket rows.
+    # (band, bucket, id) is unique by construction (explode emits one row
+    # per band per doc), so row_number over ascending ids keeps exactly
+    # the same set as the previous slice(sort_array(collect_set(..)), 1,
+    # max_bucket) — oracle output is bit-identical.
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    ranked = bands.withColumn("rn", F.row_number().over(w))
+    if stats:
+        ranked = ranked.withColumn(
+            "n_total", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
+    kept = ranked.filter(F.col("rn") <= max_bucket)
+    aggs = [F.sort_array(F.collect_set(id_col)).alias("ids")]
+    if stats:
+        aggs.append(F.max("n_total").alias("n_total"))
+    grouped = kept.groupBy("band", "bucket").agg(*aggs)
+    capped = grouped.filter(F.size("ids") > 1)
     # pairs (i<j) within a bucket, deduped across bands
     pairs = capped.select(
         F.explode(
@@ -149,7 +169,9 @@ def lsh_candidates(
         ).alias("p")
     ).select("p.a", "p.b").dropDuplicates(["a", "b"])
     if stats:
-        oversize = capped.filter(F.col("n_dropped") > 0).select("band", "bucket", "n_dropped")
+        oversize = grouped.filter(F.col("n_total") > max_bucket).select(
+            "band", "bucket", (F.col("n_total") - max_bucket).alias("n_dropped")
+        )
         return pairs, oversize
     return pairs
 
@@ -308,8 +330,8 @@ def winnow_fingerprints(
 def winnow_overlap_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, window: int = 4, threshold: float = 0.5,
-    max_df: int = 512,
-) -> DataFrame:
+    max_df: int = 512, stats: bool = False,
+):
     """Containment-style near-dup/plagiarism pairs: docs sharing winnowing
     fingerprints, scored by |common| / min(|a|, |b|) (containment, so a
     paragraph lifted into a larger doc still scores high — jaccard would
@@ -318,11 +340,19 @@ def winnow_overlap_pairs(
     Fingerprints appearing in more than ``max_df`` documents are stopword
     grams (boilerplate shared corpus-wide): they are dropped from BOTH
     the pair generation AND the containment denominator — this bounds
-    every bucket at ``max_df`` (no O(n²) blowup, no silent truncation
-    that would skew scores) and keeps identical documents at containment
-    exactly 1.0 at any corpus scale.  The hot-fingerprint list is tiny by
-    construction, so the filter is a broadcast anti-join.  Explode →
-    fingerprint-keyed shuffle → per-pair aggregation; never all-pairs."""
+    every bucket at ``max_df`` (no O(n²) blowup) while surviving-
+    fingerprint scores stay unskewed.  LIMITATION: a document whose
+    fingerprints are ALL hot (e.g. a duplicate class of more than
+    ``max_df`` byte-identical boilerplate docs) loses every posting and
+    yields zero pairs — identical-doc classes larger than ``max_df``
+    must go through :func:`exact_dedup` first, exactly as
+    :func:`lsh_candidates` advises.  With ``stats=True`` returns
+    ``(pairs, dropped_docs)`` where ``dropped_docs`` lists the ids whose
+    postings were entirely hot-filtered — the "log what was dropped"
+    channel, so the truncation is never silent.  The hot-fingerprint
+    list is tiny by construction, so the filter is a broadcast
+    anti-join.  Explode → fingerprint-keyed shuffle → per-pair
+    aggregation; never all-pairs."""
     fps = winnow_fingerprints(df, text_col, id_col, k, window)
     posts = fps.select(
         F.col(id_col), F.explode("fingerprints").alias("fp")
@@ -330,6 +360,12 @@ def winnow_overlap_pairs(
     hot = posts.groupBy("fp").count().filter(F.col("count") > max_df).select("fp")
     posts = posts.join(F.broadcast(hot), "fp", "left_anti")
     sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    if stats:
+        dropped_docs = (
+            fps.filter(F.size("fingerprints") > 0)
+            .select(id_col)
+            .join(sizes.select(id_col), id_col, "left_anti")
+        )
     buckets = (
         posts.groupBy("fp")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
@@ -345,7 +381,7 @@ def winnow_overlap_pairs(
     ).groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n_common"))
     sa = sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n_fp", "n_a")
     sb = sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n_fp", "n_b")
-    return (
+    scored = (
         pairs.join(sa, "a").join(sb, "b")
         .withColumn(
             "containment",
@@ -354,6 +390,9 @@ def winnow_overlap_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", "n_common", "containment")
     )
+    if stats:
+        return scored, dropped_docs
+    return scored
 
 
 # ---------------------------------------------------------------------------
@@ -430,11 +469,17 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.key")
+    # Same pre-aggregation cap as lsh_candidates: bound the collect_set
+    # INPUT with a spillable row_number window so one degenerate bucket
+    # can't OOM a reducer; (id, simhash) ordering matches the previous
+    # sort_array(collect_set(struct)) slice, so output is unchanged.
+    w = Window.partitionBy("band", "key").orderBy(id_col, "simhash")
     grouped = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set(F.struct(id_col, "simhash"))).alias("all_items"))
-        .filter(F.size("all_items") > 1)
-        .select("band", "key", F.slice("all_items", 1, max_bucket).alias("items"))
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set(F.struct(id_col, "simhash"))).alias("items"))
+        .filter(F.size("items") > 1)
     )
     pairs = grouped.select(
         F.explode(

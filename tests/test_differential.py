@@ -137,11 +137,21 @@ def test_turtle_flat_doc_fast_path_features():
         '<http://s> <http://p> """multi\n<http://x> <http://y> <http://z> .\n""" .',
         "<rel> <http://p> <http://o> .",
         "<http://s> <http://p> [ <http://q> <http://r> ] .",
+        # malformed docs the bare-'a' pattern must NOT fabricate triples
+        # from (round-2 ADVICE): exact tokenizer rejects all of these, so
+        # the fast path must send them to fallback, never claim them flat
+        "<http://s> atrue .",
+        "<http://s> a42 .",
+        "<http://s> a_:b1 .",
+        "_:ba42 .",
+        "_:ba 42 .",
+        # abutting-but-VALID 'a' docs also fall back (sound-not-complete)
+        "<http://s>a<http://T> .",
     ]
     texts = [flat_doc] + non_flat
     urls = [f"d{i}" for i in range(len(texts))]
     tbl, fb = parse_turtle_docs_arrow(pa.array(urls), pa.array(texts))
-    assert list(fb) == [False, True, True, True, True, True]
+    assert list(fb) == [False] + [True] * len(non_flat)
     got = sorted(
         tuple(v for k, v in r.items() if k not in ("url", "err"))
         for r in tbl.to_pylist()

@@ -155,11 +155,34 @@ def test_lsh_degenerate_bucket_capped(spark):
     )
     n_pairs = pairs.count()
     wall = time.time() - t0
-    # 100 capped ids -> at most C(100,2) pairs; far below C(10k,2) ~ 50M
-    assert 0 < n_pairs <= 100 * 99 // 2
+    # identical sigs -> ONE bucket per band holding the same 100 smallest
+    # ids -> exactly C(100,2) deduped pairs; far below C(10k,2) ~ 50M
+    assert n_pairs == 100 * 99 // 2
     drops = oversize.agg(F.sum("n_dropped").alias("d")).collect()[0].d
     assert drops == (n - 100) * 16  # every one of the 16 bands overflowed
     assert wall < 120
+    # the cap must bound the AGGREGATION STATE, not just pair expansion:
+    # a row_number window (spillable sort) below the collect_set keeps the
+    # buffer <= max_bucket even for a 10^8-row degenerate bucket
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan
+    assert plan.index("collect_set") < plan.index("row_number")  # window BELOW agg
+
+
+def test_simhash_degenerate_bucket_capped(spark):
+    """SimHash twin of the LSH degenerate-bucket cap: identical docs give
+    identical simhash -> one bucket per band; the pre-agg row_number cap
+    bounds the collect_set buffer and pair expansion stays C(cap, 2)."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated for every document here").alias("text"),
+    )
+    pairs = dedup.simhash_near_duplicates(df, max_bucket=100)
+    assert pairs.count() == 100 * 99 // 2  # hamming 0, same 100 ids per band
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan
+    assert plan.index("collect_set") < plan.index("row_number")
 
 
 def test_lsh_cap_keeps_planted_pairs(spark, documents):
@@ -378,6 +401,27 @@ def test_winnow_overlap_planted_pairs_at_scale(spark):
     }
     assert set(planted) == {(i, i + 1000000) for i in range(20)}
     assert all(c == 1.0 for c in planted.values())
+
+
+def test_winnow_all_hot_docs_surfaced_not_silent(spark):
+    """A duplicate class larger than max_df loses every posting (all its
+    fingerprints are hot) — documented limitation.  stats=True must
+    surface exactly those doc ids instead of dropping them silently,
+    while unrelated docs still pair normally."""
+    n_boiler = 40  # > max_df below
+    boiler = [(i, "identical boilerplate body repeated everywhere " * 3)
+              for i in range(n_boiler)]
+    distinct = [
+        (100, "a genuinely unique document body alpha beta gamma delta"),
+        (101, "a genuinely unique document body alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    pairs, dropped = dedup.winnow_overlap_pairs(
+        df, threshold=0.5, max_df=16, stats=True
+    )
+    assert {r.doc_id for r in dropped.collect()} == set(range(n_boiler))
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert got == {(100, 101)}  # survivors still pair at containment 1.0
 
 
 def test_salted_join_rejects_unexpressible_how(spark):

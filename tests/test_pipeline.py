@@ -136,6 +136,97 @@ def test_fused_overlapping_surfaces_longest_first(spark):
     assert unfused == got
 
 
+def test_fused_nonnested_overlap_falls_back_to_exact(spark):
+    """Gazetteer surfaces that overlap WITHOUT containment ('ab'/'bc'
+    across 'abc') break the count-and-subtract scheme; the fused stage
+    must detect them and route through the exact alternation, matching
+    detect_mentions bit-for-bit."""
+    from rdf_spark.extraction import _nonnested_overlaps
+
+    assert _nonnested_overlaps(["ab", "bc"])
+    assert not _nonnested_overlaps(["window", "window manager"])
+    assert not _nonnested_overlaps(["a", "ab", "abc"])
+
+    aliases = [("ab", "urn:e:ab", 0.9), ("bc", "urn:e:bc", 0.8)]
+    rows = [
+        # 'abc': alternation takes 'ab' at pos 0 (leftmost), 'bc' overlaps
+        # inside it and must NOT link — naive counting would emit both
+        ("u:1", b"<p>abc</p>", "abc"),
+        ("u:2", b"<p>ab and bc apart</p>", "ab and bc apart"),
+        ("u:3", b"<p>nothing</p>", "nothing"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    got = {
+        (r.s, r.o)
+        for r in extraction.fused_extract_parse_link(pages, aliases)
+        .filter(F.col("err").isNull())
+        .collect()
+    }
+    assert got == {
+        ("u:1", "urn:e:ab"),
+        ("u:2", "urn:e:ab"),
+        ("u:2", "urn:e:bc"),
+    }
+    # parity with the unfused path
+    docs = pages.select("url", F.col("text").alias("extracted_text"))
+    adf = spark.createDataFrame(aliases, "surface string, entity_iri string, prior double")
+    links = extraction.link_entities(extraction.detect_mentions(docs, adf), adf)
+    assert {(r.url, r.entity_iri) for r in links.collect()} == got
+
+
+def test_detect_mentions_engines_equivalent(spark):
+    """The regex alternation and the Aho-Corasick automaton must produce
+    identical (url, surface, n_hits) on overlapping, nested, repeated and
+    unicode surfaces."""
+    aliases = [
+        ("window", "urn:e:w", 0.9),
+        ("window manager", "urn:e:wm", 0.8),
+        ("ab", "urn:e:ab", 0.5),
+        ("bc", "urn:e:bc", 0.5),
+        ("abc", "urn:e:abc", 0.5),
+        ("élan", "urn:e:el", 0.5),
+    ]
+    adf = spark.createDataFrame(aliases, "surface string, entity_iri string, prior double")
+    docs = spark.createDataFrame(
+        [
+            ("u:1", "the window manager opened a window and a window"),
+            ("u:2", "abcabc ab bc abc xbcx"),
+            ("u:3", "élan élan vital"),
+            ("u:4", "no matches whatsoever"),
+            ("u:5", None),
+        ],
+        "url string, extracted_text string",
+    )
+    rx = {(r.url, r.surface, r.n_hits)
+          for r in extraction.detect_mentions(docs, adf, engine="regex").collect()}
+    ac = {(r.url, r.surface, r.n_hits)
+          for r in extraction.detect_mentions(docs, adf, engine="aho").collect()}
+    assert rx == ac
+    assert ("u:2", "abc", 3) in ac  # abcabc + standalone abc (longest-first)
+    assert ("u:1", "window", 2) in ac
+    assert ("u:1", "window manager", 1) in ac
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="engine"):
+        extraction.detect_mentions(docs, adf, engine="bogus")
+
+
+def test_aho_corasick_unit():
+    from rdf_spark.automaton import AhoCorasick
+
+    ac = AhoCorasick(["he", "she", "his", "hers"])
+    assert sorted(ac.iter_matches("ushers")) == [
+        (1, "she"), (2, "he"), (2, "hers")
+    ]
+    # longest-first non-overlap: 'she' wins at pos 1, 'hers' overlaps it
+    assert ac.count_nonoverlapping("ushers") == {"she": 1}
+    assert ac.count_nonoverlapping("his hers he") == {"his": 1, "hers": 1, "he": 1}
+    assert AhoCorasick(["ab", "abc"]).count_nonoverlapping("abcab") == {
+        "abc": 1, "ab": 1
+    }
+    assert AhoCorasick([]).count_nonoverlapping("anything") == {}
+    assert AhoCorasick(["x"]).count_nonoverlapping("") == {}
+
+
 def test_merge_new_triples_incremental(spark, tmp_path):
     """Incremental upsert: only absent triples append, and the dedup
     anti-join prunes to the affected bucket partitions."""

@@ -90,6 +90,22 @@ def test_trig_encode_roundtrip():
     assert sorted(parse_trig(text2)) == sorted(tuple(q) for q in quads)
 
 
+def test_trig_encode_same_lexical_iri_and_blank_graph():
+    """A lexical appearing as BOTH an IRI graph and a blank graph must not
+    get its quads emitted twice (block selection filters graph AND kind)."""
+    quads = [
+        ("http://s1", 1, EX + "p", "http://o1", 1, None, None, "_:g", 1),
+        ("http://s2", 1, EX + "p", "http://o2", 1, None, None, "_:g", 0),
+    ]
+    pdf = pd.DataFrame(quads, columns=terms.QUAD_COLS)
+    text = encoders.encode_trig_pdf(pdf)
+    assert text.count("http://s1") == 1
+    assert text.count("http://s2") == 1
+    # one block per (lexical, kind): '<_:g> {' for the IRI, '_:g {' blank
+    assert text.count("<_:g> {") == 1
+    assert text.count("\n_:g {") == 1
+
+
 def test_trig_documents_spark(spark, tmp_path):
     docs = spark.createDataFrame(
         [
