@@ -16,8 +16,48 @@ Scope (JSON-LD 1.0 core, local documents only):
 * ``@graph``: top-level default graph array, and named graphs via node
   objects carrying both ``@id`` and ``@graph``.
 
-Out of scope (rejected or ignored, see code): ``@reverse``, ``@index``,
-``@container`` maps, ``@nest``, keyword aliasing, JSON literals.
+Keyword matrix — the full JSON-LD 1.0/1.1 keyword inventory vs this
+core subset (every row is covered by tests/test_jsonld.py):
+
+==============  ===========  ==================================================
+keyword         status       behavior
+==============  ===========  ==================================================
+``@context``    supported    inline objects/arrays only; a remote URL
+                             context string raises ParseError (no per-doc
+                             network I/O); ``null`` term defs remove terms
+``@id``         supported    IRI / ``_:label`` / relative (resolved against
+                             ``@base``); ``"@type": "@id"`` coercion
+``@type``       supported    node types → rdf:type; datatype in term defs
+                             and ``@value`` objects
+``@value``      supported    with ``@language`` xor ``@type``
+``@language``   supported    context default + ``@value`` objects + term defs
+``@list``       supported    value objects and ``"@container": "@list"``
+``@graph``      supported    top-level default-graph array; named graphs via
+                             nodes carrying both ``@id`` and ``@graph``
+``@vocab``      supported    string IRI
+``@base``       supported    string IRI; naive-concat resolution (C3 parity)
+``@container``  partial      only ``"@list"``; ``@set``/``@index``/
+                             ``@language``/``@id``/``@type`` maps raise
+``@index``      rejected*    ParseError in node objects / term defs;
+                             *ignored* inside ``@value`` objects (spec:
+                             pure metadata there)
+``@reverse``    rejected     ParseError (node objects and term defs)
+``@nest``       rejected     ParseError
+``@included``   rejected     ParseError
+``@json``       rejected     ParseError (no JSON literals) — as a ``@value``
+                             datatype, a term-def coercion, or a node key
+``@direction``  rejected     ParseError
+``@version``,   rejected     ParseError via the ``@context`` keyword guard
+``@prefix``,
+``@propagate``,
+``@protected``,
+``@import``
+aliasing        rejected     a term expanding to a keyword (e.g.
+                             ``{"id": "@id"}`` used as a node key) raises
+                             instead of emitting a junk ``@id`` predicate
+``@none``       rejected     only meaningful inside container maps, which
+                             are themselves rejected
+==============  ===========  ==================================================
 
 Scalar → literal mapping follows NewLiteral's spirit (rdf.go:342-359):
 bool → xsd:boolean ("true"/"false"), int → xsd:integer, float →
@@ -222,7 +262,7 @@ class JsonLdParser:
             if not isinstance(t, str):
                 raise _err("@type entries must be strings")
             iri = ctx.expand_iri(t, vocab=True)
-            if iri is None:
+            if iri is None or iri.startswith("@"):
                 raise _err("cannot expand @type: %r" % t)
             self._emit(subj, RDF_TYPE, (iri, KIND_IRI, None, None), graph)
 
@@ -234,6 +274,9 @@ class JsonLdParser:
             pred = ctx.expand_iri(key, vocab=True)
             if pred is None:
                 continue  # term not defined and no @vocab: dropped (spec)
+            if pred.startswith("@"):
+                raise _err("keyword aliasing is unsupported (term %r → %s)"
+                           % (key, pred))
             tdef = ctx.terms.get(key, {})
             for obj in self._values(value, ctx, graph, tdef):
                 self._emit(subj, pred, obj, graph)
@@ -308,7 +351,8 @@ class JsonLdParser:
             raise _err("@language and @type are mutually exclusive")
         if dt is not None:
             iri = ctx.expand_iri(dt, vocab=True)
-            if iri is None:
+            if iri is None or iri.startswith("@"):
+                # "@json" lands here: no JSON literals in the core subset
                 raise _err("cannot expand datatype: %r" % dt)
             return (self._lex(v), KIND_LITERAL, iri, None)
         if lang is not None:
@@ -328,7 +372,7 @@ class JsonLdParser:
                 return (iri, kind, None, None)
             if coerce is not None:
                 iri = ctx.expand_iri(coerce, vocab=True)
-                if iri is None:
+                if iri is None or iri.startswith("@"):
                     raise _err("cannot expand coercion datatype: %r" % coerce)
                 return (v, KIND_LITERAL, iri, None)
             lang = tdef.get("@language", ctx.language)

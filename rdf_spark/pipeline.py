@@ -96,8 +96,21 @@ def run_pipeline(
     n_shards: int = 4,
     n_buckets: int = 16,
     resume: bool = True,
+    store=None,
 ) -> list[ShardResult]:
-    """Run the full pipeline shard-by-shard with manifest-based resume."""
+    """Run the full pipeline shard-by-shard with manifest-based resume.
+
+    All physical writes/reads go through the ``store`` seam
+    (rdf_spark.store): the default is a :class:`ParquetBucketStore`
+    rooted at ``out_dir``; pass an :class:`IcebergTripleStore` to
+    materialize into a catalog table instead (requires iceberg jars +
+    catalog config).  Manifests stay filesystem JSON either way — they
+    are pipeline resume bookkeeping, not store data.
+    """
+    if store is None:
+        from rdf_spark.store import ParquetBucketStore
+
+        store = ParquetBucketStore(out_dir, n_buckets)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     results = []
     pages = pages.withColumn("_shard", _shard_col(n_shards))
@@ -129,18 +142,15 @@ def run_pipeline(
         quarantine = quarantine.unionByName(invalid)
         final = canonical.dedup_triples(canonical.skolemize(good), keep_lineage=True)
 
-        # materialize: subject hash-bucket partitioning → partition pruning
-        # for point lookups and co-located downstream merges
-        materialize_triples(
-            final, os.path.join(out_dir, TRIPLE_STORE_DIR, f"shard={k}"), n_buckets
-        )
-        quarantine.write.mode("overwrite").parquet(
-            os.path.join(out_dir, QUARANTINE_DIR, f"shard={k}")
-        )
+        # materialize through the store seam: subject hash-bucket
+        # partitioning → partition pruning for point lookups and
+        # co-located downstream merges
+        store.write_shard(final, k)
+        store.write_quarantine(quarantine, k)
 
         # counters (single pass each over small aggregates)
         n_pages = shard_pages.count()
-        qdf = spark.read.parquet(os.path.join(out_dir, QUARANTINE_DIR, f"shard={k}"))
+        qdf = store.read_quarantine(spark, k)
         qcounts = {
             r.kind: r.n
             for r in qdf.groupBy(
@@ -149,18 +159,12 @@ def run_pipeline(
                 .alias("kind")
             ).agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        written = spark.read.parquet(os.path.join(out_dir, TRIPLE_STORE_DIR, f"shard={k}"))
         # per-PARTITION lineage counters (north rule): triple count per
         # store bucket in one pass with the totals — resumable audits can
         # localize loss/skew to a single bucket partition without a rescan
         per_bucket = {
             int(r.bucket): (r.n, r.links or 0)
-            for r in written.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    (F.col("p") == "http://kg.example/vocab#mentions").cast("long")
-                ).alias("links"),
-            ).collect()
+            for r in store.bucket_counts(spark, k).collect()
         }
         n_final = sum(n for n, _ in per_bucket.values())
         n_link = sum(l for _, l in per_bucket.values())

@@ -114,6 +114,74 @@ def test_errors():
             parse_jsonld(bad)
 
 
+def test_keyword_matrix_rejections():
+    """Every 'rejected' row of the module-docstring keyword matrix: the
+    parser must raise ParseError, never emit junk terms."""
+    for bad in [
+        '{"@id": "http://s", "@reverse": {"http://p": {"@id": "http://o"}}}',
+        '{"@id": "http://s", "@index": "k"}',
+        '{"@id": "http://s", "@nest": {}}',
+        '{"@id": "http://s", "@included": []}',
+        '{"@id": "http://s", "@direction": "ltr"}',
+        '{"@id": "http://s", "@json": {}}',
+        # @context-level keywords outside the supported trio
+        '{"@context": {"@version": 1.1}, "@id": "http://s"}',
+        '{"@context": {"@propagate": true}, "@id": "http://s"}',
+        '{"@context": {"@import": "http://x/ctx"}, "@id": "http://s"}',
+        # unsupported term-definition keywords
+        '{"@context": {"p": {"@id": "http://p", "@reverse": true}}, "@id": "http://s"}',
+        '{"@context": {"p": {"@id": "http://p", "@index": "k"}}, "@id": "http://s"}',
+        # container maps other than @list
+        '{"@context": {"p": {"@id": "http://p", "@container": "@set"}}, "@id": "http://s"}',
+        '{"@context": {"p": {"@id": "http://p", "@container": "@index"}}, "@id": "http://s"}',
+        # keyword aliasing must raise, not emit an '@id' predicate
+        '{"@context": {"id": "@id"}, "@id": "http://s", "id": "http://o"}',
+        # JSON literals: @json as @value datatype and as term-def coercion
+        '{"@id": "http://s", "http://p": {"@value": {"a": 1}, "@type": "@json"}}',
+        '{"@context": {"p": {"@id": "http://p", "@type": "@json"}}, '
+        '"@id": "http://s", "p": "x"}',
+        # @type entries that expand to keywords
+        '{"@context": {"T": "@json"}, "@id": "http://s", "@type": "T"}',
+        # @none as a node key
+        '{"@id": "http://s", "@none": "x"}',
+    ]:
+        with pytest.raises(ParseError):
+            parse_jsonld(bad)
+
+
+def test_keyword_matrix_supported():
+    """Matrix rows not covered by the feature tests above: @index tolerated
+    inside @value objects (pure metadata), null term-definition removal,
+    term-def @language, @container @list."""
+    # @index inside a @value object is ignored (spec: metadata only)
+    got = parse_jsonld(
+        '{"@id": "http://s", "http://p": '
+        '{"@value": "v", "@index": "meta"}}'
+    )
+    assert got == [("http://s", 1, "http://p", "v", 2, XSD + "string", None,
+                    terms.DEFAULT_GRAPH, 0)]
+    # null term definition removes an inherited term: the property is then
+    # undefined (no @vocab) and dropped per spec
+    got = parse_jsonld(
+        '{"@context": {"p": "http://p/"}, "@id": "http://s", '
+        '"@graph": [{"@context": {"p": null}, "@id": "http://s2", "p": "v"}]}'
+    )
+    assert got == []  # no triples: dropped property, nothing else emitted
+    # term-definition @language
+    got = parse_jsonld(
+        '{"@context": {"p": {"@id": "http://p", "@language": "fr"}}, '
+        '"@id": "http://s", "p": "v"}'
+    )
+    assert got[0][3:7] == ("v", 2, terms.RDF_LANG_STRING, "fr")
+    # @container @list builds an rdf list
+    got = parse_jsonld(
+        '{"@context": {"p": {"@id": "http://p", "@container": "@list"}}, '
+        '"@id": "http://s", "p": [1, 2]}'
+    )
+    preds = {r[2] for r in got}
+    assert terms.RDF_FIRST in preds and terms.RDF_REST in preds
+
+
 def test_encode_roundtrip():
     quads = [
         ("http://s", 1, "http://p/a", "v", 2, XSD + "string", None,
