@@ -708,6 +708,83 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (ops.text
+    .repetition_features): duplicate-line/paragraph/token fractions +
+    mean word length + keep flag — pure JVM array expressions, zero
+    shuffle, zero Python."""
+    from rdf_spark.ops.text import repetition_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = repetition_features(d)
+    return out.select(
+        "doc_id",
+        F.col("rep_lines").cast("long").alias("rep_lines"),
+        "rep_dup_line_frac", "rep_dup_para_frac", "rep_dup_token_frac",
+        "rep_mean_word_len", "rep_keep",
+    )
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible training-mix sampling (ops.sample): keep a row iff
+    md5(key) < per-stratum hex threshold — a row-local scan-stage
+    predicate selecting the SAME rows at any parallelism/partitioning
+    (unlike df.sample, whose output changes with the split layout)."""
+    from rdf_spark.ops.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, {"en": 1.0, "de": 0.5, "fr": 0.25}, strata_col="lang",
+        key_col="doc_id", default_rate=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_corpus_curate(spark, sf_dir):
+    """End-to-end corpus curation audit (rdf_spark.curate): lang allow-list
+    → quality floor → repetition filter → exact dedup (among survivors,
+    keep-smallest-id) → deterministic sample; returns every doc with its
+    drop_reason (null = kept).  Exact duplicates are planted (doc_id +
+    1000000 copies of the first 20 docs) since the synthetic corpus has
+    none organically — the planted copy must be dropped as 'duplicate'
+    whenever its original survives the content stages."""
+    from rdf_spark import curate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    rep = curate.curate_report(
+        d.unionByName(planted), langs=("en", "de"), min_quality=0.7,
+        sample_rate=0.8,
+    )
+    return rep.select("doc_id", "drop_reason")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus analytics (north rule: domain-skewed web data):
+    doc counts, token mass, mean quality per source domain — one
+    map-side-combined aggregation over scan-stage JVM features."""
+    from rdf_spark.ops.text import quality_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    f = quality_features(d)
+    # mean quality via an EXACT decimal sum (q_score is 6-dp already):
+    # double summation is order-dependent across partitionings/engines,
+    # decimal summation is not — the final division is one deterministic
+    # IEEE op on identical inputs, so the oracle matches bit-for-bit.
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q_tokens").cast("long")).alias("total_tokens"),
+        F.round(
+            F.sum(F.col("q_score").cast("decimal(12,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -770,6 +847,10 @@ _QUERIES = {
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
+        "repetition_filter": q_repetition_filter,
+        "deterministic_sample": q_deterministic_sample,
+        "corpus_curate": q_corpus_curate,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -779,6 +860,53 @@ _DE_STOP_SQL = "|".join(textops.DE_STOPWORDS)
 _ALIAS_VALUES = ", ".join(f"('{s}', '{e}', {p})" for s, e, p in ALIASES)
 _SURFACE_VALUES = ", ".join(f"('{s}')" for s in MENTION_SURFACES)
 _NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# deterministic-sample thresholds shared verbatim with ops.sample
+from rdf_spark.ops.sample import md5_threshold as _md5_thr  # noqa: E402
+
+# repetition signals over a `docs(doc_id, text, ...)` relation — the SQL
+# mirror of ops.text.repetition_features' JVM expressions.  Guards follow
+# token_count_col (trimmed-empty text → 0 tokens).
+_REP_RAW = r"""
+    SELECT *,
+           list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS _lines,
+           list_filter(string_split(text, chr(10) || chr(10)),
+                       x -> trim(x) <> '') AS _paras,
+           regexp_split_to_array(trim(text), '\s+') AS _toks,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS _ntok
+"""
+_REP_SIGNALS = """
+    SELECT *,
+           length(_lines) AS n_lines,
+           CASE WHEN length(_lines) > 0
+                THEN (length(_lines) - length(list_distinct(_lines))) / length(_lines)
+                ELSE 0 END AS dl,
+           CASE WHEN length(_paras) > 0
+                THEN (length(_paras) - length(list_distinct(_paras))) / length(_paras)
+                ELSE 0 END AS dp,
+           CASE WHEN _ntok > 0
+                THEN (_ntok - length(list_distinct(_toks))) / _ntok
+                ELSE 0 END AS dt,
+           CASE WHEN _ntok > 0
+                THEN list_sum(list_transform(_toks, x -> length(x))) / _ntok
+                ELSE 0 END AS mwl
+"""
+_REP_KEEP = "(dl <= 0.3 AND dp <= 0.3 AND dt <= 0.6 AND mwl >= 2.0 AND mwl <= 12.0)"
+
+# quality-score expression pieces (same formula as the quality_score oracle)
+_Q_FEATURES = rf"""
+    SELECT *,
+           length(text) AS _nch,
+           length(regexp_extract_all(text, '[^\w\s]')) AS _npu,
+           length(regexp_extract_all(lower(text), '\b({_EN_STOP_SQL})\b')) AS _nst
+"""
+_Q_SCORE = """
+    round(0.4 * least(_ntok / 64.0, 1.0)
+        + 0.3 * (1.0 - CASE WHEN _nch > 0 THEN _npu / _nch ELSE 0 END)
+        + 0.3 * least(CASE WHEN _ntok > 0 THEN _nst / _ntok ELSE 0 END * 8.0,
+                      1.0), 6)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1182,5 +1310,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    round(SUM(value), 4) AS sum_value
             FROM s GROUP BY user_id, session_id
+        """,
+        "repetition_filter": f"""
+            WITH raw AS ({_REP_RAW} FROM documents),
+            sig AS ({_REP_SIGNALS} FROM raw)
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS rep_lines,
+                   round(dl, 6) AS rep_dup_line_frac,
+                   round(dp, 6) AS rep_dup_para_frac,
+                   round(dt, 6) AS rep_dup_token_frac,
+                   round(mwl, 6) AS rep_mean_word_len,
+                   {_REP_KEEP} AS rep_keep
+            FROM sig
+        """,
+        "deterministic_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) <
+                  CASE lang WHEN 'en' THEN '{_md5_thr(1.0)}'
+                            WHEN 'de' THEN '{_md5_thr(0.5)}'
+                            WHEN 'fr' THEN '{_md5_thr(0.25)}'
+                            ELSE '{_md5_thr(0.1)}' END
+        """,
+        "corpus_curate": f"""
+            WITH docs AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang FROM documents
+                WHERE doc_id < 20
+            ),
+            raw AS ({_REP_RAW} FROM docs),
+            qf AS ({_Q_FEATURES} FROM raw),
+            sig AS ({_REP_SIGNALS} FROM qf),
+            flags AS (
+                SELECT doc_id, lang,
+                       md5({_NORM_TEXT}) AS fp,
+                       (lang IN ('en', 'de')) AS lang_ok,
+                       ({_Q_SCORE} >= 0.7) AS qual_ok,
+                       {_REP_KEEP} AS rep_ok
+                FROM sig
+            ),
+            reps AS (
+                SELECT fp, MIN(doc_id) AS rep_id FROM flags
+                WHERE lang_ok AND qual_ok AND rep_ok GROUP BY fp
+            )
+            SELECT f.doc_id,
+                   CASE WHEN NOT f.lang_ok THEN 'lang'
+                        WHEN NOT f.qual_ok THEN 'quality'
+                        WHEN NOT f.rep_ok THEN 'repetition'
+                        WHEN f.doc_id <> r.rep_id THEN 'duplicate'
+                        WHEN md5(CAST(f.doc_id AS VARCHAR)) >= '{_md5_thr(0.8)}'
+                             THEN 'sampled_out'
+                        ELSE NULL END AS drop_reason
+            FROM flags f LEFT JOIN reps r ON f.fp = r.fp
+        """,
+        "domain_stats": f"""
+            WITH raw AS ({_REP_RAW} FROM documents),
+            qf AS ({_Q_FEATURES} FROM raw),
+            perdoc AS (
+                SELECT source, lang, _ntok, {_Q_SCORE} AS q FROM qf
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(_ntok) AS BIGINT) AS total_tokens,
+                   round(CAST(SUM(CAST(q AS DECIMAL(12,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_quality,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM perdoc GROUP BY source
         """,
     }

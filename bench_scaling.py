@@ -32,7 +32,9 @@ from rdf_spark import datagen, pipeline, sources
 def force(df):
     df.write.format("noop").mode("overwrite").save()
 
-def best_of(fn, n=3):
+def best_of(fn, n=5):
+    # n=5: kg wall times have ~40% spread run-to-run even on an otherwise
+    # quiet box (JIT/GC state); min-of-5 converges where min-of-3 doesn't.
     walls = []
     for _ in range(n):
         t0 = time.time(); fn(); walls.append(time.time() - t0)

@@ -1,0 +1,72 @@
+"""Deterministic sampling for reproducible training-data mixes (graft
+addition — no reference analogue; the reference stops at parsing,
+rdf.go:14-22, while a 100 TB corpus pipeline must also SELECT data).
+
+Why not ``df.sample()``: Spark's sampler is seeded per-partition, so the
+selected set changes whenever partitioning, file order, or cluster size
+changes — useless for resumable pipelines and for auditing exactly which
+documents entered a training mix.  Hash-threshold sampling is a pure
+row-local predicate: the same row is selected on ANY cluster, at ANY
+parallelism, in ANY run — and the filter is a JVM expression pushed into
+the scan stage (no shuffle, no Python, no state).
+
+The rule: keep a row iff ``md5(key) < hex_threshold(rate)``.  md5 of the
+stringified key is uniform over [0, 16^32); comparing the lowercase hex
+digest against a fixed-point hex threshold selects an expected ``rate``
+fraction.  Lexicographic comparison of equal-length lowercase hex strings
+is numeric comparison, and every SQL engine produces the identical md5
+hex digest — so a DuckDB oracle mirrors the predicate verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex digits of precision for the threshold (12 nibbles = 48 bits —
+#: rate granularity ~3.6e-15, plenty for any real mix weight)
+_NIBBLES = 12
+
+
+def md5_threshold(rate: float) -> str:
+    """32-char lowercase hex threshold selecting an expected `rate` slice.
+
+    ``rate=1.0`` returns 'g…' ( > every hex digest, keeps all rows);
+    ``rate=0.0`` returns '0…' (keeps none).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sample rate must be in [0,1], got {rate}")
+    scaled = int(round(rate * 16**_NIBBLES))
+    if scaled >= 16**_NIBBLES:
+        return "g" * 32  # 'g' > 'f': sorts after every md5 digest
+    return format(scaled, f"0{_NIBBLES}x") + "0" * (32 - _NIBBLES)
+
+
+def sample_predicate(key: Column, rate: float) -> Column:
+    """Row-local deterministic keep/drop predicate (JVM, scan-pushable)."""
+    return F.md5(key.cast("string")) < F.lit(md5_threshold(rate))
+
+
+def deterministic_sample(df: DataFrame, rate: float, key_col: str = "doc_id") -> DataFrame:
+    """Uniform deterministic sample: same rows on any cluster/partitioning."""
+    return df.filter(sample_predicate(F.col(key_col), rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic rates — the training-mix operator
+    ("keep 100% of en, 30% of de, drop the rest" style recipes).
+
+    One CASE expression picks the stratum's threshold; the md5 is computed
+    once.  Still a row-local scan-stage filter: no shuffle, no Python.
+    """
+    digest = F.md5(F.col(key_col).cast("string"))
+    thr: Column = F.lit(md5_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(md5_threshold(rate))).otherwise(thr)
+    return df.filter(digest < thr)

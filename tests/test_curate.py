@@ -1,0 +1,186 @@
+"""Corpus-curation operators: repetition signals, deterministic sampling,
+and the composed curate pipeline (lang → quality → repetition → dedup →
+sample with an auditable drop_reason per document)."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rdf_spark import curate
+from rdf_spark.ops import sample as smp
+from rdf_spark.ops import text as textops
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# repetition features
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_features_handcrafted(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 lines, one duplicate; 2 paragraphs, distinct
+            (1, "spam line\nreal text\nspam line\nmore text\n\nsecond para"),
+            # heavy token repetition
+            (2, "buy buy buy buy buy now"),
+            # clean doc
+            (3, "a perfectly ordinary sentence with varied words"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in textops.repetition_features(df).collect()}
+    r1 = out[1]
+    assert r1.rep_lines == 5  # blank line between paras filtered out
+    assert r1.rep_dup_line_frac == pytest.approx(1 / 5, abs=1e-6)
+    assert r1.rep_dup_para_frac == 0.0
+    r2 = out[2]
+    assert r2.rep_dup_token_frac == pytest.approx(4 / 6, abs=1e-6)
+    assert not r2.rep_keep  # 0.667 > 0.6 threshold
+    r3 = out[3]
+    assert r3.rep_dup_token_frac == 0.0
+    assert r3.rep_keep
+    for empty_id in (4, 5):
+        r = out[empty_id]
+        assert r.rep_lines == 0
+        assert r.rep_dup_line_frac == 0.0
+        assert r.rep_mean_word_len == 0.0
+        assert not r.rep_keep  # mean word len 0 < lo bound
+
+
+def test_repetition_paragraph_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "same para\n\nsame para\n\nother para")], "doc_id int, text string"
+    )
+    r = textops.repetition_features(df).collect()[0]
+    assert r.rep_dup_para_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert not r.rep_keep  # 0.333 > 0.3
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_md5_threshold_edges():
+    assert smp.md5_threshold(0.0) == "0" * 32
+    assert smp.md5_threshold(1.0) == "g" * 32
+    with pytest.raises(ValueError):
+        smp.md5_threshold(1.5)
+
+
+def test_deterministic_sample_invariant_to_partitioning(spark, documents):
+    a = sorted(
+        r.doc_id for r in smp.deterministic_sample(documents, 0.4).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in smp.deterministic_sample(documents.repartition(13), 0.4)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and 0 < len(a) < documents.count()
+
+
+def test_deterministic_sample_nested_and_rate(spark, documents):
+    n = documents.count()
+    k20 = smp.deterministic_sample(documents, 0.2).count()
+    k60 = smp.deterministic_sample(documents, 0.6).count()
+    # monotone nesting: the 20% slice is a subset of the 60% slice
+    s20 = {r.doc_id for r in smp.deterministic_sample(documents, 0.2).collect()}
+    s60 = {r.doc_id for r in smp.deterministic_sample(documents, 0.6).collect()}
+    assert s20 <= s60
+    assert k20 < k60 < n
+    assert abs(k60 / n - 0.6) < 0.25  # expected-rate ballpark at small n
+
+
+def test_stratified_matches_per_stratum_uniform(spark, documents):
+    rates = {"en": 0.8, "de": 0.3}
+    strat = smp.stratified_sample(documents, rates, default_rate=0.0)
+    got = sorted(r.doc_id for r in strat.select("doc_id").collect())
+    want = []
+    for lang, rate in rates.items():
+        sub = documents.filter(F.col("lang") == lang)
+        want += [r.doc_id for r in smp.deterministic_sample(sub, rate).collect()]
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# composed curation
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    good = "the cat and the dog were friends in the park for a while"
+    return spark.createDataFrame(
+        [
+            (1, good, "en"),                       # kept
+            (2, good + " extra tail words here", "zh"),  # lang
+            (3, ";;;; !!!! ???? ::::", "en"),       # quality (symbol soup)
+            # passes the quality floor (stopword-rich, 15 tokens) but
+            # trips the dup-token filter: 12/15 = 0.8 > 0.6
+            (4, "the cat and the cat and the cat and the cat and the cat and", "en"),
+            (5, good, "en"),                        # duplicate of 1
+            (6, good, "zh"),                        # lang (dup text but lang drops first)
+        ],
+        "doc_id int, text string, lang string",
+    )
+
+
+def test_curate_report_reasons(spark):
+    rep = curate.curate_report(
+        _corpus(spark), langs=("en",), min_quality=0.5, sample_rate=1.0
+    )
+    got = {r.doc_id: r.drop_reason for r in rep.collect()}
+    assert got == {
+        1: None,
+        2: "lang",
+        3: "quality",
+        4: "repetition",
+        5: "duplicate",
+        6: "lang",
+    }
+
+
+def test_curate_dropped_doc_never_shadows(spark):
+    # the duplicate-class representative is chosen among SURVIVORS: a
+    # same-text doc dropped for lang must not shadow the eligible copy
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog were friends in the park", "zh"),
+         (2, "the cat and the dog were friends in the park", "en")],
+        "doc_id int, text string, lang string",
+    )
+    rep = curate.curate_report(df, langs=("en",), min_quality=0.0, sample_rate=1.0)
+    got = {r.doc_id: r.drop_reason for r in rep.collect()}
+    assert got == {1: "lang", 2: None}
+
+
+def test_curate_stats_partition(spark):
+    stats = {
+        r.stage: r.n_docs
+        for r in curate.curate_stats(
+            _corpus(spark), langs=("en",), min_quality=0.5, sample_rate=1.0
+        ).collect()
+    }
+    assert sum(stats.values()) == 6
+    assert stats["kept"] == 1 and stats["lang"] == 2
+
+
+def test_curate_corpus_matches_report(spark, documents):
+    d = documents.select("doc_id", "text", "lang")
+    kept = curate.curate_corpus(d, langs=("en", "de"), min_quality=0.6, sample_rate=0.5)
+    rep = curate.curate_report(d, langs=("en", "de"), min_quality=0.6, sample_rate=0.5)
+    assert kept.count() == rep.filter(F.col("drop_reason").isNull()).count()
+    # every surviving fingerprint is unique
+    fps = kept.select(textops.fingerprint_col(F.col("text")).alias("fp"))
+    assert fps.count() == fps.distinct().count()
