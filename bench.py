@@ -62,6 +62,8 @@ def main() -> int:
         "tpch_q1",
         "top_customers",
         "events_sessionize",
+        "corpus_curate",
+        "deterministic_sample",
     ]
 
     timings: dict[str, float] = {}

@@ -1,13 +1,22 @@
 """Scaling-efficiency evidence (BASELINE.md): the same job at two
 parallelism levels (sandbox proxy for N vs 4N executors).
 
-Runs the two headline jobs — vectorized N-Triples parse (~4.8M lines) and
-the fused KG pipeline (60k pages) — in a fresh subprocess per level so
+Runs the two headline jobs — vectorized N-Triples parse (~24M lines) and
+the fused KG pipeline (240k pages) — in fresh subprocesses per level so
 each gets its own JVM with master=local[N] and shuffle partitions scaled
-with cores.  Prints one JSON line and rewrites the scaling section of
-BASELINE.md.
+with cores.
 
-    eff = (throughput@4N / throughput@N) / 4
+Interference robustness: this box has periodic background activity (the
+round driver probes every ~15 min) that contaminated single-shot
+measurements both ways (a slow N level fakes GOOD efficiency, a slow 4N
+level fakes BAD).  So instead of one run per level, the collector does
+``SPARK_GRAFT_SCALE_ROUNDS`` (default 3) interleaved rounds — waiting
+for /proc/loadavg to go quiet before each worker — and estimates each
+level's capability as the MIN wall across all reps of all rounds (the
+least-interfered observation).  All raw walls are persisted in
+BENCH_SCALING.json so the estimate is auditable.
+
+    eff = (throughput@4N / throughput@N) / 4, throughputs from min walls
 """
 
 from __future__ import annotations
@@ -17,11 +26,12 @@ import os
 import re
 import subprocess
 import sys
+import time
 
 WORKER = r"""
 import json, sys, time
 cores = int(sys.argv[1])
-sf_dir = sys.argv[2]
+reps = int(sys.argv[2])
 from rdf_spark.session import get_spark
 from pyspark.sql import functions as F
 spark = get_spark("scaling", master=f"local[{cores}]", shuffle_partitions=cores * 2)
@@ -32,13 +42,11 @@ from rdf_spark import datagen, pipeline, sources
 def force(df):
     df.write.format("noop").mode("overwrite").save()
 
-def best_of(fn, n=5):
-    # n=5: kg wall times have ~40% spread run-to-run even on an otherwise
-    # quiet box (JIT/GC state); min-of-5 converges where min-of-3 doesn't.
-    walls = []
+def walls_of(fn, n):
+    force_walls = []
     for _ in range(n):
-        t0 = time.time(); fn(); walls.append(time.time() - t0)
-    return min(walls)
+        t0 = time.time(); fn(); force_walls.append(round(time.time() - t0, 3))
+    return force_walls
 
 # NT parse: fully parallel generated input (no scan/shuffle in the plan),
 # sized so compute dominates fixed stage costs at 32 cores.
@@ -49,46 +57,99 @@ lines = spark.range(N_LINES, numPartitions=cores * 2).select(
              F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .')).alias("value"))
 parsed = sources.parse_lines_df(lines, "ntriples")
 force(parsed)  # warm JVM + python workers
-nt_wall = best_of(lambda: force(parsed))
+nt_walls = walls_of(lambda: force(parsed), reps)
 
 N_PAGES = 240_000
 pages = datagen.pages(spark, N_PAGES).repartition(cores * 2)
 final, _ = pipeline.build_shard_triples(pages, datagen.aliases(spark))
 force(final)  # warm
-kg_wall = best_of(lambda: force(final))
+kg_walls = walls_of(lambda: force(final), reps)
 
-print(json.dumps({"cores": cores, "nt_lines": N_LINES, "nt_wall_s": round(nt_wall, 3),
-                  "nt_lps": round(N_LINES / nt_wall, 1),
-                  "kg_pages": N_PAGES, "kg_wall_s": round(kg_wall, 3),
-                  "kg_pps": round(N_PAGES / kg_wall, 1)}))
+print(json.dumps({"cores": cores, "nt_lines": N_LINES, "nt_walls": nt_walls,
+                  "kg_pages": N_PAGES, "kg_walls": kg_walls}))
 """
 
 
-def run_level(cores: int, sf_dir: str) -> dict:
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def wait_quiet(threshold: float = 0.5, timeout_s: int = 300) -> float:
+    """Block until the 1-min loadavg decays below `threshold` (or timeout —
+    proceed anyway; the min-aggregation absorbs a contaminated round)."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load = _loadavg1()
+        if load < threshold:
+            return load
+        time.sleep(15)
+    return _loadavg1()
+
+
+def run_level(cores: int, reps: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), sf_dir],
-        capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=1800,
+        [sys.executable, "-c", WORKER, str(cores), str(reps)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=1800,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
 
 def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Each mapInArrow task runs a JVM feeder thread AND a Python worker
     # concurrently, so local[K] consumes up to 2K cores; the high level must
     # still fit the 32-core box or the measurement reports saturation, not
     # scaling.  Defaults: N=2 → 4N=8 (≤16+4 threads, ample headroom).
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", 2))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", 8))
-    r_lo = run_level(lo, sf_dir)
-    r_hi = run_level(hi, sf_dir)
-    eff_nt = (r_hi["nt_lps"] / r_lo["nt_lps"]) / (hi / lo)
-    eff_kg = (r_hi["kg_pps"] / r_lo["kg_pps"]) / (hi / lo)
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 3))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", 2))
+
+    obs: dict[int, dict[str, list[float]]] = {
+        lo: {"nt": [], "kg": [], "load": []},
+        hi: {"nt": [], "kg": [], "load": []},
+    }
+    meta: dict[int, dict] = {}
+    for rnd in range(rounds):
+        for cores in (lo, hi):
+            load = wait_quiet()
+            r = run_level(cores, reps)
+            meta[cores] = r
+            obs[cores]["nt"] += r["nt_walls"]
+            obs[cores]["kg"] += r["kg_walls"]
+            obs[cores]["load"].append(round(load, 2))
+            print(f"round {rnd} local[{cores}] load={load:.2f} "
+                  f"nt={r['nt_walls']} kg={r['kg_walls']}", file=sys.stderr)
+
+    n_lines = meta[lo]["nt_lines"]
+    n_pages = meta[lo]["kg_pages"]
+    best = {
+        c: {"nt_wall_s": min(obs[c]["nt"]), "kg_wall_s": min(obs[c]["kg"])}
+        for c in (lo, hi)
+    }
+    levels = {
+        name: {
+            "cores": c,
+            "nt_lines": n_lines,
+            "nt_wall_s": best[c]["nt_wall_s"],
+            "nt_lps": round(n_lines / best[c]["nt_wall_s"], 1),
+            "kg_pages": n_pages,
+            "kg_wall_s": best[c]["kg_wall_s"],
+            "kg_pps": round(n_pages / best[c]["kg_wall_s"], 1),
+            "all_nt_walls": obs[c]["nt"],
+            "all_kg_walls": obs[c]["kg"],
+            "loadavg_before_rounds": obs[c]["load"],
+        }
+        for name, c in (("N", lo), ("4N", hi))
+    }
+    eff_nt = (levels["4N"]["nt_lps"] / levels["N"]["nt_lps"]) / (hi / lo)
+    eff_kg = (levels["4N"]["kg_pps"] / levels["N"]["kg_pps"]) / (hi / lo)
     result = {
         "metric": "scaling_efficiency",
-        "levels": {"N": r_lo, "4N": r_hi},
+        "method": f"min wall over {rounds} interleaved load-gated rounds × {reps} reps",
+        "levels": levels,
         "nt_parse_efficiency": round(eff_nt, 3),
         "kg_pipeline_efficiency": round(eff_kg, 3),
     }
@@ -100,11 +161,14 @@ def main() -> int:
 
 Same job, same input, local[{lo}] vs local[{hi}] (N vs 4N cores),
 `spark.sql.shuffle.partitions` = 2×cores. `eff = (tput@4N / tput@N) / 4`.
+Walls are the MIN over {rounds} interleaved load-gated rounds × {reps}
+reps per level (this box has periodic background activity; the min is
+the least-interfered observation — all raw walls in BENCH_SCALING.json).
 
 | job | tput @ local[{lo}] | tput @ local[{hi}] | efficiency |
 |---|---|---|---|
-| NT parse ({r_lo['nt_lines']:,} lines) | {r_lo['nt_lps']:,.0f} lines/s | {r_hi['nt_lps']:,.0f} lines/s | {eff_nt:.2f} |
-| KG pipeline ({r_lo['kg_pages']:,} pages) | {r_lo['kg_pps']:,.0f} pages/s | {r_hi['kg_pps']:,.0f} pages/s | {eff_kg:.2f} |
+| NT parse ({n_lines:,} lines) | {levels['N']['nt_lps']:,.0f} lines/s | {levels['4N']['nt_lps']:,.0f} lines/s | {eff_nt:.2f} |
+| KG pipeline ({n_pages:,} pages) | {levels['N']['kg_pps']:,.0f} pages/s | {levels['4N']['kg_pps']:,.0f} pages/s | {eff_kg:.2f} |
 """
     marker = "## Measured scaling"
     with open("BASELINE.md") as f:
