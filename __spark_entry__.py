@@ -785,6 +785,38 @@ def q_domain_stats(spark, sf_dir):
     )
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Per-language vocabulary analytics via the skew toolkit's two-phase
+    salted distinct (ops.skew.salted_distinct_count): a hot language's
+    distinct-token state is spread over n_salts reducers instead of one —
+    the COUNT(DISTINCT) that survives a skewed 100 TB corpus."""
+    from rdf_spark.ops.skew import salted_distinct_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            textops.tokens_col(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = salted_distinct_count(toks, "lang", "token")
+    tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return tot.join(vocab, "lang").select(
+        "lang", F.col("n_distinct").alias("n_distinct_tokens"), "n_tokens"
+    )
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (ops.ann.label_centroids): pure JVM
+    posexplode + two map-side-combinable aggregations + deterministic
+    array re-assembly — the class-prototype operator that seeds IVF
+    quantizers and label-balance audits."""
+    from rdf_spark.ops.ann import label_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return label_centroids(e).select("label", "n_vecs", "centroid")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -851,6 +883,8 @@ _QUERIES = {
         "deterministic_sample": q_deterministic_sample,
         "corpus_curate": q_corpus_curate,
         "domain_stats": q_domain_stats,
+        "vocab_stats": q_vocab_stats,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -1376,5 +1410,36 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*), 6) AS avg_quality,
                    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
             FROM perdoc GROUP BY source
+        """,
+        "vocab_stats": r"""
+            WITH toks AS (
+                SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM toks WHERE token <> '' GROUP BY lang
+        """,
+        # dim=64 is the testdata embedding dimensionality (DuckDB's range()
+        # cannot take a lateral len(embedding) argument)
+        "label_centroids": """
+            WITH ex AS (
+                SELECT label, i AS pos, embedding[i+1] AS v
+                FROM embeddings CROSS JOIN range(64) AS t(i)
+            ),
+            agg AS (
+                SELECT label, pos, round(AVG(v), 6) AS v
+                FROM ex GROUP BY label, pos
+            ),
+            cent AS (
+                SELECT label, list(v ORDER BY pos) AS centroid
+                FROM agg GROUP BY label
+            )
+            SELECT c.label, n.n_vecs, c.centroid
+            FROM cent c
+            JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                  FROM embeddings GROUP BY label) n USING (label)
         """,
     }

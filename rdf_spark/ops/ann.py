@@ -298,3 +298,39 @@ def embedding_near_duplicates(
         pairs.select("a", "b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label centroid (element-wise mean) → (label, n_vecs, centroid).
+
+    The class-prototype operator: centroids seed IVF quantizers
+    (:func:`train_ivf`), label-balance audits, and nearest-class-mean
+    classification.  Entirely JVM-side: posexplode → two map-side-
+    combinable aggregations → deterministic array re-assembly with
+    ``array_sort(collect_list(struct(pos, v)))`` (sorts by position, so
+    the result is partitioning-independent).  Aggregation state is
+    labels × dim rows and the collect_list is bounded by dim — no Python,
+    no driver movement, no skew exposure at any corpus size.
+
+    Per-dimension means are rounded to ``round_to`` before assembly so
+    the result is reproducible across engines and partitionings (double
+    summation order perturbs only ~1e-15, far inside the rounding).
+    """
+    ex = embeddings.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    agg = ex.groupBy("label", "pos").agg(F.round(F.avg("v"), round_to).alias("v"))
+    cent = agg.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+    n = embeddings.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    return n.join(cent, "label")

@@ -459,3 +459,37 @@ def test_lang_id_ngram(spark):
         "doc_id", textops.lang_id_ngram_col(F.col("text")).alias("lang")
     ).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_label_centroids_match_numpy(spark, embeddings):
+    import numpy as np
+
+    got = {r.label: (r.n_vecs, r.centroid) for r in ann.label_centroids(embeddings).collect()}
+    pdf = embeddings.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+        want = np.round(mat.mean(axis=0), 6)
+        n, cent = got[label]
+        assert n == len(grp)
+        assert np.allclose(np.array(cent), want, atol=1e-9)
+
+
+def test_label_centroids_partitioning_invariant(spark, embeddings):
+    a = {r.label: r.centroid for r in ann.label_centroids(embeddings).collect()}
+    b = {r.label: r.centroid
+         for r in ann.label_centroids(embeddings.repartition(17)).collect()}
+    assert a == b
+
+
+def test_vocab_salted_distinct_equals_plain(spark, documents):
+    from rdf_spark.ops.skew import salted_distinct_count
+
+    toks = documents.select(
+        "lang", F.explode(textops.tokens_col(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    salted = {r.lang: r.n_distinct
+              for r in salted_distinct_count(toks, "lang", "token").collect()}
+    plain = {r.lang: r.n
+             for r in toks.groupBy("lang")
+             .agg(F.count_distinct("token").alias("n")).collect()}
+    assert salted == plain
