@@ -785,6 +785,29 @@ def q_domain_stats(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank (ops.graph.pagerank) over a deterministic synthetic graph
+    derived from doc ids (three affine-modular edge families — closed-form
+    SQL-mirrorable, like dedup_clusters' graph).  3 power iterations with
+    the operator's reproducible numeric schedule: contributions
+    pre-rounded to 14 dp, per-node sums in exact DECIMAL(38,14), damped
+    update as a single IEEE op — the DuckDB oracle replays the identical
+    schedule and matches bit-for-bit."""
+    from rdf_spark.ops.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    fams = [(3, 7, 401), (7, 11, 403), (13, 5, 407)]
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % m).alias("dst"),
+        )
+        for a, b, m in fams
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return pagerank(edges, n_iter=3).select("node", "rank")
+
+
 def q_vocab_stats(spark, sf_dir):
     """Per-language vocabulary analytics via the skew toolkit's two-phase
     salted distinct (ops.skew.salted_distinct_count): a hot language's
@@ -885,6 +908,7 @@ _QUERIES = {
         "domain_stats": q_domain_stats,
         "vocab_stats": q_vocab_stats,
         "label_centroids": q_label_centroids,
+        "pagerank": q_pagerank,
     }
 
 
@@ -897,6 +921,53 @@ _NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 # deterministic-sample thresholds shared verbatim with ops.sample
 from rdf_spark.ops.sample import md5_threshold as _md5_thr  # noqa: E402
+
+
+def _pagerank_sql(n_iter: int = 3) -> str:
+    """DuckDB replay of ops.graph.pagerank's exact numeric schedule over
+    the q_pagerank synthetic graph.  The damped-base constant is written
+    as CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE) so the engine performs
+    the SAME IEEE subtraction Python does ((1.0-0.85) =
+    0.15000000000000002 — a DuckDB decimal literal 0.15 would differ at
+    1e-17 and occasionally flip the 12-dp rounding)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        cur = f"it{i}"
+        iters.append(f"""
+            {cur} AS (
+                SELECT n.node,
+                       round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / m.n
+                             + CAST(0.85 AS DOUBLE)
+                               * CAST(COALESCE(s.m, 0) AS DOUBLE), 12) AS rank
+                FROM pr_nodes n CROSS JOIN pr_meta m LEFT JOIN (
+                    SELECT e.dst AS node,
+                           SUM(CAST(round(r.rank / d.od, 14)
+                                    AS DECIMAL(38,14))) AS m
+                    FROM pr_edges e
+                    JOIN {prev} r ON e.src = r.node
+                    JOIN pr_deg d ON e.src = d.node
+                    GROUP BY e.dst) s ON n.node = s.node
+            )""")
+        prev = cur
+    return f"""
+        WITH pr_edges AS (
+            SELECT doc_id AS src, (doc_id*3+7) % 401 AS dst FROM documents
+            UNION ALL SELECT doc_id, (doc_id*7+11) % 403 FROM documents
+            UNION ALL SELECT doc_id, (doc_id*13+5) % 407 FROM documents
+        ),
+        pr_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM pr_edges
+                UNION ALL SELECT dst FROM pr_edges)
+        ),
+        pr_meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pr_nodes),
+        pr_deg AS (SELECT src AS node, COUNT(*) AS od FROM pr_edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / m.n AS rank
+               FROM pr_nodes CROSS JOIN pr_meta m),
+        {",".join(iters)}
+        SELECT node, rank FROM {prev}
+    """
 
 # repetition signals over a `docs(doc_id, text, ...)` relation — the SQL
 # mirror of ops.text.repetition_features' JVM expressions.  Guards follow
@@ -1442,4 +1513,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
                   FROM embeddings GROUP BY label) n USING (label)
         """,
+        "pagerank": _pagerank_sql(3),
     }

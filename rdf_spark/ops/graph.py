@@ -333,3 +333,76 @@ def connected_components(
             "(graph diameter exceeds max_iter; raise max_iter)" % max_iter
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 12,
+) -> DataFrame:
+    """PageRank over an edge DataFrame → ``(node, rank)``.
+
+    Entity-importance ranking for the constructed KG (feed it
+    ``triples.filter(o_kind != 2).select(s as src, o as dst)``).  Classic
+    power iteration, kept DataFrame-shaped like the other iterative ops
+    here: per iteration one equi-join of edges against current ranks, one
+    map-side-combinable aggregation, and a ``localCheckpoint`` so the
+    plan does not grow O(n_iter).  Dangling nodes (no out-edges) leak
+    their mass (the common simplification — documented, not
+    redistributed); multi-edges contribute once per occurrence.
+
+    Numerics are REPRODUCIBLE across partitionings and engines: each
+    contribution is pre-rounded to 14 dp in double (making the following
+    decimal cast unambiguous), per-node sums use exact DECIMAL(38,14)
+    arithmetic (double summation is order-dependent; decimal is not), and
+    the damped update is a single deterministic IEEE op rounded to
+    ``round_to`` — so a SQL engine replaying the same schedule matches
+    bit-for-bit.  The ``N = nodes.count()`` driver scalar is the only
+    driver movement (one long), same as connected_components' round
+    counter.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = (
+        edges.groupBy(src.alias("node"))
+        .agg(F.count(F.lit(1)).alias("od"))
+        .localCheckpoint(eager=True)
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.select(src.alias("node"), dst.alias("_dst"))
+            .join(ranks, "node")
+            .join(out_deg, "node")
+            .select(
+                F.col("_dst").alias("node"),
+                F.round(F.col("rank") / F.col("od"), 14).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,14)")).alias("m")
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("m").cast("double"), F.lit(0.0)),
+                    round_to,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

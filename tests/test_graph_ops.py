@@ -1,5 +1,7 @@
 """Graph-accessor tests over a pipeline-built store."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rdf_spark import datagen, pipeline
@@ -257,3 +259,80 @@ def test_connected_components_star_differential(spark):
     loops = spark.createDataFrame([(5, 5), (1, 2)], "a long, b long")
     comp = {r.node: r.comp for r in graph.connected_components_star(loops).collect()}
     assert comp == {5: 5, 1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_uniform_on_ring(spark):
+    from rdf_spark.ops.graph import pagerank
+
+    # directed ring: perfect symmetry → every node keeps rank 1/N forever
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src int, dst int"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=5).collect()}
+    assert len(ranks) == n
+    for v in ranks.values():
+        assert v == pytest.approx(1 / n, abs=1e-9)
+
+
+def test_pagerank_star_center_dominates(spark):
+    from rdf_spark.ops.graph import pagerank
+
+    # spokes → center: center accumulates, spokes fall to the damped base
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)], "src int, dst int"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=10).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 5
+    # spokes have no in-edges: exactly the damped base after iteration 1
+    assert ranks[1] == pytest.approx(0.15 / 9, abs=1e-9)
+    # total mass ≤ 1 (dangling center leaks, documented)
+    assert sum(ranks.values()) <= 1.0 + 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from rdf_spark.ops.graph import pagerank
+
+    rng = [(i, (i * 5 + 3) % 37) for i in range(37)] + [
+        (i, (i * 11 + 1) % 37) for i in range(0, 37, 2)
+    ]
+    edges = spark.createDataFrame(rng, "src int, dst int")
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=8).collect()}
+
+    nodes = sorted({s for s, _ in rng} | {d for _, d in rng})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in rng:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        nxt = np.full(n, (1.0 - 0.85) / n)
+        contrib = np.zeros(n)
+        for s, d in rng:
+            contrib[idx[d]] += round(r[idx[s]] / out_deg[idx[s]], 14)
+        nxt += 0.85 * contrib
+        r = np.round(nxt, 12)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-9)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from rdf_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)], "src int, dst int"
+    )
+    a = sorted((r.node, r.rank) for r in pagerank(edges, n_iter=4).collect())
+    b = sorted(
+        (r.node, r.rank)
+        for r in pagerank(edges.repartition(13), n_iter=4).collect()
+    )
+    assert a == b  # exact, thanks to the decimal-sum schedule
