@@ -808,6 +808,18 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=3).select("node", "rank")
 
 
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (ops.retrieval.bm25_rank) for a fixed
+    3-term query over the documents corpus — one tokenize-explode, then
+    only map-side-combinable aggregations with the small sides broadcast;
+    per-term partials pre-rounded and decimal-summed so scores are
+    term-order- and partitioning-independent."""
+    from rdf_spark.ops.retrieval import bm25_rank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_rank(d, ["hash", "join", "spark"]).select("doc_id", "bm25")
+
+
 def q_vocab_stats(spark, sf_dir):
     """Per-language vocabulary analytics via the skew toolkit's two-phase
     salted distinct (ops.skew.salted_distinct_count): a hot language's
@@ -909,6 +921,7 @@ _QUERIES = {
         "vocab_stats": q_vocab_stats,
         "label_centroids": q_label_centroids,
         "pagerank": q_pagerank,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -921,6 +934,46 @@ _NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 # deterministic-sample thresholds shared verbatim with ops.sample
 from rdf_spark.ops.sample import md5_threshold as _md5_thr  # noqa: E402
+
+
+def _bm25_sql() -> str:
+    """DuckDB replay of ops.retrieval.bm25_rank for q_bm25_search.  Every
+    float constant is the repr() of the exact double the Spark side uses
+    (string→double parsing round-trips; native decimal literals differ
+    at 1e-17), and per-term partials are pre-rounded + DECIMAL-summed so
+    aggregation order cannot perturb the result."""
+    from rdf_spark.ops.retrieval import bm25_constants
+
+    c = bm25_constants()
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ),
+        tok2 AS (SELECT * FROM toks WHERE term <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok2
+               WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT t.doc_id,
+                   round(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * t.tf * CAST('{c["k1_plus_1"]!r}' AS DOUBLE)
+                         / (t.tf + CAST('{c["k1"]!r}' AS DOUBLE)
+                            * (CAST('{c["one_minus_b"]!r}' AS DOUBLE)
+                               + CAST('{c["b"]!r}' AS DOUBLE)
+                                 * (d.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))),
+                         9) AS ps
+            FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (term)
+            CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               round(CAST(SUM(CAST(ps AS DECIMAL(24,9))) AS DOUBLE), 6) AS bm25
+        FROM scored GROUP BY doc_id
+    """
 
 
 def _pagerank_sql(n_iter: int = 3) -> str:
@@ -1514,4 +1567,5 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings GROUP BY label) n USING (label)
         """,
         "pagerank": _pagerank_sql(3),
+        "bm25_search": _bm25_sql(),
     }

@@ -1,0 +1,104 @@
+"""Lexical retrieval scoring over document corpora (graft addition — the
+reference, rdf.go:14-22, stops at parsing; a training-data platform also
+needs to FIND documents: BM25 is the standard lexical ranking function,
+and per-term corpus statistics are the building block for tf-idf
+features, stopword discovery, and quality heuristics).
+
+Scale shape: one narrow tokenize-explode, then only map-side-combinable
+aggregations.  The per-query-term frequency table is filtered BEFORE its
+shuffle (the term list is tiny), document-frequency and corpus stats are
+single-row/handful-row aggregates joined back via broadcast, and the
+final score is a doc-keyed sum — no skew exposure, no Python anywhere.
+
+Reproducibility: every floating-point constant is computed once in
+Python and re-used verbatim by the SQL oracle (engine literal parsing of
+decimals differs at 1e-17); per-term scores are pre-rounded and summed
+in exact DECIMAL so the doc score is independent of term order and
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize_lower(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, term) rows: lowercased whitespace tokens, empties dropped."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def term_corpus_stats(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-term corpus statistics: document frequency and total count —
+    the tf-idf/vocabulary building block (one explode, one hash agg)."""
+    toks = tokenize_lower(docs, text_col, id_col)
+    return toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 scores for every document matching ≥1 query term →
+    ``(id, bm25)``.
+
+    Okapi BM25 with the +1 idf variant (always positive):
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``score = Σ_t idf·tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))``.
+
+    Per-term partial scores are rounded to 9 dp and summed as
+    DECIMAL(24,9), so a document's score does not depend on the order
+    its matching terms are aggregated in.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = tokenize_lower(docs, text_col, id_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # constants computed HERE and reused by the oracle (bm25_constants)
+    c = bm25_constants(k1, b)
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + F.lit(c["k1"]) * (
+        F.lit(c["one_minus_b"]) + F.lit(c["b"]) * (F.col("dl") / avgdl)
+    )
+    ps = F.round(idf * F.col("tf") * F.lit(c["k1_plus_1"]) / denom, 9)
+    return (
+        scored.select(F.col(id_col), ps.cast("decimal(24,9)").alias("ps"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("ps").cast("double"), round_to).alias("bm25"))
+    )
+
+
+def bm25_constants(k1: float = 1.2, b: float = 0.75) -> dict[str, float]:
+    """The exact doubles used in :func:`bm25_rank` — an oracle embeds
+    ``repr()`` of these (string→double parsing round-trips exactly;
+    engine-native decimal literals differ at 1e-17)."""
+    return {"k1": k1, "b": b, "k1_plus_1": k1 + 1.0, "one_minus_b": 1.0 - b}

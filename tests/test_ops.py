@@ -493,3 +493,55 @@ def test_vocab_salted_distinct_equals_plain(spark, documents):
              for r in toks.groupBy("lang")
              .agg(F.count_distinct("token").alias("n")).collect()}
     assert salted == plain
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from rdf_spark.ops import retrieval
+
+    docs = [
+        (1, "hash join hash scan"),     # tf(hash)=2, tf(join)=1, dl=4
+        (2, "sort merge sort window"),  # no query terms
+        (3, "join join join"),          # tf(join)=3, dl=3
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id: r.bm25 for r in retrieval.bm25_rank(df, ["hash", "join"]).collect()}
+    assert set(got) == {1, 3}
+
+    n, avgdl = 3, (4 + 4 + 3) / 3
+    k1, b = 1.2, 0.75
+
+    def idf(dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def term_score(tf, dl, dfreq):
+        return idf(dfreq) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+
+    want1 = round(round(term_score(2, 4, 1), 9) + round(term_score(1, 4, 2), 9), 6)
+    want3 = round(round(term_score(3, 3, 2), 9), 6)
+    assert got[1] == pytest.approx(want1, abs=2e-6)
+    assert got[3] == pytest.approx(want3, abs=2e-6)
+
+
+def test_bm25_term_order_and_partitioning_invariant(spark, documents):
+    from rdf_spark.ops import retrieval
+
+    d = documents.select("doc_id", "text")
+    a = sorted((r.doc_id, r.bm25)
+               for r in retrieval.bm25_rank(d, ["hash", "join", "spark"]).collect())
+    b = sorted((r.doc_id, r.bm25)
+               for r in retrieval.bm25_rank(
+                   d.repartition(11), ["spark", "HASH", "join"]).collect())
+    assert a == b  # exact: pre-rounded decimal-summed partials
+
+
+def test_term_corpus_stats(spark):
+    from rdf_spark.ops import retrieval
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "")], "doc_id int, text string"
+    )
+    got = {r.term: (r.df, r.n_occurrences)
+           for r in retrieval.term_corpus_stats(df).collect()}
+    assert got == {"a": (1, 2), "b": (2, 2), "c": (1, 1)}
