@@ -820,6 +820,18 @@ def q_bm25_search(spark, sf_dir):
     return bm25_rank(d, ["hash", "join", "spark"]).select("doc_id", "bm25")
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal (ops.retrieval.unigram_lm_nll): mean
+    negative log-likelihood per token under the corpus's own smoothed
+    unigram model — typical text scores low, keyword-stuffed junk scores
+    high.  Two map-side-combinable passes + a broadcast totals row;
+    decimal-summed so scores are partitioning-exact."""
+    from rdf_spark.ops.retrieval import unigram_lm_nll
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_nll(d).select("doc_id", "lm_nll", "n_tokens")
+
+
 def q_vocab_stats(spark, sf_dir):
     """Per-language vocabulary analytics via the skew toolkit's two-phase
     salted distinct (ops.skew.salted_distinct_count): a hot language's
@@ -922,6 +934,7 @@ _QUERIES = {
         "label_centroids": q_label_centroids,
         "pagerank": q_pagerank,
         "bm25_search": q_bm25_search,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1568,4 +1581,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(3),
         "bm25_search": _bm25_sql(),
+        "lm_score": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                FROM documents
+            ),
+            tok2 AS (SELECT * FROM toks WHERE term <> ''),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok2 GROUP BY doc_id, term),
+            cstats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct
+                       FROM tok2 GROUP BY term),
+            totals AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_total,
+                              CAST(COUNT(*) AS BIGINT) AS v_size FROM cstats),
+            term_nll AS (
+                SELECT term,
+                       round(-ln((ct + 0.5)
+                                 / (CAST(t_total AS DOUBLE) + 0.5 * v_size)),
+                             12) AS nll
+                FROM cstats CROSS JOIN totals
+            ),
+            contrib AS (
+                SELECT t.doc_id,
+                       CAST(round(t.tf * n.nll, 9) AS DECIMAL(28,9)) AS c,
+                       t.tf
+                FROM tf t JOIN term_nll n USING (term)
+            )
+            SELECT doc_id,
+                   round(CAST(SUM(c) AS DOUBLE) / SUM(tf), 6) AS lm_nll,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens
+            FROM contrib GROUP BY doc_id
+        """,
     }

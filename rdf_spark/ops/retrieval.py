@@ -102,3 +102,51 @@ def bm25_constants(k1: float = 1.2, b: float = 0.75) -> dict[str, float]:
     ``repr()`` of these (string→double parsing round-trips exactly;
     engine-native decimal literals differ at 1e-17)."""
     return {"k1": k1, "b": b, "k1_plus_1": k1 + 1.0, "one_minus_b": 1.0 - b}
+
+
+def unigram_lm_nll(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood (nats/token) under the
+    corpus's own add-α-smoothed unigram model → ``(id, lm_nll,
+    n_tokens)``.
+
+    The CCNet-style quality signal: documents whose token distribution is
+    typical of the corpus score LOW (head), keyword-stuffed or junk pages
+    score HIGH (tail) — threshold or bucket on ``lm_nll`` to filter.  A
+    real KenLM would be a 5-gram model behind the same column contract;
+    the unigram variant is self-contained, deterministic, and needs no
+    model artifact.
+
+    Two passes, both map-side-combinable: term counts (vocabulary-keyed)
+    and per-doc term frequencies (doc-keyed); the corpus totals row is
+    broadcast.  Per-term nll values are rounded to 12 dp, per-doc
+    contributions (tf × nll) to 9 dp and summed as DECIMAL(28,9) — the
+    doc score is independent of partitioning and aggregation order, so a
+    SQL engine replaying the schedule matches exactly (α=0.5 is a power
+    of two: exact in every engine's literal).
+    """
+    toks = tokenize_lower(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cstats = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    totals = cstats.agg(
+        F.sum("ct").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    denom = F.col("t_total").cast("double") + F.lit(alpha) * F.col("v_size")
+    nll = F.round(-F.log((F.col("ct") + F.lit(alpha)) / denom), 12)
+    term_nll = cstats.crossJoin(F.broadcast(totals)).select(
+        "term", nll.alias("nll")
+    )
+    contrib = tf.join(term_nll, "term").select(
+        F.col(id_col),
+        F.round(F.col("tf") * F.col("nll"), 9).cast("decimal(28,9)").alias("c"),
+        F.col("tf"),
+    )
+    return contrib.groupBy(id_col).agg(
+        F.round(F.sum("c").cast("double") / F.sum("tf"), round_to).alias("lm_nll"),
+        F.sum("tf").alias("n_tokens"),
+    )

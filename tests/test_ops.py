@@ -545,3 +545,44 @@ def test_term_corpus_stats(spark):
     got = {r.term: (r.df, r.n_occurrences)
            for r in retrieval.term_corpus_stats(df).collect()}
     assert got == {"a": (1, 2), "b": (2, 2), "c": (1, 1)}
+
+
+def test_unigram_lm_nll_hand_computed(spark):
+    import math
+
+    from rdf_spark.ops import retrieval
+
+    # corpus: T=6 tokens, V=3 terms; counts a:3, b:2, c:1
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.lm_nll, r.n_tokens)
+           for r in retrieval.unigram_lm_nll(df).collect()}
+    T, V, a = 6, 3, 0.5
+
+    def nll(ct):
+        return round(-math.log((ct + a) / (T + a * V)), 12)
+
+    want1 = round((round(2 * nll(3), 9) + round(1 * nll(2), 9)) / 3, 6)
+    want2 = round((round(1 * nll(3), 9) + round(1 * nll(2), 9)
+                   + round(1 * nll(1), 9)) / 3, 6)
+    assert got[1][1] == 3 and got[2][1] == 3
+    assert got[1][0] == pytest.approx(want1, abs=2e-6)
+    assert got[2][0] == pytest.approx(want2, abs=2e-6)
+    # doc 2 contains the rare term -> higher (worse) nll
+    assert got[2][0] > got[1][0]
+
+
+def test_unigram_lm_nll_flags_junk(spark, documents):
+    from rdf_spark.ops import retrieval
+
+    # a keyword-stuffed junk doc must land in the corpus tail
+    junk = spark.createDataFrame(
+        [(999999, "zzqx zzqx zzqx vvwk vvwk qqjy zzqx vvwk qqjy zzqx")],
+        "doc_id long, text string",
+    )
+    d = documents.select("doc_id", "text").unionByName(junk)
+    scores = {r.doc_id: r.lm_nll
+              for r in retrieval.unigram_lm_nll(d).collect()}
+    junk_score = scores.pop(999999)
+    assert junk_score > max(scores.values())
