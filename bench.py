@@ -64,6 +64,8 @@ def main() -> int:
         "events_sessionize",
         "corpus_curate",
         "deterministic_sample",
+        "bm25_search",
+        "lm_score",
     ]
 
     timings: dict[str, float] = {}

@@ -1,0 +1,71 @@
+"""spark-submit entry point for corpus curation — the training-data
+selection pipeline (rdf_spark.curate) as a batch job:
+
+    spark-submit --py-files /tmp/rdf_spark.zip jobs/curate_job.py \\
+        --in <docs.parquet> --out <dir> \\
+        [--langs en,de] [--min-quality 0.5] [--sample-rate 1.0] \\
+        [--text-col text] [--lang-col lang] [--key-col doc_id]
+
+Writes three outputs under --out:
+  kept/    the curated corpus (original + quality/repetition signals)
+  report/  every input row with its drop_reason (null = kept) — the audit
+  stats/   per-stage drop counters
+
+Prints one JSON line with the per-stage counts.  All selection logic is
+deterministic (see curate.curate_report), so re-running over the same
+input on any cluster reproduces the identical corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="in_path", required=True)
+    ap.add_argument("--out", dest="out_path", required=True)
+    ap.add_argument("--langs", default="en")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--key-col", default="doc_id")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("corpus-curate").getOrCreate()
+
+    from rdf_spark import curate
+
+    kwargs = dict(
+        text_col=args.text_col,
+        lang_col=args.lang_col,
+        langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        sample_rate=args.sample_rate,
+        key_col=args.key_col,
+    )
+    docs = spark.read.parquet(args.in_path)
+    report = curate.curate_report(docs, **kwargs)
+    # one computation, two consumers: persist the report, derive the rest
+    report.write.mode("overwrite").parquet(f"{args.out_path}/report")
+    report = spark.read.parquet(f"{args.out_path}/report")
+    report.filter(F.col("drop_reason").isNull()).drop("drop_reason").write.mode(
+        "overwrite"
+    ).parquet(f"{args.out_path}/kept")
+    stats_df = report.groupBy(
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("stage")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    stats_df.write.mode("overwrite").parquet(f"{args.out_path}/stats")
+    stats = {r.stage: r.n_docs for r in stats_df.collect()}
+    print(json.dumps({"out": args.out_path, "stages": stats}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -184,3 +184,32 @@ def test_curate_corpus_matches_report(spark, documents):
     # every surviving fingerprint is unique
     fps = kept.select(textops.fingerprint_col(F.col("text")).alias("fp"))
     assert fps.count() == fps.distinct().count()
+
+
+def test_curate_job_entrypoint(spark, tmp_path):
+    """The spark-submit curation CLI end-to-end."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    src = str(tmp_path / "docs_in_job")
+    _corpus(spark).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "curated_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main([
+            "--in", src, "--out", out,
+            "--langs", "en", "--min-quality", "0.5", "--sample-rate", "1.0",
+        ])
+    assert rc == 0
+    stages = json.loads(buf.getvalue().strip().splitlines()[-1])["stages"]
+    assert stages == {"kept": 1, "lang": 2, "quality": 1,
+                      "repetition": 1, "duplicate": 1}
+    kept = spark.read.parquet(f"{out}/kept")
+    assert kept.count() == 1 and kept.collect()[0].doc_id == 1
+    report = spark.read.parquet(f"{out}/report")
+    assert report.count() == 6
