@@ -832,6 +832,23 @@ def q_lm_score(spark, sf_dir):
     return unigram_lm_nll(d).select("doc_id", "lm_nll", "n_tokens")
 
 
+def q_quality_quantiles(spark, sf_dir):
+    """Per-language quality-score distribution (p25/p50/p75/p95) — the
+    corpus-health dashboard aggregate.  Uses EXACT percentile (Spark and
+    DuckDB share type-7 linear interpolation, verified digit-for-digit);
+    at 100 TB swap in approx_percentile(err) — same column contract,
+    documented approximation, but no longer cross-engine-hashable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    f = textops.quality_features(d)
+    return f.groupBy("lang").agg(
+        F.transform(
+            F.percentile(F.col("q_score"), F.lit([0.25, 0.5, 0.75, 0.95])),
+            lambda x: F.round(x, 6),
+        ).alias("q_quantiles"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_vocab_stats(spark, sf_dir):
     """Per-language vocabulary analytics via the skew toolkit's two-phase
     salted distinct (ops.skew.salted_distinct_count): a hot language's
@@ -935,6 +952,7 @@ _QUERIES = {
         "pagerank": q_pagerank,
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
+        "quality_quantiles": q_quality_quantiles,
     }
 
 
@@ -1611,5 +1629,15 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(c) AS DOUBLE) / SUM(tf), 6) AS lm_nll,
                    CAST(SUM(tf) AS BIGINT) AS n_tokens
             FROM contrib GROUP BY doc_id
+        """,
+        "quality_quantiles": rf"""
+            WITH raw AS ({_REP_RAW} FROM documents),
+            qf AS ({_Q_FEATURES} FROM raw),
+            q AS (SELECT lang, {_Q_SCORE} AS qs FROM qf)
+            SELECT lang,
+                   list_transform(quantile_cont(qs, [0.25, 0.5, 0.75, 0.95]),
+                                  x -> round(x, 6)) AS q_quantiles,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM q GROUP BY lang
         """,
     }
