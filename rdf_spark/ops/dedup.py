@@ -53,13 +53,49 @@ def _hash63(data: bytes) -> int:
     return zlib.crc32(data) | ((zlib.adler32(data) & 0x7FFFFFFF) << 32)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else [""]
+#: fixed SipHash key for pd.util.hash_array — pinned so token hashes are
+#: deterministic across processes, executors, and runs
+_TOKEN_HASH_KEY = "0123456789123456"
+#: odd multiplier for the rolling shingle combine (wrapping uint64)
+_SHINGLE_BASE = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _batch_shingle_hashes(texts, k: int) -> list[np.ndarray]:
+    """Per-doc arrays of unique k-token-shingle hashes for a whole batch.
+
+    ONE C-level SipHash pass over every token in the batch
+    (pd.util.hash_array with a pinned key), then a k-step numpy rolling
+    combine per doc — no per-shingle Python strings or hash calls (the
+    round-2 implementation built each shingle with " ".join and crc32,
+    which dominated the signature stage's profile).
+    """
+    tok_lists = [t.split() for t in texts]
+    flat = [tok for toks in tok_lists for tok in toks]
+    if flat:
+        th = pd.util.hash_array(
+            np.asarray(flat, dtype=object),
+            hash_key=_TOKEN_HASH_KEY,
+            categorize=False,
+        )
     else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([_hash63(s.encode()) for s in shingles], dtype=np.int64))
+        th = np.empty(0, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    off = 0
+    B = _SHINGLE_BASE
+    for toks in tok_lists:
+        n = len(toks)
+        t = th[off : off + n]
+        off += n
+        if n == 0:
+            out.append(np.zeros(1, dtype=np.int64))
+            continue
+        m = max(n - k + 1, 1)
+        width = min(k, n)
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(width):  # k tiny vectorized passes, not n Python ones
+            acc = acc * B + t[j : j + m]
+        out.append(np.unique(acc.view(np.int64)))
+    return out
 
 
 def minhash_signatures(
@@ -71,21 +107,21 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """doc → MinHash signature (array<long>), computed in one narrow
-    vectorized pass (no shuffle, numpy inner loop per batch)."""
+    vectorized pass (no shuffle; one C-level token-hash pass per batch +
+    numpy rolling shingle combine + one matmul-shaped min pass)."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = _hash_params(n_hashes, seed)
         for pdf in it:
             sigs = []
-            for text in pdf[text_col].fillna(""):
-                h = _shingle_hashes(text, shingle_k)
+            for h in _batch_shingle_hashes(pdf[text_col].fillna(""), shingle_k):
                 # (a*h + b) "mod p" computed in WRAPPING int64: a*h
                 # overflows before the mod, so this is NOT the textbook
                 # universal family mod the Mersenne prime — it is a
                 # deliberate, deterministic, well-mixed variant (the wrap
                 # is itself a mod-2^64 mix).  Do NOT "fix" the overflow:
-                # signatures are part of the oracle/determinism contract
-                # and must stay bit-identical across versions.
+                # signatures are part of the determinism contract — equal
+                # shingle sets MUST yield bit-identical signatures.
                 vals = (h[None, :] * a[:, None] + b[:, None]) % _MERSENNE
                 sigs.append(vals.min(axis=1).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
