@@ -832,6 +832,30 @@ def q_lm_score(spark, sf_dir):
     return unigram_lm_nll(d).select("doc_id", "lm_nll", "n_tokens")
 
 
+def q_media_near_dup(spark, sf_dir):
+    """Multimodal near-dup contract: exact-duplicate media payloads are
+    planted (media_id+1000000 copies, kind forced to image so the planted
+    set is oracle-predictable) and must be recovered by the full
+    decode→stub-feature→multi-table-LSH→exact-verify pipeline
+    (ops.multimodal.media_near_duplicates) with sim exactly 1.0 —
+    identical payloads give identical feature vectors, so recall on them
+    is structurally guaranteed (same planted-pair scheme as
+    `minhash_near_dup`/`embedding_near_dup`)."""
+    from rdf_spark.ops import multimodal as mm
+
+    media = mm.synthetic_media(spark, 1000).withColumn(
+        "kind",
+        F.when(F.col("media_id") < 20, "image").otherwise(F.col("kind")),
+    )
+    dup = media.filter(F.col("media_id") < 20).withColumn(
+        "media_id", F.col("media_id") + 1000000
+    )
+    pairs = mm.media_near_duplicates(media.unionByName(dup))
+    return pairs.filter(
+        (F.col("a") < 20) & (F.col("b") - F.col("a") == 1000000)
+    ).select("a", "b", "sim")
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Per-language quality-score distribution (p25/p50/p75/p95) — the
     corpus-health dashboard aggregate.  Uses EXACT percentile (Spark and
@@ -953,6 +977,7 @@ _QUERIES = {
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
         "quality_quantiles": q_quality_quantiles,
+        "media_near_dup": q_media_near_dup,
     }
 
 
@@ -1629,6 +1654,11 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(c) AS DOUBLE) / SUM(tf), 6) AS lm_nll,
                    CAST(SUM(tf) AS BIGINT) AS n_tokens
             FROM contrib GROUP BY doc_id
+        """,
+        "media_near_dup": """
+            SELECT doc_id AS a, doc_id + 1000000 AS b,
+                   CAST(1.0 AS DOUBLE) AS sim
+            FROM documents WHERE doc_id < 20
         """,
         "quality_quantiles": rf"""
             WITH raw AS ({_REP_RAW} FROM documents),
