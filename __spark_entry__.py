@@ -1558,7 +1558,7 @@ def oracle_sql() -> dict[str, str]:
             flags AS (
                 SELECT doc_id, lang,
                        md5({_NORM_TEXT}) AS fp,
-                       (lang IN ('en', 'de')) AS lang_ok,
+                       COALESCE(lang IN ('en', 'de'), FALSE) AS lang_ok,
                        ({_Q_SCORE} >= 0.7) AS qual_ok,
                        {_REP_KEEP} AS rep_ok
                 FROM sig

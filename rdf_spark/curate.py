@@ -53,7 +53,10 @@ def curation_flags(
     feat = feat.withColumn(
         "_fp", txt.fingerprint_col(F.coalesce(F.col(text_col), F.lit("")))
     )
-    lang_ok = F.col(lang_col).isin(*langs)
+    # isin over a NULL lang yields NULL, which would slip through every
+    # NOT-guard in the reason cascade and KEEP an allow-list-violating
+    # doc — coalesce the flag to a real boolean (null lang = not allowed)
+    lang_ok = F.coalesce(F.col(lang_col).isin(*langs), F.lit(False))
     qual_ok = F.col("q_score") >= min_quality
     rep_ok = F.col("rep_keep")
     return (

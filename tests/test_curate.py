@@ -213,3 +213,16 @@ def test_curate_job_entrypoint(spark, tmp_path):
     assert kept.count() == 1 and kept.collect()[0].doc_id == 1
     report = spark.read.parquet(f"{out}/report")
     assert report.count() == 6
+
+
+def test_curate_null_lang_dropped_as_lang(spark):
+    """A NULL lang must drop as 'lang' (isin(NULL) is NULL, which would
+    otherwise slip through every NOT-guard in the reason cascade and keep
+    an allow-list-violating doc — regression test for that bug)."""
+    good = "the cat and the dog were friends in the park for a while"
+    df = spark.createDataFrame(
+        [(1, good, None), (2, good + " and then some more of it", None)],
+        "doc_id int, text string, lang string",
+    )
+    rep = curate.curate_report(df, langs=("en",), min_quality=0.5, sample_rate=1.0)
+    assert {r.doc_id: r.drop_reason for r in rep.collect()} == {1: "lang", 2: "lang"}
