@@ -394,6 +394,46 @@ def q_bgp_match(spark, sf_dir):
     ])
 
 
+def q_sparql_select(spark, sf_dir):
+    """SPARQL SELECT subset (rdf_spark.sparql) compiled to Catalyst plans:
+    3-pattern BGP + OPTIONAL (left join, exercised — some customers have
+    no acctbal triple) + FILTER (string compare && negated regex) over
+    the same customer/nation triple fixture as `bgp_match`."""
+    from rdf_spark.sparql import sparql_select
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    tri = (
+        c.select(
+            F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+            F.lit("rdf:type").alias("p"), F.lit("urn:ex:Customer").alias("o"),
+        )
+        .unionByName(c.select(
+            F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+            F.lit("urn:ex:inNation").alias("p"),
+            F.concat(F.lit("urn:nation:"), F.col("c_nationkey")).alias("o"),
+        ))
+        .unionByName(n.select(
+            F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit("urn:ex:name").alias("p"), F.col("n_name").alias("o"),
+        ))
+        .unionByName(c.filter(F.col("c_acctbal") >= 0).select(
+            F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+            F.lit("urn:ex:acctbal").alias("p"),
+            F.col("c_acctbal").cast("decimal(12,2)").cast("string").alias("o"),
+        ))
+    )
+    return sparql_select(tri, """
+        SELECT ?c ?nm ?bal WHERE {
+            ?c <rdf:type> <urn:ex:Customer> .
+            ?c <urn:ex:inNation> ?n .
+            ?n <urn:ex:name> ?nm .
+            OPTIONAL { ?c <urn:ex:acctbal> ?bal }
+            FILTER(?nm >= "E" && !regex(?nm, "^IR"))
+        }
+    """)
+
+
 def q_mention_count(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     m = extraction.detect_mentions(docs, _aliases_df(spark))
@@ -978,6 +1018,7 @@ _QUERIES = {
         "lm_score": q_lm_score,
         "quality_quantiles": q_quality_quantiles,
         "media_near_dup": q_media_near_dup,
+        "sparql_select": q_sparql_select,
     }
 
 
@@ -1659,6 +1700,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS a, doc_id + 1000000 AS b,
                    CAST(1.0 AS DOUBLE) AS sim
             FROM documents WHERE doc_id < 20
+        """,
+        "sparql_select": """
+            SELECT 'urn:cust:' || c.c_custkey AS c, n.n_name AS nm,
+                   CASE WHEN c.c_acctbal >= 0
+                        THEN CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                   END AS bal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_name >= 'E' AND NOT regexp_matches(n.n_name, '^IR')
         """,
         "quality_quantiles": rf"""
             WITH raw AS ({_REP_RAW} FROM documents),

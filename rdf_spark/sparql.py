@@ -1,0 +1,338 @@
+"""Minimal SPARQL SELECT compiler over the canonical triple DataFrame.
+
+The reference is a parser library with no query layer (SURVEY §2.5);
+this module puts a declarative KG query language on top of the store,
+compiled entirely to Catalyst plans: basic graph patterns become the
+equi-join tree of :func:`rdf_spark.ops.graph.bgp_match` (filters push
+into scans, join order/broadcast left to the optimizer), OPTIONAL blocks
+become left outer joins on the shared variables, FILTERs become Column
+predicates, and the solution modifiers map 1:1 onto
+``distinct/orderBy/offset/limit``.
+
+Supported subset (anything else raises ``SparqlError`` at parse time):
+
+    SELECT [DISTINCT] (?var… | *)
+    WHERE { triple patterns '.'-separated
+            FILTER( expr )          -- any number, anywhere in the group
+            OPTIONAL { patterns } } -- any number
+    [ORDER BY (?v | ASC(?v) | DESC(?v))…] [LIMIT n] [OFFSET n]
+
+Terms: ``<iri>`` (matched against the lexical column), ``?var``, ``a``
+(rdf:type sugar via :data:`rdf_spark.terms.RDF_TYPE`), ``"string"``
+literals, and bare integers/decimals.  FILTER expressions: ``|| && !``,
+comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``,
+``bound(?v)``.  Comparing against a NUMBER casts the variable's lexical
+to double (a documented simplification of SPARQL's typed value
+semantics); string comparisons are lexical.  Prefixed names, UNION,
+property paths, GROUP BY are out of scope — each would compile to the
+same join/union machinery.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_spark.ops.graph import bgp_match
+from rdf_spark.terms import RDF_TYPE
+
+
+class SparqlError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<iri><[^<>"{}|^`\\ ]*>)
+      | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<number>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+))
+      | (?P<word>[A-Za-z][A-Za-z0-9_]*)
+      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*])
+    )""",
+    re.X,
+)
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            if q[pos:].strip() == "":
+                break
+            raise SparqlError(f"cannot tokenize at: {q[pos:pos+30]!r}")
+        pos = m.end()
+        for kind in ("iri", "var", "string", "number", "word", "op"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+@dataclass
+class _Ast:
+    distinct: bool = False
+    select_vars: list[str] | None = None  # None = *
+    patterns: list[tuple[str, str, str]] = field(default_factory=list)
+    optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    filters: list[tuple] = field(default_factory=list)
+    order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: int | None = None
+    offset: int | None = None
+
+
+class _Parser:
+    def __init__(self, q: str):
+        self.toks = _tokenize(q)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat_word(self, *words) -> str:
+        kind, v = self.next()
+        if kind != "word" or v.upper() not in words:
+            raise SparqlError(f"expected {'/'.join(words)}, got {v!r}")
+        return v.upper()
+
+    def eat_op(self, op):
+        kind, v = self.next()
+        if kind != "op" or v != op:
+            raise SparqlError(f"expected {op!r}, got {v!r}")
+
+    def at_word(self, *words) -> bool:
+        kind, v = self.peek()
+        return kind == "word" and v.upper() in words
+
+    # --- grammar ---
+
+    def query(self) -> _Ast:
+        ast = _Ast()
+        self.eat_word("SELECT")
+        if self.at_word("DISTINCT"):
+            self.next()
+            ast.distinct = True
+        kind, v = self.peek()
+        if kind == "op" and v == "*":
+            self.next()
+        else:
+            vs = []
+            while self.peek()[0] == "var":
+                vs.append(self.next()[1][1:])
+            if not vs:
+                raise SparqlError("SELECT needs ?vars or *")
+            ast.select_vars = vs
+        self.eat_word("WHERE")
+        self.eat_op("{")
+        self.group(ast)
+        self.modifiers(ast)
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return ast
+
+    def group(self, ast: _Ast):
+        while True:
+            kind, v = self.peek()
+            if kind == "op" and v == "}":
+                self.next()
+                return
+            if self.at_word("FILTER"):
+                self.next()
+                self.eat_op("(")
+                ast.filters.append(self.expr())
+                self.eat_op(")")
+            elif self.at_word("OPTIONAL"):
+                self.next()
+                self.eat_op("{")
+                block = []
+                while not (self.peek() == ("op", "}")):
+                    block.append(self.triple())
+                    if self.peek() == ("op", "."):
+                        self.next()
+                self.next()  # }
+                if not block:
+                    raise SparqlError("empty OPTIONAL block")
+                ast.optionals.append(block)
+            else:
+                ast.patterns.append(self.triple())
+            if self.peek() == ("op", "."):
+                self.next()
+
+    def term(self, position: str) -> str:
+        kind, v = self.next()
+        if kind == "var":
+            return v  # keep '?', bgp_match speaks this dialect
+        if kind == "iri":
+            return v[1:-1]
+        if kind == "word" and v == "a" and position == "p":
+            return RDF_TYPE
+        if kind == "string" and position == "o":
+            return re.sub(r"\\(.)", r"\1", v[1:-1])
+        if kind == "number" and position == "o":
+            return v
+        raise SparqlError(f"bad {position}-term {v!r}")
+
+    def triple(self) -> tuple[str, str, str]:
+        return (self.term("s"), self.term("p"), self.term("o"))
+
+    def expr(self):
+        left = self.and_expr()
+        while self.peek() == ("op", "||"):
+            self.next()
+            left = ("or", left, self.and_expr())
+        return left
+
+    def and_expr(self):
+        left = self.unary()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            left = ("and", left, self.unary())
+        return left
+
+    def unary(self):
+        if self.peek() == ("op", "!"):
+            self.next()
+            return ("not", self.unary())
+        if self.peek() == ("op", "("):
+            self.next()
+            e = self.expr()
+            self.eat_op(")")
+            return e
+        if self.at_word("REGEX"):
+            self.next()
+            self.eat_op("(")
+            var = self.operand()
+            self.eat_op(",")
+            pat = self.operand()
+            self.eat_op(")")
+            if var[0] != "var" or pat[0] != "str":
+                raise SparqlError("regex(?var, \"pattern\") expected")
+            return ("regex", var[1], pat[1])
+        if self.at_word("BOUND"):
+            self.next()
+            self.eat_op("(")
+            var = self.operand()
+            self.eat_op(")")
+            if var[0] != "var":
+                raise SparqlError("bound(?var) expected")
+            return ("bound", var[1])
+        left = self.operand()
+        kind, v = self.next()
+        if kind != "op" or v not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SparqlError(f"expected comparison operator, got {v!r}")
+        right = self.operand()
+        return ("cmp", v, left, right)
+
+    def operand(self):
+        kind, v = self.next()
+        if kind == "var":
+            return ("var", v[1:])
+        if kind == "string":
+            return ("str", re.sub(r"\\(.)", r"\1", v[1:-1]))
+        if kind == "number":
+            return ("num", float(v))
+        raise SparqlError(f"bad operand {v!r}")
+
+    def modifiers(self, ast: _Ast):
+        if self.at_word("ORDER"):
+            self.next()
+            self.eat_word("BY")
+            while True:
+                kind, v = self.peek()
+                if kind == "var":
+                    self.next()
+                    ast.order.append((v[1:], True))
+                elif self.at_word("ASC", "DESC"):
+                    asc = self.next()[1].upper() == "ASC"
+                    self.eat_op("(")
+                    var = self.next()
+                    if var[0] != "var":
+                        raise SparqlError("ORDER BY ASC/DESC(?var)")
+                    self.eat_op(")")
+                    ast.order.append((var[1][1:], asc))
+                else:
+                    break
+            if not ast.order:
+                raise SparqlError("empty ORDER BY")
+        if self.at_word("LIMIT"):
+            self.next()
+            ast.limit = int(self.next()[1])
+        if self.at_word("OFFSET"):
+            self.next()
+            ast.offset = int(self.next()[1])
+
+
+def _operand_col(op, numeric: bool) -> Column:
+    kind, v = op
+    if kind == "var":
+        c = F.col(v)
+        return c.cast("double") if numeric else c
+    return F.lit(v)
+
+
+def _compile_expr(e) -> Column:
+    tag = e[0]
+    if tag == "or":
+        return _compile_expr(e[1]) | _compile_expr(e[2])
+    if tag == "and":
+        return _compile_expr(e[1]) & _compile_expr(e[2])
+    if tag == "not":
+        return ~_compile_expr(e[1])
+    if tag == "regex":
+        return F.col(e[1]).rlike(e[2])
+    if tag == "bound":
+        return F.col(e[1]).isNotNull()
+    if tag == "cmp":
+        _, op, a, b = e
+        numeric = a[0] == "num" or b[0] == "num"
+        ca, cb = _operand_col(a, numeric), _operand_col(b, numeric)
+        return {
+            "=": ca == cb, "!=": ca != cb, "<": ca < cb,
+            "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb,
+        }[op]
+    raise SparqlError(f"unknown expr node {tag}")
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Compile and run a SPARQL SELECT (subset, see module docstring)
+    against a triple DataFrame with lexical columns ``s p o``.  Returns
+    one column per selected variable."""
+    ast = _Parser(query).query()
+    if not ast.patterns:
+        raise SparqlError("WHERE needs at least one non-OPTIONAL pattern")
+    df = bgp_match(triples, ast.patterns, distinct=False)
+    for block in ast.optionals:
+        odf = bgp_match(triples, block, distinct=False)
+        shared = sorted(set(df.columns) & set(odf.columns))
+        if not shared:
+            raise SparqlError("OPTIONAL block shares no variable with the group")
+        df = df.join(odf, on=shared, how="left")
+    for f in ast.filters:
+        df = df.filter(_compile_expr(f))
+    if ast.select_vars is not None:
+        missing = [v for v in ast.select_vars if v not in df.columns]
+        if missing:
+            raise SparqlError(f"SELECT of unbound variable(s) {missing}")
+        df = df.select(*ast.select_vars)
+    if ast.distinct:
+        df = df.distinct()
+    if ast.order:
+        df = df.orderBy(*[
+            F.col(v).asc() if asc else F.col(v).desc() for v, asc in ast.order
+        ])
+    if ast.offset:
+        df = df.offset(ast.offset)
+    if ast.limit is not None:
+        df = df.limit(ast.limit)
+    return df

@@ -1,0 +1,128 @@
+"""SPARQL SELECT subset compiler: feature coverage + parse-error cases."""
+
+import pytest
+
+from rdf_spark.sparql import SparqlError, sparql_select
+from rdf_spark.terms import RDF_TYPE
+
+
+@pytest.fixture(scope="module")
+def tri(spark):
+    rows = [
+        ("urn:c1", RDF_TYPE, "urn:Customer"),
+        ("urn:c2", RDF_TYPE, "urn:Customer"),
+        ("urn:c3", RDF_TYPE, "urn:Customer"),
+        ("urn:c1", "urn:name", "Alice"),
+        ("urn:c2", "urn:name", "Bob"),
+        ("urn:c3", "urn:name", "Ann"),
+        ("urn:c1", "urn:bal", "10.5"),
+        ("urn:c2", "urn:bal", "3"),
+        ("urn:c1", "urn:knows", "urn:c2"),
+        ("urn:c2", "urn:knows", "urn:c3"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def _run(tri, q):
+    return [tuple(r) for r in sparql_select(tri, q).collect()]
+
+
+def test_bgp_join_and_a_sugar(tri):
+    got = _run(tri, """
+        SELECT ?n WHERE { ?c a <urn:Customer> . ?c <urn:name> ?n }
+        ORDER BY ?n
+    """)
+    assert got == [("Alice",), ("Ann",), ("Bob",)]
+
+
+def test_optional_left_join_and_bound(tri):
+    got = dict(_run(tri, """
+        SELECT ?n ?b WHERE {
+            ?c <urn:name> ?n . OPTIONAL { ?c <urn:bal> ?b }
+        }
+    """))
+    assert got == {"Alice": "10.5", "Bob": "3", "Ann": None}
+    only_unbound = _run(tri, """
+        SELECT ?n WHERE {
+            ?c <urn:name> ?n . OPTIONAL { ?c <urn:bal> ?b }
+            FILTER(!bound(?b))
+        }
+    """)
+    assert only_unbound == [("Ann",)]
+
+
+def test_numeric_vs_lexical_comparison(tri):
+    # numeric: "3" < "10.5" as doubles; lexical: "10.5" < "3" as strings
+    num = _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            FILTER(?b > 5) }
+    """)
+    assert num == [("Alice",)]
+    lex = _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            FILTER(?b > "2") }
+    """)
+    assert lex == [("Bob",)]
+
+
+def test_regex_or_not(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER(regex(?n, "^A") || ?n = "Bob") }
+    """))
+    assert got == [("Alice",), ("Ann",), ("Bob",)]
+    neg = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(!regex(?n, "^A")) }
+    """))
+    assert neg == [("Bob",)]
+
+
+def test_var_to_var_join_chain(tri):
+    got = sorted(_run(tri, """
+        SELECT ?a ?b WHERE {
+            ?x <urn:knows> ?y . ?x <urn:name> ?a . ?y <urn:name> ?b
+        }
+    """))
+    assert got == [("Alice", "Bob"), ("Bob", "Ann")]
+
+
+def test_distinct_order_limit_offset(tri):
+    got = _run(tri, """
+        SELECT DISTINCT ?n WHERE { ?c <urn:name> ?n }
+        ORDER BY DESC(?n) LIMIT 2 OFFSET 1
+    """)
+    assert got == [("Ann",), ("Alice",)]
+
+
+def test_select_star(tri):
+    df = sparql_select(tri, "SELECT * WHERE { ?c <urn:bal> ?b }")
+    assert sorted(df.columns) == ["b", "c"]
+
+
+def test_string_literal_object_pattern(tri):
+    got = _run(tri, 'SELECT ?c WHERE { ?c <urn:name> "Alice" }')
+    assert got == [("urn:c1",)]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT WHERE { ?a <urn:p> ?b }",               # no vars
+    "SELECT ?a { ?a <urn:p> ?b }",                  # missing WHERE
+    "SELECT ?a WHERE { }",                          # empty group
+    "SELECT ?a WHERE { ?a <urn:p> ?b . OPTIONAL { } }",
+    "SELECT ?a WHERE { ?a <urn:p> ?b FILTER(?b ~ 2) }",
+    "SELECT ?z WHERE { ?a <urn:p> ?b }",            # unbound select
+    "SELECT ?a WHERE { ?a <urn:p> ?b } LIMIT 2 nonsense",
+    'SELECT ?a WHERE { "lit" <urn:p> ?b }',         # literal subject
+])
+def test_parse_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
+
+
+def test_filter_only_optional_var_null_comparison(tri):
+    # comparison over an unbound OPTIONAL var is NULL -> row filtered
+    got = _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . OPTIONAL { ?c <urn:bal> ?b }
+            FILTER(?b >= 0) }
+    """)
+    assert sorted(got) == [("Alice",), ("Bob",)]
