@@ -402,8 +402,28 @@ def q_sparql_select(spark, sf_dir):
     from rdf_spark.sparql import sparql_select
 
     c = _t(spark, sf_dir, "customer")
+    tri = _customer_triples(spark, sf_dir).unionByName(
+        c.filter(F.col("c_acctbal") >= 0).select(
+            F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+            F.lit("urn:ex:acctbal").alias("p"),
+            F.col("c_acctbal").cast("decimal(12,2)").cast("string").alias("o"),
+        )
+    )
+    return sparql_select(tri, """
+        SELECT ?c ?nm ?bal WHERE {
+            ?c <rdf:type> <urn:ex:Customer> .
+            ?c <urn:ex:inNation> ?n .
+            ?n <urn:ex:name> ?nm .
+            OPTIONAL { ?c <urn:ex:acctbal> ?bal }
+            FILTER(?nm >= "E" && !regex(?nm, "^IR"))
+        }
+    """)
+
+
+def _customer_triples(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    tri = (
+    return (
         c.select(
             F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
             F.lit("rdf:type").alias("p"), F.lit("urn:ex:Customer").alias("o"),
@@ -417,20 +437,21 @@ def q_sparql_select(spark, sf_dir):
             F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("s"),
             F.lit("urn:ex:name").alias("p"), F.col("n_name").alias("o"),
         ))
-        .unionByName(c.filter(F.col("c_acctbal") >= 0).select(
-            F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
-            F.lit("urn:ex:acctbal").alias("p"),
-            F.col("c_acctbal").cast("decimal(12,2)").cast("string").alias("o"),
-        ))
     )
-    return sparql_select(tri, """
-        SELECT ?c ?nm ?bal WHERE {
+
+
+def q_sparql_agg(spark, sf_dir):
+    """SPARQL GROUP BY aggregate (rdf_spark.sparql): customers per nation
+    via a 3-pattern BGP + COUNT — compiles to the same partial+final
+    hash aggregate a hand-written groupBy would."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_triples(spark, sf_dir), """
+        SELECT ?nm (COUNT(?c) AS ?n_cust) WHERE {
             ?c <rdf:type> <urn:ex:Customer> .
             ?c <urn:ex:inNation> ?n .
-            ?n <urn:ex:name> ?nm .
-            OPTIONAL { ?c <urn:ex:acctbal> ?bal }
-            FILTER(?nm >= "E" && !regex(?nm, "^IR"))
-        }
+            ?n <urn:ex:name> ?nm
+        } GROUP BY ?nm
     """)
 
 
@@ -1019,6 +1040,7 @@ _QUERIES = {
         "quality_quantiles": q_quality_quantiles,
         "media_near_dup": q_media_near_dup,
         "sparql_select": q_sparql_select,
+        "sparql_agg": q_sparql_agg,
     }
 
 
@@ -1708,6 +1730,11 @@ def oracle_sql() -> dict[str, str]:
                    END AS bal
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE n.n_name >= 'E' AND NOT regexp_matches(n.n_name, '^IR')
+        """,
+        "sparql_agg": """
+            SELECT n.n_name AS nm, CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "quality_quantiles": rf"""
             WITH raw AS ({_REP_RAW} FROM documents),

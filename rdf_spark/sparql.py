@@ -11,21 +11,26 @@ predicates, and the solution modifiers map 1:1 onto
 
 Supported subset (anything else raises ``SparqlError`` at parse time):
 
-    SELECT [DISTINCT] (?var… | *)
-    WHERE { triple patterns '.'-separated
-            FILTER( expr )          -- any number, anywhere in the group
-            OPTIONAL { patterns } } -- any number
-    [ORDER BY (?v | ASC(?v) | DESC(?v))…] [LIMIT n] [OFFSET n]
+    SELECT [DISTINCT] (?var | (AGG(?v|*) AS ?alias))… | *
+    WHERE { group }  |  WHERE { { group } UNION { group } … }
+      group: triple patterns '.'-separated
+             FILTER( expr )          -- any number, anywhere in the group
+             OPTIONAL { patterns }   -- any number
+    [GROUP BY ?v…] [ORDER BY (?v | ASC(?v) | DESC(?v))…]
+    [LIMIT n] [OFFSET n]
 
 Terms: ``<iri>`` (matched against the lexical column), ``?var``, ``a``
 (rdf:type sugar via :data:`rdf_spark.terms.RDF_TYPE`), ``"string"``
 literals, and bare integers/decimals.  FILTER expressions: ``|| && !``,
 comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``,
-``bound(?v)``.  Comparing against a NUMBER casts the variable's lexical
-to double (a documented simplification of SPARQL's typed value
-semantics); string comparisons are lexical.  Prefixed names, UNION,
-property paths, GROUP BY are out of scope — each would compile to the
-same join/union machinery.
+``bound(?v)``.  Aggregates: COUNT/SUM/AVG/MIN/MAX (GROUP BY →
+partial+final hash aggregate; see the SUM/AVG float caveat on
+:func:`sparql_select`).  UNION branches compile independently and align
+on the union of their variables (unbound → NULL).  Comparing against a
+NUMBER casts the variable's lexical to double (a documented
+simplification of SPARQL's typed value semantics); string comparisons
+are lexical.  Prefixed names, property paths, and subqueries are out of
+scope — each would compile to the same join/union machinery.
 """
 
 from __future__ import annotations
@@ -76,12 +81,19 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
 
 
 @dataclass
-class _Ast:
-    distinct: bool = False
-    select_vars: list[str] | None = None  # None = *
+class _Group:
     patterns: list[tuple[str, str, str]] = field(default_factory=list)
     optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
     filters: list[tuple] = field(default_factory=list)
+
+
+@dataclass
+class _Ast:
+    distinct: bool = False
+    # select items: ('var', name) | ('agg', fn, var_or_None_for_star, alias)
+    select_items: list[tuple] | None = None  # None = *
+    branches: list[_Group] = field(default_factory=list)  # >1 = UNION
+    group_by: list[str] = field(default_factory=list)
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
@@ -117,6 +129,8 @@ class _Parser:
 
     # --- grammar ---
 
+    _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+
     def query(self) -> _Ast:
         ast = _Ast()
         self.eat_word("SELECT")
@@ -127,21 +141,57 @@ class _Parser:
         if kind == "op" and v == "*":
             self.next()
         else:
-            vs = []
-            while self.peek()[0] == "var":
-                vs.append(self.next()[1][1:])
-            if not vs:
-                raise SparqlError("SELECT needs ?vars or *")
-            ast.select_vars = vs
+            items = []
+            while True:
+                kind, v = self.peek()
+                if kind == "var":
+                    items.append(("var", self.next()[1][1:]))
+                elif kind == "op" and v == "(":
+                    self.next()
+                    fn = self.eat_word(*self._AGG_FNS)
+                    self.eat_op("(")
+                    kind2, v2 = self.next()
+                    if kind2 == "var":
+                        arg = v2[1:]
+                    elif (kind2, v2) == ("op", "*") and fn == "COUNT":
+                        arg = None
+                    else:
+                        raise SparqlError(f"bad aggregate argument {v2!r}")
+                    self.eat_op(")")
+                    self.eat_word("AS")
+                    alias = self.next()
+                    if alias[0] != "var":
+                        raise SparqlError("aggregate needs AS ?alias")
+                    self.eat_op(")")
+                    items.append(("agg", fn, arg, alias[1][1:]))
+                else:
+                    break
+            if not items:
+                raise SparqlError("SELECT needs ?vars, aggregates, or *")
+            ast.select_items = items
         self.eat_word("WHERE")
         self.eat_op("{")
-        self.group(ast)
+        if self.peek() == ("op", "{"):  # { g1 } UNION { g2 } ...
+            while True:
+                self.eat_op("{")
+                g = _Group()
+                self.group(g)
+                ast.branches.append(g)
+                if self.at_word("UNION"):
+                    self.next()
+                    continue
+                break
+            self.eat_op("}")
+        else:
+            g = _Group()
+            self.group(g)
+            ast.branches.append(g)
         self.modifiers(ast)
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
         return ast
 
-    def group(self, ast: _Ast):
+    def group(self, g: _Group):
         while True:
             kind, v = self.peek()
             if kind == "op" and v == "}":
@@ -150,7 +200,7 @@ class _Parser:
             if self.at_word("FILTER"):
                 self.next()
                 self.eat_op("(")
-                ast.filters.append(self.expr())
+                g.filters.append(self.expr())
                 self.eat_op(")")
             elif self.at_word("OPTIONAL"):
                 self.next()
@@ -163,9 +213,9 @@ class _Parser:
                 self.next()  # }
                 if not block:
                     raise SparqlError("empty OPTIONAL block")
-                ast.optionals.append(block)
+                g.optionals.append(block)
             else:
-                ast.patterns.append(self.triple())
+                g.patterns.append(self.triple())
             if self.peek() == ("op", "."):
                 self.next()
 
@@ -245,6 +295,13 @@ class _Parser:
         raise SparqlError(f"bad operand {v!r}")
 
     def modifiers(self, ast: _Ast):
+        if self.at_word("GROUP"):
+            self.next()
+            self.eat_word("BY")
+            while self.peek()[0] == "var":
+                ast.group_by.append(self.next()[1][1:])
+            if not ast.group_by:
+                raise SparqlError("empty GROUP BY")
         if self.at_word("ORDER"):
             self.next()
             self.eat_word("BY")
@@ -304,27 +361,95 @@ def _compile_expr(e) -> Column:
     raise SparqlError(f"unknown expr node {tag}")
 
 
-def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Compile and run a SPARQL SELECT (subset, see module docstring)
-    against a triple DataFrame with lexical columns ``s p o``.  Returns
-    one column per selected variable."""
-    ast = _Parser(query).query()
-    if not ast.patterns:
-        raise SparqlError("WHERE needs at least one non-OPTIONAL pattern")
-    df = bgp_match(triples, ast.patterns, distinct=False)
-    for block in ast.optionals:
+def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
+    if not g.patterns:
+        raise SparqlError("each group needs at least one non-OPTIONAL pattern")
+    df = bgp_match(triples, g.patterns, distinct=False)
+    for block in g.optionals:
         odf = bgp_match(triples, block, distinct=False)
         shared = sorted(set(df.columns) & set(odf.columns))
         if not shared:
             raise SparqlError("OPTIONAL block shares no variable with the group")
         df = df.join(odf, on=shared, how="left")
-    for f in ast.filters:
+    for f in g.filters:
         df = df.filter(_compile_expr(f))
-    if ast.select_vars is not None:
-        missing = [v for v in ast.select_vars if v not in df.columns]
+    return df
+
+
+_AGG_BUILDERS = {
+    "COUNT": lambda c: F.count(c),
+    "SUM": lambda c: F.sum(c.cast("double")),
+    "AVG": lambda c: F.avg(c.cast("double")),
+    "MIN": lambda c: F.min(c),
+    "MAX": lambda c: F.max(c),
+}
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Compile and run a SPARQL SELECT (subset, see module docstring)
+    against a triple DataFrame with lexical columns ``s p o``.  Returns
+    one column per selected variable / aggregate alias.
+
+    Aggregate caveat: SUM/AVG cast lexicals to double and aggregate in
+    floating point — at cluster scale their low-order digits can vary
+    with partitioning (use COUNT/MIN/MAX, or the decimal-sum operators
+    in ops.retrieval/ops.graph, when bit-exact reproducibility matters).
+    """
+    ast = _Parser(query).query()
+    dfs = [_compile_group(triples, g) for g in ast.branches]
+    if len(dfs) == 1:
+        df = dfs[0]
+    else:
+        # UNION: vars unbound in a branch come back as NULL columns
+        all_vars = sorted({c for d in dfs for c in d.columns})
+        aligned = [
+            d.select(*[
+                F.col(v) if v in d.columns
+                else F.lit(None).cast("string").alias(v)
+                for v in all_vars
+            ])
+            for d in dfs
+        ]
+        df = aligned[0]
+        for d in aligned[1:]:
+            df = df.unionByName(d)
+
+    items = ast.select_items
+    has_agg = items is not None and any(it[0] == "agg" for it in items)
+    if has_agg or ast.group_by:
+        if items is None:
+            raise SparqlError("aggregate queries cannot SELECT *")
+        for it in items:
+            if it[0] == "var" and it[1] not in ast.group_by:
+                raise SparqlError(
+                    f"?{it[1]} selected outside an aggregate must be in GROUP BY"
+                )
+        missing = [v for v in ast.group_by if v not in df.columns]
+        if missing:
+            raise SparqlError(f"GROUP BY of unbound variable(s) {missing}")
+        aggs = []
+        for it in items:
+            if it[0] != "agg":
+                continue
+            _, fn, arg, alias = it
+            if arg is None:  # COUNT(*)
+                aggs.append(F.count(F.lit(1)).alias(alias))
+            else:
+                if arg not in df.columns:
+                    raise SparqlError(f"aggregate over unbound variable ?{arg}")
+                aggs.append(_AGG_BUILDERS[fn](F.col(arg)).alias(alias))
+        if not aggs:
+            raise SparqlError("GROUP BY without any aggregate in SELECT")
+        grouped = df.groupBy(*ast.group_by) if ast.group_by else df.groupBy()
+        df = grouped.agg(*aggs)
+        df = df.select(*[it[1] if it[0] == "var" else it[3] for it in items])
+    elif items is not None:
+        names = [it[1] for it in items]
+        missing = [v for v in names if v not in df.columns]
         if missing:
             raise SparqlError(f"SELECT of unbound variable(s) {missing}")
-        df = df.select(*ast.select_vars)
+        df = df.select(*names)
+
     if ast.distinct:
         df = df.distinct()
     if ast.order:

@@ -126,3 +126,76 @@ def test_filter_only_optional_var_null_comparison(tri):
             FILTER(?b >= 0) }
     """)
     assert sorted(got) == [("Alice",), ("Bob",)]
+
+
+# ---------------------------------------------------------------------------
+# aggregates, GROUP BY, UNION
+# ---------------------------------------------------------------------------
+
+
+def test_group_by_count(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n (COUNT(?k) AS ?deg) WHERE {
+            ?c <urn:name> ?n . ?c <urn:knows> ?k
+        } GROUP BY ?n
+    """))
+    assert got == [("Alice", 1), ("Bob", 1)]
+
+
+def test_global_aggregate_count_star(tri):
+    got = _run(tri, """
+        SELECT (COUNT(*) AS ?n) WHERE { ?c a <urn:Customer> }
+    """)
+    assert got == [(3,)]
+
+
+def test_count_var_skips_unbound(tri):
+    # COUNT(?b) over an OPTIONAL var counts only bound solutions
+    got = _run(tri, """
+        SELECT (COUNT(?b) AS ?n) (COUNT(*) AS ?all) WHERE {
+            ?c <urn:name> ?nm . OPTIONAL { ?c <urn:bal> ?b }
+        }
+    """)
+    assert got == [(2, 3)]
+
+
+def test_min_max_sum(tri):
+    got = _run(tri, """
+        SELECT (MIN(?b) AS ?lo) (MAX(?b) AS ?hi) (SUM(?b) AS ?total)
+        WHERE { ?c <urn:bal> ?b }
+    """)
+    assert got == [("10.5", "3", 13.5)]  # MIN/MAX lexical, SUM numeric
+
+
+def test_union_aligns_unbound_to_null(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n ?k WHERE {
+            { ?c <urn:name> ?n }
+            UNION
+            { ?c <urn:knows> ?k . ?c <urn:name> ?n }
+        } ORDER BY ?n
+    """), key=lambda t: (t[0], t[1] or ""))
+    assert ("Alice", None) in got and ("Alice", "urn:c2") in got
+    assert ("Ann", None) in got  # Ann knows nobody: only branch 1
+    assert len(got) == 5
+
+
+def test_union_with_group_by(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n (COUNT(*) AS ?rows) WHERE {
+            { ?c <urn:name> ?n } UNION { ?c <urn:name> ?n . ?c <urn:bal> ?b }
+        } GROUP BY ?n
+    """))
+    assert got == [("Alice", 2), ("Ann", 1), ("Bob", 2)]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?n (COUNT(?c) AS ?x) WHERE { ?c <urn:name> ?n }",  # ?n not grouped
+    "SELECT (COUNT(?z) AS ?x) WHERE { ?c <urn:name> ?n }",     # unbound agg var
+    "SELECT ?n WHERE { ?c <urn:name> ?n } GROUP BY ?n",        # no aggregate
+    "SELECT (SUM(*) AS ?x) WHERE { ?c <urn:name> ?n }",        # * only for COUNT
+    "SELECT * WHERE { { ?c <urn:name> ?n } UNION { } }",       # empty branch
+])
+def test_aggregate_union_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
