@@ -12,6 +12,8 @@ predicates, and the solution modifiers map 1:1 onto
 Supported subset (anything else raises ``SparqlError`` at parse time):
 
     SELECT [DISTINCT] (?var | (AGG(?v|*) AS ?alias))… | *
+    CONSTRUCT { template triples }    -- → (s,p,o) DataFrame, set semantics
+    ASK [WHERE] { group }             -- → bool
     WHERE { group }  |  WHERE { { group } UNION { group } … }
       group: triple patterns '.'-separated
              FILTER( expr )          -- any number, anywhere in the group
@@ -131,6 +133,29 @@ class _Parser:
 
     _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
 
+    def construct_query(self) -> tuple[list[tuple[str, str, str]], _Ast]:
+        """CONSTRUCT { template } WHERE { ... } [modifiers] — returns the
+        template triples plus the WHERE ast (select_items=None)."""
+        self.eat_word("CONSTRUCT")
+        self.eat_op("{")
+        template = []
+        while self.peek() != ("op", "}"):
+            template.append(self.triple())
+            if self.peek() == ("op", "."):
+                self.next()
+        self.next()  # }
+        if not template:
+            raise SparqlError("empty CONSTRUCT template")
+        ast = _Ast()
+        self._where_and_modifiers(ast)
+        return template, ast
+
+    def ask_query(self) -> _Ast:
+        self.eat_word("ASK")
+        ast = _Ast()
+        self._where_and_modifiers(ast, where_optional=True)
+        return ast
+
     def query(self) -> _Ast:
         ast = _Ast()
         self.eat_word("SELECT")
@@ -169,7 +194,14 @@ class _Parser:
             if not items:
                 raise SparqlError("SELECT needs ?vars, aggregates, or *")
             ast.select_items = items
-        self.eat_word("WHERE")
+        self._where_and_modifiers(ast)
+        return ast
+
+    def _where_and_modifiers(self, ast: _Ast, where_optional: bool = False):
+        if self.at_word("WHERE"):
+            self.next()
+        elif not where_optional:
+            raise SparqlError(f"expected WHERE, got {self.peek()[1]!r}")
         self.eat_op("{")
         if self.peek() == ("op", "{"):  # { g1 } UNION { g2 } ...
             while True:
@@ -189,7 +221,6 @@ class _Parser:
         self.modifiers(ast)
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
-        return ast
 
     def group(self, g: _Group):
         while True:
@@ -385,6 +416,78 @@ _AGG_BUILDERS = {
 }
 
 
+def _solutions(triples: DataFrame, ast: _Ast) -> DataFrame:
+    """The WHERE clause's solution multiset: each branch's join tree,
+    UNION branches aligned on the union of their variables (unbound →
+    NULL)."""
+    dfs = [_compile_group(triples, g) for g in ast.branches]
+    if len(dfs) == 1:
+        return dfs[0]
+    all_vars = sorted({c for d in dfs for c in d.columns})
+    aligned = [
+        d.select(*[
+            F.col(v) if v in d.columns
+            else F.lit(None).cast("string").alias(v)
+            for v in all_vars
+        ])
+        for d in dfs
+    ]
+    df = aligned[0]
+    for d in aligned[1:]:
+        df = df.unionByName(d)
+    return df
+
+
+def _apply_row_modifiers(df: DataFrame, ast: _Ast) -> DataFrame:
+    if ast.order:
+        df = df.orderBy(*[
+            F.col(v).asc() if asc else F.col(v).desc() for v, asc in ast.order
+        ])
+    if ast.offset:
+        df = df.offset(ast.offset)
+    if ast.limit is not None:
+        df = df.limit(ast.limit)
+    return df
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """CONSTRUCT: instantiate the template per WHERE solution → a triple
+    DataFrame ``(s, p, o)`` with graph set semantics (distinct; template
+    triples touching an unbound OPTIONAL variable are dropped, per
+    SPARQL).  The output feeds anything that takes the lexical triple
+    schema — including :func:`sparql_select` itself."""
+    template, ast = _Parser(query).construct_query()
+    df = _apply_row_modifiers(_solutions(triples, ast), ast)
+    parts = []
+    for ts, tp, to in template:
+        cols = []
+        for pos, t in (("s", ts), ("p", tp), ("o", to)):
+            if t.startswith("?"):
+                v = t[1:]
+                if v not in df.columns:
+                    raise SparqlError(f"template variable ?{v} is unbound")
+                cols.append(F.col(v).alias(pos))
+            else:
+                cols.append(F.lit(t).alias(pos))
+        parts.append(
+            df.select(*cols).filter(
+                F.col("s").isNotNull()
+                & F.col("p").isNotNull()
+                & F.col("o").isNotNull()
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def sparql_ask(triples: DataFrame, query: str) -> bool:
+    """ASK: does the pattern have at least one solution?"""
+    ast = _Parser(query).ask_query()
+    return _solutions(triples, ast).limit(1).count() > 0
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Compile and run a SPARQL SELECT (subset, see module docstring)
     against a triple DataFrame with lexical columns ``s p o``.  Returns
@@ -396,24 +499,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     in ops.retrieval/ops.graph, when bit-exact reproducibility matters).
     """
     ast = _Parser(query).query()
-    dfs = [_compile_group(triples, g) for g in ast.branches]
-    if len(dfs) == 1:
-        df = dfs[0]
-    else:
-        # UNION: vars unbound in a branch come back as NULL columns
-        all_vars = sorted({c for d in dfs for c in d.columns})
-        aligned = [
-            d.select(*[
-                F.col(v) if v in d.columns
-                else F.lit(None).cast("string").alias(v)
-                for v in all_vars
-            ])
-            for d in dfs
-        ]
-        df = aligned[0]
-        for d in aligned[1:]:
-            df = df.unionByName(d)
-
+    df = _solutions(triples, ast)
     items = ast.select_items
     has_agg = items is not None and any(it[0] == "agg" for it in items)
     if has_agg or ast.group_by:

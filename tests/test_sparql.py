@@ -199,3 +199,62 @@ def test_union_with_group_by(tri):
 def test_aggregate_union_errors(tri, bad):
     with pytest.raises(SparqlError):
         sparql_select(tri, bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT / ASK
+# ---------------------------------------------------------------------------
+
+
+def test_construct_template(tri):
+    from rdf_spark.sparql import sparql_construct
+
+    out = sparql_construct(tri, """
+        CONSTRUCT { ?c <urn:label> ?n . ?c a <urn:Person> }
+        WHERE { ?c <urn:name> ?n }
+    """)
+    rows = {tuple(r) for r in out.collect()}
+    assert ("urn:c1", "urn:label", "Alice") in rows
+    assert ("urn:c1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "urn:Person") in rows
+    assert len(rows) == 6  # 3 names x 2 template triples
+
+
+def test_construct_drops_unbound_optional_triples(tri):
+    from rdf_spark.sparql import sparql_construct
+
+    out = sparql_construct(tri, """
+        CONSTRUCT { ?c <urn:hasBal> ?b . ?c <urn:label> ?n }
+        WHERE { ?c <urn:name> ?n . OPTIONAL { ?c <urn:bal> ?b } }
+    """)
+    rows = {tuple(r) for r in out.collect()}
+    # 3 label triples always; hasBal only for the 2 docs with a balance
+    assert sum(1 for r in rows if r[1] == "urn:label") == 3
+    assert sum(1 for r in rows if r[1] == "urn:hasBal") == 2
+
+
+def test_construct_feeds_select(tri):
+    from rdf_spark.sparql import sparql_construct, sparql_select
+
+    g2 = sparql_construct(
+        tri, "CONSTRUCT { ?y <urn:knownBy> ?x } WHERE { ?x <urn:knows> ?y }"
+    )
+    back = sparql_select(g2, "SELECT ?w WHERE { <urn:c3> <urn:knownBy> ?w }")
+    assert [r.w for r in back.collect()] == ["urn:c2"]
+
+
+def test_ask(tri):
+    from rdf_spark.sparql import sparql_ask
+
+    assert sparql_ask(tri, 'ASK WHERE { ?c <urn:name> "Alice" }') is True
+    assert sparql_ask(tri, 'ASK { ?c <urn:name> "Zed" }') is False
+    assert sparql_ask(tri, """
+        ASK WHERE { ?c <urn:bal> ?b FILTER(?b > 100) }
+    """) is False
+
+
+def test_construct_empty_template_rejected(tri):
+    from rdf_spark.sparql import sparql_construct
+
+    with pytest.raises(SparqlError):
+        sparql_construct(tri, "CONSTRUCT { } WHERE { ?a <urn:p> ?b }")
