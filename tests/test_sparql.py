@@ -2,6 +2,8 @@
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from rdf_spark.sparql import SparqlError, sparql_select
 from rdf_spark.terms import RDF_TYPE
 
@@ -258,3 +260,40 @@ def test_construct_empty_template_rejected(tri):
 
     with pytest.raises(SparqlError):
         sparql_construct(tri, "CONSTRUCT { } WHERE { ?a <urn:p> ?b }")
+
+
+def test_sparql_over_constructed_kg(spark):
+    """Full-stack: crawl pages → fused KG pipeline → declarative SPARQL.
+    Pages mentioning an entity are found via BGP + aggregate, and
+    CONSTRUCT derives a co-mention graph from the store."""
+    from rdf_spark import datagen, pipeline
+    from rdf_spark.sparql import sparql_ask, sparql_construct, sparql_select
+
+    store, _ = pipeline.build_shard_triples(
+        datagen.pages(spark, 100), datagen.aliases(spark)
+    )
+    # mention counts per entity, straight off the materialized store
+    counts = sparql_select(store, """
+        SELECT ?e (COUNT(?page) AS ?n) WHERE {
+            ?page <http://kg.example/vocab#mentions> ?e
+        } GROUP BY ?e
+    """).collect()
+    assert counts and all(r.n >= 1 for r in counts)
+    mention_total = sum(r.n for r in counts)
+    direct = store.filter(
+        F.col("p") == "http://kg.example/vocab#mentions"
+    ).count()
+    assert mention_total == direct
+
+    # co-mention edges: two entities on the same page
+    co = sparql_construct(store, """
+        CONSTRUCT { ?a <urn:coMentionedWith> ?b } WHERE {
+            ?page <http://kg.example/vocab#mentions> ?a .
+            ?page <http://kg.example/vocab#mentions> ?b .
+            FILTER(?a < ?b)
+        }
+    """)
+    assert co.count() > 0
+    assert sparql_ask(store, """
+        ASK { ?p <http://kg.example/vocab#price> ?v }
+    """) is True
