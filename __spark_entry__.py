@@ -455,6 +455,30 @@ def q_sparql_agg(spark, sf_dir):
     """)
 
 
+def q_sparql_path(spark, sf_dir):
+    """Anchored SPARQL property path (<p>+): transitive closure from one
+    node, compiled to iterate-to-fixpoint BFS with per-round
+    localCheckpoint — checked against a DuckDB WITH RECURSIVE oracle over
+    a deterministic binary-tree graph (doc_id → 2·id+1, 2·id+2; depth ~8,
+    so the fixpoint terminates in ~8 rounds at any scale)."""
+    from rdf_spark.sparql import sparql_select
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tri = (
+        d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 1).alias("o"),
+        )
+        .unionByName(d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 2).alias("o"),
+        ))
+    )
+    return sparql_select(tri, "SELECT ?x WHERE { <urn:d0> <urn:child>+ ?x }")
+
+
 def q_mention_count(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     m = extraction.detect_mentions(docs, _aliases_df(spark))
@@ -1041,6 +1065,7 @@ _QUERIES = {
         "media_near_dup": q_media_near_dup,
         "sparql_select": q_sparql_select,
         "sparql_agg": q_sparql_agg,
+        "sparql_path": q_sparql_path,
     }
 
 
@@ -1735,6 +1760,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.n_name AS nm, CAST(COUNT(*) AS BIGINT) AS n_cust
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "sparql_path": """
+            WITH RECURSIVE edges AS (
+                SELECT 'urn:d' || doc_id AS s, 'urn:d' || (2*doc_id+1) AS o
+                FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT 'urn:d' || doc_id, 'urn:d' || (2*doc_id+2)
+                FROM documents WHERE doc_id < 200
+            ),
+            reach AS (
+                SELECT o AS x FROM edges WHERE s = 'urn:d0'
+                UNION
+                SELECT e.o FROM edges e JOIN reach r ON e.s = r.x
+            )
+            SELECT x FROM reach
         """,
         "quality_quantiles": rf"""
             WITH raw AS ({_REP_RAW} FROM documents),

@@ -16,6 +16,11 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
     ASK [WHERE] { group }             -- → bool
     WHERE { group }  |  WHERE { { group } UNION { group } … }
       group: triple patterns '.'-separated
+             anchored property paths:  X <p>+ ?v | ?v <p>+ X | X <p>+ Y
+               (also <p>*; one endpoint must be constant — compiled to
+               iterate-to-fixpoint BFS with per-round localCheckpoint;
+               unanchored ?a <p>+ ?b is rejected as unbounded
+               all-pairs reachability)
              FILTER( expr )          -- any number, anywhere in the group
              OPTIONAL { patterns }   -- any number
     [GROUP BY ?v…] [ORDER BY (?v | ASC(?v) | DESC(?v))…]
@@ -58,7 +63,7 @@ _TOKEN_RE = re.compile(
       | (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<number>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+))
       | (?P<word>[A-Za-z][A-Za-z0-9_]*)
-      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*])
+      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+])
     )""",
     re.X,
 )
@@ -87,6 +92,8 @@ class _Group:
     patterns: list[tuple[str, str, str]] = field(default_factory=list)
     optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
     filters: list[tuple] = field(default_factory=list)
+    # property paths: (s_term, predicate_iri, '+'|'*', o_term)
+    paths: list[tuple[str, str, str, str]] = field(default_factory=list)
 
 
 @dataclass
@@ -246,7 +253,17 @@ class _Parser:
                     raise SparqlError("empty OPTIONAL block")
                 g.optionals.append(block)
             else:
-                g.patterns.append(self.triple())
+                s = self.term("s")
+                # anchored property path: <iri>+ / <iri>* as predicate
+                if self.peek()[0] == "iri" and self.toks[self.i + 1] in (
+                    ("op", "+"), ("op", "*"),
+                ):
+                    p_iri = self.next()[1][1:-1]
+                    mod = self.next()[1]
+                    g.paths.append((s, p_iri, mod, self.term("o")))
+                else:
+                    p = self.term("p")
+                    g.patterns.append((s, p, self.term("o")))
             if self.peek() == ("op", "."):
                 self.next()
 
@@ -392,10 +409,87 @@ def _compile_expr(e) -> Column:
     raise SparqlError(f"unknown expr node {tag}")
 
 
+_PATH_MAX_ITER = 1000  # diameter guard; real graphs converge far sooner
+
+
+def _reach_plus(triples: DataFrame, pred: str, start: str,
+                reverse: bool = False) -> DataFrame:
+    """Nodes reachable from ``start`` by ≥1 ``pred`` edge (transitive
+    closure from one anchor): iterate-to-fixpoint BFS with per-round
+    localCheckpoint, same shape as ops.graph.k_hop_neighbors.  With
+    ``reverse`` the edges are followed backwards (for ``?v <p>+ <X>``)."""
+    spark = triples.sparkSession
+    src, dst = ("o", "s") if reverse else ("s", "o")
+    edges = triples.filter(F.col("p") == pred).select(
+        F.col(src).alias("_src"), F.col(dst).alias("node")
+    )
+    frontier = (
+        edges.join(
+            spark.createDataFrame([(start,)], "node string")
+            .withColumnRenamed("node", "_src"),
+            "_src",
+        )
+        .select("node")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    n = frontier.count()
+    for _ in range(_PATH_MAX_ITER):
+        if n == 0:
+            break
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "_src"), "_src")
+            .select("node")
+            .distinct()
+        )
+        frontier = nxt.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        n = frontier.count()
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited
+
+
+def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
+    """One anchored path pattern → its binding table (one var column), or
+    a 0/1-row marker table for the two-constant case."""
+    s, pred, mod, o = path
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    spark = triples.sparkSession
+    if s_var and o_var:
+        raise SparqlError(
+            "property paths need a constant endpoint "
+            f"(?{s[1:]} <{pred}>{mod} ?{o[1:]} is unbounded reachability)"
+        )
+    if not s_var:
+        reach = _reach_plus(triples, pred, s)
+        anchor, var_term = s, o
+    else:
+        reach = _reach_plus(triples, pred, o, reverse=True)
+        anchor, var_term = o, s
+    if mod == "*":  # zero-length path: the anchor reaches itself
+        reach = reach.unionByName(
+            spark.createDataFrame([(anchor,)], "node string")
+        ).distinct()
+    if var_term.startswith("?"):
+        return reach.withColumnRenamed("node", var_term[1:])
+    # both endpoints constant → EXISTS semantics (0 or 1 marker row)
+    return reach.filter(F.col("node") == var_term).select(
+        F.lit(1).alias(f"_path_m{idx}")
+    ).limit(1)
+
+
 def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
-    if not g.patterns:
+    if not g.patterns and not g.paths:
         raise SparqlError("each group needs at least one non-OPTIONAL pattern")
-    df = bgp_match(triples, g.patterns, distinct=False)
+    df = bgp_match(triples, g.patterns, distinct=False) if g.patterns else None
+    for i, path in enumerate(g.paths):
+        part = _compile_path(triples, path, i)
+        if df is None:
+            df = part
+            continue
+        shared = sorted(set(df.columns) & set(part.columns))
+        df = df.join(part, on=shared) if shared else df.crossJoin(part)
+    df = df.drop(*[c for c in df.columns if c.startswith("_path_m")])
     for block in g.optionals:
         odf = bgp_match(triples, block, distinct=False)
         shared = sorted(set(df.columns) & set(odf.columns))

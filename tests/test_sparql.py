@@ -297,3 +297,56 @@ def test_sparql_over_constructed_kg(spark):
     assert sparql_ask(store, """
         ASK { ?p <http://kg.example/vocab#price> ?v }
     """) is True
+
+
+# ---------------------------------------------------------------------------
+# anchored property paths
+# ---------------------------------------------------------------------------
+
+
+def test_path_plus_forward(tri):
+    got = sorted(r.x for r in sparql_select(
+        tri, "SELECT ?x WHERE { <urn:c1> <urn:knows>+ ?x }").collect())
+    assert got == ["urn:c2", "urn:c3"]  # transitive: c1→c2→c3
+
+
+def test_path_star_includes_anchor(tri):
+    got = sorted(r.x for r in sparql_select(
+        tri, "SELECT ?x WHERE { <urn:c1> <urn:knows>* ?x }").collect())
+    assert got == ["urn:c1", "urn:c2", "urn:c3"]
+
+
+def test_path_reverse_anchor(tri):
+    got = sorted(r.x for r in sparql_select(
+        tri, "SELECT ?x WHERE { ?x <urn:knows>+ <urn:c3> }").collect())
+    assert got == ["urn:c1", "urn:c2"]
+
+
+def test_path_joins_with_bgp(tri):
+    got = sorted(r.n for r in sparql_select(tri, """
+        SELECT ?n WHERE { <urn:c1> <urn:knows>+ ?x . ?x <urn:name> ?n }
+    """).collect())
+    assert got == ["Ann", "Bob"]
+
+
+def test_path_both_constants_exists(tri):
+    from rdf_spark.sparql import sparql_ask
+
+    assert sparql_ask(tri, "ASK { <urn:c1> <urn:knows>+ <urn:c3> }") is True
+    assert sparql_ask(tri, "ASK { <urn:c3> <urn:knows>+ <urn:c1> }") is False
+
+
+def test_path_cycle_terminates(spark):
+    from rdf_spark.sparql import sparql_select as sq
+
+    cyc = spark.createDataFrame(
+        [("a", "urn:n", "b"), ("b", "urn:n", "c"), ("c", "urn:n", "a")],
+        "s string, p string, o string",
+    )
+    got = sorted(r.x for r in sq(cyc, "SELECT ?x WHERE { <a> <urn:n>+ ?x }").collect())
+    assert got == ["a", "b", "c"]  # '+' reaches the anchor via the cycle
+
+
+def test_path_var_var_rejected(tri):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, "SELECT * WHERE { ?a <urn:knows>+ ?b }").collect()
