@@ -11,6 +11,7 @@ predicates, and the solution modifiers map 1:1 onto
 
 Supported subset (anything else raises ``SparqlError`` at parse time):
 
+    [PREFIX ns: <iri> …]
     SELECT [DISTINCT] (?var | (AGG(?v|*) AS ?alias))… | *
     CONSTRUCT { template triples }    -- → (s,p,o) DataFrame, set semantics
     ASK [WHERE] { group }             -- → bool
@@ -23,6 +24,8 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                all-pairs reachability)
              FILTER( expr )          -- any number, anywhere in the group
              OPTIONAL { patterns }   -- any number
+             VALUES ?v { term … }    -- inline bindings (restricts a
+                                        bound var, introduces an unbound)
     [GROUP BY ?v…] [ORDER BY (?v | ASC(?v) | DESC(?v))…]
     [LIMIT n] [OFFSET n]
 
@@ -36,8 +39,9 @@ partial+final hash aggregate; see the SUM/AVG float caveat on
 on the union of their variables (unbound → NULL).  Comparing against a
 NUMBER casts the variable's lexical to double (a documented
 simplification of SPARQL's typed value semantics); string comparisons
-are lexical.  Prefixed names, property paths, and subqueries are out of
-scope — each would compile to the same join/union machinery.
+are lexical.  Prefixed names (``ns:local``) expand against the PREFIX
+prologue anywhere a term or path predicate appears.  Subqueries, named
+graphs, and unanchored property paths are out of scope.
 """
 
 from __future__ import annotations
@@ -62,6 +66,7 @@ _TOKEN_RE = re.compile(
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<number>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+))
+      | (?P<pname>[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
       | (?P<word>[A-Za-z][A-Za-z0-9_]*)
       | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+])
     )""",
@@ -78,7 +83,7 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
                 break
             raise SparqlError(f"cannot tokenize at: {q[pos:pos+30]!r}")
         pos = m.end()
-        for kind in ("iri", "var", "string", "number", "word", "op"):
+        for kind in ("iri", "var", "string", "number", "pname", "word", "op"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -94,6 +99,8 @@ class _Group:
     filters: list[tuple] = field(default_factory=list)
     # property paths: (s_term, predicate_iri, '+'|'*', o_term)
     paths: list[tuple[str, str, str, str]] = field(default_factory=list)
+    # inline bindings: (var_name, [lexical values])
+    values: list[tuple[str, list[str]]] = field(default_factory=list)
 
 
 @dataclass
@@ -112,6 +119,25 @@ class _Parser:
     def __init__(self, q: str):
         self.toks = _tokenize(q)
         self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def prologue(self):
+        """Zero or more `PREFIX ns: <iri>` declarations."""
+        while self.at_word("PREFIX"):
+            self.next()
+            kind, v = self.next()
+            if kind != "pname" or not v.endswith(":"):
+                raise SparqlError(f"PREFIX needs 'ns:', got {v!r}")
+            kind2, iri = self.next()
+            if kind2 != "iri":
+                raise SparqlError(f"PREFIX {v} needs an <iri>")
+            self.prefixes[v[:-1]] = iri[1:-1]
+
+    def expand_pname(self, v: str) -> str:
+        ns, local = v.split(":", 1)
+        if ns not in self.prefixes:
+            raise SparqlError(f"undeclared prefix {ns}: in {v!r}")
+        return self.prefixes[ns] + local
 
     def peek(self):
         return self.toks[self.i]
@@ -143,6 +169,7 @@ class _Parser:
     def construct_query(self) -> tuple[list[tuple[str, str, str]], _Ast]:
         """CONSTRUCT { template } WHERE { ... } [modifiers] — returns the
         template triples plus the WHERE ast (select_items=None)."""
+        self.prologue()
         self.eat_word("CONSTRUCT")
         self.eat_op("{")
         template = []
@@ -158,6 +185,7 @@ class _Parser:
         return template, ast
 
     def ask_query(self) -> _Ast:
+        self.prologue()
         self.eat_word("ASK")
         ast = _Ast()
         self._where_and_modifiers(ast, where_optional=True)
@@ -165,6 +193,7 @@ class _Parser:
 
     def query(self) -> _Ast:
         ast = _Ast()
+        self.prologue()
         self.eat_word("SELECT")
         if self.at_word("DISTINCT"):
             self.next()
@@ -252,13 +281,27 @@ class _Parser:
                 if not block:
                     raise SparqlError("empty OPTIONAL block")
                 g.optionals.append(block)
+            elif self.at_word("VALUES"):
+                self.next()
+                var = self.next()
+                if var[0] != "var":
+                    raise SparqlError("VALUES needs a ?var")
+                self.eat_op("{")
+                vals = []
+                while self.peek() != ("op", "}"):
+                    vals.append(self.term("o"))
+                self.next()  # }
+                if not vals:
+                    raise SparqlError("empty VALUES block")
+                g.values.append((var[1][1:], vals))
             else:
                 s = self.term("s")
-                # anchored property path: <iri>+ / <iri>* as predicate
-                if self.peek()[0] == "iri" and self.toks[self.i + 1] in (
+                # anchored property path: <iri>+ / ns:p* as predicate
+                if self.peek()[0] in ("iri", "pname") and self.toks[self.i + 1] in (
                     ("op", "+"), ("op", "*"),
                 ):
-                    p_iri = self.next()[1][1:-1]
+                    kind, v = self.next()
+                    p_iri = v[1:-1] if kind == "iri" else self.expand_pname(v)
                     mod = self.next()[1]
                     g.paths.append((s, p_iri, mod, self.term("o")))
                 else:
@@ -273,6 +316,8 @@ class _Parser:
             return v  # keep '?', bgp_match speaks this dialect
         if kind == "iri":
             return v[1:-1]
+        if kind == "pname":
+            return self.expand_pname(v)
         if kind == "word" and v == "a" and position == "p":
             return RDF_TYPE
         if kind == "string" and position == "o":
@@ -479,7 +524,7 @@ def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
 
 
 def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
-    if not g.patterns and not g.paths:
+    if not (g.patterns or g.paths or g.values):
         raise SparqlError("each group needs at least one non-OPTIONAL pattern")
     df = bgp_match(triples, g.patterns, distinct=False) if g.patterns else None
     for i, path in enumerate(g.paths):
@@ -490,6 +535,16 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         shared = sorted(set(df.columns) & set(part.columns))
         df = df.join(part, on=shared) if shared else df.crossJoin(part)
     df = df.drop(*[c for c in df.columns if c.startswith("_path_m")])
+    for var, vals in g.values:
+        part = triples.sparkSession.createDataFrame(
+            [(v,) for v in vals], f"{var} string"
+        )
+        if df is None:
+            df = part
+        elif var in df.columns:
+            df = df.join(part, on=[var])  # restrict existing bindings
+        else:
+            df = df.crossJoin(part)  # introduce new bindings
     for block in g.optionals:
         odf = bgp_match(triples, block, distinct=False)
         shared = sorted(set(df.columns) & set(odf.columns))

@@ -350,3 +350,56 @@ def test_path_cycle_terminates(spark):
 def test_path_var_var_rejected(tri):
     with pytest.raises(SparqlError):
         sparql_select(tri, "SELECT * WHERE { ?a <urn:knows>+ ?b }").collect()
+
+
+# ---------------------------------------------------------------------------
+# PREFIX and VALUES
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_expansion(tri):
+    got = sorted(_run(tri, """
+        PREFIX u: <urn:>
+        SELECT ?n WHERE { ?c u:name ?n . ?c u:knows ?k }
+    """))
+    assert got == [("Alice",), ("Bob",)]
+
+
+def test_prefix_in_path_and_construct(tri):
+    from rdf_spark.sparql import sparql_construct
+
+    got = sorted(r.x for r in sparql_select(tri, """
+        PREFIX u: <urn:>
+        SELECT ?x WHERE { <urn:c1> u:knows+ ?x }
+    """).collect())
+    assert got == ["urn:c2", "urn:c3"]
+    out = sparql_construct(tri, """
+        PREFIX u: <urn:>
+        CONSTRUCT { ?c u:lbl ?n } WHERE { ?c u:name ?n }
+    """)
+    assert {r.p for r in out.collect()} == {"urn:lbl"}
+
+
+def test_values_restricts_bindings(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . VALUES ?n { "Alice" "Ann" } }
+    """))
+    assert got == [("Alice",), ("Ann",)]
+
+
+def test_values_introduces_bindings(spark, tri):
+    got = sorted(_run(tri, """
+        SELECT ?tag ?n WHERE { VALUES ?tag { "x" "y" } . ?c <urn:name> ?n
+            FILTER(?n = "Bob") }
+    """))
+    assert got == [("x", "Bob"), ("y", "Bob")]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?n WHERE { ?c ex:name ?n }",              # undeclared prefix
+    "PREFIX ex <urn:> SELECT ?n WHERE { ?c ex:name ?n }",  # missing colon
+    "SELECT ?n WHERE { ?c <urn:name> ?n . VALUES ?v { } }",
+])
+def test_prefix_values_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
