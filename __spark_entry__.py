@@ -479,6 +479,26 @@ def q_sparql_path(spark, sf_dir):
     return sparql_select(tri, "SELECT ?x WHERE { <urn:d0> <urn:child>+ ?x }")
 
 
+def q_sparql_not_exists(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS compiled to a left anti join (the
+    canonical Spark translation, plan-asserted in tests): customers with
+    no order triple — the KG twin of TPC-H's classic anti-join."""
+    from rdf_spark.sparql import sparql_select
+
+    o = _t(spark, sf_dir, "orders")
+    tri = _customer_triples(spark, sf_dir).unionByName(o.select(
+        F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("urn:ex:by").alias("p"),
+        F.concat(F.lit("urn:cust:"), F.col("o_custkey")).alias("o"),
+    ))
+    return sparql_select(tri, """
+        SELECT ?c WHERE {
+            ?c <rdf:type> <urn:ex:Customer> .
+            FILTER NOT EXISTS { ?o <urn:ex:by> ?c }
+        }
+    """)
+
+
 def q_mention_count(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     m = extraction.detect_mentions(docs, _aliases_df(spark))
@@ -1066,6 +1086,7 @@ _QUERIES = {
         "sparql_select": q_sparql_select,
         "sparql_agg": q_sparql_agg,
         "sparql_path": q_sparql_path,
+        "sparql_not_exists": q_sparql_not_exists,
     }
 
 
@@ -1775,6 +1796,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.o FROM edges e JOIN reach r ON e.s = r.x
             )
             SELECT x FROM reach
+        """,
+        "sparql_not_exists": """
+            SELECT 'urn:cust:' || c_custkey AS c FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = customer.c_custkey)
         """,
         "quality_quantiles": rf"""
             WITH raw AS ({_REP_RAW} FROM documents),

@@ -15,6 +15,7 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
     SELECT [DISTINCT] (?var | (AGG(?v|*) AS ?alias))… | *
     CONSTRUCT { template triples }    -- → (s,p,o) DataFrame, set semantics
     ASK [WHERE] { group }             -- → bool
+    DESCRIBE <iri>…                   -- → subject/object-touching triples
     WHERE { group }  |  WHERE { { group } UNION { group } … }
       group: triple patterns '.'-separated
              anchored property paths:  X <p>+ ?v | ?v <p>+ X | X <p>+ Y
@@ -23,6 +24,7 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                unanchored ?a <p>+ ?b is rejected as unbounded
                all-pairs reachability)
              FILTER( expr )          -- any number, anywhere in the group
+             FILTER [NOT] EXISTS { patterns }  -- → left semi / anti join
              OPTIONAL { patterns }   -- any number
              VALUES ?v { term … }    -- inline bindings (restricts a
                                         bound var, introduces an unbound)
@@ -101,6 +103,10 @@ class _Group:
     paths: list[tuple[str, str, str, str]] = field(default_factory=list)
     # inline bindings: (var_name, [lexical values])
     values: list[tuple[str, list[str]]] = field(default_factory=list)
+    # FILTER [NOT] EXISTS blocks: (positive, patterns)
+    exists: list[tuple[bool, list[tuple[str, str, str]]]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
@@ -191,6 +197,24 @@ class _Parser:
         self._where_and_modifiers(ast, where_optional=True)
         return ast
 
+    def describe_query(self) -> list[str]:
+        self.prologue()
+        self.eat_word("DESCRIBE")
+        iris = []
+        while True:
+            kind, v = self.peek()
+            if kind == "iri":
+                iris.append(self.next()[1][1:-1])
+            elif kind == "pname":
+                iris.append(self.expand_pname(self.next()[1]))
+            else:
+                break
+        if not iris:
+            raise SparqlError("DESCRIBE needs at least one <iri>")
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return iris
+
     def query(self) -> _Ast:
         ast = _Ast()
         self.prologue()
@@ -266,9 +290,24 @@ class _Parser:
                 return
             if self.at_word("FILTER"):
                 self.next()
-                self.eat_op("(")
-                g.filters.append(self.expr())
-                self.eat_op(")")
+                if self.at_word("NOT", "EXISTS"):  # FILTER [NOT] EXISTS {...}
+                    positive = self.eat_word("NOT", "EXISTS") == "EXISTS"
+                    if not positive:
+                        self.eat_word("EXISTS")
+                    self.eat_op("{")
+                    block = []
+                    while self.peek() != ("op", "}"):
+                        block.append(self.triple())
+                        if self.peek() == ("op", "."):
+                            self.next()
+                    self.next()  # }
+                    if not block:
+                        raise SparqlError("empty EXISTS block")
+                    g.exists.append((positive, block))
+                else:
+                    self.eat_op("(")
+                    g.filters.append(self.expr())
+                    self.eat_op(")")
             elif self.at_word("OPTIONAL"):
                 self.next()
                 self.eat_op("{")
@@ -551,6 +590,14 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         if not shared:
             raise SparqlError("OPTIONAL block shares no variable with the group")
         df = df.join(odf, on=shared, how="left")
+    for positive, block in g.exists:
+        edf = bgp_match(triples, block, distinct=False)
+        shared = sorted(set(df.columns) & set(edf.columns))
+        if not shared:
+            raise SparqlError("EXISTS block shares no variable with the group")
+        # the canonical Spark translation: EXISTS → left semi join,
+        # NOT EXISTS → left anti join on the shared variables
+        df = df.join(edf, on=shared, how="left_semi" if positive else "left_anti")
     for f in g.filters:
         df = df.filter(_compile_expr(f))
     return df
@@ -635,6 +682,14 @@ def sparql_ask(triples: DataFrame, query: str) -> bool:
     """ASK: does the pattern have at least one solution?"""
     ast = _Parser(query).ask_query()
     return _solutions(triples, ast).limit(1).count() > 0
+
+
+def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+    """DESCRIBE <iri>…: every triple where one of the IRIs appears as
+    subject or object (the simple symmetric-concise-bounded variant,
+    matching ops.graph.describe) — two scan-pushable IN filters."""
+    iris = _Parser(query).describe_query()
+    return triples.filter(F.col("s").isin(iris) | F.col("o").isin(iris))
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:

@@ -403,3 +403,60 @@ def test_values_introduces_bindings(spark, tri):
 def test_prefix_values_errors(tri, bad):
     with pytest.raises(SparqlError):
         sparql_select(tri, bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / NOT EXISTS / DESCRIBE
+# ---------------------------------------------------------------------------
+
+
+def test_filter_not_exists_anti_join(tri):
+    # customers with NO balance triple
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER NOT EXISTS { ?c <urn:bal> ?b } }
+    """))
+    assert got == [("Ann",)]
+
+
+def test_filter_exists_semi_join(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER EXISTS { ?c <urn:knows> ?k } }
+    """))
+    assert got == [("Alice",), ("Bob",)]
+
+
+def test_exists_plan_is_semi_anti_join(tri):
+    semi = sparql_select(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER EXISTS { ?c <urn:bal> ?b } }
+    """)
+    plan = semi._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    anti = sparql_select(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER NOT EXISTS { ?c <urn:bal> ?b } }
+    """)
+    assert "LeftAnti" in anti._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_describe(tri):
+    from rdf_spark.sparql import sparql_describe
+
+    got = {tuple(r) for r in sparql_describe(tri, "DESCRIBE <urn:c2>").collect()}
+    # c2 as subject (type, name, bal, knows->c3) and as object (c1 knows c2)
+    assert ("urn:c2", "urn:name", "Bob") in got
+    assert ("urn:c1", "urn:knows", "urn:c2") in got
+    assert len(got) == 5
+    multi = sparql_describe(tri, "PREFIX u: <urn:> DESCRIBE u:c1 u:c3")
+    assert multi.count() > 5
+
+
+def test_describe_errors(tri):
+    from rdf_spark.sparql import sparql_describe
+
+    with pytest.raises(SparqlError):
+        sparql_describe(tri, "DESCRIBE").collect()
+    with pytest.raises(SparqlError):
+        sparql_describe(tri, "DESCRIBE ?x").collect()
