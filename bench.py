@@ -66,6 +66,8 @@ def main() -> int:
         "deterministic_sample",
         "bm25_search",
         "lm_score",
+        "sparql_select",
+        "sparql_not_exists",
     ]
 
     timings: dict[str, float] = {}
