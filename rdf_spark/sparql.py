@@ -34,8 +34,9 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
 Terms: ``<iri>`` (matched against the lexical column), ``?var``, ``a``
 (rdf:type sugar via :data:`rdf_spark.terms.RDF_TYPE`), ``"string"``
 literals, and bare integers/decimals.  FILTER expressions: ``|| && !``,
-comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``,
-``bound(?v)``.  Aggregates: COUNT/SUM/AVG/MIN/MAX (GROUP BY →
+comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``, ``bound(?v)``,
+``contains/strstarts/strends(x, y)``, and the operand functions
+``strlen/lcase/ucase(x)``.  Aggregates: COUNT/SUM/AVG/MIN/MAX (GROUP BY →
 partial+final hash aggregate; see the SUM/AVG float caveat on
 :func:`sparql_select`).  UNION branches compile independently and align
 on the union of their variables (unbound → NULL).  Comparing against a
@@ -409,6 +410,14 @@ class _Parser:
             if var[0] != "var":
                 raise SparqlError("bound(?var) expected")
             return ("bound", var[1])
+        if self.at_word("CONTAINS", "STRSTARTS", "STRENDS"):
+            fn = self.next()[1].upper()
+            self.eat_op("(")
+            a = self.operand()
+            self.eat_op(",")
+            b = self.operand()
+            self.eat_op(")")
+            return ("strfn2", fn, a, b)
         left = self.operand()
         kind, v = self.next()
         if kind != "op" or v not in ("=", "!=", "<", "<=", ">", ">="):
@@ -424,6 +433,12 @@ class _Parser:
             return ("str", re.sub(r"\\(.)", r"\1", v[1:-1]))
         if kind == "number":
             return ("num", float(v))
+        if kind == "word" and v.upper() in ("STRLEN", "LCASE", "UCASE"):
+            fn = v.upper()
+            self.eat_op("(")
+            inner = self.operand()
+            self.eat_op(")")
+            return ("fn", fn, inner)
         raise SparqlError(f"bad operand {v!r}")
 
     def modifiers(self, ast: _Ast):
@@ -463,11 +478,17 @@ class _Parser:
 
 
 def _operand_col(op, numeric: bool) -> Column:
-    kind, v = op
+    kind = op[0]
     if kind == "var":
-        c = F.col(v)
+        c = F.col(op[1])
         return c.cast("double") if numeric else c
-    return F.lit(v)
+    if kind == "fn":
+        _, fn, inner = op
+        c = _operand_col(inner, False)
+        if fn == "STRLEN":
+            return F.length(c)  # numeric by nature — no lexical cast
+        return F.lower(c) if fn == "LCASE" else F.upper(c)
+    return F.lit(op[1])
 
 
 def _compile_expr(e) -> Column:
@@ -482,6 +503,12 @@ def _compile_expr(e) -> Column:
         return F.col(e[1]).rlike(e[2])
     if tag == "bound":
         return F.col(e[1]).isNotNull()
+    if tag == "strfn2":
+        _, fn, a, b = e
+        ca, cb = _operand_col(a, False), _operand_col(b, False)
+        if fn == "CONTAINS":
+            return ca.contains(cb)
+        return ca.startswith(cb) if fn == "STRSTARTS" else ca.endswith(cb)
     if tag == "cmp":
         _, op, a, b = e
         numeric = a[0] == "num" or b[0] == "num"

@@ -460,3 +460,24 @@ def test_describe_errors(tri):
         sparql_describe(tri, "DESCRIBE").collect()
     with pytest.raises(SparqlError):
         sparql_describe(tri, "DESCRIBE ?x").collect()
+
+
+def test_string_builtins(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(STRSTARTS(?n, "A")) }
+    """))
+    assert got == [("Alice",), ("Ann",)]
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER(CONTAINS(LCASE(?n), "li") || STRENDS(?n, "ob")) }
+    """))
+    assert got == [("Alice",), ("Bob",)]
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(STRLEN(?n) = 3) }
+    """))
+    assert got == [("Ann",), ("Bob",)]
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER(UCASE(?n) = "ALICE") }
+    """))
+    assert got == [("Alice",)]
