@@ -1,0 +1,70 @@
+"""spark-submit entry point for SPARQL queries over a materialized triple
+store (the query-side companion of kg_construct_job.py):
+
+    spark-submit --py-files /tmp/rdf_spark.zip jobs/sparql_job.py \\
+        --store <parquet dir or file> \\
+        (--query 'SELECT ...' | --query-file q.rq) \\
+        [--out <dir>]           # parquet results; omit → print ≤100 rows
+
+All four query forms are supported (rdf_spark.sparql subset): SELECT and
+CONSTRUCT write/print a result table; ASK prints a JSON boolean;
+DESCRIBE writes/prints the touching triples.  The store just needs
+lexical ``s p o`` columns — exactly what pipeline.materialize/store
+writers produce.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--query")
+    ap.add_argument("--query-file")
+    ap.add_argument("--out")
+    args = ap.parse_args(argv)
+    if bool(args.query) == bool(args.query_file):
+        ap.error("exactly one of --query / --query-file is required")
+    q = args.query or open(args.query_file).read()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("sparql-query").getOrCreate()
+
+    from rdf_spark import sparql
+
+    triples = spark.read.parquet(args.store)
+    # skip the PREFIX prologue when sniffing the query form
+    toks = q.split()
+    i = 0
+    while i < len(toks) and toks[i].upper() == "PREFIX":
+        i += 3
+    form = toks[i].upper() if i < len(toks) else ""
+
+    if form == "ASK":
+        print(json.dumps({"ask": sparql.sparql_ask(triples, q)}))
+        return 0
+    if form == "SELECT":
+        df = sparql.sparql_select(triples, q)
+    elif form == "CONSTRUCT":
+        df = sparql.sparql_construct(triples, q)
+    elif form == "DESCRIBE":
+        df = sparql.sparql_describe(triples, q)
+    else:
+        ap.error(f"unsupported query form {form!r}")
+        return 2
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                          "out": args.out}))
+    else:
+        df.show(100, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -481,3 +481,38 @@ def test_string_builtins(tri):
             FILTER(UCASE(?n) = "ALICE") }
     """))
     assert got == [("Alice",)]
+
+
+def test_sparql_job_entrypoint(spark, tri, tmp_path):
+    """The spark-submit SPARQL CLI over a materialized store."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import sparql_job
+
+    store = str(tmp_path / "store")
+    tri.write.mode("overwrite").parquet(store)
+    out = str(tmp_path / "results")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = sparql_job.main([
+            "--store", store, "--out", out,
+            "--query", "PREFIX u: <urn:> SELECT ?n WHERE { ?c u:name ?n }",
+        ])
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["rows"] == 3
+    got = {r.n for r in spark.read.parquet(out).collect()}
+    assert got == {"Alice", "Bob", "Ann"}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = sparql_job.main([
+            "--store", store,
+            "--query", 'ASK { ?c <urn:name> "Alice" }',
+        ])
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["ask"] is True
