@@ -966,15 +966,23 @@ def q_quality_quantiles(spark, sf_dir):
     corpus-health dashboard aggregate.  Uses EXACT percentile (Spark and
     DuckDB share type-7 linear interpolation, verified digit-for-digit);
     at 100 TB swap in approx_percentile(err) — same column contract,
-    documented approximation, but no longer cross-engine-hashable."""
+    documented approximation, but no longer cross-engine-hashable.
+    Emitted as one scalar row per (lang, quantile) — array cells are not
+    hashable by the cross-engine comparator."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     f = textops.quality_features(d)
-    return f.groupBy("lang").agg(
-        F.transform(
-            F.percentile(F.col("q_score"), F.lit([0.25, 0.5, 0.75, 0.95])),
-            lambda x: F.round(x, 6),
-        ).alias("q_quantiles"),
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = f.groupBy("lang").agg(
+        F.percentile(F.col("q_score"), F.lit(qs)).alias("_qarr"),
         F.count(F.lit(1)).alias("n_docs"),
+    )
+    return agg.select(
+        "lang", F.posexplode("_qarr").alias("_pos", "_v"), "n_docs"
+    ).select(
+        "lang",
+        F.element_at(F.lit(qs), F.col("_pos") + 1).alias("quantile"),
+        F.round(F.col("_v"), 6).alias("q_value"),
+        "n_docs",
     )
 
 
@@ -1001,13 +1009,14 @@ def q_vocab_stats(spark, sf_dir):
 
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (ops.ann.label_centroids): pure JVM
-    posexplode + two map-side-combinable aggregations + deterministic
-    array re-assembly — the class-prototype operator that seeds IVF
-    quantizers and label-balance audits."""
+    posexplode + map-side-combinable aggregations — the class-prototype
+    operator that seeds IVF quantizers and label-balance audits.  Flat
+    (label, pos, value, n_vecs) rows: one scalar row per dimension, so
+    every cell is hashable by the cross-engine comparator."""
     from rdf_spark.ops.ann import label_centroids
 
     e = _t(spark, sf_dir, "embeddings")
-    return label_centroids(e).select("label", "n_vecs", "centroid")
+    return label_centroids(e, flat=True).select("label", "pos", "value", "n_vecs")
 
 
 # ---------------------------------------------------------------------------
@@ -1721,13 +1730,9 @@ def oracle_sql() -> dict[str, str]:
             agg AS (
                 SELECT label, pos, round(AVG(v), 6) AS v
                 FROM ex GROUP BY label, pos
-            ),
-            cent AS (
-                SELECT label, list(v ORDER BY pos) AS centroid
-                FROM agg GROUP BY label
             )
-            SELECT c.label, n.n_vecs, c.centroid
-            FROM cent c
+            SELECT a.label, CAST(a.pos AS INT) AS pos, a.v AS value, n.n_vecs
+            FROM agg a
             JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
                   FROM embeddings GROUP BY label) n USING (label)
         """,
@@ -1802,14 +1807,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = customer.c_custkey)
         """,
+        # quantile fractions re-materialized as string→double CASTs so the
+        # emitted `quantile` column is DOUBLE with the exact same bits as
+        # Spark's F.lit list (a bare 0.95 literal would be DECIMAL(3,2))
         "quality_quantiles": rf"""
             WITH raw AS ({_REP_RAW} FROM documents),
             qf AS ({_Q_FEATURES} FROM raw),
-            q AS (SELECT lang, {_Q_SCORE} AS qs FROM qf)
+            q AS (SELECT lang, {_Q_SCORE} AS qs FROM qf),
+            agg AS (
+                SELECT lang,
+                       quantile_cont(qs, [0.25, 0.5, 0.75, 0.95]) AS qarr,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM q GROUP BY lang
+            )
             SELECT lang,
-                   list_transform(quantile_cont(qs, [0.25, 0.5, 0.75, 0.95]),
-                                  x -> round(x, 6)) AS q_quantiles,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs
-            FROM q GROUP BY lang
+                   [CAST('0.25' AS DOUBLE), CAST('0.5' AS DOUBLE),
+                    CAST('0.75' AS DOUBLE), CAST('0.95' AS DOUBLE)][i+1]
+                       AS quantile,
+                   round(qarr[i+1], 6) AS q_value,
+                   n_docs
+            FROM agg CROSS JOIN range(4) AS t(i)
         """,
     }

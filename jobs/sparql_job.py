@@ -38,12 +38,13 @@ def main(argv=None) -> int:
     from rdf_spark import sparql
 
     triples = spark.read.parquet(args.store)
-    # skip the PREFIX prologue when sniffing the query form
-    toks = q.split()
-    i = 0
-    while i < len(toks) and toks[i].upper() == "PREFIX":
-        i += 3
-    form = toks[i].upper() if i < len(toks) else ""
+    # sniff the query form with a regex: whitespace-splitting desyncs on a
+    # prologue like 'PREFIX ns:<urn:x>' (no space before the IRI, which the
+    # sparql tokenizer accepts)
+    import re
+
+    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", q, re.IGNORECASE)
+    form = m.group(1).upper() if m else ""
 
     if form == "ASK":
         print(json.dumps({"ask": sparql.sparql_ask(triples, q)}))

@@ -305,8 +305,15 @@ def label_centroids(
     label_col: str = "label",
     vec_col: str = "embedding",
     round_to: int = 6,
+    flat: bool = False,
 ) -> DataFrame:
     """Per-label centroid (element-wise mean) → (label, n_vecs, centroid).
+
+    With ``flat=True`` the array re-assembly is skipped and the result is
+    one scalar row per dimension — (label, pos, value, n_vecs) — the
+    exchange format for cross-engine comparison (array cells are not
+    hashable downstream) and for feeding per-dimension consumers; it is
+    also one aggregation cheaper than the array form.
 
     The class-prototype operator: centroids seed IVF quantizers
     (:func:`train_ivf`), label-balance audits, and nearest-class-mean
@@ -325,12 +332,16 @@ def label_centroids(
         F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v")
     )
     agg = ex.groupBy("label", "pos").agg(F.round(F.avg("v"), round_to).alias("v"))
+    n = embeddings.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    if flat:
+        return agg.join(n, "label").select(
+            "label", "pos", F.col("v").alias("value"), "n_vecs"
+        )
     cent = agg.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
         ).alias("centroid")
-    )
-    n = embeddings.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n_vecs")
     )
     return n.join(cent, "label")

@@ -95,6 +95,28 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
     return out
 
 
+_STRING_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+_STRING_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+
+
+def _unescape_string(raw: str) -> str:
+    """SPARQL string-literal escapes → their characters (\\n is a newline,
+    not the letter n); unsupported escapes raise at parse time so a query
+    never silently matches the wrong lexical value."""
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if len(e) > 1:  # \uXXXX / \UXXXXXXXX
+            return chr(int(e[1:], 16))
+        if e in _STRING_ESCAPES:
+            return _STRING_ESCAPES[e]
+        raise SparqlError(f"unsupported string escape \\{e}")
+
+    return _STRING_ESC_RE.sub(sub, raw)
+
+
 @dataclass
 class _Group:
     patterns: list[tuple[str, str, str]] = field(default_factory=list)
@@ -361,7 +383,7 @@ class _Parser:
         if kind == "word" and v == "a" and position == "p":
             return RDF_TYPE
         if kind == "string" and position == "o":
-            return re.sub(r"\\(.)", r"\1", v[1:-1])
+            return _unescape_string(v[1:-1])
         if kind == "number" and position == "o":
             return v
         raise SparqlError(f"bad {position}-term {v!r}")
@@ -430,7 +452,7 @@ class _Parser:
         if kind == "var":
             return ("var", v[1:])
         if kind == "string":
-            return ("str", re.sub(r"\\(.)", r"\1", v[1:-1]))
+            return ("str", _unescape_string(v[1:-1]))
         if kind == "number":
             return ("num", float(v))
         if kind == "word" and v.upper() in ("STRLEN", "LCASE", "UCASE"):
@@ -600,7 +622,8 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
             continue
         shared = sorted(set(df.columns) & set(part.columns))
         df = df.join(part, on=shared) if shared else df.crossJoin(part)
-    df = df.drop(*[c for c in df.columns if c.startswith("_path_m")])
+    if df is not None:  # a VALUES-only group reaches here with df=None
+        df = df.drop(*[c for c in df.columns if c.startswith("_path_m")])
     for var, vals in g.values:
         part = triples.sparkSession.createDataFrame(
             [(v,) for v in vals], f"{var} string"

@@ -164,11 +164,18 @@ class IcebergTripleStore:
             df.writeTo(tbl).partitionedBy(F.col("shard")).create()
 
     def merge(self, spark: SparkSession, new_triples: DataFrame,
-              shard: int) -> int:
+              shard: int) -> int | None:
         """Upsert via MERGE INTO (snapshot-isolated, no read-own-write
         hazard — the parquet path needs an explicit persist for that).
         Null-safe identity match over the full key, like
-        merge_new_triples."""
+        merge_new_triples.
+
+        Returns ``None`` (not a count): MERGE INTO does not report row
+        counts pre-Spark-4 DSv2 metrics, and a sentinel int invites
+        arithmetic misuse against ParquetBucketStore.merge's real count.
+        """
+        import uuid
+
         from rdf_spark.canonical import dedup_key
 
         self._require(spark)
@@ -176,13 +183,19 @@ class IcebergTripleStore:
         src = new_triples.dropDuplicates(key).withColumn(
             "shard", F.lit(shard).cast("int")
         )
-        src.createOrReplaceTempView("_merge_src")
-        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key + ["shard"])
-        spark.sql(
-            f"MERGE INTO {self.table} t USING _merge_src s ON {cond} "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
-        return -1  # MERGE INTO does not report row counts pre-Spark-4 DSv2 metrics
+        # unique view name: concurrent merges in one SparkSession must not
+        # clobber each other's source view
+        view = f"_merge_src_{uuid.uuid4().hex}"
+        src.createOrReplaceTempView(view)
+        try:
+            cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key + ["shard"])
+            spark.sql(
+                f"MERGE INTO {self.table} t USING {view} s ON {cond} "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+        return None
 
     def read_triples(self, spark: SparkSession, shard: int | None = None) -> DataFrame:
         self._require(spark)

@@ -46,6 +46,24 @@ ORACLED = sorted(set(entry.queries()) & set(entry.oracle_sql()))
 ROWS_ONLY = sorted(set(entry.queries()) - set(entry.oracle_sql()))
 
 
+def _assert_scalar_schema(name, df):
+    """The driver canonicalizes results with pandas sort_values, which
+    raises on unhashable cells — every contract query must emit scalar
+    columns only (no array/map/struct).  Enforced here so the local gate
+    going green always implies the driver's hard signal can go green."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar (driver-unhashable) output columns {bad}; "
+        "explode to scalar rows instead"
+    )
+
+
 def _dtype_class(dt):
     s = str(dt)
     if "int" in s:
@@ -61,7 +79,9 @@ def _dtype_class(dt):
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
-    got = entry.queries()[name](spark, SF_DIR).toPandas()
+    got_df = entry.queries()[name](spark, SF_DIR)
+    _assert_scalar_schema(name, got_df)
+    got = got_df.toPandas()
     want = _duck(entry.oracle_sql()[name])
     g_cols, g_rows = _norm(got)
     w_cols, w_rows = _norm(want)
@@ -78,6 +98,7 @@ def test_query_matches_oracle(spark, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     df = entry.queries()[name](spark, SF_DIR)
+    _assert_scalar_schema(name, df)
     assert df.count() >= 0  # runs, stable schema
     assert len(df.columns) > 0
 

@@ -474,6 +474,24 @@ def test_label_centroids_match_numpy(spark, embeddings):
         assert np.allclose(np.array(cent), want, atol=1e-9)
 
 
+def test_label_centroids_flat_matches_array_form(spark, embeddings):
+    arr = {r.label: (r.n_vecs, list(r.centroid))
+           for r in ann.label_centroids(embeddings).collect()}
+    flat = ann.label_centroids(embeddings, flat=True).collect()
+    assert {f.name for f in ann.label_centroids(embeddings, flat=True).schema.fields} == {
+        "label", "pos", "value", "n_vecs"
+    }
+    rebuilt = {}
+    for r in flat:
+        n, cells = rebuilt.setdefault(r.label, (r.n_vecs, {}))
+        assert n == r.n_vecs
+        cells[r.pos] = r.value
+    for label, (n, cells) in rebuilt.items():
+        want_n, want_cent = arr[label]
+        assert n == want_n
+        assert [cells[i] for i in range(len(want_cent))] == want_cent
+
+
 def test_label_centroids_partitioning_invariant(spark, embeddings):
     a = {r.label: r.centroid for r in ann.label_centroids(embeddings).collect()}
     b = {r.label: r.centroid
