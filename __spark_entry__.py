@@ -499,6 +499,85 @@ def q_sparql_not_exists(spark, sf_dir):
     """)
 
 
+def q_sparql_bind(spark, sf_dir):
+    """SPARQL BIND(expr AS ?v) + STRLEN/LCASE (round-4 usability slice):
+    computed columns compiled to Catalyst withColumn expressions; a later
+    FILTER consumes the BIND-introduced numeric."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_triples(spark, sf_dir), """
+        SELECT ?nm ?lnm WHERE {
+            ?n <urn:ex:name> ?nm .
+            BIND(LCASE(?nm) AS ?lnm)
+            BIND(STRLEN(?nm) AS ?len)
+            FILTER(?len >= 6)
+        }
+    """)
+
+
+def q_sparql_having(spark, sf_dir):
+    """SPARQL HAVING over a GROUP BY aggregate (round-4 usability slice):
+    the post-aggregation filter lands on the agg plan before projection —
+    same partial+final hash aggregate as `sparql_agg`, plus one Filter."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_triples(spark, sf_dir), """
+        SELECT ?nm (COUNT(?c) AS ?n_cust) WHERE {
+            ?c <rdf:type> <urn:ex:Customer> .
+            ?c <urn:ex:inNation> ?n .
+            ?n <urn:ex:name> ?nm
+        } GROUP BY ?nm HAVING(?n_cust >= 5)
+    """)
+
+
+def _customer_meta_triples(spark, sf_dir):
+    """Canonical-schema triples WITH term metadata columns (s_kind,
+    o_kind, o_datatype, o_lang): customer names as literals lang-tagged
+    'en' on even keys, balances as xsd:decimal typed literals, nation
+    links as IRI objects — the store shape LANG()/DATATYPE() require."""
+    from rdf_spark.terms import KIND_IRI, KIND_LITERAL, XSD_DECIMAL
+
+    c = _t(spark, sf_dir, "customer")
+    s = F.concat(F.lit("urn:cust:"), F.col("c_custkey"))
+    ik = F.lit(KIND_IRI).cast("tinyint")
+    lk = F.lit(KIND_LITERAL).cast("tinyint")
+    nstr = F.lit(None).cast("string")
+    name = c.select(
+        s.alias("s"), ik.alias("s_kind"), F.lit("urn:ex:name").alias("p"),
+        F.col("c_name").alias("o"), lk.alias("o_kind"),
+        nstr.alias("o_datatype"),
+        F.when(F.col("c_custkey") % 2 == 0, "en").alias("o_lang"),
+    )
+    bal = c.select(
+        s.alias("s"), ik.alias("s_kind"), F.lit("urn:ex:bal").alias("p"),
+        F.col("c_acctbal").cast("decimal(12,2)").cast("string").alias("o"),
+        lk.alias("o_kind"), F.lit(XSD_DECIMAL).alias("o_datatype"),
+        nstr.alias("o_lang"),
+    )
+    nat = c.select(
+        s.alias("s"), ik.alias("s_kind"), F.lit("urn:ex:inNation").alias("p"),
+        F.concat(F.lit("urn:nation:"), F.col("c_nationkey")).alias("o"),
+        ik.alias("o_kind"), nstr.alias("o_datatype"), nstr.alias("o_lang"),
+    )
+    return name.unionByName(bal).unionByName(nat)
+
+
+def q_sparql_lang(spark, sf_dir):
+    """SPARQL LANG()/DATATYPE() term accessors (round-4 usability slice)
+    over a canonical-metadata store: each solution row carries the tags
+    of its OWN matched triple (bgp_match carry_meta=True), so the lang
+    filter and the datatype projection are row-exact, not lookups."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_meta_triples(spark, sf_dir), """
+        SELECT ?c ?nm ?dt WHERE {
+            ?c <urn:ex:name> ?nm .
+            BIND(DATATYPE(?nm) AS ?dt)
+            FILTER(LANG(?nm) = "en")
+        }
+    """)
+
+
 def q_mention_count(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     m = extraction.detect_mentions(docs, _aliases_df(spark))
@@ -1096,8 +1175,13 @@ _QUERIES = {
         "sparql_agg": q_sparql_agg,
         "sparql_path": q_sparql_path,
         "sparql_not_exists": q_sparql_not_exists,
+        "sparql_bind": q_sparql_bind,
+        "sparql_having": q_sparql_having,
+        "sparql_lang": q_sparql_lang,
     }
 
+
+from rdf_spark.terms import RDF_LANG_STRING as _RDF_LANG_STRING  # noqa: E402
 
 _TG = textops.TRIGRAM_PATTERNS
 _EN_STOP_SQL = "|".join(textops.EN_STOPWORDS)
@@ -1806,6 +1890,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:cust:' || c_custkey AS c FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = customer.c_custkey)
+        """,
+        "sparql_bind": """
+            SELECT n_name AS nm, lower(n_name) AS lnm
+            FROM nation WHERE length(n_name) >= 6
+        """,
+        "sparql_having": """
+            SELECT n.n_name AS nm, CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name HAVING COUNT(*) >= 5
+        """,
+        "sparql_lang": f"""
+            SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm,
+                   '{_RDF_LANG_STRING}' AS dt
+            FROM customer WHERE c_custkey % 2 = 0
         """,
         # quantile fractions re-materialized as string→double CASTs so the
         # emitted `quantile` column is DOUBLE with the exact same bits as

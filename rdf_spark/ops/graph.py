@@ -100,10 +100,22 @@ def describe(triples: DataFrame, iri: str) -> DataFrame:
     return triples.filter((F.col("s") == iri) | (F.col("o") == iri))
 
 
+#: per triple column: (kind column, datatype column, lang column) used by
+#: ``bgp_match(carry_meta=True)`` — predicates are always IRIs, so their
+#: kind is a constant
+_META_SRC = {
+    "s": ("s_kind", None, None),
+    "p": (None, None, None),
+    "o": ("o_kind", "o_datatype", "o_lang"),
+}
+META_COLS = ("s_kind", "o_kind", "o_datatype", "o_lang")
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     distinct: bool = True,
+    carry_meta: bool = False,
 ) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching compiled to Catalyst
     equi-joins — the KG query shape the reference (a parser library with
@@ -117,11 +129,36 @@ def bgp_match(
     selective pattern's filter pushes into the scan).  Returns one column
     per variable.  Matching is on lexical forms; constrain kinds/datatypes
     by filtering the input first.
+
+    With ``carry_meta=True`` (requires the canonical metadata columns
+    :data:`META_COLS` on ``triples``) each variable additionally carries
+    the term metadata of the triple that FIRST bound it, as stringly
+    columns ``_meta_kind_{var}`` / ``_meta_dt_{var}`` / ``_meta_lang_{var}``
+    — the row-level basis for SPARQL ``LANG()``/``DATATYPE()``.  Joins
+    still match on lexical form only (the documented dialect), so when
+    the same lexical occurs with different tags, each solution row keeps
+    the tags of its own matched triple.
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
+    if carry_meta:
+        missing = [c for c in META_COLS if c not in triples.columns]
+        if missing:
+            raise ValueError(f"carry_meta needs metadata columns {missing}")
     out = None
     bound: set[str] = set()
+
+    def _meta_aliases(v: str, c: str, i: int):
+        kind_c, dt_c, lang_c = _META_SRC[c]
+        kind = F.col(kind_c).cast("string") if kind_c else F.lit("1")  # IRI
+        dt = F.col(dt_c) if dt_c else F.lit(None).cast("string")
+        lang = F.col(lang_c) if lang_c else F.lit(None).cast("string")
+        return [
+            kind.alias(f"_mk_{v}_{i}"),
+            dt.alias(f"_md_{v}_{i}"),
+            lang.alias(f"_ml_{v}_{i}"),
+        ]
+
     for i, (ps, pp, po) in enumerate(patterns):
         t = triples
         var_cols: dict[str, str] = {}  # var → triple column (first occurrence)
@@ -135,9 +172,11 @@ def bgp_match(
             else:
                 t = t.filter(F.col(col) == term)
         if var_cols:
-            part = t.select(
-                *[F.col(c).alias(f"_v_{v}_{i}") for v, c in var_cols.items()]
-            )
+            sel = [F.col(c).alias(f"_v_{v}_{i}") for v, c in var_cols.items()]
+            if carry_meta:
+                for v, c in var_cols.items():
+                    sel += _meta_aliases(v, c, i)
+            part = t.select(*sel)
         else:
             # all-constant pattern: EXISTS semantics (one row or none)
             part = t.select(F.lit(1).alias(f"_m_{i}")).limit(1)
@@ -160,17 +199,28 @@ def bgp_match(
                 eq = out[f"_v_{var}_bound"] == part[c]
                 cond = eq if cond is None else (cond & eq)
             out = out.crossJoin(part) if cond is None else out.join(part, cond)
-            for _, c in shared:
+            for var, c in shared:
                 out = out.drop(part[c])
+                if carry_meta:  # first binding's metadata wins
+                    for p in ("_mk", "_md", "_ml"):
+                        out = out.drop(part[f"{p}_{var}_{i}"])
         # canonicalize newly-bound variable columns to a stable name;
         # exact source name _v_{var}_{i} — a prefix match would confuse
         # ?x with ?x_y
         for var in new_vars:
             out = out.withColumnRenamed(f"_v_{var}_{i}", f"_v_{var}_bound")
+            if carry_meta:
+                out = (
+                    out.withColumnRenamed(f"_mk_{var}_{i}", f"_meta_kind_{var}")
+                    .withColumnRenamed(f"_md_{var}_{i}", f"_meta_dt_{var}")
+                    .withColumnRenamed(f"_ml_{var}_{i}", f"_meta_lang_{var}")
+                )
         bound |= new_vars
-    result = out.select(
-        *[F.col(f"_v_{v}_bound").alias(v) for v in sorted(bound)]
-    )
+    cols = [F.col(f"_v_{v}_bound").alias(v) for v in sorted(bound)]
+    if carry_meta:
+        for v in sorted(bound):
+            cols += [F.col(f"_meta_{m}_{v}") for m in ("kind", "dt", "lang")]
+    result = out.select(*cols)
     return result.distinct() if distinct else result
 
 

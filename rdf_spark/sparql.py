@@ -28,7 +28,9 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
              OPTIONAL { patterns }   -- any number
              VALUES ?v { term … }    -- inline bindings (restricts a
                                         bound var, introduces an unbound)
-    [GROUP BY ?v…] [ORDER BY (?v | ASC(?v) | DESC(?v))…]
+             BIND( operand AS ?v )   -- computed column (applied after
+                                        the group's joins, before FILTERs)
+    [GROUP BY ?v…] [HAVING( expr )] [ORDER BY (?v | ASC(?v) | DESC(?v))…]
     [LIMIT n] [OFFSET n]
 
 Terms: ``<iri>`` (matched against the lexical column), ``?var``, ``a``
@@ -36,7 +38,13 @@ Terms: ``<iri>`` (matched against the lexical column), ``?var``, ``a``
 literals, and bare integers/decimals.  FILTER expressions: ``|| && !``,
 comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``, ``bound(?v)``,
 ``contains/strstarts/strends(x, y)``, and the operand functions
-``strlen/lcase/ucase(x)``.  Aggregates: COUNT/SUM/AVG/MIN/MAX (GROUP BY →
+``strlen/lcase/ucase/str(x)`` plus the accessors ``lang(?v)`` /
+``datatype(?v)`` (these need the canonical metadata columns ``s_kind
+o_kind o_datatype o_lang`` on the triple DataFrame, and ?v bound by a
+required triple pattern of the same group; LANG of a non-literal is
+NULL, DATATYPE of a plain/lang literal defaults to xsd:string /
+rdf:langString per RDF 1.1).  HAVING filters over aggregate aliases
+after the GROUP BY.  Aggregates: COUNT/SUM/AVG/MIN/MAX (GROUP BY →
 partial+final hash aggregate; see the SUM/AVG float caveat on
 :func:`sparql_select`).  UNION branches compile independently and align
 on the union of their variables (unbound → NULL).  Comparing against a
@@ -55,8 +63,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rdf_spark.ops.graph import bgp_match
-from rdf_spark.terms import RDF_TYPE
+from rdf_spark.ops.graph import META_COLS, bgp_match
+from rdf_spark.terms import KIND_LITERAL, RDF_LANG_STRING, RDF_TYPE, XSD_STRING
 
 
 class SparqlError(ValueError):
@@ -126,6 +134,8 @@ class _Group:
     paths: list[tuple[str, str, str, str]] = field(default_factory=list)
     # inline bindings: (var_name, [lexical values])
     values: list[tuple[str, list[str]]] = field(default_factory=list)
+    # BIND(operand AS ?v): (var_name, operand expr)
+    binds: list[tuple[str, tuple]] = field(default_factory=list)
     # FILTER [NOT] EXISTS blocks: (positive, patterns)
     exists: list[tuple[bool, list[tuple[str, str, str]]]] = field(
         default_factory=list
@@ -139,6 +149,7 @@ class _Ast:
     select_items: list[tuple] | None = None  # None = *
     branches: list[_Group] = field(default_factory=list)  # >1 = UNION
     group_by: list[str] = field(default_factory=list)
+    having: tuple | None = None  # boolean expr over agg aliases / group keys
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
@@ -343,6 +354,16 @@ class _Parser:
                 if not block:
                     raise SparqlError("empty OPTIONAL block")
                 g.optionals.append(block)
+            elif self.at_word("BIND"):
+                self.next()
+                self.eat_op("(")
+                ex = self.operand()
+                self.eat_word("AS")
+                var = self.next()
+                if var[0] != "var":
+                    raise SparqlError("BIND needs AS ?var")
+                self.eat_op(")")
+                g.binds.append((var[1][1:], ex))
             elif self.at_word("VALUES"):
                 self.next()
                 var = self.next()
@@ -455,12 +476,20 @@ class _Parser:
             return ("str", _unescape_string(v[1:-1]))
         if kind == "number":
             return ("num", float(v))
-        if kind == "word" and v.upper() in ("STRLEN", "LCASE", "UCASE"):
+        if kind == "word" and v.upper() in ("STRLEN", "LCASE", "UCASE", "STR"):
             fn = v.upper()
             self.eat_op("(")
             inner = self.operand()
             self.eat_op(")")
             return ("fn", fn, inner)
+        if kind == "word" and v.upper() in ("LANG", "DATATYPE"):
+            fn = v.upper()
+            self.eat_op("(")
+            arg = self.next()
+            if arg[0] != "var":
+                raise SparqlError(f"{fn}() takes a ?var")
+            self.eat_op(")")
+            return ("meta", fn, arg[1][1:])
         raise SparqlError(f"bad operand {v!r}")
 
     def modifiers(self, ast: _Ast):
@@ -471,6 +500,11 @@ class _Parser:
                 ast.group_by.append(self.next()[1][1:])
             if not ast.group_by:
                 raise SparqlError("empty GROUP BY")
+        if self.at_word("HAVING"):
+            self.next()
+            self.eat_op("(")
+            ast.having = self.expr()
+            self.eat_op(")")
         if self.at_word("ORDER"):
             self.next()
             self.eat_word("BY")
@@ -509,8 +543,62 @@ def _operand_col(op, numeric: bool) -> Column:
         c = _operand_col(inner, False)
         if fn == "STRLEN":
             return F.length(c)  # numeric by nature — no lexical cast
+        if fn == "STR":
+            return c  # this dialect's bindings ARE lexical forms
         return F.lower(c) if fn == "LCASE" else F.upper(c)
+    if kind == "meta":
+        _, fn, var = op
+        kindc = F.col(f"_meta_kind_{var}")
+        lang = F.col(f"_meta_lang_{var}")
+        is_lit = kindc == str(KIND_LITERAL)
+        if fn == "LANG":  # "" for lang-less literals, NULL for non-literals
+            return F.when(is_lit, F.coalesce(lang, F.lit(""))).otherwise(
+                F.lit(None).cast("string")
+            )
+        # DATATYPE: explicit tag, else rdf:langString / xsd:string (RDF 1.1)
+        return F.when(
+            is_lit,
+            F.coalesce(
+                F.col(f"_meta_dt_{var}"),
+                F.when(
+                    lang.isNotNull() & (lang != ""), F.lit(RDF_LANG_STRING)
+                ).otherwise(F.lit(XSD_STRING)),
+            ),
+        ).otherwise(F.lit(None).cast("string"))
     return F.lit(op[1])
+
+
+def _operand_vars(op, meta_only: bool = False) -> set[str]:
+    if op[0] == "var":
+        return set() if meta_only else {op[1]}
+    if op[0] == "fn":
+        return _operand_vars(op[2], meta_only)
+    if op[0] == "meta":
+        return {op[2]}
+    return set()
+
+
+def _expr_vars(e, meta_only: bool = False) -> set[str]:
+    """Variables referenced by a boolean expr; with ``meta_only`` just the
+    ones inside LANG()/DATATYPE() (they need carried metadata columns)."""
+    tag = e[0]
+    if tag in ("or", "and"):
+        return _expr_vars(e[1], meta_only) | _expr_vars(e[2], meta_only)
+    if tag == "not":
+        return _expr_vars(e[1], meta_only)
+    if tag in ("regex", "bound"):
+        return set() if meta_only else {e[1]}
+    if tag == "strfn2":
+        return _operand_vars(e[2], meta_only) | _operand_vars(e[3], meta_only)
+    if tag == "cmp":
+        return _operand_vars(e[2], meta_only) | _operand_vars(e[3], meta_only)
+    return set()
+
+
+def _group_needs_meta(g: _Group) -> bool:
+    return any(_expr_vars(f, meta_only=True) for f in g.filters) or any(
+        _operand_vars(ex, meta_only=True) for _, ex in g.binds
+    )
 
 
 def _compile_expr(e) -> Column:
@@ -614,7 +702,19 @@ def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
 def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
     if not (g.patterns or g.paths or g.values):
         raise SparqlError("each group needs at least one non-OPTIONAL pattern")
-    df = bgp_match(triples, g.patterns, distinct=False) if g.patterns else None
+    carry_meta = _group_needs_meta(g)
+    if carry_meta:
+        missing = [c for c in META_COLS if c not in triples.columns]
+        if missing:
+            raise SparqlError(
+                f"LANG()/DATATYPE() need term metadata columns {missing} "
+                "on the triple DataFrame (the canonical store schema)"
+            )
+    df = (
+        bgp_match(triples, g.patterns, distinct=False, carry_meta=carry_meta)
+        if g.patterns
+        else None
+    )
     for i, path in enumerate(g.paths):
         part = _compile_path(triples, path, i)
         if df is None:
@@ -648,9 +748,25 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         # the canonical Spark translation: EXISTS → left semi join,
         # NOT EXISTS → left anti join on the shared variables
         df = df.join(edf, on=shared, how="left_semi" if positive else "left_anti")
+
+    def _check_meta_bound(mvars):
+        for mv in mvars:
+            if f"_meta_kind_{mv}" not in df.columns:
+                raise SparqlError(
+                    f"LANG()/DATATYPE() over ?{mv} needs it bound by a "
+                    "required triple pattern in the same group"
+                )
+
+    for var, ex in g.binds:
+        if var in df.columns:
+            raise SparqlError(f"BIND would rebind already-bound ?{var}")
+        _check_meta_bound(_operand_vars(ex, meta_only=True))
+        df = df.withColumn(var, _operand_col(ex, False))
     for f in g.filters:
+        _check_meta_bound(_expr_vars(f, meta_only=True))
         df = df.filter(_compile_expr(f))
-    return df
+    # metadata helper columns are consumed only inside the group
+    return df.drop(*[c for c in df.columns if c.startswith("_meta_")])
 
 
 _AGG_BUILDERS = {
@@ -703,6 +819,8 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     SPARQL).  The output feeds anything that takes the lexical triple
     schema — including :func:`sparql_select` itself."""
     template, ast = _Parser(query).construct_query()
+    if ast.having is not None:
+        raise SparqlError("HAVING is only supported in SELECT")
     df = _apply_row_modifiers(_solutions(triples, ast), ast)
     parts = []
     for ts, tp, to in template:
@@ -756,6 +874,8 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     df = _solutions(triples, ast)
     items = ast.select_items
     has_agg = items is not None and any(it[0] == "agg" for it in items)
+    if ast.having is not None and not (has_agg or ast.group_by):
+        raise SparqlError("HAVING needs GROUP BY or aggregates")
     if has_agg or ast.group_by:
         if items is None:
             raise SparqlError("aggregate queries cannot SELECT *")
@@ -782,6 +902,14 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             raise SparqlError("GROUP BY without any aggregate in SELECT")
         grouped = df.groupBy(*ast.group_by) if ast.group_by else df.groupBy()
         df = grouped.agg(*aggs)
+        if ast.having is not None:
+            unknown = _expr_vars(ast.having) - set(df.columns)
+            if unknown:
+                raise SparqlError(
+                    f"HAVING references {sorted(unknown)} — only GROUP BY "
+                    "keys and aggregate aliases are in scope"
+                )
+            df = df.filter(_compile_expr(ast.having))
         df = df.select(*[it[1] if it[0] == "var" else it[3] for it in items])
     elif items is not None:
         names = [it[1] for it in items]

@@ -512,6 +512,146 @@ def test_string_builtins(tri):
     assert got == [("Alice",)]
 
 
+@pytest.fixture(scope="module")
+def trim(spark):
+    """Triples WITH the canonical term-metadata columns (kinds, datatype,
+    lang) — the store schema LANG()/DATATYPE() require."""
+    from rdf_spark.terms import (
+        KIND_IRI, KIND_LITERAL, XSD_INTEGER,
+    )
+
+    I, L = KIND_IRI, KIND_LITERAL
+    rows = [
+        ("urn:c1", I, "urn:name", "Alice", L, None, "en"),
+        ("urn:c2", I, "urn:name", "Bob", L, None, None),
+        ("urn:c3", I, "urn:name", "Ann", L, None, "fr"),
+        ("urn:c1", I, "urn:age", "10", L, XSD_INTEGER, None),
+        ("urn:c1", I, "urn:knows", "urn:c2", I, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s string, s_kind tinyint, p string, o string, o_kind tinyint, "
+        "o_datatype string, o_lang string",
+    )
+
+
+def test_bind_computed_column(tri):
+    got = sorted(_run(tri, """
+        SELECT ?ln WHERE { ?c <urn:name> ?n . BIND(LCASE(?n) AS ?ln) }
+    """))
+    assert got == [("alice",), ("ann",), ("bob",)]
+    # BIND result usable in a later FILTER
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . BIND(STRLEN(?n) AS ?len)
+            FILTER(?len = 3) }
+    """))
+    assert got == [("Ann",), ("Bob",)]
+    # constant BIND
+    got = _run(tri, """
+        SELECT DISTINCT ?tag WHERE { ?c <urn:name> ?n . BIND("x" AS ?tag) }
+    """)
+    assert got == [("x",)]
+
+
+def test_bind_rebind_rejected(tri):
+    with pytest.raises(SparqlError, match="rebind"):
+        sparql_select(tri, """
+            SELECT ?n WHERE { ?c <urn:name> ?n . BIND(LCASE(?n) AS ?n) }
+        """).collect()
+
+
+def test_str_accessor(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(STR(?n) = "Alice") }
+    """))
+    assert got == [("Alice",)]
+
+
+def test_lang_accessor(trim):
+    got = sorted(_run(trim, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(LANG(?n) = "en") }
+    """))
+    assert got == [("Alice",)]
+    # lang-less literal → "", IRI object → NULL (row dropped by = "")
+    got = sorted(_run(trim, """
+        SELECT ?o WHERE { <urn:c1> ?p ?o FILTER(LANG(?o) = "") }
+    """))
+    assert got == [("10",)]
+    # BIND(LANG(...)) projects the tag itself
+    got = sorted(_run(trim, """
+        SELECT ?n ?l WHERE { ?c <urn:name> ?n . BIND(LANG(?n) AS ?l) }
+    """))
+    assert got == [("Alice", "en"), ("Ann", "fr"), ("Bob", "")]
+
+
+def test_datatype_accessor(trim):
+    from rdf_spark.terms import RDF_LANG_STRING, XSD_INTEGER, XSD_STRING
+
+    got = dict(_run(trim, """
+        SELECT ?o ?dt WHERE { <urn:c1> ?p ?o . BIND(DATATYPE(?o) AS ?dt) }
+    """))
+    assert got == {
+        "Alice": RDF_LANG_STRING,  # lang literal
+        "10": XSD_INTEGER,         # typed literal
+        "urn:c2": None,            # IRI → unbound
+    }
+    got_plain = dict(_run(trim, """
+        SELECT ?n ?dt WHERE { ?c <urn:name> ?n . BIND(DATATYPE(?n) AS ?dt)
+            FILTER(LANG(?n) = "") }
+    """))
+    assert got_plain == {"Bob": XSD_STRING}
+    got_f = sorted(_run(trim, f"""
+        SELECT ?o WHERE {{ <urn:c1> ?p ?o
+            FILTER(DATATYPE(?o) = "{XSD_INTEGER}") }}
+    """))
+    assert got_f == [("10",)]
+
+
+def test_lang_requires_metadata_columns(tri):
+    # plain s/p/o store → friendly error, not an AnalysisException
+    with pytest.raises(SparqlError, match="metadata columns"):
+        sparql_select(tri, """
+            SELECT ?n WHERE { ?c <urn:name> ?n FILTER(LANG(?n) = "en") }
+        """).collect()
+
+
+def test_lang_requires_pattern_bound_var(trim):
+    with pytest.raises(SparqlError, match="required triple pattern"):
+        sparql_select(trim, """
+            SELECT ?v WHERE { ?c <urn:name> ?n . VALUES ?v { "x" }
+                FILTER(LANG(?v) = "") }
+        """).collect()
+
+
+def test_having_filters_groups(tri):
+    got = _run(tri, """
+        SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c ?p ?o }
+        GROUP BY ?c HAVING(?n > 2) ORDER BY ?c
+    """)
+    # urn:c1 has 4 triples (type,name,bal,knows); c2 has 4? c2: type,name,bal,knows → recount below
+    assert all(n > 2 for _, n in got)
+    full = dict(_run(tri, """
+        SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c ?p ?o } GROUP BY ?c
+    """))
+    assert dict(got) == {c: n for c, n in full.items() if n > 2}
+    # HAVING over a group key works too
+    got_k = _run(tri, """
+        SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c ?p ?o }
+        GROUP BY ?c HAVING(?c = "urn:c1")
+    """)
+    assert [c for c, _ in got_k] == ["urn:c1"]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?n WHERE { ?c <urn:name> ?n } HAVING(?n > 1)",   # no GROUP BY
+    """SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c ?p ?o }
+       GROUP BY ?c HAVING(?zzz > 1)""",                      # unknown var
+])
+def test_having_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
+
+
 def test_sparql_job_entrypoint(spark, tri, tmp_path):
     """The spark-submit SPARQL CLI over a materialized store."""
     import io
