@@ -68,6 +68,8 @@ def main() -> int:
         "lm_score",
         "sparql_select",
         "sparql_not_exists",
+        "sparql_having",
+        "sparql_lang",
     ]
 
     timings: dict[str, float] = {}

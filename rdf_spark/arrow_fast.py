@@ -184,13 +184,21 @@ def parse_turtle_docs_arrow(urls: pa.Array, texts: pa.Array):
     lines = pc.list_flatten(lines_list)
     doc_idx = pc.list_parent_indices(lines_list).to_numpy(zero_copy_only=False)
 
-    no_stmt = pc.match_substring_regex(lines, _NO_STMT_PATTERN)
+    # extract first; the blank/comment check runs only over the
+    # non-matching remainder (same reorder as parse_lines_arrow — one
+    # full-corpus regex scan instead of two)
     m = pc.extract_regex(lines, pattern=_TTL_FLAT_PATTERN)
     matched = m.is_valid().to_numpy(zero_copy_only=False)
-    line_bad = ~(matched | no_stmt.to_numpy(zero_copy_only=False))
 
     fallback = np.zeros(n_docs, dtype=bool)
-    np.logical_or.at(fallback, doc_idx[line_bad], True)
+    rest_idx = np.nonzero(~matched)[0]
+    if len(rest_idx):
+        rest = pc.take(lines, pa.array(rest_idx))
+        no_stmt_rest = pc.match_substring_regex(
+            rest, _NO_STMT_PATTERN
+        ).to_numpy(zero_copy_only=False)
+        line_bad_idx = rest_idx[~no_stmt_rest]
+        np.logical_or.at(fallback, doc_idx[line_bad_idx], True)
     # null-text docs are skipped entirely (caller contract), not fallback
     null_text = np.zeros(n_docs, dtype=bool)
     if texts.null_count:
@@ -223,25 +231,31 @@ def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
         lines = lines.combine_chunks()
     if lines.null_count:
         lines = pc.fill_null(lines, "")
-    keep = pc.invert(pc.match_substring_regex(lines, _NO_STMT_PATTERN))
-    work = pc.filter(lines, keep)
-    if len(work) == 0:
+    if len(lines) == 0:
         return schema.empty_table()
 
-    m = pc.extract_regex(work, pattern=pattern)
+    # One extract_regex pass over EVERYTHING first; the blank/comment
+    # check then runs only over the non-matching remainder (typically a
+    # tiny fraction), instead of a second full-corpus regex scan plus a
+    # near-full filter copy.  In the common all-match batch this path is
+    # zero-copy: the struct array is used as-is.
+    m = pc.extract_regex(lines, pattern=pattern)
     is_fast = m.is_valid()
-    fast = pc.filter(m, is_fast)
+    n_fast = pc.sum(is_fast).as_py() or 0
+    all_fast = n_fast == len(lines)
+    fast = m if all_fast else pc.filter(m, is_fast)
 
     cols = _match_cols(fast, quads=quads)
-    n_fast = len(fast)
     cols["err"] = pa.nulls(n_fast, pa.string())
     fast_tbl = pa.table([cols[f.name] for f in schema], schema=schema)
 
-    n_slow = len(work) - n_fast
-    if n_slow == 0:
+    if all_fast:
         return fast_tbl
-
-    slow_lines = pc.filter(work, pc.invert(is_fast)).to_pylist()
+    rest = pc.filter(lines, pc.invert(is_fast))
+    no_stmt = pc.match_substring_regex(rest, _NO_STMT_PATTERN)
+    slow_lines = pc.filter(rest, pc.invert(no_stmt)).to_pylist()
+    if not slow_lines:
+        return fast_tbl
     parse_one = parsing.parse_nquads if quads else parsing.parse_ntriples
     n_cols = len(schema) - 1
     recs: list[tuple] = []

