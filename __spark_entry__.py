@@ -578,6 +578,66 @@ def q_sparql_lang(spark, sf_dir):
     """)
 
 
+def q_sparql_minus(spark, sf_dir):
+    """SPARQL MINUS (round-4): anti join on the shared variable —
+    customers not in nation 0.  Distinguished from NOT EXISTS by the
+    disjoint-domain no-op rule (tested in tests/test_sparql.py)."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_triples(spark, sf_dir), """
+        SELECT ?c WHERE {
+            ?c <rdf:type> <urn:ex:Customer> .
+            MINUS { ?c <urn:ex:inNation> <urn:nation:0> }
+        }
+    """)
+
+
+def q_sparql_graph(spark, sf_dir):
+    """SPARQL GRAPH <iri> over a quad store (round-4): patterns become
+    quad patterns matched against the graph column — the graph constant
+    is a pushed-down scan filter, not a post-join filter."""
+    from rdf_spark.sparql import sparql_select
+
+    c = _t(spark, sf_dir, "customer")
+    quads = c.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+        F.lit("urn:ex:name").alias("p"),
+        F.col("c_name").alias("o"),
+        F.concat(F.lit("urn:seg:"), F.col("c_mktsegment")).alias("graph"),
+    )
+    return sparql_select(quads, """
+        SELECT ?c ?nm WHERE { GRAPH <urn:seg:BUILDING> { ?c <urn:ex:name> ?nm } }
+    """)
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-corpus line-level boilerplate removal (ops.text.remove_
+    boilerplate_lines, the CCNet/RefinedWeb cleaning step): a footer line
+    planted into every document must be stripped corpus-wide; organic
+    cross-document duplicate lines fall to the same threshold.  Hash-
+    keyed shuffles; oracle replays the exact semantics over line text."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nCOMMON FOOTER (c) spark-graft"),
+        ).alias("text"),
+    )
+    return textops.remove_boilerplate_lines(planted, min_docs=5)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops.contamination.ngram_contamination):
+    8-gram collisions between the corpus and a held-out eval set (docs
+    0-4) — eval grams broadcast, corpus side stays a narrow scan+explode;
+    finds the eval docs themselves plus their organic near-copies."""
+    from rdf_spark.ops.contamination import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_contamination(d, d.filter(F.col("doc_id") < 5), n=8)
+
+
 def q_mention_count(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     m = extraction.detect_mentions(docs, _aliases_df(spark))
@@ -1178,6 +1238,10 @@ _QUERIES = {
         "sparql_bind": q_sparql_bind,
         "sparql_having": q_sparql_having,
         "sparql_lang": q_sparql_lang,
+        "sparql_minus": q_sparql_minus,
+        "sparql_graph": q_sparql_graph,
+        "boilerplate_lines": q_boilerplate_lines,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1904,6 +1968,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm,
                    '{_RDF_LANG_STRING}' AS dt
             FROM customer WHERE c_custkey % 2 = 0
+        """,
+        "sparql_minus": """
+            SELECT 'urn:cust:' || c_custkey AS c FROM customer
+            WHERE c_nationkey <> 0
+        """,
+        "sparql_graph": """
+            SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "boilerplate_lines": r"""
+            WITH base AS (
+                SELECT doc_id, COALESCE(text, '') || chr(10)
+                       || 'COMMON FOOTER (c) spark-graft' AS t
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(t, chr(10))) AS line,
+                       unnest(range(len(string_split(t, chr(10))))) AS ln
+                FROM base
+            ),
+            tl AS (SELECT doc_id, ln, line, trim(line) AS tline FROM lines),
+            counts AS (
+                SELECT tline, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+                FROM tl WHERE tline <> '' GROUP BY tline
+            ),
+            bp AS (SELECT tline FROM counts WHERE nd >= 5),
+            kept AS (
+                SELECT t.doc_id, t.ln, t.line FROM tl t
+                LEFT JOIN bp ON t.tline = bp.tline
+                WHERE bp.tline IS NULL
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY ln) AS clean_text,
+                       CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+                    FROM tl GROUP BY doc_id)
+            SELECT tot.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+                   COALESCE(agg.n_kept, 0) AS n_kept,
+                   tot.n_total - COALESCE(agg.n_kept, 0) AS n_removed
+            FROM tot LEFT JOIN agg USING (doc_id)
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ts[i+1:i+8], ' ')
+                               FOR i IN range(len(ts) - 7)]) AS g
+                FROM toks WHERE len(ts) >= 8
+            ),
+            eg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+            hits AS (SELECT DISTINCT d.doc_id, d.g FROM grams d JOIN eg USING (g))
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM hits GROUP BY doc_id
         """,
         # quantile fractions re-materialized as string→double CASTs so the
         # emitted `quantile` column is DOUBLE with the exact same bits as

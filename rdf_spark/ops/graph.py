@@ -107,6 +107,7 @@ _META_SRC = {
     "s": ("s_kind", None, None),
     "p": (None, None, None),
     "o": ("o_kind", "o_datatype", "o_lang"),
+    "graph": ("graph_kind", None, None),
 }
 META_COLS = ("s_kind", "o_kind", "o_datatype", "o_lang")
 
@@ -121,7 +122,9 @@ def bgp_match(
     equi-joins — the KG query shape the reference (a parser library with
     no query layer, SURVEY §2.5) leaves to us.
 
-    ``patterns`` is a list of (s, p, o) triple patterns; strings starting
+    ``patterns`` is a list of (s, p, o) triple patterns — or (s, p, o, g)
+    QUAD patterns matched against the ``graph`` column (SPARQL GRAPH
+    blocks over an N-Quads/TriG store); strings starting
     with ``?`` are variables, everything else is a constant matched
     against the lexical column.  Each pattern becomes a filtered
     projection of the triple table; patterns join on their shared
@@ -150,6 +153,8 @@ def bgp_match(
 
     def _meta_aliases(v: str, c: str, i: int):
         kind_c, dt_c, lang_c = _META_SRC[c]
+        if kind_c and kind_c not in triples.columns:
+            kind_c = None  # e.g. graph without graph_kind → constant IRI
         kind = F.col(kind_c).cast("string") if kind_c else F.lit("1")  # IRI
         dt = F.col(dt_c) if dt_c else F.lit(None).cast("string")
         lang = F.col(lang_c) if lang_c else F.lit(None).cast("string")
@@ -159,10 +164,18 @@ def bgp_match(
             lang.alias(f"_ml_{v}_{i}"),
         ]
 
-    for i, (ps, pp, po) in enumerate(patterns):
+    for i, pat in enumerate(patterns):
+        ps, pp, po = pat[0], pat[1], pat[2]
+        positions = [("s", ps), ("p", pp), ("o", po)]
+        if len(pat) == 4:
+            if "graph" not in triples.columns:
+                raise ValueError(
+                    "quad pattern needs a 'graph' column on the input"
+                )
+            positions.append(("graph", pat[3]))
         t = triples
         var_cols: dict[str, str] = {}  # var → triple column (first occurrence)
-        for col, term in (("s", ps), ("p", pp), ("o", po)):
+        for col, term in positions:
             if term.startswith("?"):
                 var = term[1:]
                 if var in var_cols:  # repeated var within one pattern

@@ -213,3 +213,70 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", lang_id_col(t)).withColumn(
         "fingerprint", fingerprint_col(t)
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+) -> DataFrame:
+    """Cross-corpus line-level boilerplate removal (the CCNet/RefinedWeb
+    cleaning step): a line whose trimmed form appears in ``min_docs`` or
+    more DISTINCT documents is navigation/footer chrome, not content —
+    drop it from every document, preserving the order of surviving lines.
+
+    Scale shape (100 TB): lines are keyed by ``xxhash64`` of the trimmed
+    line so every shuffle moves 8-byte longs, never line text.  The
+    distinct-doc count is two map-side-combinable aggregations —
+    ``(hash, doc) distinct`` then ``count per hash`` — NOT
+    ``countDistinct`` (whose per-group state concentrates a hot line's
+    millions of doc ids on one reducer).  Reassembly is
+    ``collect_list(struct(line_no, line))`` bounded by a single
+    document's line count.  Hash collisions would merge two distinct
+    lines' counts (~2^-64 per pair — accepted and documented; the exact
+    variant would key by the line text itself).
+
+    Returns one row per input document: ``(id_col, clean_text, n_kept,
+    n_removed)`` — documents whose every line is boilerplate survive
+    with an empty ``clean_text``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, "\n")).alias("_ln", "_line"),
+    ).withColumn("_tl", F.trim(F.col("_line")))
+    hashed = lines.withColumn("_h", F.xxhash64(F.col("_tl")))
+    counts = (
+        hashed.filter(F.col("_tl") != "")
+        .select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    boiler = counts.filter(F.col("_nd") >= min_docs).select("_h")
+    kept = hashed.join(
+        boiler.withColumn("_bp", F.lit(True)), "_h", "left"
+    ).filter(F.col("_bp").isNull() | (F.col("_tl") == ""))
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

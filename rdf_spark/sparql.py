@@ -30,6 +30,11 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                                         bound var, introduces an unbound)
              BIND( operand AS ?v )   -- computed column (applied after
                                         the group's joins, before FILTERs)
+             MINUS { patterns }      -- → left anti join on shared vars
+                                        (disjoint domains remove nothing)
+             GRAPH (<g>|?g) { patterns }  -- match inside one named graph /
+                                        bind the graph (needs a 'graph'
+                                        column: an N-Quads/TriG store)
     [GROUP BY ?v…] [HAVING( expr )] [ORDER BY (?v | ASC(?v) | DESC(?v))…]
     [LIMIT n] [OFFSET n]
 
@@ -51,8 +56,8 @@ on the union of their variables (unbound → NULL).  Comparing against a
 NUMBER casts the variable's lexical to double (a documented
 simplification of SPARQL's typed value semantics); string comparisons
 are lexical.  Prefixed names (``ns:local``) expand against the PREFIX
-prologue anywhere a term or path predicate appears.  Subqueries, named
-graphs, and unanchored property paths are out of scope.
+prologue anywhere a term or path predicate appears.  Subqueries and
+unanchored property paths are out of scope.
 """
 
 from __future__ import annotations
@@ -140,6 +145,8 @@ class _Group:
     exists: list[tuple[bool, list[tuple[str, str, str]]]] = field(
         default_factory=list
     )
+    # MINUS { patterns } blocks
+    minus: list[list[tuple[str, str, str]]] = field(default_factory=list)
 
 
 @dataclass
@@ -316,6 +323,18 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
 
+    def pattern_block(self, what: str) -> list[tuple[str, str, str]]:
+        self.eat_op("{")
+        block = []
+        while self.peek() != ("op", "}"):
+            block.append(self.triple())
+            if self.peek() == ("op", "."):
+                self.next()
+        self.next()  # }
+        if not block:
+            raise SparqlError(f"empty {what} block")
+        return block
+
     def group(self, g: _Group):
         while True:
             kind, v = self.peek()
@@ -328,32 +347,30 @@ class _Parser:
                     positive = self.eat_word("NOT", "EXISTS") == "EXISTS"
                     if not positive:
                         self.eat_word("EXISTS")
-                    self.eat_op("{")
-                    block = []
-                    while self.peek() != ("op", "}"):
-                        block.append(self.triple())
-                        if self.peek() == ("op", "."):
-                            self.next()
-                    self.next()  # }
-                    if not block:
-                        raise SparqlError("empty EXISTS block")
-                    g.exists.append((positive, block))
+                    g.exists.append((positive, self.pattern_block("EXISTS")))
                 else:
                     self.eat_op("(")
                     g.filters.append(self.expr())
                     self.eat_op(")")
             elif self.at_word("OPTIONAL"):
                 self.next()
-                self.eat_op("{")
-                block = []
-                while not (self.peek() == ("op", "}")):
-                    block.append(self.triple())
-                    if self.peek() == ("op", "."):
-                        self.next()
-                self.next()  # }
-                if not block:
-                    raise SparqlError("empty OPTIONAL block")
-                g.optionals.append(block)
+                g.optionals.append(self.pattern_block("OPTIONAL"))
+            elif self.at_word("MINUS"):
+                self.next()
+                g.minus.append(self.pattern_block("MINUS"))
+            elif self.at_word("GRAPH"):
+                self.next()
+                kind2, v2 = self.next()
+                if kind2 == "var":
+                    gterm = v2
+                elif kind2 == "iri":
+                    gterm = v2[1:-1]
+                elif kind2 == "pname":
+                    gterm = self.expand_pname(v2)
+                else:
+                    raise SparqlError("GRAPH needs <iri> or ?var")
+                for s, p, o in self.pattern_block("GRAPH"):
+                    g.patterns.append((s, p, o, gterm))
             elif self.at_word("BIND"):
                 self.next()
                 self.eat_op("(")
@@ -702,6 +719,11 @@ def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
 def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
     if not (g.patterns or g.paths or g.values):
         raise SparqlError("each group needs at least one non-OPTIONAL pattern")
+    if any(len(p) == 4 for p in g.patterns) and "graph" not in triples.columns:
+        raise SparqlError(
+            "GRAPH blocks need a 'graph' column on the triple DataFrame "
+            "(an N-Quads/TriG store)"
+        )
     carry_meta = _group_needs_meta(g)
     if carry_meta:
         missing = [c for c in META_COLS if c not in triples.columns]
@@ -748,6 +770,13 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         # the canonical Spark translation: EXISTS → left semi join,
         # NOT EXISTS → left anti join on the shared variables
         df = df.join(edf, on=shared, how="left_semi" if positive else "left_anti")
+    for block in g.minus:
+        mdf = bgp_match(triples, block, distinct=False)
+        shared = sorted(set(df.columns) & set(mdf.columns))
+        # SPARQL MINUS with disjoint domains removes nothing (unlike
+        # NOT EXISTS, which this otherwise compiles identically to)
+        if shared:
+            df = df.join(mdf, on=shared, how="left_anti")
 
     def _check_meta_bound(mvars):
         for mv in mvars:

@@ -604,3 +604,60 @@ def test_unigram_lm_nll_flags_junk(spark, documents):
               for r in retrieval.unigram_lm_nll(d).collect()}
     junk_score = scores.pop(999999)
     assert junk_score > max(scores.values())
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus line dedup (boilerplate removal) + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_remove_boilerplate_lines(spark):
+    footer = "COPYRIGHT EXAMPLE.COM"
+    rows = [
+        (i, f"unique content {i}\n{footer}\nmore {i}") for i in range(5)
+    ] + [
+        (10, "standalone doc with no chrome"),
+        (11, footer),                      # all-boilerplate doc
+        (12, f"  {footer}  \nbody 12"),    # trimmed form matches too
+        (13, None),                        # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.remove_boilerplate_lines(
+        df, min_docs=5
+    ).collect()}
+    assert len(got) == len(rows)
+    for i in range(5):
+        assert got[i].clean_text == f"unique content {i}\nmore {i}"
+        assert got[i].n_kept == 2 and got[i].n_removed == 1
+    assert got[10].clean_text == "standalone doc with no chrome"
+    assert got[10].n_removed == 0
+    assert got[11].clean_text == "" and got[11].n_kept == 0
+    assert got[11].n_removed == 1
+    assert got[12].clean_text == "body 12" and got[12].n_removed == 1
+    assert got[13].clean_text == "" and got[13].n_kept == 1  # "" line kept
+
+
+def test_remove_boilerplate_threshold_not_met(spark):
+    rows = [(i, "shared line\nown %d" % i) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.remove_boilerplate_lines(df, min_docs=5).collect()
+    assert all(r.n_removed == 0 for r in got)
+
+
+def test_ngram_contamination(spark):
+    from rdf_spark.ops.contamination import ngram_contamination
+
+    bench_text = " ".join(f"b{i}" for i in range(20))  # 20 tokens → 8 13-grams
+    rows = [
+        (0, "clean " + " ".join(f"c{i}" for i in range(30))),
+        (1, "prefix " + bench_text + " suffix"),     # full overlap
+        (2, " ".join(f"b{i}" for i in range(13))),   # exactly one 13-gram
+        (3, "short doc"),                            # < n tokens
+        (4, bench_text + " " + bench_text),          # repeats: still distinct
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_set = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r.doc_id: r.n_overlap for r in ngram_contamination(
+        corpus, eval_set, n=13
+    ).collect()}
+    assert got == {1: 8, 2: 1, 4: 8}  # clean/short docs produce no row

@@ -696,3 +696,64 @@ def test_sparql_job_entrypoint(spark, tri, tmp_path):
         ])
     assert rc == 0
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["rows"] == 3
+
+
+def test_minus_removes_on_shared_vars(tri):
+    got = _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n MINUS { ?c <urn:bal> ?b } }
+    """)
+    assert got == [("Ann",)]
+
+
+def test_minus_disjoint_domain_is_noop(tri):
+    # the block matches rows, but shares no variable with the group:
+    # SPARQL MINUS removes NOTHING (per spec), while the engine's
+    # NOT EXISTS rejects a var-disjoint block outright (documented)
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n MINUS { ?x <urn:bal> ?y } }
+    """))
+    assert got == [("Alice",), ("Ann",), ("Bob",)]
+    with pytest.raises(SparqlError, match="shares no variable"):
+        _run(tri, """
+            SELECT ?n WHERE { ?c <urn:name> ?n
+                FILTER NOT EXISTS { ?x <urn:bal> ?y } }
+        """)
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("urn:c1", "urn:name", "Alice", "urn:g1"),
+        ("urn:c2", "urn:name", "Bob", "urn:g2"),
+        ("urn:c3", "urn:name", "Ann", "urn:g1"),
+        ("urn:c1", "urn:bal", "10", "urn:g2"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string, graph string")
+
+
+def test_graph_constant_block(quads):
+    got = sorted(_run(quads, """
+        SELECT ?n WHERE { GRAPH <urn:g1> { ?c <urn:name> ?n } }
+    """))
+    assert got == [("Alice",), ("Ann",)]
+
+
+def test_graph_variable_binds(quads):
+    got = sorted(_run(quads, """
+        SELECT ?g ?n WHERE { GRAPH ?g { ?c <urn:name> ?n } }
+    """))
+    assert got == [
+        ("urn:g1", "Alice"), ("urn:g1", "Ann"), ("urn:g2", "Bob"),
+    ]
+    # graph var joins across blocks: same-graph name+bal pairs
+    got2 = _run(quads, """
+        SELECT ?n ?b WHERE { GRAPH ?g { ?c <urn:name> ?n . ?d <urn:bal> ?b } }
+    """)
+    assert got2 == [("Bob", "10")]
+
+
+def test_graph_needs_graph_column(tri):
+    with pytest.raises(SparqlError, match="'graph' column"):
+        sparql_select(tri, """
+            SELECT ?n WHERE { GRAPH <urn:g1> { ?c <urn:name> ?n } }
+        """).collect()
