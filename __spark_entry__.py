@@ -482,19 +482,22 @@ def q_sparql_path(spark, sf_dir):
 def q_sparql_not_exists(spark, sf_dir):
     """SPARQL FILTER NOT EXISTS compiled to a left anti join (the
     canonical Spark translation, plan-asserted in tests): customers with
-    no order triple — the KG twin of TPC-H's classic anti-join."""
+    no HIGH-VALUE order triple — the KG twin of TPC-H's classic
+    anti-join.  The price threshold keeps the anti-join non-vacuous at
+    every test scale (every customer has SOME order in this data; the
+    unfiltered variant matched zero rows — a vacuous oracle)."""
     from rdf_spark.sparql import sparql_select
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     tri = _customer_triples(spark, sf_dir).unionByName(o.select(
         F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("s"),
-        F.lit("urn:ex:by").alias("p"),
+        F.lit("urn:ex:bigorder_by").alias("p"),
         F.concat(F.lit("urn:cust:"), F.col("o_custkey")).alias("o"),
     ))
     return sparql_select(tri, """
         SELECT ?c WHERE {
             ?c <rdf:type> <urn:ex:Customer> .
-            FILTER NOT EXISTS { ?o <urn:ex:by> ?c }
+            FILTER NOT EXISTS { ?o <urn:ex:bigorder_by> ?c }
         }
     """)
 
@@ -607,6 +610,30 @@ def q_sparql_graph(spark, sf_dir):
     )
     return sparql_select(quads, """
         SELECT ?c ?nm WHERE { GRAPH <urn:seg:BUILDING> { ?c <urn:ex:name> ?nm } }
+    """)
+
+
+def q_sparql_funcs(spark, sf_dir):
+    """SPARQL function pack (round-4): GROUP_CONCAT (sorted →
+    deterministic), COUNT(DISTINCT), and SUBSTR+IN in FILTER — one
+    aggregate query exercising the whole slice against a string_agg/
+    COUNT(DISTINCT) oracle."""
+    from rdf_spark.sparql import sparql_select
+
+    c = _t(spark, sf_dir, "customer")
+    tri = _customer_triples(spark, sf_dir).unionByName(c.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+        F.lit("urn:ex:cname").alias("p"), F.col("c_name").alias("o"),
+    ))
+    return sparql_select(tri, """
+        SELECT ?nm (GROUP_CONCAT(?cn; SEPARATOR="|") AS ?names)
+               (COUNT(DISTINCT ?c) AS ?n_cust)
+        WHERE {
+            ?c <urn:ex:cname> ?cn .
+            ?c <urn:ex:inNation> ?nt .
+            ?nt <urn:ex:name> ?nm .
+            FILTER(SUBSTR(?nm, 8, 1) IN ("0", "1", "2"))
+        } GROUP BY ?nm
     """)
 
 
@@ -1240,6 +1267,7 @@ _QUERIES = {
         "sparql_lang": q_sparql_lang,
         "sparql_minus": q_sparql_minus,
         "sparql_graph": q_sparql_graph,
+        "sparql_funcs": q_sparql_funcs,
         "boilerplate_lines": q_boilerplate_lines,
         "decontaminate": q_decontaminate,
     }
@@ -1953,7 +1981,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_not_exists": """
             SELECT 'urn:cust:' || c_custkey AS c FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_custkey = customer.c_custkey)
+                              WHERE o.o_custkey = customer.c_custkey
+                                AND o.o_totalprice > 300000)
         """,
         "sparql_bind": """
             SELECT n_name AS nm, lower(n_name) AS lnm
@@ -1976,6 +2005,14 @@ def oracle_sql() -> dict[str, str]:
         "sparql_graph": """
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm
             FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "sparql_funcs": """
+            SELECT n.n_name AS nm,
+                   string_agg(c.c_name, '|' ORDER BY c.c_name) AS names,
+                   CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE substr(n.n_name, 8, 1) IN ('0', '1', '2')
+            GROUP BY n.n_name
         """,
         "boilerplate_lines": r"""
             WITH base AS (

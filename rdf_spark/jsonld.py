@@ -36,8 +36,11 @@ keyword         status       behavior
                              nodes carrying both ``@id`` and ``@graph``
 ``@vocab``      supported    string IRI
 ``@base``       supported    string IRI; naive-concat resolution (C3 parity)
-``@container``  partial      only ``"@list"``; ``@set``/``@index``/
-                             ``@language``/``@id``/``@type`` maps raise
+``@container``  partial      ``"@list"`` and ``"@set"`` (a no-op for RDF
+                             conversion, like ``{"@set": […]}`` value
+                             objects — identical triples to the bare
+                             array); ``@index``/``@language``/``@id``/
+                             ``@type`` maps raise
 ``@index``      rejected*    ParseError in node objects / term defs;
                              *ignored* inside ``@value`` objects (spec:
                              pure metadata there)
@@ -140,9 +143,12 @@ class _Context:
                 bad = set(defn) & (_UNSUPPORTED - {"@container"})
                 if bad:
                     raise _err("unsupported term definition keyword: %s" % bad.pop())
-                if "@container" in defn and defn["@container"] != "@list":
+                if "@container" in defn and defn["@container"] not in (
+                    "@list", "@set",
+                ):
                     raise _err(
-                        "unsupported @container: %r (only @list)" % defn["@container"]
+                        "unsupported @container: %r (only @list/@set)"
+                        % defn["@container"]
                     )
                 self.terms[term] = defn
             elif defn is None:
@@ -300,6 +306,17 @@ class JsonLdParser:
                 yield from self._values(v, ctx, graph, tdef)
             return
         if isinstance(value, dict):
+            if "@set" in value:
+                # {"@set": [...]} is pure syntax: identical to the bare
+                # array (sets are the default RDF multi-value semantics);
+                # @index alongside is metadata (dropped, like in @value)
+                extra = set(value) - {"@set", "@index"}
+                if extra:
+                    raise _err(
+                        "unsupported keyword in set object: %s" % extra.pop()
+                    )
+                yield from self._values(value["@set"], ctx, graph, tdef)
+                return
             if "@list" in value:
                 yield self._list(value["@list"], ctx, graph, tdef)
                 return

@@ -42,14 +42,20 @@ Terms: ``<iri>`` (matched against the lexical column), ``?var``, ``a``
 (rdf:type sugar via :data:`rdf_spark.terms.RDF_TYPE`), ``"string"``
 literals, and bare integers/decimals.  FILTER expressions: ``|| && !``,
 comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``, ``bound(?v)``,
-``contains/strstarts/strends(x, y)``, and the operand functions
-``strlen/lcase/ucase/str(x)`` plus the accessors ``lang(?v)`` /
-``datatype(?v)`` (these need the canonical metadata columns ``s_kind
-o_kind o_datatype o_lang`` on the triple DataFrame, and ?v bound by a
-required triple pattern of the same group; LANG of a non-literal is
-NULL, DATATYPE of a plain/lang literal defaults to xsd:string /
-rdf:langString per RDF 1.1).  HAVING filters over aggregate aliases
-after the GROUP BY.  Aggregates: COUNT/SUM/AVG/MIN/MAX (GROUP BY →
+``contains/strstarts/strends(x, y)``, ``langMatches(lang(?v), "en")``
+(basic RFC 4647 ranges incl. ``"*"``), ``?v IN (const, …)``, and the
+operand functions ``strlen/lcase/ucase/str/concat/substr/replace(x)``
+(REPLACE is regex-based; SUBSTR is 1-based) plus the accessors
+``lang(?v)`` / ``datatype(?v)`` (these need the canonical metadata
+columns ``s_kind o_kind o_datatype o_lang`` on the triple DataFrame,
+and ?v bound by a required triple pattern of the same group; LANG of a
+non-literal is NULL, DATATYPE of a plain/lang literal defaults to
+xsd:string / rdf:langString per RDF 1.1).  HAVING filters over
+aggregate aliases after the GROUP BY.  Aggregates:
+COUNT[ DISTINCT]/SUM[ DISTINCT]/AVG[ DISTINCT]/MIN/MAX, GROUP_CONCAT
+(``; SEPARATOR="…"``, sorted for determinism — SPARQL leaves the order
+unspecified) and SAMPLE (compiled to MIN: a legal, deterministic
+choice) (GROUP BY →
 partial+final hash aggregate; see the SUM/AVG float caveat on
 :func:`sparql_select`).  UNION branches compile independently and align
 on the union of their variables (unbound → NULL).  Comparing against a
@@ -84,7 +90,7 @@ _TOKEN_RE = re.compile(
       | (?P<number>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+))
       | (?P<pname>[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
       | (?P<word>[A-Za-z][A-Za-z0-9_]*)
-      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+])
+      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;])
     )""",
     re.X,
 )
@@ -211,7 +217,7 @@ class _Parser:
 
     # --- grammar ---
 
-    _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+    _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
 
     def construct_query(self) -> tuple[list[tuple[str, str, str]], _Ast]:
         """CONSTRUCT { template } WHERE { ... } [modifiers] — returns the
@@ -276,6 +282,10 @@ class _Parser:
                     self.next()
                     fn = self.eat_word(*self._AGG_FNS)
                     self.eat_op("(")
+                    opts: dict = {}
+                    if self.at_word("DISTINCT"):
+                        self.next()
+                        opts["distinct"] = True
                     kind2, v2 = self.next()
                     if kind2 == "var":
                         arg = v2[1:]
@@ -283,13 +293,23 @@ class _Parser:
                         arg = None
                     else:
                         raise SparqlError(f"bad aggregate argument {v2!r}")
+                    if self.peek() == ("op", ";"):  # GROUP_CONCAT separator
+                        self.next()
+                        self.eat_word("SEPARATOR")
+                        self.eat_op("=")
+                        sep_k, sep_v = self.next()
+                        if sep_k != "string":
+                            raise SparqlError("SEPARATOR needs a string")
+                        opts["separator"] = _unescape_string(sep_v[1:-1])
                     self.eat_op(")")
                     self.eat_word("AS")
                     alias = self.next()
                     if alias[0] != "var":
                         raise SparqlError("aggregate needs AS ?alias")
                     self.eat_op(")")
-                    items.append(("agg", fn, arg, alias[1][1:]))
+                    if opts.get("distinct") and fn not in ("COUNT", "SUM", "AVG"):
+                        raise SparqlError(f"DISTINCT not supported for {fn}")
+                    items.append(("agg", fn, arg, alias[1][1:], opts))
                 else:
                     break
             if not items:
@@ -470,15 +490,28 @@ class _Parser:
             if var[0] != "var":
                 raise SparqlError("bound(?var) expected")
             return ("bound", var[1])
-        if self.at_word("CONTAINS", "STRSTARTS", "STRENDS"):
+        if self.at_word("CONTAINS", "STRSTARTS", "STRENDS", "LANGMATCHES"):
             fn = self.next()[1].upper()
             self.eat_op("(")
             a = self.operand()
             self.eat_op(",")
             b = self.operand()
             self.eat_op(")")
+            if fn == "LANGMATCHES":
+                return ("langmatches", a, b)
             return ("strfn2", fn, a, b)
         left = self.operand()
+        if self.at_word("IN"):
+            self.next()
+            self.eat_op("(")
+            vals = [self.operand()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self.operand())
+            self.eat_op(")")
+            if any(x[0] not in ("str", "num") for x in vals):
+                raise SparqlError("IN list takes string/number constants")
+            return ("in", left, [x[1] for x in vals])
         kind, v = self.next()
         if kind != "op" or v not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlError(f"expected comparison operator, got {v!r}")
@@ -507,6 +540,39 @@ class _Parser:
                 raise SparqlError(f"{fn}() takes a ?var")
             self.eat_op(")")
             return ("meta", fn, arg[1][1:])
+        if kind == "word" and v.upper() == "CONCAT":
+            self.eat_op("(")
+            parts = [self.operand()]
+            while self.peek() == ("op", ","):
+                self.next()
+                parts.append(self.operand())
+            self.eat_op(")")
+            return ("concat", parts)
+        if kind == "word" and v.upper() == "SUBSTR":
+            self.eat_op("(")
+            x = self.operand()
+            self.eat_op(",")
+            start = self.operand()
+            length = None
+            if self.peek() == ("op", ","):
+                self.next()
+                length = self.operand()
+            self.eat_op(")")
+            if start[0] != "num" or (length and length[0] != "num"):
+                raise SparqlError("SUBSTR start/length must be numbers")
+            return ("substr", x, int(start[1]),
+                    int(length[1]) if length else None)
+        if kind == "word" and v.upper() == "REPLACE":
+            self.eat_op("(")
+            x = self.operand()
+            self.eat_op(",")
+            pat = self.operand()
+            self.eat_op(",")
+            rep = self.operand()
+            self.eat_op(")")
+            if pat[0] != "str" or rep[0] != "str":
+                raise SparqlError("REPLACE needs string pattern/replacement")
+            return ("replace", x, pat[1], rep[1])
         raise SparqlError(f"bad operand {v!r}")
 
     def modifiers(self, ast: _Ast):
@@ -563,6 +629,15 @@ def _operand_col(op, numeric: bool) -> Column:
         if fn == "STR":
             return c  # this dialect's bindings ARE lexical forms
         return F.lower(c) if fn == "LCASE" else F.upper(c)
+    if kind == "concat":
+        return F.concat(*[_operand_col(p, False) for p in op[1]])
+    if kind == "substr":  # SPARQL substr is 1-based, like F.substring
+        _, x, start, length = op
+        c = _operand_col(x, False)
+        return F.substring(c, start, length if length is not None else 2**31 - 1)
+    if kind == "replace":  # SPARQL REPLACE is regex-based
+        _, x, pat, rep = op
+        return F.regexp_replace(_operand_col(x, False), pat, rep)
     if kind == "meta":
         _, fn, var = op
         kindc = F.col(f"_meta_kind_{var}")
@@ -592,6 +667,13 @@ def _operand_vars(op, meta_only: bool = False) -> set[str]:
         return _operand_vars(op[2], meta_only)
     if op[0] == "meta":
         return {op[2]}
+    if op[0] == "concat":
+        out: set[str] = set()
+        for p in op[1]:
+            out |= _operand_vars(p, meta_only)
+        return out
+    if op[0] in ("substr", "replace"):
+        return _operand_vars(op[1], meta_only)
     return set()
 
 
@@ -607,6 +689,10 @@ def _expr_vars(e, meta_only: bool = False) -> set[str]:
         return set() if meta_only else {e[1]}
     if tag == "strfn2":
         return _operand_vars(e[2], meta_only) | _operand_vars(e[3], meta_only)
+    if tag == "langmatches":
+        return _operand_vars(e[1], meta_only) | _operand_vars(e[2], meta_only)
+    if tag == "in":
+        return _operand_vars(e[1], meta_only)
     if tag == "cmp":
         return _operand_vars(e[2], meta_only) | _operand_vars(e[3], meta_only)
     return set()
@@ -636,6 +722,19 @@ def _compile_expr(e) -> Column:
         if fn == "CONTAINS":
             return ca.contains(cb)
         return ca.startswith(cb) if fn == "STRSTARTS" else ca.endswith(cb)
+    if tag == "langmatches":
+        # basic language-range matching (RFC 4647): "*" matches any
+        # non-empty tag, else case-insensitive exact or subtag-prefix
+        _, a, b = e
+        tag_c = F.lower(_operand_col(a, False))
+        if b[0] == "str" and b[1] == "*":
+            return (tag_c.isNotNull()) & (tag_c != "")
+        rng = F.lower(_operand_col(b, False))
+        return (tag_c == rng) | tag_c.startswith(F.concat(rng, F.lit("-")))
+    if tag == "in":
+        _, left, vals = e
+        numeric = any(isinstance(x, float) for x in vals)
+        return _operand_col(left, numeric).isin(vals)
     if tag == "cmp":
         _, op, a, b = e
         numeric = a[0] == "num" or b[0] == "num"
@@ -804,7 +903,31 @@ _AGG_BUILDERS = {
     "AVG": lambda c: F.avg(c.cast("double")),
     "MIN": lambda c: F.min(c),
     "MAX": lambda c: F.max(c),
+    # SAMPLE may return any value of the group; min is a legal choice
+    # that is also deterministic across partitionings
+    "SAMPLE": lambda c: F.min(c),
 }
+
+
+def _build_agg(fn: str, c: Column, opts: dict) -> Column:
+    if fn == "GROUP_CONCAT":
+        # SPARQL leaves GROUP_CONCAT order unspecified; sorting makes it
+        # deterministic across partitionings (collect_list alone is not)
+        return F.array_join(
+            F.sort_array(F.collect_list(c)), opts.get("separator", " ")
+        )
+    if opts.get("distinct"):
+        if fn == "COUNT":
+            return F.count_distinct(c)
+        inner = F.sum_distinct if fn == "SUM" else F.avg
+        if fn == "AVG":
+            # avg over the distinct value set
+            return F.try_divide(
+                F.sum_distinct(c.cast("double")),
+                F.count_distinct(c.cast("double")),
+            )
+        return inner(c.cast("double"))
+    return _AGG_BUILDERS[fn](c)
 
 
 def _solutions(triples: DataFrame, ast: _Ast) -> DataFrame:
@@ -920,13 +1043,13 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         for it in items:
             if it[0] != "agg":
                 continue
-            _, fn, arg, alias = it
+            _, fn, arg, alias, opts = it
             if arg is None:  # COUNT(*)
                 aggs.append(F.count(F.lit(1)).alias(alias))
             else:
                 if arg not in df.columns:
                     raise SparqlError(f"aggregate over unbound variable ?{arg}")
-                aggs.append(_AGG_BUILDERS[fn](F.col(arg)).alias(alias))
+                aggs.append(_build_agg(fn, F.col(arg), opts).alias(alias))
         if not aggs:
             raise SparqlError("GROUP BY without any aggregate in SELECT")
         grouped = df.groupBy(*ast.group_by) if ast.group_by else df.groupBy()

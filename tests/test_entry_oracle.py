@@ -89,6 +89,10 @@ def test_query_matches_oracle(spark, name):
     for c in g_cols:
         gc, wc = _dtype_class(got[c].dtype), _dtype_class(want[c].dtype)
         assert gc == wc, f"{name}.{c}: dtype class {got[c].dtype} vs {want[c].dtype}"
+    assert len(w_rows) > 0, (
+        f"{name}: oracle returns 0 rows — a vacuous match proves nothing; "
+        "make the query's filters non-empty at this scale"
+    )
     assert len(g_rows) == len(w_rows), f"{name}: {len(g_rows)} rows vs {len(w_rows)}"
     if g_rows != w_rows:
         diffs = [(a, b) for a, b in zip(g_rows, w_rows) if a != b][:5]

@@ -131,9 +131,11 @@ def test_keyword_matrix_rejections():
         # unsupported term-definition keywords
         '{"@context": {"p": {"@id": "http://p", "@reverse": true}}, "@id": "http://s"}',
         '{"@context": {"p": {"@id": "http://p", "@index": "k"}}, "@id": "http://s"}',
-        # container maps other than @list
-        '{"@context": {"p": {"@id": "http://p", "@container": "@set"}}, "@id": "http://s"}',
+        # container maps other than @list/@set
         '{"@context": {"p": {"@id": "http://p", "@container": "@index"}}, "@id": "http://s"}',
+        '{"@context": {"p": {"@id": "http://p", "@container": "@language"}}, "@id": "http://s"}',
+        # a set object may carry only @set (+@index metadata)
+        '{"@id": "http://s", "http://p": {"@set": ["x"], "@list": ["y"]}}',
         # keyword aliasing must raise, not emit an '@id' predicate
         '{"@context": {"id": "@id"}, "@id": "http://s", "id": "http://o"}',
         # JSON literals: @json as @value datatype and as term-def coercion
@@ -252,3 +254,32 @@ def test_jsonld_review_regressions():
     with pytest.raises(ParseError, match="cyclic"):
         parse_jsonld('{"@context": {"a": "b:x", "b": "a:y"}, '
                      '"@id": "http://s", "a:z": 1}')
+
+
+def test_set_container_and_set_objects():
+    """@set is pure syntax: identical triples to the bare array form."""
+    from rdf_spark.terms import XSD_STRING
+
+    plain = parse_jsonld(
+        '{"@id": "http://s", "http://p": ["a", "b"]}'
+    )
+    via_obj = parse_jsonld(
+        '{"@id": "http://s", "http://p": {"@set": ["a", "b"]}}'
+    )
+    via_container = parse_jsonld(
+        '{"@context": {"p": {"@id": "http://p", "@container": "@set"}},'
+        ' "@id": "http://s", "p": ["a", "b"]}'
+    )
+    assert sorted(plain) == sorted(via_obj) == sorted(via_container)
+    assert {t[3] for t in plain} == {"a", "b"}
+    assert all(t[5] == XSD_STRING for t in plain)
+    # @index alongside @set is metadata, dropped like in @value objects
+    with_idx = parse_jsonld(
+        '{"@id": "http://s", "http://p": {"@set": ["a", "b"], "@index": "k"}}'
+    )
+    assert sorted(with_idx) == sorted(plain)
+    # nested @set flattens like nested arrays
+    nested = parse_jsonld(
+        '{"@id": "http://s", "http://p": {"@set": [{"@set": ["a"]}, "b"]}}'
+    )
+    assert sorted(nested) == sorted(plain)

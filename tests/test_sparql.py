@@ -757,3 +757,86 @@ def test_graph_needs_graph_column(tri):
         sparql_select(tri, """
             SELECT ?n WHERE { GRAPH <urn:g1> { ?c <urn:name> ?n } }
         """).collect()
+
+
+def test_concat_substr_replace(tri):
+    got = sorted(_run(tri, """
+        SELECT ?x WHERE { ?c <urn:name> ?n . BIND(CONCAT("u:", LCASE(?n)) AS ?x) }
+    """))
+    assert got == [("u:alice",), ("u:ann",), ("u:bob",)]
+    got = sorted(_run(tri, """
+        SELECT ?x WHERE { ?c <urn:name> ?n . BIND(SUBSTR(?n, 1, 2) AS ?x) }
+    """))
+    assert got == [("Al",), ("An",), ("Bo",)]
+    # no-length SUBSTR goes to end; REPLACE is regex-based
+    got = _run(tri, """
+        SELECT ?x WHERE { ?c <urn:name> "Alice" . ?c <urn:name> ?n
+            BIND(SUBSTR(?n, 3) AS ?x) }
+    """)
+    assert got == [("ice",)]
+    got = _run(tri, """
+        SELECT ?x WHERE { ?c <urn:name> "Alice" . ?c <urn:name> ?n
+            BIND(REPLACE(?n, "[aeiou]", "_") AS ?x) }
+    """)
+    assert got == [("Al_c_",)]
+
+
+def test_in_filter(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(?n IN ("Alice", "Bob", "Zoe")) }
+    """))
+    assert got == [("Alice",), ("Bob",)]
+    # numeric IN casts the lexical
+    got = _run(tri, """
+        SELECT ?b WHERE { ?c <urn:bal> ?b FILTER(?b IN (3, 99)) }
+    """)
+    assert got == [("3",)]
+
+
+def test_langmatches(trim):
+    got = sorted(_run(trim, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(LANGMATCHES(LANG(?n), "en")) }
+    """))
+    assert got == [("Alice",)]
+    # "*" matches any non-empty tag
+    got = sorted(_run(trim, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(LANGMATCHES(LANG(?n), "*")) }
+    """))
+    assert got == [("Alice",), ("Ann",)]
+    # prefix subtag match: plant an en-US row
+    rows = [("urn:x", "urn:name", "Chad")]
+    import pyspark.sql.functions as SF
+    extra = trim.sparkSession.createDataFrame(
+        [("urn:x", 1, "urn:name", "Chad", 2, None, "en-US")],
+        trim.schema,
+    )
+    got = sorted(_run(trim.unionByName(extra), """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(LANGMATCHES(LANG(?n), "en")) }
+    """))
+    assert got == [("Alice",), ("Chad",)]
+
+
+def test_count_distinct_and_group_concat(tri):
+    got = _run(tri, """
+        SELECT (COUNT(DISTINCT ?c) AS ?n) WHERE { ?c ?p ?o }
+    """)
+    assert got == [(3,)]
+    got = _run(tri, """
+        SELECT (GROUP_CONCAT(?n; SEPARATOR=", ") AS ?all)
+        WHERE { ?c <urn:name> ?n }
+    """)
+    assert got == [("Alice, Ann, Bob",)]  # sorted → deterministic
+    got = _run(tri, """
+        SELECT (SAMPLE(?n) AS ?one) WHERE { ?c <urn:name> ?n }
+    """)
+    assert got == [("Alice",)]  # SAMPLE == deterministic MIN
+
+
+@pytest.mark.parametrize("bad", [
+    'SELECT (GROUP_CONCAT(DISTINCT ?n) AS ?x) WHERE { ?c <urn:name> ?n }',
+    'SELECT ?n WHERE { ?c <urn:name> ?n FILTER(?n IN (?m)) }',
+    'SELECT ?x WHERE { ?c <urn:name> ?n . BIND(SUBSTR(?n, "a") AS ?x) }',
+])
+def test_function_pack_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
