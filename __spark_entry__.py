@@ -665,6 +665,17 @@ def q_decontaminate(spark, sf_dir):
     return ngram_contamination(d, d.filter(F.col("doc_id") < 5), n=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic concat-then-chop sequence packing (ops.pack): each
+    document's (shard, seq_id, seq_offset) slot in fixed-budget training
+    sequences — one per-shard running-sum window, no global sort, byte-
+    identical under any partitioning."""
+    from rdf_spark.ops.pack import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_shards=8)
+
+
 def q_mention_count(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     m = extraction.detect_mentions(docs, _aliases_df(spark))
@@ -1270,6 +1281,7 @@ _QUERIES = {
         "sparql_funcs": q_sparql_funcs,
         "boilerplate_lines": q_boilerplate_lines,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2049,6 +2061,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(agg.n_kept, 0) AS n_kept,
                    tot.n_total - COALESCE(agg.n_kept, 0) AS n_removed
             FROM tot LEFT JOIN agg USING (doc_id)
+        """,
+        "pack_sequences": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tokens,
+                       CAST(doc_id % 8 AS INT) AS shard
+                FROM documents
+            ),
+            win AS (
+                SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                                PARTITION BY shard ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS BIGINT)
+                           AS s
+                FROM base
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(floor(s / 512) AS BIGINT) AS seq_id,
+                   CAST(s % 512 AS BIGINT) AS seq_offset
+            FROM win
         """,
         "decontaminate": r"""
             WITH toks AS (

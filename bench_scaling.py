@@ -87,14 +87,22 @@ def wait_quiet(threshold: float = 0.5, timeout_s: int = 300) -> float:
     return _loadavg1()
 
 
-def run_level(cores: int, reps: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(reps)],
-        capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=1800,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+def run_level(cores: int, reps: int, retries: int = 1) -> dict:
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, "-c", WORKER, str(cores), str(reps)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=1800,
+        )
+        lines = out.stdout.strip().splitlines()
+        if lines:
+            return json.loads(lines[-1])
+        # a worker that dies silently must not crash the whole multi-round
+        # collection — surface its stderr and retry once
+        print(f"level local[{cores}] attempt {attempt} produced no output "
+              f"(rc={out.returncode}); stderr tail: "
+              f"{out.stderr.strip()[-500:]!r}", file=sys.stderr)
+    raise RuntimeError(f"local[{cores}] worker failed {retries + 1} times")
 
 
 def main() -> int:

@@ -661,3 +661,39 @@ def test_ngram_contamination(spark):
         corpus, eval_set, n=13
     ).collect()}
     assert got == {1: 8, 2: 1, 4: 8}  # clean/short docs produce no row
+
+
+def test_pack_sequences(spark):
+    from rdf_spark.ops.pack import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in range(10 + i))) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pack_sequences(
+        df, budget=16, n_shards=2
+    ).collect()}
+    # shard 0: docs 0,2,4,6 (10,12,14,16 tokens); shard 1: 1,3,5,7
+    assert all(got[i].shard == i % 2 for i in range(8))
+    # exclusive prefix sums within shard 0: 0,10,22,36
+    assert [got[i].seq_id for i in (0, 2, 4, 6)] == [0, 0, 1, 2]
+    assert [got[i].seq_offset for i in (0, 2, 4, 6)] == [0, 10, 6, 4]
+    # document straddle: doc 2 starts at offset 10 with 12 tokens → spills
+    # into seq 1 (by design: concat-then-chop)
+    assert got[2].seq_offset + got[2].n_tokens > 16
+    # deterministic under repartitioning
+    again = {r.doc_id: (r.seq_id, r.seq_offset) for r in pack_sequences(
+        df.repartition(7), budget=16, n_shards=2
+    ).collect()}
+    assert again == {i: (got[i].seq_id, got[i].seq_offset) for i in range(8)}
+
+
+def test_pack_sequences_empty_and_null(spark):
+    from rdf_spark.ops.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (2, ""), (4, None), (6, "c")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pack_sequences(df, budget=4, n_shards=1).collect()}
+    assert got[2].n_tokens == 0 and got[4].n_tokens == 0
+    # zero-token docs occupy a slot position but consume nothing
+    assert got[6].seq_offset == 2 and got[6].seq_id == 0
