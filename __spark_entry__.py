@@ -581,6 +581,17 @@ def q_sparql_lang(spark, sf_dir):
     """)
 
 
+def q_sparql_path_seq(spark, sf_dir):
+    """SPARQL path sequence (round-4): <p1>/<p2> rewritten to fresh-var
+    equi-join hops (the exact SPARQL translation — both endpoints may be
+    variables, unlike the closure paths)."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_triples(spark, sf_dir), """
+        SELECT ?c ?nm WHERE { ?c <urn:ex:inNation>/<urn:ex:name> ?nm }
+    """)
+
+
 def q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS (round-4): anti join on the shared variable —
     customers not in nation 0.  Distinguished from NOT EXISTS by the
@@ -1276,6 +1287,7 @@ _QUERIES = {
         "sparql_bind": q_sparql_bind,
         "sparql_having": q_sparql_having,
         "sparql_lang": q_sparql_lang,
+        "sparql_path_seq": q_sparql_path_seq,
         "sparql_minus": q_sparql_minus,
         "sparql_graph": q_sparql_graph,
         "sparql_funcs": q_sparql_funcs,
@@ -2009,6 +2021,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm,
                    '{_RDF_LANG_STRING}' AS dt
             FROM customer WHERE c_custkey % 2 = 0
+        """,
+        "sparql_path_seq": """
+            SELECT 'urn:cust:' || c.c_custkey AS c, n.n_name AS nm
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
         "sparql_minus": """
             SELECT 'urn:cust:' || c_custkey AS c FROM customer

@@ -75,13 +75,29 @@ def curate_report(
     min_quality: float = 0.5,
     sample_rate: float = 1.0,
     key_col: str = "doc_id",
+    strip_boilerplate: int | None = None,
 ) -> DataFrame:
     """Audit view: every input row with ``drop_reason`` (null = kept).
+
+    ``strip_boilerplate=N`` enables an optional stage 0: cross-corpus
+    line-level boilerplate removal (ops.text.remove_boilerplate_lines,
+    lines in ≥N distinct docs) BEFORE any flag is computed — chrome
+    lines then stop inflating repetition fractions and stop gluing
+    near-identical pages into distinct fingerprints.  Off by default:
+    it is the only stage needing a corpus-wide shuffle besides dedup,
+    and (unlike every other stage) it cannot run in the streaming twin,
+    which sees one micro-batch of the corpus at a time.
 
     Deterministic on any cluster at any parallelism: every stage is a
     pure function of row content except dedup, whose keep-the-smallest-id
     rule is order-free.
     """
+    if strip_boilerplate is not None:
+        cleaned = txt.remove_boilerplate_lines(
+            df, text_col=text_col, id_col=key_col,
+            min_docs=strip_boilerplate,
+        ).select(key_col, F.col("clean_text").alias(text_col))
+        df = df.drop(text_col).join(cleaned, key_col)
     feat = curation_flags(df, text_col, lang_col, langs, min_quality)
     lang_ok = F.col("_lang_ok")
     qual_ok = F.col("_qual_ok")

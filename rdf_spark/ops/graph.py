@@ -126,7 +126,9 @@ def bgp_match(
     QUAD patterns matched against the ``graph`` column (SPARQL GRAPH
     blocks over an N-Quads/TriG store); strings starting
     with ``?`` are variables, everything else is a constant matched
-    against the lexical column.  Each pattern becomes a filtered
+    against the lexical column — a TUPLE of constants matches any of
+    them (``isin``, the compilation target of SPARQL path alternation
+    ``p1|p2``).  Each pattern becomes a filtered
     projection of the triple table; patterns join on their shared
     variables (plain equi-joins, so broadcast/AQE/reorder apply — a
     selective pattern's filter pushes into the scan).  Returns one column
@@ -176,7 +178,9 @@ def bgp_match(
         t = triples
         var_cols: dict[str, str] = {}  # var → triple column (first occurrence)
         for col, term in positions:
-            if term.startswith("?"):
+            if isinstance(term, tuple):  # constant alternation (p1|p2|…)
+                t = t.filter(F.col(col).isin(list(term)))
+            elif term.startswith("?"):
                 var = term[1:]
                 if var in var_cols:  # repeated var within one pattern
                     t = t.filter(F.col(col) == F.col(var_cols[var]))

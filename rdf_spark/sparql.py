@@ -23,6 +23,13 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                iterate-to-fixpoint BFS with per-round localCheckpoint;
                unanchored ?a <p>+ ?b is rejected as unbounded
                all-pairs reachability)
+             path sequences  ?s <p1>/<p2>/... ?o  — exact SPARQL
+               translation: fresh variable per hop (plain equi-joins,
+               endpoints may both be variables)
+             path alternation  ?s <p1>|<p2> ?o  — one pattern with an
+               IN-list predicate (scan-pushed); mixing '|' and '/' in
+               one path raises (no path parentheses to disambiguate
+               SPARQL's precedence), closures only as the entire path
              FILTER( expr )          -- any number, anywhere in the group
              FILTER [NOT] EXISTS { patterns }  -- → left semi / anti join
              OPTIONAL { patterns }   -- any number
@@ -90,7 +97,7 @@ _TOKEN_RE = re.compile(
       | (?P<number>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+))
       | (?P<pname>[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
       | (?P<word>[A-Za-z][A-Za-z0-9_]*)
-      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;])
+      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;|/])
     )""",
     re.X,
 )
@@ -108,6 +115,10 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
         for kind in ("iri", "var", "string", "number", "pname", "word", "op"):
             v = m.group(kind)
             if v is not None:
+                if kind == "var" and v.startswith("?_pp"):
+                    raise SparqlError(
+                        "variable prefix ?_pp is reserved (path rewriting)"
+                    )
                 out.append((kind, v))
                 break
     out.append(("eof", ""))
@@ -173,6 +184,7 @@ class _Parser:
         self.toks = _tokenize(q)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._ppn = 0  # fresh-variable counter for path-sequence rewriting
 
     def prologue(self):
         """Zero or more `PREFIX ns: <iri>` declarations."""
@@ -416,19 +428,87 @@ class _Parser:
                 g.values.append((var[1][1:], vals))
             else:
                 s = self.term("s")
-                # anchored property path: <iri>+ / ns:p* as predicate
-                if self.peek()[0] in ("iri", "pname") and self.toks[self.i + 1] in (
-                    ("op", "+"), ("op", "*"),
-                ):
-                    kind, v = self.next()
-                    p_iri = v[1:-1] if kind == "iri" else self.expand_pname(v)
-                    mod = self.next()[1]
-                    g.paths.append((s, p_iri, mod, self.term("o")))
+                path = self.path_expr()
+                o = self.term("o")
+                if path[0] == "closure":
+                    g.paths.append((s, path[1], path[2], o))
+                elif path[0] == "seq":
+                    # exact SPARQL translation: fresh variable per hop
+                    cur = s
+                    for i, seg in enumerate(path[1]):
+                        last = i == len(path[1]) - 1
+                        if last:
+                            nxt = o
+                        else:
+                            nxt = f"?_pp{self._ppn}"
+                            self._ppn += 1
+                        pred = seg[1] if seg[0] == "pred" else tuple(seg[1])
+                        g.patterns.append((cur, pred, nxt))
+                        cur = nxt
+                elif path[0] == "alt":
+                    g.patterns.append((s, tuple(path[1]), o))
                 else:
-                    p = self.term("p")
-                    g.patterns.append((s, p, self.term("o")))
+                    g.patterns.append((s, path[1], o))
             if self.peek() == ("op", "."):
                 self.next()
+
+    def path_atom(self):
+        kind, v = self.next()
+        if kind == "iri":
+            iri = v[1:-1]
+        elif kind == "pname":
+            iri = self.expand_pname(v)
+        elif kind == "word" and v == "a":
+            iri = RDF_TYPE
+        else:
+            raise SparqlError(f"bad path element {v!r}")
+        if self.peek() in (("op", "+"), ("op", "*")):
+            return ("closure", iri, self.next()[1])
+        return ("pred", iri)
+
+    def path_expr(self):
+        """Predicate-position path: plain ?var/IRI, <p>+ / <p>* closure,
+        <p1>|<p2> alternation, or <p1>/<p2> sequence.  Mixing '|' and '/'
+        without grouping is REJECTED rather than silently re-bracketed
+        (SPARQL binds '/' tighter than '|'; this dialect has no path
+        parentheses to express either reading explicitly), and closure
+        atoms are only supported as the entire path."""
+        if self.peek()[0] == "var":
+            return ("pred", self.term("p"))
+        first = self.path_atom()
+        if self.peek() == ("op", "|"):
+            if first[0] == "closure":
+                raise SparqlError("closure inside a path alternation")
+            alts = [first[1]]
+            while self.peek() == ("op", "|"):
+                self.next()
+                nxt = self.path_atom()
+                if nxt[0] == "closure":
+                    raise SparqlError("closure inside a path alternation")
+                alts.append(nxt[1])
+            if self.peek() == ("op", "/"):
+                raise SparqlError(
+                    "mixing '|' and '/' in one path needs grouping "
+                    "(unsupported)"
+                )
+            return ("alt", alts)
+        if self.peek() == ("op", "/"):
+            if first[0] == "closure":
+                raise SparqlError("closure inside a path sequence")
+            segs = [first]
+            while self.peek() == ("op", "/"):
+                self.next()
+                seg = self.path_atom()
+                if seg[0] == "closure":
+                    raise SparqlError("closure inside a path sequence")
+                if self.peek() == ("op", "|"):
+                    raise SparqlError(
+                        "mixing '|' and '/' in one path needs grouping "
+                        "(unsupported)"
+                    )
+                segs.append(seg)
+            return ("seq", segs)
+        return first
 
     def term(self, position: str) -> str:
         kind, v = self.next()
@@ -893,8 +973,12 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
     for f in g.filters:
         _check_meta_bound(_expr_vars(f, meta_only=True))
         df = df.filter(_compile_expr(f))
-    # metadata helper columns are consumed only inside the group
-    return df.drop(*[c for c in df.columns if c.startswith("_meta_")])
+    # metadata helpers are consumed only inside the group; _pp vars are
+    # the synthetic intermediates of path-sequence rewriting
+    return df.drop(*[
+        c for c in df.columns
+        if c.startswith("_meta_") or c.startswith("_pp")
+    ])
 
 
 _AGG_BUILDERS = {

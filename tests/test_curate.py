@@ -226,3 +226,47 @@ def test_curate_null_lang_dropped_as_lang(spark):
     )
     rep = curate.curate_report(df, langs=("en",), min_quality=0.5, sample_rate=1.0)
     assert {r.doc_id: r.drop_reason for r in rep.collect()} == {1: "lang", 2: "lang"}
+
+
+def test_strip_boilerplate_stage(spark):
+    """Optional stage 0: corpus-wide chrome lines are removed BEFORE the
+    flags, so boilerplate stops inflating repetition fractions and stops
+    splitting duplicate content into distinct fingerprints."""
+    from rdf_spark.curate import curate_corpus, curate_report
+
+    body = "genuine unique content about topic %d with enough words here"
+    footer = "SITE NAV | HOME | ABOUT | CONTACT"
+    rows = [
+        (i, "en", "\n".join([body % i, footer, footer, footer, footer]))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    kept = curate_corpus(
+        df, min_quality=0.0, strip_boilerplate=3
+    ).collect()
+    assert len(kept) == 6
+    assert all(footer not in r.text for r in kept)
+    # same corpus WITHOUT stripping: the repeated footer dominates the
+    # line-duplication fraction and the repetition stage kills every doc
+    rep = curate_report(df, min_quality=0.0)
+    reasons = {r.doc_id: r.drop_reason for r in rep.collect()}
+    assert set(reasons.values()) == {"repetition"}
+    # dedup now sees cleaned text: two docs differing ONLY in chrome
+    # become duplicates once stripped
+    # the shared body appears in only TWO docs (below min_docs=3), the
+    # footer in four (stripped): docs 0 and 2 differ only in where the
+    # chrome sat — after stage 0 they are exact duplicates
+    shared = "the same body text appears here with plenty of real words"
+    rows2 = [
+        (0, "en", shared + "\n" + footer),
+        (2, "en", footer + "\n" + shared),
+        (3, "en", "a different body with its own genuine words\n" + footer),
+        (4, "en", "yet more unrelated content and words\n" + footer),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, lang string, text string")
+    rep2 = {r.doc_id: r.drop_reason for r in curate_report(
+        df2, min_quality=0.0, strip_boilerplate=3
+    ).collect()}
+    assert rep2[0] is None and rep2[2] == "duplicate"
+    assert rep2[3] is None and rep2[4] is None

@@ -840,3 +840,44 @@ def test_count_distinct_and_group_concat(tri):
 def test_function_pack_errors(tri, bad):
     with pytest.raises(SparqlError):
         sparql_select(tri, bad).collect()
+
+
+def test_path_sequence(tri):
+    # knows/name: names of people each person knows (both endpoints vars)
+    got = sorted(_run(tri, """
+        SELECT ?s ?n WHERE { ?s <urn:knows>/<urn:name> ?n }
+    """))
+    assert got == [("urn:c1", "Bob"), ("urn:c2", "Ann")]
+    # three-hop: type anchor via 'a' in a sequence
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?s <urn:knows>/<urn:knows>/<urn:name> ?n }
+    """))
+    assert got == [("Ann",)]
+    # synthetic hop variables must not leak into SELECT *
+    df = sparql_select(tri, "SELECT * WHERE { ?s <urn:knows>/<urn:name> ?n }")
+    assert sorted(df.columns) == ["n", "s"]
+
+
+def test_path_alternation(tri):
+    got = sorted(_run(tri, """
+        SELECT ?c ?v WHERE { ?c <urn:name>|<urn:bal> ?v }
+    """))
+    assert len(got) == 5  # 3 names + 2 balances
+    assert ("urn:c1", "10.5") in got and ("urn:c3", "Ann") in got
+    # alternation inside a sequence hop is fine when unmixed per path
+    got = sorted(_run(tri, """
+        SELECT ?v WHERE { ?s <urn:knows>/<urn:name> ?v }
+    """))
+    assert got == [("Ann",), ("Bob",)]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?v WHERE { ?s <urn:p>|<urn:q>/<urn:r> ?v }",   # mixed | and /
+    "SELECT ?v WHERE { ?s <urn:p>/<urn:q>|<urn:r> ?v }",
+    "SELECT ?v WHERE { ?s <urn:p>+/<urn:q> ?v }",          # closure in seq
+    "SELECT ?v WHERE { ?s <urn:p>|<urn:q>+ ?v }",          # closure in alt
+    "SELECT ?_pp0 WHERE { ?s <urn:p> ?_pp0 }",             # reserved prefix
+])
+def test_path_composition_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
