@@ -4,7 +4,8 @@ selection pipeline (rdf_spark.curate) as a batch job:
     spark-submit --py-files /tmp/rdf_spark.zip jobs/curate_job.py \\
         --in <docs.parquet> --out <dir> \\
         [--langs en,de] [--min-quality 0.5] [--sample-rate 1.0] \\
-        [--text-col text] [--lang-col lang] [--key-col doc_id]
+        [--text-col text] [--lang-col lang] [--key-col doc_id] \\
+        [--strip-boilerplate N]   # stage 0: drop lines in >=N docs
 
 Writes three outputs under --out:
   kept/    the curated corpus (original + quality/repetition signals)
@@ -33,6 +34,7 @@ def main(argv=None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--lang-col", default="lang")
     ap.add_argument("--key-col", default="doc_id")
+    ap.add_argument("--strip-boilerplate", type=int, default=None)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -49,6 +51,7 @@ def main(argv=None) -> int:
         min_quality=args.min_quality,
         sample_rate=args.sample_rate,
         key_col=args.key_col,
+        strip_boilerplate=args.strip_boilerplate,
     )
     docs = spark.read.parquet(args.in_path)
     report = curate.curate_report(docs, **kwargs)

@@ -30,6 +30,9 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                IN-list predicate (scan-pushed); mixing '|' and '/' in
                one path raises (no path parentheses to disambiguate
                SPARQL's precedence), closures only as the entire path
+             inverse paths  ?s ^<p> ?o  ≡  ?o <p> ?s — per sequence
+               segment too (flips that hop); ^<p>+ swaps the closure's
+               endpoints; alternations must be uniformly ^ or not
              FILTER( expr )          -- any number, anywhere in the group
              FILTER [NOT] EXISTS { patterns }  -- → left semi / anti join
              OPTIONAL { patterns }   -- any number
@@ -97,7 +100,7 @@ _TOKEN_RE = re.compile(
       | (?P<number>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+))
       | (?P<pname>[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
       | (?P<word>[A-Za-z][A-Za-z0-9_]*)
-      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;|/])
+      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;|/^])
     )""",
     re.X,
 )
@@ -430,10 +433,13 @@ class _Parser:
                 s = self.term("s")
                 path = self.path_expr()
                 o = self.term("o")
-                if path[0] == "closure":
+                if path[0] in ("closure", "iclosure"):
+                    if path[0] == "iclosure":  # X ^p+ Y ≡ Y p+ X
+                        s, o = o, s
                     g.paths.append((s, path[1], path[2], o))
                 elif path[0] == "seq":
-                    # exact SPARQL translation: fresh variable per hop
+                    # exact SPARQL translation: fresh variable per hop;
+                    # an inverse segment just flips that hop's direction
                     cur = s
                     for i, seg in enumerate(path[1]):
                         last = i == len(path[1]) - 1
@@ -442,17 +448,27 @@ class _Parser:
                         else:
                             nxt = f"?_pp{self._ppn}"
                             self._ppn += 1
-                        pred = seg[1] if seg[0] == "pred" else tuple(seg[1])
-                        g.patterns.append((cur, pred, nxt))
+                        if seg[0] == "ipred":
+                            g.patterns.append((nxt, seg[1], cur))
+                        else:
+                            g.patterns.append((cur, seg[1], nxt))
                         cur = nxt
                 elif path[0] == "alt":
+                    if path[2]:  # uniformly inverse alternation
+                        s, o = o, s
                     g.patterns.append((s, tuple(path[1]), o))
+                elif path[0] == "ipred":
+                    g.patterns.append((o, path[1], s))
                 else:
                     g.patterns.append((s, path[1], o))
             if self.peek() == ("op", "."):
                 self.next()
 
     def path_atom(self):
+        inv = False
+        if self.peek() == ("op", "^"):  # inverse: X ^p Y ≡ Y p X
+            self.next()
+            inv = True
         kind, v = self.next()
         if kind == "iri":
             iri = v[1:-1]
@@ -463,8 +479,9 @@ class _Parser:
         else:
             raise SparqlError(f"bad path element {v!r}")
         if self.peek() in (("op", "+"), ("op", "*")):
-            return ("closure", iri, self.next()[1])
-        return ("pred", iri)
+            mod = self.next()[1]
+            return ("iclosure" if inv else "closure", iri, mod)
+        return ("ipred" if inv else "pred", iri)
 
     def path_expr(self):
         """Predicate-position path: plain ?var/IRI, <p>+ / <p>* closure,
@@ -477,29 +494,35 @@ class _Parser:
             return ("pred", self.term("p"))
         first = self.path_atom()
         if self.peek() == ("op", "|"):
-            if first[0] == "closure":
+            if first[0] in ("closure", "iclosure"):
                 raise SparqlError("closure inside a path alternation")
+            inv = first[0] == "ipred"
             alts = [first[1]]
             while self.peek() == ("op", "|"):
                 self.next()
                 nxt = self.path_atom()
-                if nxt[0] == "closure":
+                if nxt[0] in ("closure", "iclosure"):
                     raise SparqlError("closure inside a path alternation")
+                if (nxt[0] == "ipred") != inv:
+                    raise SparqlError(
+                        "mixed forward/inverse path alternation needs "
+                        "grouping (unsupported)"
+                    )
                 alts.append(nxt[1])
             if self.peek() == ("op", "/"):
                 raise SparqlError(
                     "mixing '|' and '/' in one path needs grouping "
                     "(unsupported)"
                 )
-            return ("alt", alts)
+            return ("alt", alts, inv)
         if self.peek() == ("op", "/"):
-            if first[0] == "closure":
+            if first[0] in ("closure", "iclosure"):
                 raise SparqlError("closure inside a path sequence")
             segs = [first]
             while self.peek() == ("op", "/"):
                 self.next()
                 seg = self.path_atom()
-                if seg[0] == "closure":
+                if seg[0] in ("closure", "iclosure"):
                     raise SparqlError("closure inside a path sequence")
                 if self.peek() == ("op", "|"):
                     raise SparqlError(

@@ -214,6 +214,17 @@ def test_curate_job_entrypoint(spark, tmp_path):
     report = spark.read.parquet(f"{out}/report")
     assert report.count() == 6
 
+    # --strip-boilerplate plumbs through to the stage-0 knob
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main([
+            "--in", src, "--out", str(tmp_path / "curated_bp"),
+            "--langs", "en", "--min-quality", "0.0",
+            "--strip-boilerplate", "100",   # threshold never met → no-op
+        ])
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["stages"]
+
 
 def test_curate_null_lang_dropped_as_lang(spark):
     """A NULL lang must drop as 'lang' (isin(NULL) is NULL, which would

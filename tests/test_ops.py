@@ -697,3 +697,53 @@ def test_pack_sequences_empty_and_null(spark):
     assert got[2].n_tokens == 0 and got[4].n_tokens == 0
     # zero-token docs occupy a slot position but consume nothing
     assert got[6].seq_offset == 2 and got[6].seq_id == 0
+
+
+def test_pack_and_decontaminate_job_entrypoints(spark, tmp_path):
+    """The spark-submit packing + decontamination CLIs end-to-end."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import decontaminate_job
+    import pack_job
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(0, "clean words " + " ".join(f"c{i}" for i in range(20))),
+         (1, "pre " + bench_text + " post"),
+         (2, "short")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    src, evp = str(tmp_path / "corpus"), str(tmp_path / "eval")
+    corpus.write.parquet(src)
+    ev.write.parquet(evp)
+
+    out = str(tmp_path / "decon")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = decontaminate_job.main([
+            "--corpus", src, "--eval", evp, "--out", out,
+            "--n", "13", "--write-clean",
+        ])
+    assert rc == 0
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["contaminated"] == 1 and res["clean"] == 2
+    assert spark.read.parquet(f"{out}/contaminated").collect()[0].doc_id == 1
+
+    pout = str(tmp_path / "packed")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = pack_job.main([
+            "--in", src, "--out", pout, "--budget", "16", "--n-shards", "2",
+        ])
+    assert rc == 0
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["docs"] == 3 and res["sequences"] >= 2
+    packed = spark.read.parquet(pout)
+    assert {f for f in packed.columns} == {
+        "doc_id", "shard", "n_tokens", "seq_id", "seq_offset"
+    }

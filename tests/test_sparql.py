@@ -881,3 +881,33 @@ def test_path_alternation(tri):
 def test_path_composition_errors(tri, bad):
     with pytest.raises(SparqlError):
         sparql_select(tri, bad).collect()
+
+
+def test_inverse_paths(tri):
+    # ?o ^<p> ?s flips the pattern
+    got = sorted(_run(tri, """
+        SELECT ?known ?n WHERE { ?known ^<urn:knows> ?k . ?k <urn:name> ?n }
+    """))
+    assert got == [("urn:c2", "Alice"), ("urn:c3", "Bob")]
+    # inverse segment inside a sequence: who knows ?x, by ?x's name
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?x ^<urn:knows>/<urn:name> ?n }
+    """))
+    assert got == [("Alice",), ("Bob",)]
+    # inverse closure: ancestors via ^knows+ anchored at c3
+    got = sorted(_run(tri, """
+        SELECT ?a WHERE { <urn:c3> ^<urn:knows>+ ?a }
+    """))
+    assert got == [("urn:c1",), ("urn:c2",)]
+    # uniformly-inverse alternation: who points at c2 via knows or bal
+    got = sorted(_run(tri, """
+        SELECT ?x WHERE { <urn:c2> ^<urn:knows>|^<urn:bal> ?x }
+    """))
+    assert got == [("urn:c1",)]
+
+
+def test_inverse_path_errors(tri):
+    with pytest.raises(SparqlError, match="mixed forward/inverse"):
+        sparql_select(tri, """
+            SELECT ?x WHERE { ?s <urn:name>|^<urn:bal> ?x }
+        """).collect()
