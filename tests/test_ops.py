@@ -747,3 +747,27 @@ def test_pack_and_decontaminate_job_entrypoints(spark, tmp_path):
     assert {f for f in packed.columns} == {
         "doc_id", "shard", "n_tokens", "seq_id", "seq_offset"
     }
+
+
+def test_new_operator_plan_shapes(spark, documents):
+    """The 100-TB shape claims, asserted on the actual plans: the eval
+    side of decontamination broadcasts (no corpus shuffle for the join),
+    packing is ONE window partitioned by shard (no global sort), and
+    boilerplate counting never degrades to SortAggregate."""
+    from rdf_spark.ops.contamination import ngram_contamination
+    from rdf_spark.ops.pack import pack_sequences
+
+    hits = ngram_contamination(
+        documents, documents.filter(F.col("doc_id") < 5), n=8
+    )
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    packed = pack_sequences(documents)
+    pplan = packed._jdf.queryExecution().optimizedPlan().toString()
+    assert pplan.count("Window [") == 1
+    assert "windowspecdefinition(shard" in pplan  # partitioned, not global
+
+    bp = textops.remove_boilerplate_lines(documents)
+    bplan = bp._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in bplan and "HashAggregate" in bplan
