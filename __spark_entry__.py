@@ -676,6 +676,27 @@ def q_decontaminate(spark, sf_dir):
     return ngram_contamination(d, d.filter(F.col("doc_id") < 5), n=8)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (ops.text.redact_pii): emails/IPs/phones planted into
+    every document are replaced with typed placeholders; per-category
+    counts audit the scrub.  Pure JVM regexes shared verbatim with the
+    oracle (the Java/RE2-common subset); the planted phone number
+    clears the 9-digit minimum at every doc_id, so all three categories
+    are non-vacuous at every scale."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com on 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(200)),
+            F.lit(".7 or +49151123"), F.col("doc_id"),
+        ).alias("text"),
+    )
+    return textops.redact_pii(planted)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic concat-then-chop sequence packing (ops.pack): each
     document's (shard, seq_id, seq_offset) slot in fixed-budget training
@@ -1294,6 +1315,7 @@ _QUERIES = {
         "boilerplate_lines": q_boilerplate_lines,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -2078,6 +2100,32 @@ def oracle_sql() -> dict[str, str]:
                    tot.n_total - COALESCE(agg.n_kept, 0) AS n_removed
             FROM tot LEFT JOIN agg USING (doc_id)
         """,
+        # PII patterns injected verbatim from ops.text.PII_PATTERNS (the
+        # Java/RE2-common subset); DuckDB regexp_replace needs the 'g'
+        # flag (Spark replaces globally by default)
+        "pii_redact": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       COALESCE(text, '') || ' contact user' || doc_id
+                       || '@example.com on 10.0.' || (doc_id % 200)
+                       || '.7 or +49151123' || doc_id AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       t, 'EMAILPAT', '<EMAIL>', 'g'),
+                       'IPPAT', '<IP>', 'g'),
+                       'PHONEPAT', '<PHONE>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(t, 'EMAILPAT')) AS BIGINT)
+                       AS n_email,
+                   CAST(len(regexp_extract_all(t, 'IPPAT')) AS BIGINT)
+                       AS n_ip,
+                   CAST(len(regexp_extract_all(t, 'PHONEPAT')) AS BIGINT)
+                       AS n_phone
+            FROM base
+        """.replace("EMAILPAT", textops.PII_PATTERNS[0][1])
+           .replace("IPPAT", textops.PII_PATTERNS[1][1])
+           .replace("PHONEPAT", textops.PII_PATTERNS[2][1]),
         "pack_sequences": r"""
             WITH base AS (
                 SELECT doc_id,

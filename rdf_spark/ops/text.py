@@ -280,3 +280,44 @@ def remove_boilerplate_lines(
             .alias("n_removed"),
         )
     )
+
+
+# PII scrub patterns: shared verbatim with the DuckDB oracle, so they use
+# only the regex subset Java and RE2 agree on (char classes, bounded
+# quantifiers, \b — no lookaround/backrefs).  Applied IN ORDER: the
+# email pattern must run before the IP pattern can see a bare host part.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{9,15}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-data PII scrub: emails, IPv4 addresses, and international
+    phone numbers replaced with typed placeholders, plus per-category
+    match counts for the audit trail.
+
+    Pure JVM ``regexp_replace``/``regexp_extract_all`` — runs inside the
+    scan with zero shuffle and zero Python at any corpus size.  The
+    pattern list is deliberately conservative-deterministic (a
+    placeholder regex set, not a PII *detector*): recall tuning belongs
+    in the pattern table, the plumbing and audit contract stay fixed.
+    Counts are measured on the ORIGINAL text; replacements are chained
+    in :data:`PII_PATTERNS` order.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return df.select(F.col(id_col), red.alias("clean_text"), *counts)

@@ -771,3 +771,25 @@ def test_new_operator_plan_shapes(spark, documents):
     bp = textops.remove_boilerplate_lines(documents)
     bplan = bp._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in bplan and "HashAggregate" in bplan
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (1, "server 192.168.10.255 and backup 10.0.0.1 are down"),
+        (2, "call +4915112345678 now"),
+        (3, "all three: a@b.io 1.2.3.4 +123456789 end"),
+        (4, "nothing sensitive here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.redact_pii(df).collect()}
+    assert got[0].clean_text == "mail me at <EMAIL> today"
+    assert got[0].n_email == 1 and got[0].n_ip == 0
+    assert got[1].clean_text == "server <IP> and backup <IP> are down"
+    assert got[1].n_ip == 2
+    assert got[2].clean_text == "call <PHONE> now" and got[2].n_phone == 1
+    assert got[3].clean_text == "all three: <EMAIL> <IP> <PHONE> end"
+    assert (got[3].n_email, got[3].n_ip, got[3].n_phone) == (1, 1, 1)
+    assert got[4].clean_text == rows[4][1]
+    assert got[5].clean_text == "" and got[5].n_email == 0
