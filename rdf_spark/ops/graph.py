@@ -128,7 +128,8 @@ def bgp_match(
     with ``?`` are variables, everything else is a constant matched
     against the lexical column — a TUPLE of constants matches any of
     them (``isin``, the compilation target of SPARQL path alternation
-    ``p1|p2``).  Each pattern becomes a filtered
+    ``p1|p2``) and a FROZENSET matches anything NOT in it (negated
+    property sets ``!(p1|p2)``).  Each pattern becomes a filtered
     projection of the triple table; patterns join on their shared
     variables (plain equi-joins, so broadcast/AQE/reorder apply — a
     selective pattern's filter pushes into the scan).  Returns one column
@@ -178,7 +179,9 @@ def bgp_match(
         t = triples
         var_cols: dict[str, str] = {}  # var → triple column (first occurrence)
         for col, term in positions:
-            if isinstance(term, tuple):  # constant alternation (p1|p2|…)
+            if isinstance(term, frozenset):  # negated set !(p1|p2|…)
+                t = t.filter(~F.col(col).isin(sorted(term)))
+            elif isinstance(term, tuple):  # constant alternation (p1|p2|…)
                 t = t.filter(F.col(col).isin(list(term)))
             elif term.startswith("?"):
                 var = term[1:]

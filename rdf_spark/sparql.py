@@ -33,6 +33,9 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
              inverse paths  ?s ^<p> ?o  ≡  ?o <p> ?s — per sequence
                segment too (flips that hop); ^<p>+ swaps the closure's
                endpoints; alternations must be uniformly ^ or not
+             negated property sets  ?s !<p> ?o | ?s !(<p1>|<p2>) ?o —
+               a NOT-IN predicate filter (forward predicates only; no
+               closure over a negated set); usable as a sequence segment
              FILTER( expr )          -- any number, anywhere in the group
              FILTER [NOT] EXISTS { patterns }  -- → left semi / anti join
              OPTIONAL { patterns }   -- any number
@@ -450,6 +453,8 @@ class _Parser:
                             self._ppn += 1
                         if seg[0] == "ipred":
                             g.patterns.append((nxt, seg[1], cur))
+                        elif seg[0] == "nps":
+                            g.patterns.append((cur, frozenset(seg[1]), nxt))
                         else:
                             g.patterns.append((cur, seg[1], nxt))
                         cur = nxt
@@ -457,6 +462,8 @@ class _Parser:
                     if path[2]:  # uniformly inverse alternation
                         s, o = o, s
                     g.patterns.append((s, tuple(path[1]), o))
+                elif path[0] == "nps":
+                    g.patterns.append((s, frozenset(path[1]), o))
                 elif path[0] == "ipred":
                     g.patterns.append((o, path[1], s))
                 else:
@@ -465,6 +472,35 @@ class _Parser:
                 self.next()
 
     def path_atom(self):
+        if self.peek() == ("op", "!"):  # negated property set
+            self.next()
+            iris = []
+            if self.peek() == ("op", "("):
+                self.next()
+                while True:
+                    nxt = self.path_atom()
+                    if nxt[0] != "pred":
+                        raise SparqlError(
+                            "negated property sets take plain forward "
+                            "predicates only"
+                        )
+                    iris.append(nxt[1])
+                    if self.peek() == ("op", "|"):
+                        self.next()
+                        continue
+                    break
+                self.eat_op(")")
+            else:
+                nxt = self.path_atom()
+                if nxt[0] != "pred":
+                    raise SparqlError(
+                        "negated property sets take plain forward "
+                        "predicates only"
+                    )
+                iris.append(nxt[1])
+            if self.peek() in (("op", "+"), ("op", "*")):
+                raise SparqlError("closure over a negated property set")
+            return ("nps", sorted(iris))
         inv = False
         if self.peek() == ("op", "^"):  # inverse: X ^p Y ≡ Y p X
             self.next()
@@ -494,15 +530,19 @@ class _Parser:
             return ("pred", self.term("p"))
         first = self.path_atom()
         if self.peek() == ("op", "|"):
-            if first[0] in ("closure", "iclosure"):
-                raise SparqlError("closure inside a path alternation")
+            if first[0] in ("closure", "iclosure", "nps"):
+                raise SparqlError(
+                    "closure/negated-set inside a path alternation"
+                )
             inv = first[0] == "ipred"
             alts = [first[1]]
             while self.peek() == ("op", "|"):
                 self.next()
                 nxt = self.path_atom()
-                if nxt[0] in ("closure", "iclosure"):
-                    raise SparqlError("closure inside a path alternation")
+                if nxt[0] in ("closure", "iclosure", "nps"):
+                    raise SparqlError(
+                        "closure/negated-set inside a path alternation"
+                    )
                 if (nxt[0] == "ipred") != inv:
                     raise SparqlError(
                         "mixed forward/inverse path alternation needs "

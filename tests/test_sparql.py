@@ -911,3 +911,31 @@ def test_inverse_path_errors(tri):
         sparql_select(tri, """
             SELECT ?x WHERE { ?s <urn:name>|^<urn:bal> ?x }
         """).collect()
+
+
+def test_negated_property_set(tri):
+    # everything about c1 EXCEPT its rdf:type and name
+    got = sorted(_run(tri, f"""
+        SELECT ?o WHERE {{ <urn:c1> !(<{RDF_TYPE}>|<urn:name>) ?o }}
+    """))
+    assert got == [("10.5",), ("urn:c2",)]
+    # single-predicate form
+    got = sorted(_run(tri, """
+        SELECT ?p ?o WHERE { <urn:c2> !<urn:knows> ?o . <urn:c2> ?p ?o }
+    """))
+    assert ("urn:name", "Bob") in got and ("urn:knows", "urn:c3") not in got
+    # as a sequence segment: non-knows edges of whoever c1 knows
+    got = sorted(_run(tri, """
+        SELECT ?o WHERE { <urn:c1> <urn:knows>/!<urn:knows> ?o }
+    """))
+    assert got == [("3",), ("Bob",), ("urn:Customer",)]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?o WHERE { ?s !<urn:p>+ ?o }",          # closure over NPS
+    "SELECT ?o WHERE { ?s !(^<urn:p>) ?o }",        # inverse inside NPS
+    "SELECT ?o WHERE { ?s !<urn:p>|<urn:q> ?o }",   # NPS in alternation
+])
+def test_negated_property_set_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
