@@ -41,6 +41,9 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
              OPTIONAL { patterns }   -- any number
              VALUES ?v { term … }    -- inline bindings (restricts a
                                         bound var, introduces an unbound)
+             VALUES (?a ?b) { (t t) … }  -- multi-var rows: joins on the
+                                        already-bound subset, carries the
+                                        rest along (no UNDEF cells)
              BIND( operand AS ?v )   -- computed column (applied after
                                         the group's joins, before FILTERs)
              MINUS { patterns }      -- → left anti join on shared vars
@@ -160,8 +163,8 @@ class _Group:
     filters: list[tuple] = field(default_factory=list)
     # property paths: (s_term, predicate_iri, '+'|'*', o_term)
     paths: list[tuple[str, str, str, str]] = field(default_factory=list)
-    # inline bindings: (var_name, [lexical values])
-    values: list[tuple[str, list[str]]] = field(default_factory=list)
+    # inline bindings: ([var names], [rows of lexical values])
+    values: list[tuple[list[str], list[tuple]]] = field(default_factory=list)
     # BIND(operand AS ?v): (var_name, operand expr)
     binds: list[tuple[str, tuple]] = field(default_factory=list)
     # FILTER [NOT] EXISTS blocks: (positive, patterns)
@@ -421,17 +424,41 @@ class _Parser:
                 g.binds.append((var[1][1:], ex))
             elif self.at_word("VALUES"):
                 self.next()
-                var = self.next()
-                if var[0] != "var":
-                    raise SparqlError("VALUES needs a ?var")
-                self.eat_op("{")
-                vals = []
-                while self.peek() != ("op", "}"):
-                    vals.append(self.term("o"))
-                self.next()  # }
-                if not vals:
-                    raise SparqlError("empty VALUES block")
-                g.values.append((var[1][1:], vals))
+                if self.peek() == ("op", "("):  # VALUES (?a ?b) { (x y) … }
+                    self.next()
+                    vars_ = []
+                    while self.peek()[0] == "var":
+                        vars_.append(self.next()[1][1:])
+                    self.eat_op(")")
+                    if not vars_:
+                        raise SparqlError("VALUES needs at least one ?var")
+                    self.eat_op("{")
+                    rows = []
+                    while self.peek() == ("op", "("):
+                        self.next()
+                        row = tuple(self.term("o") for _ in vars_)
+                        self.eat_op(")")
+                        rows.append(row)
+                    if self.peek() != ("op", "}"):
+                        raise SparqlError(
+                            "VALUES rows must be '(' term… ')' groups"
+                        )
+                    self.next()  # }
+                    if not rows:
+                        raise SparqlError("empty VALUES block")
+                    g.values.append((vars_, rows))
+                else:
+                    var = self.next()
+                    if var[0] != "var":
+                        raise SparqlError("VALUES needs a ?var")
+                    self.eat_op("{")
+                    vals = []
+                    while self.peek() != ("op", "}"):
+                        vals.append(self.term("o"))
+                    self.next()  # }
+                    if not vals:
+                        raise SparqlError("empty VALUES block")
+                    g.values.append(([var[1][1:]], [(v,) for v in vals]))
             else:
                 s = self.term("s")
                 path = self.path_expr()
@@ -988,14 +1015,17 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         df = df.join(part, on=shared) if shared else df.crossJoin(part)
     if df is not None:  # a VALUES-only group reaches here with df=None
         df = df.drop(*[c for c in df.columns if c.startswith("_path_m")])
-    for var, vals in g.values:
+    for vars_, rows in g.values:
         part = triples.sparkSession.createDataFrame(
-            [(v,) for v in vals], f"{var} string"
+            rows, ", ".join(f"{v} string" for v in vars_)
         )
         if df is None:
             df = part
-        elif var in df.columns:
-            df = df.join(part, on=[var])  # restrict existing bindings
+            continue
+        shared = [v for v in vars_ if v in df.columns]
+        if shared:
+            # restrict on the already-bound vars, carry the new ones along
+            df = df.join(part, on=shared)
         else:
             df = df.crossJoin(part)  # introduce new bindings
     for block in g.optionals:

@@ -939,3 +939,32 @@ def test_negated_property_set(tri):
 def test_negated_property_set_errors(tri, bad):
     with pytest.raises(SparqlError):
         sparql_select(tri, bad).collect()
+
+
+def test_values_multi_var(tri):
+    # restrict ?c while introducing ?tag from the same rows
+    got = sorted(_run(tri, """
+        SELECT ?n ?tag WHERE {
+            ?c <urn:name> ?n .
+            VALUES (?c ?tag) { (<urn:c1> "first") (<urn:c3> "third") }
+        }
+    """))
+    assert got == [("Alice", "first"), ("Ann", "third")]
+    # all-new vars: cartesian rows
+    got = _run(tri, """
+        SELECT ?x ?y WHERE {
+            ?c <urn:name> "Alice" .
+            VALUES (?x ?y) { ("1" "a") ("2" "b") }
+        }
+    """)
+    assert sorted(got) == [("1", "a"), ("2", "b")]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?x WHERE { VALUES () { } }",                       # no vars
+    'SELECT ?x WHERE { VALUES (?x ?y) { ("1") } }',            # arity short
+    'SELECT ?x WHERE { VALUES (?x) { "1" } }',                 # rows need ()
+])
+def test_values_multi_var_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
