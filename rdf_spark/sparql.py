@@ -214,10 +214,13 @@ class _Parser:
         return self.prefixes[ns] + local
 
     def peek(self):
-        return self.toks[self.i]
+        # clamp at the eof sentinel: reading past the end keeps returning
+        # ("eof", "") so every grammar rule fails with a SparqlError
+        # instead of an IndexError on truncated input
+        return self.toks[min(self.i, len(self.toks) - 1)]
 
     def next(self):
-        t = self.toks[self.i]
+        t = self.peek()
         self.i += 1
         return t
 

@@ -89,3 +89,42 @@ def test_jsonld_never_crashes(text):
         parse_jsonld(text)
     except ParseError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# SPARQL parser fuzz: every input either parses or raises SparqlError —
+# never IndexError/AttributeError/RecursionError (derandomized so the
+# corpus is identical on every run)
+# ---------------------------------------------------------------------------
+
+_sparqlish = st.lists(
+    st.sampled_from([
+        "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "WHERE", "DISTINCT",
+        "PREFIX", "ns:", "<urn:p>", "?x", "?y", "*", "{", "}", "(", ")",
+        "FILTER", "OPTIONAL", "UNION", "MINUS", "GRAPH", "VALUES", "BIND",
+        "AS", "NOT", "EXISTS", "GROUP", "BY", "HAVING", "ORDER", "ASC",
+        "DESC", "LIMIT", "OFFSET", "COUNT", "SUM", "GROUP_CONCAT",
+        "SEPARATOR", "SAMPLE", "LANG", "DATATYPE", "STR", "CONCAT",
+        "SUBSTR", "REPLACE", "IN", "LANGMATCHES", "regex", "bound", "a",
+        '"lit"', '"es\\caped"', "12", "1.5", ".", ",", ";", "=", "!=",
+        "<", ">", "<=", ">=", "&&", "||", "!", "^", "/", "|", "+", "-",
+    ]),
+    max_size=30,
+).map(" ".join)
+
+
+@settings(max_examples=600, deadline=None, derandomize=True)
+@given(st.one_of(_garbage, _sparqlish))
+def test_sparql_parser_never_crashes(query):
+    from rdf_spark import sparql as sq
+
+    for entry in (
+        lambda q: sq._Parser(q).query(),
+        lambda q: sq._Parser(q).construct_query(),
+        lambda q: sq._Parser(q).ask_query(),
+        lambda q: sq._Parser(q).describe_query(),
+    ):
+        try:
+            entry(query)
+        except sq.SparqlError:
+            pass
