@@ -6,6 +6,7 @@ selection pipeline (rdf_spark.curate) as a batch job:
         [--langs en,de] [--min-quality 0.5] [--sample-rate 1.0] \\
         [--text-col text] [--lang-col lang] [--key-col doc_id] \\
         [--strip-boilerplate N]   # stage 0: drop lines in >=N docs
+        [--scrub-pii]             # redact emails/IPs/phones pre-flags
 
 Writes three outputs under --out:
   kept/    the curated corpus (original + quality/repetition signals)
@@ -35,6 +36,7 @@ def main(argv=None) -> int:
     ap.add_argument("--lang-col", default="lang")
     ap.add_argument("--key-col", default="doc_id")
     ap.add_argument("--strip-boilerplate", type=int, default=None)
+    ap.add_argument("--scrub-pii", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -52,6 +54,7 @@ def main(argv=None) -> int:
         sample_rate=args.sample_rate,
         key_col=args.key_col,
         strip_boilerplate=args.strip_boilerplate,
+        scrub_pii=args.scrub_pii,
     )
     docs = spark.read.parquet(args.in_path)
     report = curate.curate_report(docs, **kwargs)

@@ -76,6 +76,7 @@ def curate_report(
     sample_rate: float = 1.0,
     key_col: str = "doc_id",
     strip_boilerplate: int | None = None,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Audit view: every input row with ``drop_reason`` (null = kept).
 
@@ -88,6 +89,13 @@ def curate_report(
     and (unlike every other stage) it cannot run in the streaming twin,
     which sees one micro-batch of the corpus at a time.
 
+    ``scrub_pii=True`` replaces the text with its PII-redacted form
+    (ops.text.redact_pii placeholders) after the boilerplate stage and
+    before any flag — so dedup fingerprints match on redacted content
+    (two pages differing only in a contact email collapse) and the kept
+    corpus never carries the raw identifiers.  Row-local JVM: free at
+    any scale, and valid per micro-batch in a streaming setting.
+
     Deterministic on any cluster at any parallelism: every stage is a
     pure function of row content except dedup, whose keep-the-smallest-id
     rule is order-free.
@@ -98,6 +106,11 @@ def curate_report(
             min_docs=strip_boilerplate,
         ).select(key_col, F.col("clean_text").alias(text_col))
         df = df.drop(text_col).join(cleaned, key_col)
+    if scrub_pii:
+        red = F.coalesce(F.col(text_col), F.lit(""))
+        for _, pat, rep in txt.PII_PATTERNS:
+            red = F.regexp_replace(red, pat, rep)
+        df = df.withColumn(text_col, red)
     feat = curation_flags(df, text_col, lang_col, langs, min_quality)
     lang_ok = F.col("_lang_ok")
     qual_ok = F.col("_qual_ok")

@@ -221,6 +221,7 @@ def test_curate_job_entrypoint(spark, tmp_path):
             "--in", src, "--out", str(tmp_path / "curated_bp"),
             "--langs", "en", "--min-quality", "0.0",
             "--strip-boilerplate", "100",   # threshold never met → no-op
+            "--scrub-pii",
         ])
     assert rc == 0
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["stages"]
@@ -281,3 +282,32 @@ def test_strip_boilerplate_stage(spark):
     ).collect()}
     assert rep2[0] is None and rep2[2] == "duplicate"
     assert rep2[3] is None and rep2[4] is None
+
+
+def test_scrub_pii_stage(spark):
+    """scrub_pii=True: redaction happens before fingerprinting, so pages
+    differing only in a contact email become duplicates, and the kept
+    corpus carries placeholders instead of raw identifiers."""
+    from rdf_spark.curate import curate_corpus, curate_report
+
+    body = "a perfectly ordinary page with plenty of genuine words in it"
+    rows = [
+        (0, "en", body + " write to alice@example.org"),
+        (1, "en", body + " write to bob@example.net"),
+        (2, "en", "another page with different content and words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rep = {r.doc_id: r for r in curate_report(
+        df, min_quality=0.0, scrub_pii=True
+    ).collect()}
+    assert rep[0].drop_reason is None
+    assert rep[1].drop_reason == "duplicate"  # emails redacted → same text
+    assert rep[2].drop_reason is None
+    kept = curate_corpus(df, min_quality=0.0, scrub_pii=True).collect()
+    assert all("@example" not in r.text for r in kept)
+    assert any("<EMAIL>" in r.text for r in kept)
+    # without the stage, the two pages stay distinct
+    rep_off = {r.doc_id: r.drop_reason for r in curate_report(
+        df, min_quality=0.0
+    ).collect()}
+    assert rep_off[1] is None
