@@ -23,6 +23,35 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+# throughput fixtures — defined ONCE here; bench_quiet.py imports them so
+# its BENCH_QUIET.json numbers stay comparable to this file's artifacts
+NT_FIXTURE_LINES = 12_000_000
+KG_FIXTURE_PAGES = 60_000
+
+
+def nt_fixture(spark, cpus: int):
+    """~12M synthetic N-Triples lines → parsed triples (narrow plan)."""
+    from rdf_spark import sources
+
+    lines = spark.range(NT_FIXTURE_LINES, numPartitions=cpus * 2).select(
+        F.concat(
+            F.lit("<urn:order:"), F.col("id"), F.lit("> <urn:p:qty> \""),
+            F.pmod(F.col("id"), F.lit(50)),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+        ).alias("value")
+    )
+    return sources.parse_lines_df(lines, "ntriples")
+
+
+def kg_fixture(spark):
+    """60k synthetic pages → the fused KG construction pipeline."""
+    from rdf_spark import datagen, pipeline
+
+    pages = datagen.pages(spark, KG_FIXTURE_PAGES)
+    final, _ = pipeline.build_shard_triples(pages, datagen.aliases(spark))
+    return final
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -35,8 +64,6 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
-
-    from rdf_spark import datagen, pipeline
 
     qfns = entry.queries()
 
@@ -84,17 +111,8 @@ def main() -> int:
 
     # NT parse throughput in triples/sec (the BASELINE.json headline unit).
     # Sized so compute dominates fixed stage costs (~12M lines, ~4 s @32c).
-    from rdf_spark import sources
-
-    n_lines = 12_000_000
-    lines = spark.range(n_lines, numPartitions=cpus * 2).select(
-        F.concat(
-            F.lit("<urn:order:"), F.col("id"), F.lit("> <urn:p:qty> \""),
-            F.pmod(F.col("id"), F.lit(50)),
-            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
-        ).alias("value")
-    )
-    parsed = sources.parse_lines_df(lines, "ntriples")
+    n_lines = NT_FIXTURE_LINES
+    parsed = nt_fixture(spark, cpus)
     _force(parsed)  # warm python workers
     t0 = time.time()
     _force(parsed)
@@ -103,10 +121,8 @@ def main() -> int:
     nt_tps = round(n_lines / nt_wall, 1)
 
     # KG pipeline end-to-end throughput (pages/sec), synthetic corpus
-    n_pages = 60000
-    pages = datagen.pages(spark, n_pages)
-    aliases = datagen.aliases(spark)
-    final, _ = pipeline.build_shard_triples(pages, aliases)
+    n_pages = KG_FIXTURE_PAGES
+    final = kg_fixture(spark)
     _force(final)  # warm (plan + python workers) so the recorded number is stable
     t0 = time.time()
     _force(final)

@@ -72,10 +72,8 @@ def main() -> int:
                       shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
-    import bench as bench_mod  # the headline set lives in ONE place
+    import bench as bench_mod  # the headline set + fixtures live in ONE place
     import __spark_entry__ as entry
-
-    from rdf_spark import datagen, pipeline, sources
 
     qfns = entry.queries()
     # pull the current headline list out of bench.py's source of truth
@@ -91,19 +89,11 @@ def main() -> int:
             bench_queries = [c.value for c in node.value.elts]
     assert bench_queries, "bench.py no longer defines bench_queries"
 
-    # throughput fixtures, identical to bench.py
-    n_lines = 12_000_000
-    lines = spark.range(n_lines, numPartitions=cpus * 2).select(
-        F.concat(
-            F.lit("<urn:order:"), F.col("id"), F.lit("> <urn:p:qty> \""),
-            F.pmod(F.col("id"), F.lit(50)),
-            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
-        ).alias("value")
-    )
-    parsed = sources.parse_lines_df(lines, "ntriples")
-    n_pages = 60000
-    pages = datagen.pages(spark, n_pages)
-    final, _ = pipeline.build_shard_triples(pages, datagen.aliases(spark))
+    # throughput fixtures: imported from bench.py, never duplicated
+    n_lines = bench_mod.NT_FIXTURE_LINES
+    parsed = bench_mod.nt_fixture(spark, cpus)
+    n_pages = bench_mod.KG_FIXTURE_PAGES
+    final = bench_mod.kg_fixture(spark)
 
     jobs: list[tuple[str, object]] = [
         (name, lambda name=name: _force(qfns[name](spark, sf_dir)))

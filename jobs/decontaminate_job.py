@@ -56,7 +56,14 @@ def main(argv=None) -> int:
     n_bad = hits.count()
     result = {"out": args.out_path, "n": args.n, "contaminated": n_bad}
     if args.write_clean:
-        clean = corpus.join(hits, on=args.key_col, how="left_anti")
+        # null-safe anti-join: plain equality never matches NULL=NULL, so
+        # a contaminated null-keyed doc would leak into clean/ (the
+        # nullable-key anti-join gotcha)
+        clean = corpus.join(
+            hits,
+            corpus[args.key_col].eqNullSafe(hits[args.key_col]),
+            how="left_anti",
+        )
         clean.write.mode("overwrite").parquet(f"{args.out_path}/clean")
         result["clean"] = spark.read.parquet(f"{args.out_path}/clean").count()
     print(json.dumps(result))

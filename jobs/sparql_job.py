@@ -40,10 +40,15 @@ def main(argv=None) -> int:
     triples = spark.read.parquet(args.store)
     # sniff the query form with a regex: whitespace-splitting desyncs on a
     # prologue like 'PREFIX ns:<urn:x>' (no space before the IRI, which the
-    # sparql tokenizer accepts)
+    # sparql tokenizer accepts).  IRI spans are blanked first so a keyword
+    # INSIDE a prologue IRI (<http://x/select/vocab#>) cannot win; in a
+    # valid query any IRI containing a keyword after the real form keyword
+    # cannot affect the FIRST match.
     import re
 
-    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", q, re.IGNORECASE)
+    no_iris = re.sub(r"<[^>]*>", " ", q)
+    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", no_iris,
+                  re.IGNORECASE)
     form = m.group(1).upper() if m else ""
 
     if form == "ASK":

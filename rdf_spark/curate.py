@@ -101,16 +101,26 @@ def curate_report(
     rule is order-free.
     """
     if strip_boilerplate is not None:
+        # null-safe left join back: a null-keyed row must still appear in
+        # the audit (plain equality would drop it — the round-2 gotcha);
+        # duplicate keys are treated as one document by the corpus-wide
+        # line counting (their cleaned texts merge), as any keyed
+        # corpus-wide stage must
         cleaned = txt.remove_boilerplate_lines(
             df, text_col=text_col, id_col=key_col,
             min_docs=strip_boilerplate,
-        ).select(key_col, F.col("clean_text").alias(text_col))
-        df = df.drop(text_col).join(cleaned, key_col)
+        ).select(
+            F.col(key_col).alias("_bp_key"),
+            F.col("clean_text").alias("_bp_text"),
+        )
+        df = (
+            df.drop(text_col)
+            .join(cleaned, F.col(key_col).eqNullSafe(F.col("_bp_key")), "left")
+            .withColumn(text_col, F.coalesce(F.col("_bp_text"), F.lit("")))
+            .drop("_bp_key", "_bp_text")
+        )
     if scrub_pii:
-        red = F.coalesce(F.col(text_col), F.lit(""))
-        for _, pat, rep in txt.PII_PATTERNS:
-            red = F.regexp_replace(red, pat, rep)
-        df = df.withColumn(text_col, red)
+        df = df.withColumn(text_col, txt.redact_col(F.col(text_col)))
     feat = curation_flags(df, text_col, lang_col, langs, min_quality)
     lang_ok = F.col("_lang_ok")
     qual_ok = F.col("_qual_ok")

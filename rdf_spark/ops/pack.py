@@ -40,6 +40,9 @@ def pack_sequences(
 
     ``seq_id`` = which ``budget``-token sequence the document STARTS in;
     ``seq_offset`` = its first token's position within that sequence.
+    Duplicate ids within a shard each get their OWN slot (ROWS frame),
+    but which duplicate gets which slot is unspecified — the
+    determinism guarantee assumes unique ids.
     """
     base = df.select(
         F.col(id_col),
@@ -48,7 +51,14 @@ def pack_sequences(
         ),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
     )
-    w = Window.partitionBy("shard").orderBy(id_col)
+    # ROWS frame, not Spark's default RANGE frame: RANGE sums ALL
+    # order-by ties together, so duplicate ids in one shard would diverge
+    # from the oracle's ROWS semantics and overlap sequence slots
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     # exclusive prefix sum: tokens of all earlier docs in the shard
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     return base.select(

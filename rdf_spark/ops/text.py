@@ -293,6 +293,16 @@ PII_PATTERNS = [
 ]
 
 
+def redact_col(text: Column) -> Column:
+    """The PII replacement chain as a column expression (shared by
+    :func:`redact_pii` and the curation cascade's ``scrub_pii`` stage —
+    one definition, one oracle)."""
+    red = F.coalesce(text, F.lit(""))
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return red
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",
@@ -317,7 +327,6 @@ def redact_pii(
         )
         for name, pat, _ in PII_PATTERNS
     ]
-    red = t
-    for _, pat, rep in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, rep)
-    return df.select(F.col(id_col), red.alias("clean_text"), *counts)
+    return df.select(
+        F.col(id_col), redact_col(F.col(text_col)).alias("clean_text"), *counts
+    )

@@ -124,9 +124,13 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
         for kind in ("iri", "var", "string", "number", "pname", "word", "op"):
             v = m.group(kind)
             if v is not None:
-                if kind == "var" and v.startswith("?_pp"):
+                if kind == "var" and v[1:].startswith(
+                    ("_pp", "_meta_", "_path_m")
+                ):
                     raise SparqlError(
-                        "variable prefix ?_pp is reserved (path rewriting)"
+                        f"variable {v} uses a reserved prefix: ?_pp* "
+                        "(path rewriting), ?_meta_* (term metadata), "
+                        "?_path_m* (path markers)"
                     )
                 out.append((kind, v))
                 break
@@ -682,8 +686,13 @@ class _Parser:
                 self.next()
                 vals.append(self.operand())
             self.eat_op(")")
-            if any(x[0] not in ("str", "num") for x in vals):
+            kinds = {x[0] for x in vals}
+            if not kinds <= {"str", "num"}:
                 raise SparqlError("IN list takes string/number constants")
+            if len(kinds) > 1:
+                # a mixed list would force the column to double AND keep a
+                # string member — an ANSI runtime cast error, not a match
+                raise SparqlError("IN list cannot mix strings and numbers")
             return ("in", left, [x[1] for x in vals])
         kind, v = self.next()
         if kind != "op" or v not in ("=", "!=", "<", "<=", ">", ">="):
@@ -1099,14 +1108,12 @@ def _build_agg(fn: str, c: Column, opts: dict) -> Column:
     if opts.get("distinct"):
         if fn == "COUNT":
             return F.count_distinct(c)
-        inner = F.sum_distinct if fn == "SUM" else F.avg
-        if fn == "AVG":
-            # avg over the distinct value set
+        if fn == "AVG":  # avg over the distinct value set
             return F.try_divide(
                 F.sum_distinct(c.cast("double")),
                 F.count_distinct(c.cast("double")),
             )
-        return inner(c.cast("double"))
+        return F.sum_distinct(c.cast("double"))  # SUM (parser-guarded)
     return _AGG_BUILDERS[fn](c)
 
 
@@ -1151,8 +1158,8 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     SPARQL).  The output feeds anything that takes the lexical triple
     schema — including :func:`sparql_select` itself."""
     template, ast = _Parser(query).construct_query()
-    if ast.having is not None:
-        raise SparqlError("HAVING is only supported in SELECT")
+    if ast.group_by or ast.having is not None:
+        raise SparqlError("GROUP BY/HAVING are only supported in SELECT")
     df = _apply_row_modifiers(_solutions(triples, ast), ast)
     parts = []
     for ts, tp, to in template:
@@ -1181,6 +1188,9 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
 def sparql_ask(triples: DataFrame, query: str) -> bool:
     """ASK: does the pattern have at least one solution?"""
     ast = _Parser(query).ask_query()
+    if ast.group_by or ast.having is not None:
+        # silently ignoring them would answer a DIFFERENT question
+        raise SparqlError("GROUP BY/HAVING are not supported in ASK")
     return _solutions(triples, ast).limit(1).count() > 0
 
 

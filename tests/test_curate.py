@@ -311,3 +311,18 @@ def test_scrub_pii_stage(spark):
         df, min_quality=0.0
     ).collect()}
     assert rep_off[1] is None
+
+
+def test_strip_boilerplate_keeps_null_keyed_rows(spark):
+    """The audit contract: every input row appears in the report, even a
+    null-keyed one (plain-equality joins would drop it — review r4)."""
+    from rdf_spark.curate import curate_report
+
+    rows = [
+        (0, "en", "a genuine page with plenty of ordinary words in it"),
+        (None, "en", "another genuine page with its own distinct words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rep = curate_report(df, min_quality=0.0, strip_boilerplate=5)
+    assert rep.count() == 2
+    assert rep.filter(F.col("doc_id").isNull()).count() == 1

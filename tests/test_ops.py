@@ -793,3 +793,21 @@ def test_redact_pii(spark):
     assert (got[3].n_email, got[3].n_ip, got[3].n_phone) == (1, 1, 1)
     assert got[4].clean_text == rows[4][1]
     assert got[5].clean_text == "" and got[5].n_email == 0
+
+
+def test_pack_sequences_duplicate_ids_rows_frame(spark):
+    """Duplicate ids within a shard: the ROWS window frame gives each
+    row its own slot (Spark's default RANGE frame would merge order-by
+    ties and overlap slots — review r4)."""
+    from rdf_spark.ops.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (0, "d e"), (0, "f")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.seq_offset, r.n_tokens)
+        for r in pack_sequences(df, budget=100, n_shards=1).collect()
+    )
+    # offsets are a permutation of the exclusive prefix sums {0, 3, 5}
+    assert [o for o, _ in got] == [0, 3, 5]
+    assert sum(n for _, n in got) == 6

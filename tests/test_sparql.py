@@ -968,3 +968,23 @@ def test_values_multi_var(tri):
 def test_values_multi_var_errors(tri, bad):
     with pytest.raises(SparqlError):
         sparql_select(tri, bad).collect()
+
+
+@pytest.mark.parametrize("bad", [
+    'ASK { ?s <urn:name> ?n } GROUP BY ?n HAVING(?n = "x")',   # review r4
+    "ASK { ?s <urn:name> ?n } GROUP BY ?n",
+    "CONSTRUCT { ?s <urn:p> ?n } WHERE { ?s <urn:name> ?n } GROUP BY ?n",
+    "SELECT ?_meta_x WHERE { ?s <urn:p> ?_meta_x }",           # reserved
+    "SELECT ?_path_m1 WHERE { ?s <urn:p> ?_path_m1 }",
+    'SELECT ?n WHERE { ?c <urn:name> ?n FILTER(?n IN ("a", 2)) }',  # mixed IN
+])
+def test_review_r4_guards(tri, bad):
+    from rdf_spark.sparql import sparql_ask, sparql_construct
+
+    with pytest.raises(SparqlError):
+        if bad.startswith("ASK"):
+            sparql_ask(tri, bad)
+        elif bad.startswith("CONSTRUCT"):
+            sparql_construct(tri, bad).collect()
+        else:
+            sparql_select(tri, bad).collect()
