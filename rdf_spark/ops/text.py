@@ -207,11 +207,20 @@ def repetition_features(
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text profile: tokens, language guess, fingerprint, quality."""
+    """One-pass text profile: tokens, language guess, fingerprint,
+    quality, and a total PII-hit count (the triage signal for routing a
+    document through :func:`redact_pii`)."""
     out = quality_features(df, text_col)
     t = F.coalesce(F.col(text_col), F.lit(""))
-    return out.withColumn("lang_guess", lang_id_col(t)).withColumn(
-        "fingerprint", fingerprint_col(t)
+    n_pii = sum(
+        (F.size(F.regexp_extract_all(t, F.lit(pat), 0)) for _, pat, _ in
+         PII_PATTERNS),
+        F.lit(0),
+    )
+    return (
+        out.withColumn("lang_guess", lang_id_col(t))
+        .withColumn("fingerprint", fingerprint_col(t))
+        .withColumn("n_pii", n_pii.cast("long"))
     )
 
 

@@ -1202,6 +1202,28 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
     return triples.filter(F.col("s").isin(iris) | F.col("o").isin(iris))
 
 
+def sparql_explain(triples: DataFrame, query: str) -> str:
+    """The compiled Catalyst plan of a query (formatted explain string) —
+    the debugging companion of the four query forms.  ASK explains its
+    solution plan; DESCRIBE its filter plan."""
+    no_iris = re.sub(r"<[^>]*>", " ", query)
+    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", no_iris, re.I)
+    form = m.group(1).upper() if m else ""
+    if form == "SELECT":
+        df = sparql_select(triples, query)
+    elif form == "CONSTRUCT":
+        df = sparql_construct(triples, query)
+    elif form == "ASK":
+        df = _solutions(triples, _Parser(query).ask_query())
+    elif form == "DESCRIBE":
+        df = sparql_describe(triples, query)
+    else:
+        raise SparqlError(f"unsupported query form {form!r}")
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Compile and run a SPARQL SELECT (subset, see module docstring)
     against a triple DataFrame with lexical columns ``s p o``.  Returns

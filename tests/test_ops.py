@@ -811,3 +811,13 @@ def test_pack_sequences_duplicate_ids_rows_frame(spark):
     # offsets are a permutation of the exclusive prefix sums {0, 3, 5}
     assert [o for o, _ in got] == [0, 3, 5]
     assert sum(n for _, n in got) == 6
+
+
+def test_analyze_documents_pii_count(spark):
+    df = spark.createDataFrame(
+        [(1, "contact alice@example.org or 10.0.0.1 about many things"),
+         (2, "a perfectly clean sentence with no identifiers")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_pii for r in textops.analyze_documents(df).collect()}
+    assert got == {1: 2, 2: 0}

@@ -988,3 +988,16 @@ def test_review_r4_guards(tri, bad):
             sparql_construct(tri, bad).collect()
         else:
             sparql_select(tri, bad).collect()
+
+
+def test_sparql_explain(tri):
+    from rdf_spark.sparql import sparql_explain
+
+    plan = sparql_explain(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(STRSTARTS(?n, "A")) }
+    """)
+    assert "== Physical Plan ==" in plan and "Filter" in plan
+    ask_plan = sparql_explain(tri, 'ASK { ?c <urn:name> "Alice" }')
+    assert "== Physical Plan ==" in ask_plan
+    with pytest.raises(SparqlError):
+        sparql_explain(tri, "DELETE WHERE { ?s ?p ?o }")
