@@ -505,7 +505,10 @@ def q_sparql_not_exists(spark, sf_dir):
 def q_sparql_bind(spark, sf_dir):
     """SPARQL BIND(expr AS ?v) + STRLEN/LCASE (round-4 usability slice):
     computed columns compiled to Catalyst withColumn expressions; a later
-    FILTER consumes the BIND-introduced numeric."""
+    FILTER consumes the BIND-introduced numeric.  The >= 9 threshold is
+    selective-but-nonempty at every scale: NATION_0..9 are 8 chars (cut),
+    NATION_10..24 are 9 (kept) — a lower bound would be vacuously true
+    over all 25 names."""
     from rdf_spark.sparql import sparql_select
 
     return sparql_select(_customer_triples(spark, sf_dir), """
@@ -513,7 +516,7 @@ def q_sparql_bind(spark, sf_dir):
             ?n <urn:ex:name> ?nm .
             BIND(LCASE(?nm) AS ?lnm)
             BIND(STRLEN(?nm) AS ?len)
-            FILTER(?len >= 6)
+            FILTER(?len >= 9)
         }
     """)
 
@@ -2032,7 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sparql_bind": """
             SELECT n_name AS nm, lower(n_name) AS lnm
-            FROM nation WHERE length(n_name) >= 6
+            FROM nation WHERE length(n_name) >= 9
         """,
         "sparql_having": """
             SELECT n.n_name AS nm, CAST(COUNT(*) AS BIGINT) AS n_cust

@@ -38,18 +38,11 @@ def main(argv=None) -> int:
     from rdf_spark import sparql
 
     triples = spark.read.parquet(args.store)
-    # sniff the query form with a regex: whitespace-splitting desyncs on a
-    # prologue like 'PREFIX ns:<urn:x>' (no space before the IRI, which the
-    # sparql tokenizer accepts).  IRI spans are blanked first so a keyword
-    # INSIDE a prologue IRI (<http://x/select/vocab#>) cannot win; in a
-    # valid query any IRI containing a keyword after the real form keyword
-    # cannot affect the FIRST match.
-    import re
-
-    no_iris = re.sub(r"<[^>]*>", " ", q)
-    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", no_iris,
-                  re.IGNORECASE)
-    form = m.group(1).upper() if m else ""
+    # form sniffing lives in rdf_spark.sparql.sniff_form: it blanks IRIs,
+    # string literals, and prefixed names first so a keyword inside any of
+    # them (a <http://x/select#> IRI, a 'PREFIX ask: <…>' declaration, an
+    # ask:foo pname) cannot shadow the real form keyword.
+    form = sparql.sniff_form(q)
 
     if form == "ASK":
         print(json.dumps({"ask": sparql.sparql_ask(triples, q)}))

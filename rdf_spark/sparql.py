@@ -45,7 +45,12 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                                         already-bound subset, carries the
                                         rest along (no UNDEF cells)
              BIND( operand AS ?v )   -- computed column (applied after
-                                        the group's joins, before FILTERs)
+                                        the group's joins, before FILTERs;
+                                        a MINUS/EXISTS block referencing a
+                                        BIND-defined variable raises —
+                                        those blocks compile before BINDs,
+                                        so the reference would silently
+                                        not restrict)
              MINUS { patterns }      -- → left anti join on shared vars
                                         (disjoint domains remove nothing)
              GRAPH (<g>|?g) { patterns }  -- match inside one named graph /
@@ -1046,7 +1051,28 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         if not shared:
             raise SparqlError("OPTIONAL block shares no variable with the group")
         df = df.join(odf, on=shared, how="left")
+    # EXISTS/MINUS compile before BINDs, so a block whose join variable is
+    # BIND-introduced would silently restrict on nothing (SPARQL restricts
+    # when the BIND textually precedes the block); raise instead of
+    # answering a different question.
+    bind_vars = {var for var, _ in g.binds}
+
+    def _bind_clash(block, what: str):
+        clash = bind_vars & {
+            t[1:]
+            for pat in block
+            for t in pat
+            if isinstance(t, str) and t.startswith("?")
+        }
+        if clash:
+            raise SparqlError(
+                f"{what} block references BIND-defined variable(s) "
+                f"{sorted(clash)} — BIND is applied after {what} in this "
+                "dialect; bind the value with a triple pattern instead"
+            )
+
     for positive, block in g.exists:
+        _bind_clash(block, "FILTER EXISTS" if positive else "FILTER NOT EXISTS")
         edf = bgp_match(triples, block, distinct=False)
         shared = sorted(set(df.columns) & set(edf.columns))
         if not shared:
@@ -1055,6 +1081,7 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         # NOT EXISTS → left anti join on the shared variables
         df = df.join(edf, on=shared, how="left_semi" if positive else "left_anti")
     for block in g.minus:
+        _bind_clash(block, "MINUS")
         mdf = bgp_match(triples, block, distinct=False)
         shared = sorted(set(df.columns) & set(mdf.columns))
         # SPARQL MINUS with disjoint domains removes nothing (unlike
@@ -1202,13 +1229,25 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
     return triples.filter(F.col("s").isin(iris) | F.col("o").isin(iris))
 
 
+def sniff_form(query: str) -> str:
+    """Best-effort query-form detection for routing (the jobs CLI and
+    :func:`sparql_explain`): blank IRIs, string literals, and prefixed
+    names before searching for the form keyword, so a keyword inside any
+    of them — an ``<http://x/select#>`` IRI, a ``PREFIX ask: <…>``
+    declaration, an ``ask:foo`` pname, a ``"DESCRIBE"`` literal — cannot
+    shadow the real one.  Returns ``""`` when no form keyword is found."""
+    s = re.sub(r"<[^>]*>", " ", query)
+    s = re.sub(r'"(?:[^"\\]|\\.)*"', " ", s)
+    s = re.sub(r"[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*", " ", s)
+    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", s, re.I)
+    return m.group(1).upper() if m else ""
+
+
 def sparql_explain(triples: DataFrame, query: str) -> str:
     """The compiled Catalyst plan of a query (formatted explain string) —
     the debugging companion of the four query forms.  ASK explains its
     solution plan; DESCRIBE its filter plan."""
-    no_iris = re.sub(r"<[^>]*>", " ", query)
-    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", no_iris, re.I)
-    form = m.group(1).upper() if m else ""
+    form = sniff_form(query)
     if form == "SELECT":
         df = sparql_select(triples, query)
     elif form == "CONSTRUCT":

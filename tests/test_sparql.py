@@ -1001,3 +1001,54 @@ def test_sparql_explain(tri):
     assert "== Physical Plan ==" in ask_plan
     with pytest.raises(SparqlError):
         sparql_explain(tri, "DELETE WHERE { ?s ?p ?o }")
+
+
+# --- round-5 ADVICE fixes ---
+
+
+def test_minus_exists_over_bind_var_rejected(tri):
+    # MINUS/EXISTS compile before BINDs: a block whose only shared
+    # variable is BIND-introduced would silently restrict on nothing
+    # (ADVICE r4) — the compiler now raises instead.
+    with pytest.raises(SparqlError, match="BIND-defined"):
+        sparql_select(tri, """
+            SELECT ?n WHERE { ?c <urn:name> ?n .
+                BIND(LCASE(?n) AS ?ln)
+                MINUS { ?x <urn:name> ?ln } }
+        """).collect()
+    with pytest.raises(SparqlError, match="BIND-defined"):
+        sparql_select(tri, """
+            SELECT ?n WHERE { ?c <urn:name> ?n .
+                BIND(LCASE(?n) AS ?ln)
+                FILTER NOT EXISTS { ?x <urn:name> ?ln } }
+        """).collect()
+    # a MINUS block sharing a pattern-bound var still works alongside BIND
+    got = _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n .
+            BIND(LCASE(?n) AS ?ln)
+            MINUS { ?c <urn:bal> ?b } }
+    """)
+    assert got == [("Ann",)]
+
+
+def test_sniff_form_shadowing():
+    # the form keyword must win over look-alikes inside IRIs, prefixed
+    # names, PREFIX declarations, and string literals (ADVICE r4)
+    from rdf_spark.sparql import sniff_form
+
+    assert sniff_form("PREFIX ask: <urn:x> SELECT ?s WHERE { ?s ask:p ?o }") == "SELECT"
+    assert sniff_form("PREFIX u: <http://x/select#> ASK { ?s u:p ?o }") == "ASK"
+    assert sniff_form('SELECT ?s WHERE { ?s <urn:p> "DESCRIBE" }') == "SELECT"
+    assert sniff_form('ASK { ?s <urn:p> "SELECT" }') == "ASK"
+    assert sniff_form("PREFIX describe: <urn:> CONSTRUCT { ?s <urn:p> ?o } WHERE { ?s describe:q ?o }") == "CONSTRUCT"
+    assert sniff_form("no keyword here") == ""
+
+
+def test_projected_var_outside_group_by_rejected(tri):
+    # regression (ADVICE r4): must be SparqlError at compile time, not a
+    # raw AnalysisException out of Catalyst
+    with pytest.raises(SparqlError, match="GROUP BY"):
+        sparql_select(tri, """
+            SELECT ?n (COUNT(?c) AS ?k) WHERE {
+                ?c <urn:name> ?n . ?c a ?t } GROUP BY ?t
+        """).collect()
