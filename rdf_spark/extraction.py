@@ -129,9 +129,12 @@ def detect_mentions(text_df: DataFrame, aliases: DataFrame,
     if use_aho:
         from rdf_spark.automaton import AhoCorasick
 
-        ac = AhoCorasick(surfaces)
+        # broadcast, not closure-capture: a 10^5–10^7-surface automaton
+        # ships to each executor once instead of once per task
+        ac_bc = text_df.sparkSession.sparkContext.broadcast(AhoCorasick(surfaces))
 
         def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ac = ac_bc.value
             for pdf in it:
                 urls, hit_surfaces, n_hits = [], [], []
                 for url, text in zip(pdf["url"], pdf[text_col].fillna("")):
@@ -185,10 +188,96 @@ def link_entities(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
 MENTIONS_PREDICATE = "http://kg.example/vocab#mentions"
 
 
+class _GazetteerContext:
+    """Precomputed gazetteer matching state for the fused link stage.
+
+    Holds the per-surface best entity (score = prior*log1p(n) with n
+    identical across a surface's candidates ⇒ argmax is max prior, tie
+    broken by min entity — a pure per-surface constant: no join, no
+    window) plus one of three matching engines with IDENTICAL
+    non-overlapping longest-first semantics:
+
+    - ``vectorized`` (default, < :data:`AHO_THRESHOLD` surfaces):
+      per-surface RE2 ``count_substring`` with containment-nested
+      subtraction — O(|surfaces|·|text|) but zero per-row Python.
+    - ``exact_fallback`` (small dictionaries whose surfaces overlap
+      WITHOUT nesting, e.g. 'ab'/'bc' across 'abc', where the subtract
+      scheme would double-count): the alternation regex per batch,
+      bit-identical to detect_mentions by construction.
+    - ``aho`` (≥ AHO_THRESHOLD surfaces): the Aho-Corasick automaton —
+      O(|text|) matching independent of dictionary size, exact
+      non-overlapping longest-first by the same greedy interval pass as
+      detect_mentions' aho engine.
+
+    Built lazily ONCE PER WORKER from a broadcast (see
+    :func:`_gazetteer_ctx`) so a 10^5–10^7-surface dictionary ships to
+    each executor once instead of re-serializing into every task closure.
+    """
+
+    def __init__(self, alias_rows: list[tuple[str, str, float]],
+                 engine: str = "auto"):
+        if engine not in ("auto", "aho", "vectorized"):
+            raise ValueError(
+                f"gazetteer engine must be auto|aho|vectorized, got {engine!r}"
+            )
+        tmp: dict[str, tuple[str, float]] = {}
+        for s, e, p in alias_rows:
+            cur = tmp.get(s)
+            if cur is None or p > cur[1] or (p == cur[1] and e < cur[0]):
+                tmp[s] = (e, p)
+        self.best_entity = {s: ep[0] for s, ep in tmp.items()}
+        self.surfaces = sorted(self.best_entity, key=len, reverse=True)
+        self.use_aho = engine == "aho" or (
+            engine == "auto" and len(self.surfaces) >= AHO_THRESHOLD
+        )
+        self.automaton = None
+        self.containers: dict[str, list[tuple[str, int]]] = {}
+        self.exact_fallback = False
+        self.alt_pattern = None
+        if self.use_aho:
+            from rdf_spark.automaton import AhoCorasick
+
+            self.automaton = AhoCorasick(self.surfaces)
+        else:
+            # surface → [(longer surface containing it, occurrences inside)]
+            self.containers = {
+                s: [(t, t.count(s)) for t in self.surfaces if t != s and s in t]
+                for s in self.surfaces
+            }
+            self.exact_fallback = _nonnested_overlaps(self.surfaces)
+            self.alt_pattern = (
+                re.compile(
+                    "(" + "|".join(re.escape(s) for s in self.surfaces) + ")"
+                )
+                if self.exact_fallback and self.surfaces
+                else None
+            )
+
+
+#: per-worker memo: broadcast → built _GazetteerContext (the automaton /
+#: containment tables are O(dictionary) to build; do it once per python
+#: worker process, not once per task)
+_GAZ_CTX_CACHE: dict = {}
+
+
+def _gazetteer_ctx(source, engine: str = "auto") -> _GazetteerContext:
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(source, Broadcast):
+        key = (getattr(source, "_path", None) or id(source), engine)
+        ctx = _GAZ_CTX_CACHE.get(key)
+        if ctx is None:
+            ctx = _GazetteerContext(source.value, engine)
+            _GAZ_CTX_CACHE[key] = ctx
+        return ctx
+    return _GazetteerContext(source, engine)
+
+
 def fused_extract_parse_link(
     pages: DataFrame,
-    alias_rows: list[tuple[str, str, float]],
+    alias_rows,
     predicate: str = MENTIONS_PREDICATE,
+    engine: str = "auto",
 ) -> DataFrame:
     """ONE narrow stage: html → extracted text → Turtle parse → mention
     scoring → tagged row stream.
@@ -196,9 +285,16 @@ def fused_extract_parse_link(
     Why fused: splitting extract/parse/link into separate DataFrame branches
     makes Spark recompute the (expensive) extraction once per consumer, and
     the broadcast-join + window top-1 adds a shuffle that pure per-document
-    scoring doesn't need — the gazetteer is global and small, so the best
-    entity per (url, surface) is computable inside the batch.  At 10^12
-    pages this is the difference between one scan and three.
+    scoring doesn't need — the gazetteer is global, so the best entity per
+    (url, surface) is computable inside the batch.  At 10^12 pages this is
+    the difference between one scan and three.
+
+    ``alias_rows`` is either a list of ``(surface, entity_iri, prior)``
+    tuples (small dictionaries; precomputed driver-side and shipped via
+    closure) or a ``pyspark.Broadcast`` of that list — the scale path:
+    the dictionary ships to each executor once and the matching state
+    (:class:`_GazetteerContext`, including the Aho-Corasick automaton at
+    ≥ AHO_THRESHOLD surfaces) is built once per worker process.
 
     Output rows are tagged: err=null → triple row (link triples use
     ``predicate``); err!=null → quarantine row.  Also emits a per-page
@@ -210,33 +306,16 @@ def fused_extract_parse_link(
     import pyarrow.compute as pc
 
     from rdf_spark import parsing
+    from pyspark.broadcast import Broadcast
 
-    # best candidate per surface: score = prior*log1p(n) with n identical
-    # across a surface's candidates ⇒ argmax is max prior (tie: min entity),
-    # a pure per-surface constant — no join, no window.
-    tmp: dict[str, tuple[str, float]] = {}
-    for s, e, p in alias_rows:
-        cur = tmp.get(s)
-        if cur is None or p > cur[1] or (p == cur[1] and e < cur[0]):
-            tmp[s] = (e, p)
-    best_entity = {s: ep[0] for s, ep in tmp.items()}
-    surfaces = sorted(best_entity, key=len, reverse=True)
-    # surface → [(longer surface containing it, occurrences inside it)]
-    _containers = {
-        s: [(t, t.count(s)) for t in surfaces if t != s and s in t]
-        for s in surfaces
-    }
-    # The count-and-subtract scheme below assumes overlapping surfaces are
-    # containment-NESTED (a ⊂ ab ⊂ abc).  Surfaces that overlap WITHOUT
-    # containment (e.g. 'ab' and 'bc' across 'abc') would double-count
-    # relative to detect_mentions' non-overlapping alternation, so such
-    # gazetteers are validated up front and routed through the exact
-    # alternation regex per batch instead (slower, but bit-identical to
-    # detect_mentions by construction).
-    _exact_fallback = _nonnested_overlaps(surfaces)
-    _alt_pattern = (
-        re.compile("(" + "|".join(re.escape(s) for s in surfaces) + ")")
-        if _exact_fallback and surfaces else None
+    gaz_source = alias_rows
+    # plain list → build eagerly (driver-side, shipped in the closure,
+    # exactly the pre-round-5 behavior); Broadcast → defer to the workers.
+    # ``engine`` ("auto"|"aho"|"vectorized") forces the matching engine —
+    # it travels in the closure, so it reaches the worker-side build too.
+    eager_ctx = (
+        None if isinstance(gaz_source, Broadcast)
+        else _GazetteerContext(gaz_source, engine)
     )
 
     out_ddl = (
@@ -252,6 +331,7 @@ def fused_extract_parse_link(
     _TTL_FIRST = r'(?s)<script\s+type="text/turtle"\s*>(?P<block>.*?)</script>'
 
     def run(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        ctx = eager_ctx if eager_ctx is not None else _gazetteer_ctx(gaz_source, engine)
         for batch in it:
             tbl = pa.Table.from_batches([batch])
             names = tbl.column_names
@@ -315,19 +395,42 @@ def fused_extract_parse_link(
                     schema=out_schema,
                 ))
 
-            # 3. link triples: per-surface vectorized count (RE2), best
-            #    entity precomputed per surface.  Longest-first parity with
-            #    detect_mentions' non-overlapping alternation: occurrences
-            #    of a shorter surface that lie inside a longer surface's
-            #    (already-adjusted) matches are subtracted, processing
-            #    surfaces in decreasing length order so nesting chains
-            #    (a ⊂ ab ⊂ abc) resolve correctly.  Non-nested overlapping
-            #    gazetteers take the exact alternation fallback instead
-            #    (validated at build time, see _exact_fallback above).
-            if _exact_fallback:
+            # 3. link triples.  Engine per _GazetteerContext (identical
+            #    non-overlapping longest-first semantics in all three):
+            #    - aho: O(|text|) automaton scan per doc, dictionary-size
+            #      independent — the ≥AHO_THRESHOLD scale path
+            #    - vectorized: per-surface RE2 count; occurrences of a
+            #      shorter surface inside a longer surface's (already-
+            #      adjusted) matches are subtracted, longest-first, so
+            #      nesting chains (a ⊂ ab ⊂ abc) resolve correctly
+            #    - exact alternation fallback for non-nested-overlapping
+            #      gazetteers where the subtract scheme would double-count
+            if ctx.use_aho:
+                u_l: list[str] = []
+                o_l: list[str] = []
+                for i, t in enumerate(text.to_pylist()):
+                    if not t:
+                        continue
+                    for surface in ctx.automaton.count_nonoverlapping(t):
+                        u_l.append(urls[i])
+                        o_l.append(ctx.best_entity[surface])
+                if u_l:
+                    nm = len(u_l)
+                    parts.append(pa.table({
+                        "url": pa.array(u_l), "s": pa.array(u_l),
+                        "s_kind": pa.array([1] * nm, pa.int8()),
+                        "p": pa.array([predicate] * nm),
+                        "o": pa.array(o_l),
+                        "o_kind": pa.array([1] * nm, pa.int8()),
+                        "o_datatype": pa.nulls(nm, pa.string()),
+                        "o_lang": pa.nulls(nm, pa.string()),
+                        "err": pa.nulls(nm, pa.string()),
+                    }, schema=out_schema))
+                adjusted = None
+            elif ctx.exact_fallback:
                 ts = pd.Series(text.to_pylist())
-                counts = {s: [0] * n for s in surfaces}
-                hits = ts.str.extractall(_alt_pattern) if _alt_pattern else pd.DataFrame()
+                counts = {s: [0] * n for s in ctx.surfaces}
+                hits = ts.str.extractall(ctx.alt_pattern) if ctx.alt_pattern else pd.DataFrame()
                 if len(hits):
                     grouped_hits = hits[0].groupby(
                         [hits.index.get_level_values(0), hits[0]]
@@ -336,30 +439,31 @@ def fused_extract_parse_link(
                         counts[surface][row_i] = int(c)
                 adjusted = {s: pa.array(v, pa.int64()) for s, v in counts.items()}
             else:
-                raw = {s: pc.count_substring(text, pattern=s) for s in surfaces}
+                raw = {s: pc.count_substring(text, pattern=s) for s in ctx.surfaces}
                 adjusted = {}
-                for surface in surfaces:  # surfaces is sorted longest-first
+                for surface in ctx.surfaces:  # sorted longest-first
                     cnt = raw[surface]
-                    for longer, mult in _containers[surface]:
+                    for longer, mult in ctx.containers[surface]:
                         cnt = pc.subtract(cnt, pc.multiply(adjusted[longer], mult))
                     adjusted[surface] = cnt
-            for surface in surfaces:
-                mask = pc.greater(adjusted[surface], 0)
-                m_urls = pc.filter(tbl.column("url"), mask)
-                nm = len(m_urls)
-                if nm == 0:
-                    continue
-                parts.append(pa.table({
-                    "url": m_urls,
-                    "s": m_urls,
-                    "s_kind": pa.array([1] * nm, pa.int8()),
-                    "p": pa.array([predicate] * nm),
-                    "o": pa.array([best_entity[surface]] * nm),
-                    "o_kind": pa.array([1] * nm, pa.int8()),
-                    "o_datatype": pa.nulls(nm, pa.string()),
-                    "o_lang": pa.nulls(nm, pa.string()),
-                    "err": pa.nulls(nm, pa.string()),
-                }, schema=out_schema))
+            if adjusted is not None:
+                for surface in ctx.surfaces:
+                    mask = pc.greater(adjusted[surface], 0)
+                    m_urls = pc.filter(tbl.column("url"), mask)
+                    nm = len(m_urls)
+                    if nm == 0:
+                        continue
+                    parts.append(pa.table({
+                        "url": m_urls,
+                        "s": m_urls,
+                        "s_kind": pa.array([1] * nm, pa.int8()),
+                        "p": pa.array([predicate] * nm),
+                        "o": pa.array([ctx.best_entity[surface]] * nm),
+                        "o_kind": pa.array([1] * nm, pa.int8()),
+                        "o_datatype": pa.nulls(nm, pa.string()),
+                        "o_lang": pa.nulls(nm, pa.string()),
+                        "err": pa.nulls(nm, pa.string()),
+                    }, schema=out_schema))
 
             if not parts:
                 continue

@@ -62,7 +62,8 @@ def build_shard_triples(pages: DataFrame, aliases: DataFrame) -> tuple[DataFrame
     is the final dedup aggregate.
     """
     alias_rows = [(r.surface, r.entity_iri, r.prior) for r in aliases.collect()]
-    tagged = extraction.fused_extract_parse_link(pages, alias_rows)
+    alias_bc = pages.sparkSession.sparkContext.broadcast(alias_rows)
+    tagged = extraction.fused_extract_parse_link(pages, alias_bc)
     quarantine = tagged.filter(F.col("err").isNotNull()).select("url", "err")
     all_triples = tagged.filter(F.col("err").isNull()).drop("err")
     # NOTE: triples and quarantine are two consumers of the same narrow
@@ -114,6 +115,15 @@ def run_pipeline(
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     results = []
     pages = pages.withColumn("_shard", _shard_col(n_shards))
+    # gazetteer: ONE driver collect + ONE sc.broadcast for the whole run
+    # (was: a collect + closure re-serialization per shard — at a real
+    # 10^5–10^7-surface dictionary that re-ships the gazetteer into every
+    # shard's tasks and holds copies on the driver; VERDICT r4 item 3).
+    # The per-worker matching state (incl. the Aho automaton above
+    # extraction.AHO_THRESHOLD surfaces) is built from the broadcast once
+    # per executor process, never on the driver.
+    alias_rows = [(r.surface, r.entity_iri, r.prior) for r in aliases.collect()]
+    alias_bc = spark.sparkContext.broadcast(alias_rows)
     for k in range(n_shards):
         manifest_path = os.path.join(out_dir, MANIFEST_DIR, f"shard-{k}.json")
         if resume and os.path.exists(manifest_path):
@@ -124,8 +134,7 @@ def run_pipeline(
             continue
         t0 = time.time()
         shard_pages = pages.filter(F.col("_shard") == k).drop("_shard")
-        alias_rows = [(r.surface, r.entity_iri, r.prior) for r in aliases.collect()]
-        tagged = extraction.fused_extract_parse_link(shard_pages, alias_rows)
+        tagged = extraction.fused_extract_parse_link(shard_pages, alias_bc)
         from pyspark import StorageLevel
 
         tagged = tagged.persist(StorageLevel.DISK_ONLY)  # 2 consumers, 1 scan
