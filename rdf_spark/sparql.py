@@ -18,24 +18,29 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
     DESCRIBE <iri>…                   -- → subject/object-touching triples
     WHERE { group }  |  WHERE { { group } UNION { group } … }
       group: triple patterns '.'-separated
-             anchored property paths:  X <p>+ ?v | ?v <p>+ X | X <p>+ Y
-               (also <p>*; one endpoint must be constant — compiled to
-               iterate-to-fixpoint BFS with per-round localCheckpoint;
-               unanchored ?a <p>+ ?b is rejected as unbounded
-               all-pairs reachability)
-             path sequences  ?s <p1>/<p2>/... ?o  — exact SPARQL
-               translation: fresh variable per hop (plain equi-joins,
-               endpoints may both be variables)
-             path alternation  ?s <p1>|<p2> ?o  — one pattern with an
-               IN-list predicate (scan-pushed); mixing '|' and '/' in
-               one path raises (no path parentheses to disambiguate
-               SPARQL's precedence), closures only as the entire path
-             inverse paths  ?s ^<p> ?o  ≡  ?o <p> ?s — per sequence
-               segment too (flips that hop); ^<p>+ swaps the closure's
-               endpoints; alternations must be uniformly ^ or not
+             property paths with full SPARQL 1.1 precedence — '^'
+               (inverse) > '+'/'*' (closure) > '/' (sequence) > '|'
+               (alternation), '(' path ')' groups.  Compilation picks
+               the cheapest shape that fits:
+               - plain atoms / atom sequences → triple patterns with a
+                 fresh variable per hop (plain equi-joins)
+               - uniform-direction predicate alternations → ONE pattern
+                 with an IN-list predicate (scan-pushed)
+               - single-predicate closures with a constant endpoint →
+                 iterate-to-fixpoint BFS with per-round localCheckpoint
+               - everything else (grouped '|'+'/' mixes like
+                 (<p1>|<p2>)/<p3>, closures over compound paths or
+                 negated sets, UNANCHORED ?a <p>+ ?b) → a generic pair-
+                 table evaluator: bag-semantics unions/joins for alt/seq
+                 per SPARQL §18.4, set-semantics transitive closure by
+                 iterative squaring (O(log diameter) self-join rounds);
+                 anchored compound closures still run the BFS over the
+                 inner path's pair set.  ?a <p>* ?b includes the
+                 zero-length solution ?a=?b for EVERY node of the graph
+                 (every subject/object term, per SPARQL §9.1 ALP)
              negated property sets  ?s !<p> ?o | ?s !(<p1>|<p2>) ?o —
-               a NOT-IN predicate filter (forward predicates only; no
-               closure over a negated set); usable as a sequence segment
+               a NOT-IN predicate filter (forward members only; ^ inside
+               a negated set is not supported)
              FILTER( expr )          -- any number, anywhere in the group
              FILTER [NOT] EXISTS { patterns }  -- → left semi / anti join
              OPTIONAL { patterns }   -- any number
@@ -61,7 +66,11 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
 
 Terms: ``<iri>`` (matched against the lexical column), ``?var``, ``a``
 (rdf:type sugar via :data:`rdf_spark.terms.RDF_TYPE`), ``"string"``
-literals, and bare integers/decimals.  FILTER expressions: ``|| && !``,
+literals, and bare integers/decimals.  Scale note for unanchored
+closures: ``?a <p>+ ?b`` materializes the predicate's full transitive-
+closure pair set — always finite, but output size is worst-case
+quadratic in the node count of that predicate's subgraph; anchor one
+endpoint (or restrict ?a by another pattern) when the query allows.  FILTER expressions: ``|| && !``,
 comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``, ``bound(?v)``,
 ``contains/strstarts/strends(x, y)``, ``langMatches(lang(?v), "en")``
 (basic RFC 4647 ranges incl. ``"*"``), ``?v IN (const, …)``, and the
@@ -83,8 +92,8 @@ on the union of their variables (unbound → NULL).  Comparing against a
 NUMBER casts the variable's lexical to double (a documented
 simplification of SPARQL's typed value semantics); string comparisons
 are lexical.  Prefixed names (``ns:local``) expand against the PREFIX
-prologue anywhere a term or path predicate appears.  Subqueries and
-unanchored property paths are out of scope.
+prologue anywhere a term or path predicate appears.  Subqueries are out
+of scope.
 """
 
 from __future__ import annotations
@@ -170,8 +179,11 @@ class _Group:
     patterns: list[tuple[str, str, str]] = field(default_factory=list)
     optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
     filters: list[tuple] = field(default_factory=list)
-    # property paths: (s_term, predicate_iri, '+'|'*', o_term)
+    # anchored single-predicate closures: (s_term, pred_iri, '+'|'*', o_term)
     paths: list[tuple[str, str, str, str]] = field(default_factory=list)
+    # compound/unanchored paths: (s_term, path AST node, o_term) — see
+    # _path_edges for the node grammar
+    generic_paths: list[tuple[str, tuple, str]] = field(default_factory=list)
     # inline bindings: ([var names], [rows of lexical values])
     values: list[tuple[list[str], list[tuple]]] = field(default_factory=list)
     # BIND(operand AS ?v): (var_name, operand expr)
@@ -475,142 +487,149 @@ class _Parser:
                 s = self.term("s")
                 path = self.path_expr()
                 o = self.term("o")
-                if path[0] in ("closure", "iclosure"):
-                    if path[0] == "iclosure":  # X ^p+ Y ≡ Y p+ X
-                        s, o = o, s
-                    g.paths.append((s, path[1], path[2], o))
-                elif path[0] == "seq":
-                    # exact SPARQL translation: fresh variable per hop;
-                    # an inverse segment just flips that hop's direction
-                    cur = s
-                    for i, seg in enumerate(path[1]):
-                        last = i == len(path[1]) - 1
-                        if last:
-                            nxt = o
-                        else:
-                            nxt = f"?_pp{self._ppn}"
-                            self._ppn += 1
-                        if seg[0] == "ipred":
-                            g.patterns.append((nxt, seg[1], cur))
-                        elif seg[0] == "nps":
-                            g.patterns.append((cur, frozenset(seg[1]), nxt))
-                        else:
-                            g.patterns.append((cur, seg[1], nxt))
-                        cur = nxt
-                elif path[0] == "alt":
-                    if path[2]:  # uniformly inverse alternation
-                        s, o = o, s
-                    g.patterns.append((s, tuple(path[1]), o))
-                elif path[0] == "nps":
-                    g.patterns.append((s, frozenset(path[1]), o))
-                elif path[0] == "ipred":
-                    g.patterns.append((o, path[1], s))
-                else:
-                    g.patterns.append((s, path[1], o))
+                self._plant_path(g, s, path, o)
             if self.peek() == ("op", "."):
                 self.next()
 
-    def path_atom(self):
+    _PATH_ATOMS = ("pred", "ipred", "nps", "inps")
+
+    def _plant_path(self, g: _Group, s: str, node: tuple, o: str):
+        """Route one parsed path to the cheapest compilation shape: plain
+        patterns (atoms, atom sequences, uniform predicate alternations),
+        the anchored-BFS list (single-predicate closures with a constant
+        endpoint), or the generic pair-table evaluator (everything else —
+        grouped mixes, compound/negated-set closures, unanchored
+        closures)."""
+        tag = node[0]
+        if tag == "pred":
+            g.patterns.append((s, node[1], o))
+            return
+        if tag == "ipred":
+            g.patterns.append((o, node[1], s))
+            return
+        if tag == "nps":
+            g.patterns.append((s, frozenset(node[1]), o))
+            return
+        if tag == "inps":
+            g.patterns.append((o, frozenset(node[1]), s))
+            return
+        if tag == "alt":
+            kids = node[1]
+            if all(k[0] == "pred" for k in kids):
+                g.patterns.append((s, tuple(k[1] for k in kids), o))
+                return
+            if all(k[0] == "ipred" for k in kids):
+                g.patterns.append((o, tuple(k[1] for k in kids), s))
+                return
+        elif tag == "seq":
+            if all(k[0] in self._PATH_ATOMS for k in node[1]):
+                # exact SPARQL translation: fresh variable per hop; an
+                # inverse segment just flips that hop's direction
+                cur = s
+                for i, seg in enumerate(node[1]):
+                    last = i == len(node[1]) - 1
+                    if last:
+                        nxt = o
+                    else:
+                        nxt = f"?_pp{self._ppn}"
+                        self._ppn += 1
+                    if seg[0] == "ipred":
+                        g.patterns.append((nxt, seg[1], cur))
+                    elif seg[0] == "nps":
+                        g.patterns.append((cur, frozenset(seg[1]), nxt))
+                    elif seg[0] == "inps":
+                        g.patterns.append((nxt, frozenset(seg[1]), cur))
+                    else:
+                        g.patterns.append((cur, seg[1], nxt))
+                    cur = nxt
+                return
+        elif tag == "closure":
+            inner = node[1]
+            anchored = not s.startswith("?") or not o.startswith("?")
+            if inner[0] in ("pred", "ipred") and anchored:
+                if inner[0] == "ipred":  # X ^p+ Y ≡ Y p+ X
+                    s, o = o, s
+                g.paths.append((s, inner[1], node[2], o))
+                return
+        g.generic_paths.append((s, node, o))
+
+    # --- path grammar (SPARQL 1.1 §18.2.2.4 precedence) ---
+    #   PathAlternative ::= PathSequence ('|' PathSequence)*
+    #   PathSequence    ::= PathEltOrInverse ('/' PathEltOrInverse)*
+    #   PathEltOrInverse::= PathElt | '^' PathElt
+    #   PathElt         ::= PathPrimary ('+'|'*')?
+    #   PathPrimary     ::= iri | 'a' | '!' NPS | '(' PathAlternative ')'
+    # AST nodes: ('pred', iri) ('ipred', iri) ('nps', [iris])
+    # ('inps', [iris]) ('alt', [nodes]) ('seq', [nodes])
+    # ('closure', node, '+'|'*').  Inverses are pushed to the leaves at
+    # parse time (_path_inverse) so the compiler only sees the six tags.
+
+    def path_expr(self):
+        """Predicate-position path; a plain ?var predicate is not a path."""
+        if self.peek()[0] == "var":
+            return ("pred", self.term("p"))
+        return self.path_alt()
+
+    def path_alt(self):
+        segs = [self.path_seq()]
+        while self.peek() == ("op", "|"):
+            self.next()
+            segs.append(self.path_seq())
+        return segs[0] if len(segs) == 1 else ("alt", segs)
+
+    def path_seq(self):
+        segs = [self.path_elt_or_inverse()]
+        while self.peek() == ("op", "/"):
+            self.next()
+            segs.append(self.path_elt_or_inverse())
+        return segs[0] if len(segs) == 1 else ("seq", segs)
+
+    def path_elt_or_inverse(self):
+        if self.peek() == ("op", "^"):
+            self.next()
+            return _path_inverse(self.path_elt())
+        return self.path_elt()
+
+    def path_elt(self):
+        prim = self.path_prim()
+        if self.peek() in (("op", "+"), ("op", "*")):
+            return ("closure", prim, self.next()[1])
+        return prim
+
+    def path_prim(self):
+        if self.peek() == ("op", "("):
+            self.next()
+            inner = self.path_alt()
+            self.eat_op(")")
+            return inner
         if self.peek() == ("op", "!"):  # negated property set
             self.next()
             iris = []
             if self.peek() == ("op", "("):
                 self.next()
                 while True:
-                    nxt = self.path_atom()
-                    if nxt[0] != "pred":
-                        raise SparqlError(
-                            "negated property sets take plain forward "
-                            "predicates only"
-                        )
-                    iris.append(nxt[1])
+                    iris.append(self._path_iri("negated property sets take "
+                                               "plain forward predicates only"))
                     if self.peek() == ("op", "|"):
                         self.next()
                         continue
                     break
                 self.eat_op(")")
             else:
-                nxt = self.path_atom()
-                if nxt[0] != "pred":
-                    raise SparqlError(
-                        "negated property sets take plain forward "
-                        "predicates only"
-                    )
-                iris.append(nxt[1])
-            if self.peek() in (("op", "+"), ("op", "*")):
-                raise SparqlError("closure over a negated property set")
+                iris.append(self._path_iri("negated property sets take "
+                                           "plain forward predicates only"))
             return ("nps", sorted(iris))
-        inv = False
-        if self.peek() == ("op", "^"):  # inverse: X ^p Y ≡ Y p X
-            self.next()
-            inv = True
+        return ("pred", self._path_iri("bad path element"))
+
+    def _path_iri(self, err: str) -> str:
         kind, v = self.next()
         if kind == "iri":
-            iri = v[1:-1]
-        elif kind == "pname":
-            iri = self.expand_pname(v)
-        elif kind == "word" and v == "a":
-            iri = RDF_TYPE
-        else:
-            raise SparqlError(f"bad path element {v!r}")
-        if self.peek() in (("op", "+"), ("op", "*")):
-            mod = self.next()[1]
-            return ("iclosure" if inv else "closure", iri, mod)
-        return ("ipred" if inv else "pred", iri)
-
-    def path_expr(self):
-        """Predicate-position path: plain ?var/IRI, <p>+ / <p>* closure,
-        <p1>|<p2> alternation, or <p1>/<p2> sequence.  Mixing '|' and '/'
-        without grouping is REJECTED rather than silently re-bracketed
-        (SPARQL binds '/' tighter than '|'; this dialect has no path
-        parentheses to express either reading explicitly), and closure
-        atoms are only supported as the entire path."""
-        if self.peek()[0] == "var":
-            return ("pred", self.term("p"))
-        first = self.path_atom()
-        if self.peek() == ("op", "|"):
-            if first[0] in ("closure", "iclosure", "nps"):
-                raise SparqlError(
-                    "closure/negated-set inside a path alternation"
-                )
-            inv = first[0] == "ipred"
-            alts = [first[1]]
-            while self.peek() == ("op", "|"):
-                self.next()
-                nxt = self.path_atom()
-                if nxt[0] in ("closure", "iclosure", "nps"):
-                    raise SparqlError(
-                        "closure/negated-set inside a path alternation"
-                    )
-                if (nxt[0] == "ipred") != inv:
-                    raise SparqlError(
-                        "mixed forward/inverse path alternation needs "
-                        "grouping (unsupported)"
-                    )
-                alts.append(nxt[1])
-            if self.peek() == ("op", "/"):
-                raise SparqlError(
-                    "mixing '|' and '/' in one path needs grouping "
-                    "(unsupported)"
-                )
-            return ("alt", alts, inv)
-        if self.peek() == ("op", "/"):
-            if first[0] in ("closure", "iclosure"):
-                raise SparqlError("closure inside a path sequence")
-            segs = [first]
-            while self.peek() == ("op", "/"):
-                self.next()
-                seg = self.path_atom()
-                if seg[0] in ("closure", "iclosure"):
-                    raise SparqlError("closure inside a path sequence")
-                if self.peek() == ("op", "|"):
-                    raise SparqlError(
-                        "mixing '|' and '/' in one path needs grouping "
-                        "(unsupported)"
-                    )
-                segs.append(seg)
-            return ("seq", segs)
-        return first
+            return v[1:-1]
+        if kind == "pname":
+            return self.expand_pname(v)
+        if kind == "word" and v == "a":
+            return RDF_TYPE
+        raise SparqlError(f"{err}: {v!r}")
 
     def term(self, position: str) -> str:
         kind, v = self.next()
@@ -936,24 +955,46 @@ def _compile_expr(e) -> Column:
 _PATH_MAX_ITER = 1000  # diameter guard; real graphs converge far sooner
 
 
-def _reach_plus(triples: DataFrame, pred: str, start: str,
-                reverse: bool = False) -> DataFrame:
-    """Nodes reachable from ``start`` by ≥1 ``pred`` edge (transitive
-    closure from one anchor): iterate-to-fixpoint BFS with per-round
-    localCheckpoint, same shape as ops.graph.k_hop_neighbors.  With
-    ``reverse`` the edges are followed backwards (for ``?v <p>+ <X>``)."""
-    spark = triples.sparkSession
-    src, dst = ("o", "s") if reverse else ("s", "o")
-    edges = triples.filter(F.col("p") == pred).select(
-        F.col(src).alias("_src"), F.col(dst).alias("node")
+def _path_inverse(node: tuple) -> tuple:
+    """Push a '^' down to the leaves: inv(seq) reverses and inverts the
+    segments, inv(alt) inverts each branch, inv(closure) inverts the
+    inner path (equivalent per SPARQL: a reversed walk of p+ is a walk
+    of (^p)+), atoms flip direction."""
+    tag = node[0]
+    if tag == "pred":
+        return ("ipred", node[1])
+    if tag == "ipred":
+        return ("pred", node[1])
+    if tag == "nps":
+        return ("inps", node[1])
+    if tag == "inps":
+        return ("nps", node[1])
+    if tag == "alt":
+        return ("alt", [_path_inverse(k) for k in node[1]])
+    if tag == "seq":
+        return ("seq", [_path_inverse(k) for k in reversed(node[1])])
+    if tag == "closure":
+        return ("closure", _path_inverse(node[1]), node[2])
+    raise SparqlError(f"cannot invert path node {tag}")
+
+
+def _graph_nodes(triples: DataFrame) -> DataFrame:
+    """Every term of the graph (subjects ∪ objects) — the SPARQL §9.1
+    zero-length-path domain."""
+    return (
+        triples.select(F.col("s").alias("node"))
+        .unionByName(triples.select(F.col("o").alias("node")))
+        .distinct()
     )
+
+
+def _reach_from(edges: DataFrame, start: str) -> DataFrame:
+    """Nodes reachable from ``start`` by ≥1 edge of the ``(_src, _dst)``
+    pair set: iterate-to-fixpoint BFS with per-round localCheckpoint,
+    same shape as ops.graph.k_hop_neighbors."""
     frontier = (
-        edges.join(
-            spark.createDataFrame([(start,)], "node string")
-            .withColumnRenamed("node", "_src"),
-            "_src",
-        )
-        .select("node")
+        edges.filter(F.col("_src") == start)
+        .select(F.col("_dst").alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -964,13 +1005,158 @@ def _reach_plus(triples: DataFrame, pred: str, start: str,
             break
         nxt = (
             edges.join(frontier.withColumnRenamed("node", "_src"), "_src")
-            .select("node")
+            .select(F.col("_dst").alias("node"))
             .distinct()
         )
         frontier = nxt.join(visited, "node", "left_anti").localCheckpoint(eager=True)
         n = frontier.count()
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     return visited
+
+
+def _reach_plus(triples: DataFrame, pred: str, start: str,
+                reverse: bool = False) -> DataFrame:
+    """Nodes reachable from ``start`` by ≥1 ``pred`` edge (transitive
+    closure from one anchor).  With ``reverse`` the edges are followed
+    backwards (for ``?v <p>+ <X>``)."""
+    src, dst = ("o", "s") if reverse else ("s", "o")
+    edges = triples.filter(F.col("p") == pred).select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    )
+    return _reach_from(edges, start)
+
+
+def _closure_pairs(edges: DataFrame) -> DataFrame:
+    """The full transitive-closure pair set of ``(_src, _dst)`` edges by
+    iterative squaring: R ← R ∪ R∘R doubles the reachable path length
+    per round, so convergence takes O(log diameter) self-join rounds
+    (vs O(diameter) for edge-at-a-time semi-naive iteration); per-round
+    localCheckpoint truncates lineage.  Set semantics per SPARQL §9.1
+    ALP.  The pair set is always finite; it is worst-case quadratic in
+    the subgraph's node count — the cost of an unanchored closure query,
+    not of this algorithm."""
+    result = edges.distinct().localCheckpoint(eager=True)
+    n = result.count()
+    for _ in range(_PATH_MAX_ITER):
+        if n == 0:
+            break
+        a, b = result.alias("a"), result.alias("b")
+        step = a.join(b, F.col("a._dst") == F.col("b._src")).select(
+            F.col("a._src").alias("_src"), F.col("b._dst").alias("_dst")
+        )
+        nxt = result.unionByName(step).distinct().localCheckpoint(eager=True)
+        n2 = nxt.count()
+        if n2 == n:  # R ⊆ nxt always, so equal count ⇒ fixpoint
+            break
+        result, n = nxt, n2
+    return result
+
+
+def _path_edges(triples: DataFrame, node: tuple) -> DataFrame:
+    """Generic path-algebra evaluator: a path AST node → its pair table
+    ``(_src, _dst)``.  alt/seq keep bag semantics (a duplicate derivation
+    through different intermediates is a real duplicate solution, SPARQL
+    §18.4); closure is a set (§9.1 ALP).  Atom/alternation leaves stay
+    single scan-pushed filters of the triple table."""
+    tag = node[0]
+    if tag == "pred":
+        return triples.filter(F.col("p") == node[1]).select(
+            F.col("s").alias("_src"), F.col("o").alias("_dst")
+        )
+    if tag == "ipred":
+        return triples.filter(F.col("p") == node[1]).select(
+            F.col("o").alias("_src"), F.col("s").alias("_dst")
+        )
+    if tag == "nps":
+        return triples.filter(~F.col("p").isin(list(node[1]))).select(
+            F.col("s").alias("_src"), F.col("o").alias("_dst")
+        )
+    if tag == "inps":
+        return triples.filter(~F.col("p").isin(list(node[1]))).select(
+            F.col("o").alias("_src"), F.col("s").alias("_dst")
+        )
+    if tag == "alt":
+        kids = node[1]
+        # uniform predicate alternation → ONE IN-list scan, no union
+        if all(k[0] == "pred" for k in kids):
+            return triples.filter(
+                F.col("p").isin([k[1] for k in kids])
+            ).select(F.col("s").alias("_src"), F.col("o").alias("_dst"))
+        if all(k[0] == "ipred" for k in kids):
+            return triples.filter(
+                F.col("p").isin([k[1] for k in kids])
+            ).select(F.col("o").alias("_src"), F.col("s").alias("_dst"))
+        out = _path_edges(triples, kids[0])
+        for k in kids[1:]:
+            out = out.unionByName(_path_edges(triples, k))
+        return out
+    if tag == "seq":
+        out = _path_edges(triples, node[1][0])
+        for k in node[1][1:]:
+            right = (
+                _path_edges(triples, k)
+                .withColumnRenamed("_src", "_hop_src")
+                .withColumnRenamed("_dst", "_hop_dst")
+            )
+            out = out.join(right, F.col("_dst") == F.col("_hop_src")).select(
+                F.col("_src"), F.col("_hop_dst").alias("_dst")
+            )
+        return out
+    if tag == "closure":
+        pairs = _closure_pairs(_path_edges(triples, node[1]))
+        if node[2] == "*":
+            ident = _graph_nodes(triples).select(
+                F.col("node").alias("_src"), F.col("node").alias("_dst")
+            )
+            pairs = pairs.unionByName(ident).distinct()
+        return pairs
+    raise SparqlError(f"unknown path node {tag}")
+
+
+def _compile_generic_path(triples: DataFrame, s: str, node: tuple, o: str,
+                          idx: int) -> DataFrame:
+    """One compound/unanchored path pattern → its binding table (columns
+    named after its variable endpoints), or a 0/1-row marker table when
+    both endpoints are constant."""
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    spark = triples.sparkSession
+    if node[0] == "closure" and not (s_var and o_var):
+        # anchored closure over ANY inner path: fixpoint BFS over the
+        # inner pair set beats materializing the full pairwise closure
+        inner = _path_edges(triples, node[1])
+        if s_var:  # ?v path+ <X> — follow the edges backwards
+            inner = inner.select(
+                F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
+            )
+            anchor, var_term = o, s
+        else:
+            anchor, var_term = s, o
+        reach = _reach_from(inner, anchor)
+        if node[2] == "*":  # zero-length: the anchor reaches itself
+            reach = reach.unionByName(
+                spark.createDataFrame([(anchor,)], "node string")
+            ).distinct()
+        if var_term.startswith("?"):
+            return reach.withColumnRenamed("node", var_term[1:])
+        return reach.filter(F.col("node") == var_term).select(
+            F.lit(1).alias(f"_path_m{idx}")
+        ).limit(1)
+    pairs = _path_edges(triples, node)
+    if s_var and o_var:
+        if s == o:  # ?a path ?a — the cyclic solutions
+            return pairs.filter(F.col("_src") == F.col("_dst")).select(
+                F.col("_src").alias(s[1:])
+            )
+        return pairs.select(
+            F.col("_src").alias(s[1:]), F.col("_dst").alias(o[1:])
+        )
+    if s_var:
+        return pairs.filter(F.col("_dst") == o).select(F.col("_src").alias(s[1:]))
+    if o_var:
+        return pairs.filter(F.col("_src") == s).select(F.col("_dst").alias(o[1:]))
+    return pairs.filter(
+        (F.col("_src") == s) & (F.col("_dst") == o)
+    ).select(F.lit(1).alias(f"_path_m{idx}")).limit(1)
 
 
 def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
@@ -1003,7 +1189,7 @@ def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
 
 
 def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
-    if not (g.patterns or g.paths or g.values):
+    if not (g.patterns or g.paths or g.generic_paths or g.values):
         raise SparqlError("each group needs at least one non-OPTIONAL pattern")
     if any(len(p) == 4 for p in g.patterns) and "graph" not in triples.columns:
         raise SparqlError(
@@ -1023,8 +1209,13 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         if g.patterns
         else None
     )
-    for i, path in enumerate(g.paths):
-        part = _compile_path(triples, path, i)
+    path_parts = [
+        _compile_path(triples, path, i) for i, path in enumerate(g.paths)
+    ] + [
+        _compile_generic_path(triples, ps, pnode, po, len(g.paths) + i)
+        for i, (ps, pnode, po) in enumerate(g.generic_paths)
+    ]
+    for part in path_parts:
         if df is None:
             df = part
             continue

@@ -376,9 +376,26 @@ def test_path_cycle_terminates(spark):
     assert got == ["a", "b", "c"]  # '+' reaches the anchor via the cycle
 
 
-def test_path_var_var_rejected(tri):
-    with pytest.raises(SparqlError):
-        sparql_select(tri, "SELECT * WHERE { ?a <urn:knows>+ ?b }").collect()
+def test_path_unanchored_closure(tri):
+    # round-5: ?a <p>+ ?b compiles to the full transitive-closure pair
+    # set (iterative squaring), no longer rejected
+    got = sorted(_run(tri, "SELECT ?a ?b WHERE { ?a <urn:knows>+ ?b }"))
+    assert got == [
+        ("urn:c1", "urn:c2"), ("urn:c1", "urn:c3"), ("urn:c2", "urn:c3"),
+    ]
+    # '*' adds the zero-length solution for EVERY graph node (SPARQL §9.1)
+    star = sorted(_run(tri, "SELECT ?a ?b WHERE { ?a <urn:knows>* ?b }"))
+    nodes = {"urn:c1", "urn:c2", "urn:c3", "urn:Customer", "Alice", "Bob",
+             "Ann", "10.5", "3"}
+    assert sorted(set(star)) == sorted(
+        {(n, n) for n in nodes} | set(got)
+    )
+    # restricting one endpoint by another pattern still joins correctly
+    got2 = sorted(_run(tri, """
+        SELECT ?n ?b WHERE { ?a <urn:knows>+ ?b . ?a <urn:name> ?n
+            FILTER(?n = "Alice") }
+    """))
+    assert got2 == [("Alice", "urn:c2"), ("Alice", "urn:c3")]
 
 
 # ---------------------------------------------------------------------------
@@ -871,16 +888,82 @@ def test_path_alternation(tri):
     assert got == [("Ann",), ("Bob",)]
 
 
-@pytest.mark.parametrize("bad", [
-    "SELECT ?v WHERE { ?s <urn:p>|<urn:q>/<urn:r> ?v }",   # mixed | and /
-    "SELECT ?v WHERE { ?s <urn:p>/<urn:q>|<urn:r> ?v }",
-    "SELECT ?v WHERE { ?s <urn:p>+/<urn:q> ?v }",          # closure in seq
-    "SELECT ?v WHERE { ?s <urn:p>|<urn:q>+ ?v }",          # closure in alt
-    "SELECT ?_pp0 WHERE { ?s <urn:p> ?_pp0 }",             # reserved prefix
-])
-def test_path_composition_errors(tri, bad):
-    with pytest.raises(SparqlError):
-        sparql_select(tri, bad).collect()
+def test_path_composition_errors(tri):
+    with pytest.raises(SparqlError):  # reserved prefix
+        sparql_select(tri, "SELECT ?_pp0 WHERE { ?s <urn:p> ?_pp0 }").collect()
+    with pytest.raises(SparqlError):  # unbalanced path parens
+        sparql_select(tri, "SELECT ?v WHERE { ?s (<urn:p>|<urn:q> ?v }").collect()
+    with pytest.raises(SparqlError):  # ^ inside a negated set: unsupported
+        sparql_select(tri, "SELECT ?v WHERE { ?s !(^<urn:p>) ?v }").collect()
+
+
+def test_path_precedence_seq_binds_tighter(tri):
+    # p|q/r parses as p|(q/r) per SPARQL 1.1 (round-5: no longer rejected)
+    got = sorted(_run(tri, """
+        SELECT ?s ?v WHERE { ?s <urn:bal>|<urn:knows>/<urn:name> ?v }
+    """))
+    assert got == [
+        ("urn:c1", "10.5"), ("urn:c1", "Bob"),
+        ("urn:c2", "3"), ("urn:c2", "Ann"),
+    ]
+
+
+def test_path_parens_group_alternation(tri):
+    # (knows|bal)/name: the explicit other bracketing
+    got = sorted(_run(tri, """
+        SELECT ?s ?v WHERE { ?s (<urn:knows>|<urn:bal>)/<urn:name> ?v }
+    """))
+    assert got == [("urn:c1", "Bob"), ("urn:c2", "Ann")]
+
+
+def test_path_closure_inside_sequence(tri):
+    got = sorted(_run(tri, """
+        SELECT ?s ?n WHERE { ?s <urn:knows>+/<urn:name> ?n }
+    """))
+    assert got == [("urn:c1", "Ann"), ("urn:c1", "Bob"), ("urn:c2", "Ann")]
+
+
+def test_path_closure_inside_alternation(tri):
+    got = sorted(_run(tri, """
+        SELECT ?s ?v WHERE { ?s <urn:name>|<urn:knows>+ ?v }
+    """))
+    assert got == [
+        ("urn:c1", "Alice"), ("urn:c1", "urn:c2"), ("urn:c1", "urn:c3"),
+        ("urn:c2", "Bob"), ("urn:c2", "urn:c3"), ("urn:c3", "Ann"),
+    ]
+
+
+def test_path_inverse_of_group(tri):
+    # ^(knows/name): ?x ^(p1/p2) ?y ≡ ?y p1/p2 ?x (inverse distributes
+    # over the reversed sequence)
+    got = sorted(_run(tri, """
+        SELECT ?x ?y WHERE { ?x ^(<urn:knows>/<urn:name>) ?y }
+    """))
+    assert got == [("Ann", "urn:c2"), ("Bob", "urn:c1")]
+
+
+def test_path_closure_over_negated_set(tri):
+    # !(name|bal|a) leaves only the knows edges; its closure is the
+    # knows closure (round-5: closure over a negated set now supported)
+    got = sorted(_run(tri, """
+        SELECT ?a ?b WHERE { ?a !(<urn:name>|<urn:bal>|a)+ ?b }
+    """))
+    assert got == [
+        ("urn:c1", "urn:c2"), ("urn:c1", "urn:c3"), ("urn:c2", "urn:c3"),
+    ]
+
+
+def test_path_anchored_compound_closure(tri):
+    # anchored closure over an alternation takes the BFS route
+    got = sorted(_run(tri, """
+        SELECT ?x WHERE { <urn:c1> (<urn:knows>|<urn:bal>)+ ?x }
+    """))
+    assert got == [("10.5",), ("3",), ("urn:c2",), ("urn:c3",)]
+    # and reverse-anchored
+    got = sorted(_run(tri, """
+        SELECT ?x WHERE { ?x (<urn:knows>|<urn:bal>)+ "3" }
+    """))
+    assert got == [("urn:c1",), ("urn:c2",)]
 
 
 def test_inverse_paths(tri):
@@ -906,11 +989,16 @@ def test_inverse_paths(tri):
     assert got == [("urn:c1",)]
 
 
-def test_inverse_path_errors(tri):
-    with pytest.raises(SparqlError, match="mixed forward/inverse"):
-        sparql_select(tri, """
-            SELECT ?x WHERE { ?s <urn:name>|^<urn:bal> ?x }
-        """).collect()
+def test_mixed_direction_alternation(tri):
+    # round-5: forward|inverse alternation is a bag union of the two
+    # directed edge sets (was rejected pre-grouping-support)
+    got = sorted(_run(tri, """
+        SELECT ?s ?x WHERE { ?s <urn:name>|^<urn:bal> ?x }
+    """))
+    assert got == [
+        ("10.5", "urn:c1"), ("3", "urn:c2"),
+        ("urn:c1", "Alice"), ("urn:c2", "Bob"), ("urn:c3", "Ann"),
+    ]
 
 
 def test_negated_property_set(tri):
@@ -931,14 +1019,16 @@ def test_negated_property_set(tri):
     assert got == [("3",), ("Bob",), ("urn:Customer",)]
 
 
-@pytest.mark.parametrize("bad", [
-    "SELECT ?o WHERE { ?s !<urn:p>+ ?o }",          # closure over NPS
-    "SELECT ?o WHERE { ?s !(^<urn:p>) ?o }",        # inverse inside NPS
-    "SELECT ?o WHERE { ?s !<urn:p>|<urn:q> ?o }",   # NPS in alternation
-])
-def test_negated_property_set_errors(tri, bad):
-    with pytest.raises(SparqlError):
-        sparql_select(tri, bad).collect()
+def test_negated_property_set_errors(tri):
+    with pytest.raises(SparqlError):  # inverse inside NPS stays unsupported
+        sparql_select(tri, "SELECT ?o WHERE { ?s !(^<urn:p>) ?o }").collect()
+
+
+def test_nps_in_alternation(tri):
+    # round-5: !<p>|<q> = (non-name edges) bag-∪ (name edges) — every
+    # triple matches exactly one branch here, so all 10 rows survive
+    got = _run(tri, "SELECT ?s ?o WHERE { ?s !<urn:name>|<urn:name> ?o }")
+    assert len(got) == 10
 
 
 def test_values_multi_var(tri):

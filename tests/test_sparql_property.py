@@ -120,3 +120,117 @@ def test_closure_matches_bfs(spark, rng):
             df, f"SELECT ?x WHERE {{ <{anchor}> ^<{pred}>+ ?x }}"
         ).collect()}
         assert got_inv == want_inv, f"case {case}: ^{pred}+ from {anchor}"
+
+
+# --- round-5: grouped / compound / unanchored paths ---------------------
+
+
+def _naive_path(triples, node):
+    """Bag-semantics pair evaluation of a path AST (the compiler's node
+    grammar); closures are sets per SPARQL §9.1."""
+    tag = node[0]
+    if tag == "pred":
+        return [(s, o) for s, p, o in triples if p == node[1]]
+    if tag == "ipred":
+        return [(o, s) for s, p, o in triples if p == node[1]]
+    if tag == "nps":
+        return [(s, o) for s, p, o in triples if p not in node[1]]
+    if tag == "alt":
+        return [x for k in node[1] for x in _naive_path(triples, k)]
+    if tag == "seq":
+        cur = _naive_path(triples, node[1][0])
+        for k in node[1][1:]:
+            hop = _naive_path(triples, k)
+            cur = [(a, d) for a, b in cur for c, d in hop if b == c]
+        return cur
+    if tag == "closure":
+        result = set(_naive_path(triples, node[1]))
+        while True:
+            new = {(a, d) for a, b in result for c, d in result if b == c} - result
+            if not new:
+                break
+            result |= new
+        if node[2] == "*":
+            nodes = {s for s, _, _ in triples} | {o for _, _, o in triples}
+            result |= {(n, n) for n in nodes}
+        return sorted(result)
+    raise AssertionError(tag)
+
+
+def _render_path(node, top=False):
+    tag = node[0]
+    if tag == "pred":
+        return f"<{node[1]}>"
+    if tag == "ipred":
+        return f"^<{node[1]}>"
+    if tag == "nps":
+        return "!(" + "|".join(f"<{p}>" for p in node[1]) + ")"
+    if tag == "alt":
+        s = "|".join(_render_path(k) for k in node[1])
+        return s if top else f"({s})"
+    if tag == "seq":
+        s = "/".join(_render_path(k) for k in node[1])
+        return s if top else f"({s})"
+    if tag == "closure":
+        return f"({_render_path(node[1])}){node[2]}"
+    raise AssertionError(tag)
+
+
+def _random_path(rng, depth):
+    roll = rng.random()
+    if depth <= 0 or roll < 0.35:
+        kind = rng.random()
+        if kind < 0.45:
+            return ("pred", rng.choice(PREDS))
+        if kind < 0.75:
+            return ("ipred", rng.choice(PREDS))
+        return ("nps", sorted(rng.sample(PREDS, rng.randint(1, 2))))
+    if roll < 0.6:
+        return ("alt", [_random_path(rng, depth - 1)
+                        for _ in range(rng.randint(2, 3))])
+    if roll < 0.85:
+        return ("seq", [_random_path(rng, depth - 1)
+                        for _ in range(rng.randint(2, 3))])
+    return ("closure", _random_path(rng, depth - 1), rng.choice("+*"))
+
+
+def test_compound_paths_match_naive_evaluator(spark, rng):
+    for case in range(20):
+        triples = _random_graph(rng, rng.randint(8, 20))
+        df = spark.createDataFrame(triples, "s string, p string, o string")
+        node = _random_path(rng, 2)
+        path = _render_path(node, top=True)
+        q = f"SELECT ?a ?b WHERE {{ ?a {path} ?b }}"
+        got = sorted((r.a, r.b) for r in sparql_select(df, q).collect())
+        want = sorted(_naive_path(triples, node))
+        assert got == want, f"case {case}: path {path!r}\n{got}\nvs\n{want}"
+
+
+def test_anchored_compound_paths_match_naive(spark, rng):
+    for case in range(10):
+        triples = _random_graph(rng, rng.randint(8, 20))
+        df = spark.createDataFrame(triples, "s string, p string, o string")
+        node = ("closure", _random_path(rng, 1), rng.choice("+*"))
+        path = _render_path(node, top=True)
+        anchor = rng.choice(SUBJECTS)
+        pairs = _naive_path(triples, node)
+        got = sorted(r.x for r in sparql_select(
+            df, f"SELECT ?x WHERE {{ <{anchor}> {path} ?x }}").collect())
+        assert got == sorted(b for a, b in pairs if a == anchor), \
+            f"case {case}: fwd {path!r} from {anchor}"
+        got_rev = sorted(r.x for r in sparql_select(
+            df, f"SELECT ?x WHERE {{ ?x {path} <{anchor}> }}").collect())
+        assert got_rev == sorted(a for a, b in pairs if b == anchor), \
+            f"case {case}: rev {path!r} to {anchor}"
+
+
+def test_cyclic_same_var_path(spark, rng):
+    for case in range(5):
+        triples = _random_graph(rng, rng.randint(10, 22))
+        df = spark.createDataFrame(triples, "s string, p string, o string")
+        node = ("closure", ("alt", [("pred", PREDS[0]), ("pred", PREDS[1])]), "+")
+        pairs = _naive_path(triples, node)
+        got = sorted(r.a for r in sparql_select(
+            df, f"SELECT ?a WHERE {{ ?a (<{PREDS[0]}>|<{PREDS[1]}>)+ ?a }}"
+        ).collect())
+        assert got == sorted(a for a, b in pairs if a == b), f"case {case}"
