@@ -595,6 +595,52 @@ def q_sparql_path_seq(spark, sf_dir):
     """)
 
 
+def q_sparql_path_unanchored(spark, sf_dir):
+    """Unanchored SPARQL property path ?a <p>+ ?b (round-5): the full
+    transitive-closure pair set, compiled by iterative squaring
+    (R ← R ∪ R∘R, O(log diameter) self-join rounds with per-round
+    localCheckpoint — rdf_spark.sparql._closure_pairs) over the same
+    deterministic binary tree as `sparql_path`; oracled against DuckDB
+    WITH RECURSIVE over the identical edge set."""
+    from rdf_spark.sparql import sparql_select
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tri = (
+        d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 1).alias("o"),
+        )
+        .unionByName(d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 2).alias("o"),
+        ))
+    )
+    return sparql_select(tri, "SELECT ?a ?b WHERE { ?a <urn:child>+ ?b }")
+
+
+def q_sparql_path_grouped(spark, sf_dir):
+    """Grouped-path precedence (round-5): `<p1>/<p2>|<p3>` parses as
+    `(<p1>/<p2>)|<p3>` per SPARQL 1.1 ('/' binds tighter than '|') —
+    orders reach a nation through placed_by/inNation while customers
+    reach it directly; the oracle is the UNION ALL of both derivations
+    (path alternation is a bag union, §18.4)."""
+    from rdf_spark.sparql import sparql_select
+
+    o = _t(spark, sf_dir, "orders")
+    tri = _customer_triples(spark, sf_dir).unionByName(o.select(
+        F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("urn:ex:placed_by").alias("p"),
+        F.concat(F.lit("urn:cust:"), F.col("o_custkey")).alias("o"),
+    ))
+    return sparql_select(tri, """
+        SELECT ?x ?n WHERE {
+            ?x <urn:ex:placed_by>/<urn:ex:inNation>|<urn:ex:inNation> ?n
+        }
+    """)
+
+
 def q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS (round-4): anti join on the shared variable —
     customers not in nation 0.  Distinguished from NOT EXISTS by the
@@ -1312,6 +1358,8 @@ _QUERIES = {
         "sparql_having": q_sparql_having,
         "sparql_lang": q_sparql_lang,
         "sparql_path_seq": q_sparql_path_seq,
+        "sparql_path_unanchored": q_sparql_path_unanchored,
+        "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_minus": q_sparql_minus,
         "sparql_graph": q_sparql_graph,
         "sparql_funcs": q_sparql_funcs,
@@ -2050,6 +2098,29 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_seq": """
             SELECT 'urn:cust:' || c.c_custkey AS c, n.n_name AS nm
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "sparql_path_unanchored": """
+            WITH RECURSIVE edges AS (
+                SELECT 'urn:d' || doc_id AS src,
+                       'urn:d' || (doc_id * 2 + 1) AS dst
+                FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT 'urn:d' || doc_id, 'urn:d' || (doc_id * 2 + 2)
+                FROM documents WHERE doc_id < 200
+            ), reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS a, dst AS b FROM reach
+        """,
+        "sparql_path_grouped": """
+            SELECT 'urn:order:' || o.o_orderkey AS x,
+                   'urn:nation:' || c.c_nationkey AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'urn:cust:' || c_custkey, 'urn:nation:' || c_nationkey
+            FROM customer
         """,
         "sparql_minus": """
             SELECT 'urn:cust:' || c_custkey AS c FROM customer
