@@ -641,6 +641,23 @@ def q_sparql_path_grouped(spark, sf_dir):
     """)
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """SPARQL subquery (round-5): `{ SELECT ... GROUP BY ... }` inside
+    WHERE — the inner aggregate (customers per nation) evaluates
+    independently, then joins the outer pattern on its projected
+    variable, annotating every customer with its nation's size.  Oracled
+    against the equivalent derived-table join."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_triples(spark, sf_dir), """
+        SELECT ?c ?k WHERE {
+            ?c <urn:ex:inNation> ?n .
+            { SELECT ?n (COUNT(?x) AS ?k) WHERE { ?x <urn:ex:inNation> ?n }
+              GROUP BY ?n }
+        }
+    """)
+
+
 def q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS (round-4): anti join on the shared variable —
     customers not in nation 0.  Distinguished from NOT EXISTS by the
@@ -1360,6 +1377,7 @@ _QUERIES = {
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_unanchored": q_sparql_path_unanchored,
         "sparql_path_grouped": q_sparql_path_grouped,
+        "sparql_subquery": q_sparql_subquery,
         "sparql_minus": q_sparql_minus,
         "sparql_graph": q_sparql_graph,
         "sparql_funcs": q_sparql_funcs,
@@ -2121,6 +2139,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'urn:cust:' || c_custkey, 'urn:nation:' || c_nationkey
             FROM customer
+        """,
+        "sparql_subquery": """
+            SELECT 'urn:cust:' || c.c_custkey AS c, t.k AS k
+            FROM customer c JOIN (
+                SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS k
+                FROM customer GROUP BY c_nationkey
+            ) t ON c.c_nationkey = t.c_nationkey
         """,
         "sparql_minus": """
             SELECT 'urn:cust:' || c_custkey AS c FROM customer

@@ -58,6 +58,16 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                                         not restrict)
              MINUS { patterns }      -- → left anti join on shared vars
                                         (disjoint domains remove nothing)
+             { SELECT ... }          -- subquery: evaluated independently
+                                        (its GROUP BY/ORDER/LIMIT apply
+                                        inside), joined with the group on
+                                        its projected variables; shares
+                                        the outer PREFIX prologue
+             { patterns ... }        -- nested group graph pattern with
+                                        its own FILTERs/OPTIONALs/...:
+                                        compiled recursively, joined on
+                                        shared variables (UNION only at
+                                        the top level of a WHERE body)
              GRAPH (<g>|?g) { patterns }  -- match inside one named graph /
                                         bind the graph (needs a 'graph'
                                         column: an N-Quads/TriG store)
@@ -92,8 +102,7 @@ on the union of their variables (unbound → NULL).  Comparing against a
 NUMBER casts the variable's lexical to double (a documented
 simplification of SPARQL's typed value semantics); string comparisons
 are lexical.  Prefixed names (``ns:local``) expand against the PREFIX
-prologue anywhere a term or path predicate appears.  Subqueries are out
-of scope.
+prologue anywhere a term or path predicate appears.
 """
 
 from __future__ import annotations
@@ -194,6 +203,12 @@ class _Group:
     )
     # MINUS { patterns } blocks
     minus: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # { SELECT ... } subqueries: parsed _Ast, compiled independently and
+    # joined on the shared projected variables
+    subqueries: list = field(default_factory=list)
+    # nested group graph patterns { ... }: compiled recursively, joined
+    # on shared variables (SPARQL group join)
+    nested: list = field(default_factory=list)
 
 
 @dataclass
@@ -308,8 +323,15 @@ class _Parser:
         return iris
 
     def query(self) -> _Ast:
-        ast = _Ast()
         self.prologue()
+        return self.select_core()
+
+    def select_core(self, subquery: bool = False) -> _Ast:
+        """SELECT clause + WHERE + modifiers.  With ``subquery`` the
+        trailing-input check is skipped (the caller owns the closing
+        brace); the prologue belongs to the top level only — a subquery
+        shares the outer query's prefixes."""
+        ast = _Ast()
         self.eat_word("SELECT")
         if self.at_word("DISTINCT"):
             self.next()
@@ -360,17 +382,35 @@ class _Parser:
             if not items:
                 raise SparqlError("SELECT needs ?vars, aggregates, or *")
             ast.select_items = items
-        self._where_and_modifiers(ast)
+        self._where_and_modifiers(ast, subquery=subquery)
         return ast
 
-    def _where_and_modifiers(self, ast: _Ast, where_optional: bool = False):
+    def _union_ahead(self) -> bool:
+        """Lookahead from a '{' at the current position: does its
+        matching '}' have UNION right after?  Distinguishes a
+        `{ g1 } UNION { g2 }` chain from a nested group / subquery as
+        the group's first element."""
+        depth = 0
+        for j in range(self.i, len(self.toks)):
+            kind, v = self.toks[j]
+            if (kind, v) == ("op", "{"):
+                depth += 1
+            elif (kind, v) == ("op", "}"):
+                depth -= 1
+                if depth == 0:
+                    nk, nv = self.toks[min(j + 1, len(self.toks) - 1)]
+                    return nk == "word" and nv.upper() == "UNION"
+        return False
+
+    def _where_and_modifiers(self, ast: _Ast, where_optional: bool = False,
+                             subquery: bool = False):
         if self.at_word("WHERE"):
             self.next()
         elif not where_optional:
             raise SparqlError(f"expected WHERE, got {self.peek()[1]!r}")
         self.eat_op("{")
-        if self.peek() == ("op", "{"):  # { g1 } UNION { g2 } ...
-            while True:
+        if self.peek() == ("op", "{") and self._union_ahead():
+            while True:  # { g1 } UNION { g2 } ...
                 self.eat_op("{")
                 g = _Group()
                 self.group(g)
@@ -385,7 +425,7 @@ class _Parser:
             self.group(g)
             ast.branches.append(g)
         self.modifiers(ast)
-        if self.peek()[0] != "eof":
+        if not subquery and self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
 
     def pattern_block(self, what: str) -> list[tuple[str, str, str]]:
@@ -406,7 +446,18 @@ class _Parser:
             if kind == "op" and v == "}":
                 self.next()
                 return
-            if self.at_word("FILTER"):
+            if kind == "op" and v == "{":
+                # nested element: { SELECT ... } subquery or a nested
+                # group graph pattern { patterns ... }
+                self.next()
+                if self.at_word("SELECT"):
+                    g.subqueries.append(self.select_core(subquery=True))
+                    self.eat_op("}")
+                else:
+                    ng = _Group()
+                    self.group(ng)  # consumes the closing }
+                    g.nested.append(ng)
+            elif self.at_word("FILTER"):
                 self.next()
                 if self.at_word("NOT", "EXISTS"):  # FILTER [NOT] EXISTS {...}
                     positive = self.eat_word("NOT", "EXISTS") == "EXISTS"
@@ -1189,7 +1240,8 @@ def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
 
 
 def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
-    if not (g.patterns or g.paths or g.generic_paths or g.values):
+    if not (g.patterns or g.paths or g.generic_paths or g.values
+            or g.subqueries or g.nested):
         raise SparqlError("each group needs at least one non-OPTIONAL pattern")
     if any(len(p) == 4 for p in g.patterns) and "graph" not in triples.columns:
         raise SparqlError(
@@ -1214,6 +1266,13 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
     ] + [
         _compile_generic_path(triples, ps, pnode, po, len(g.paths) + i)
         for i, (ps, pnode, po) in enumerate(g.generic_paths)
+    ] + [
+        # a subquery evaluates independently (its modifiers — GROUP BY,
+        # ORDER/LIMIT — apply INSIDE), then joins the outer group on its
+        # projected variables; a nested group is a plain group join
+        _select_df(triples, sub) for sub in g.subqueries
+    ] + [
+        _compile_group(triples, ng) for ng in g.nested
     ]
     for part in path_parts:
         if df is None:
@@ -1464,7 +1523,12 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     with partitioning (use COUNT/MIN/MAX, or the decimal-sum operators
     in ops.retrieval/ops.graph, when bit-exact reproducibility matters).
     """
-    ast = _Parser(query).query()
+    return _select_df(triples, _Parser(query).query())
+
+
+def _select_df(triples: DataFrame, ast: _Ast) -> DataFrame:
+    """Compile a parsed SELECT ast → DataFrame (shared by top-level
+    SELECT and ``{ SELECT ... }`` subqueries)."""
     df = _solutions(triples, ast)
     items = ast.select_items
     has_agg = items is not None and any(it[0] == "agg" for it in items)

@@ -1142,3 +1142,94 @@ def test_projected_var_outside_group_by_rejected(tri):
             SELECT ?n (COUNT(?c) AS ?k) WHERE {
                 ?c <urn:name> ?n . ?c a ?t } GROUP BY ?t
         """).collect()
+
+
+# --- round-5: subqueries and nested group graph patterns ---
+
+
+def test_subquery_in_where(tri):
+    # inner aggregate restricts the outer pattern on the shared var
+    got = sorted(_run(tri, """
+        SELECT ?n ?k WHERE {
+            ?c <urn:name> ?n .
+            { SELECT ?c (COUNT(?x) AS ?k) WHERE { ?c <urn:knows> ?x }
+              GROUP BY ?c }
+        }
+    """))
+    assert got == [("Alice", 1), ("Bob", 1)]
+
+
+def test_subquery_limit_applies_inside(tri):
+    # the subquery's ORDER/LIMIT run before the outer join
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE {
+            ?c <urn:name> ?n .
+            { SELECT ?c WHERE { ?c <urn:bal> ?b } ORDER BY ?c LIMIT 1 }
+        }
+    """))
+    assert got == [("Alice",)]
+
+
+def test_subquery_private_vars_do_not_leak(tri):
+    # ?b is projected away inside the subquery → no accidental join on it
+    df = sparql_select(tri, """
+        SELECT * WHERE {
+            ?c <urn:name> ?n .
+            { SELECT ?c WHERE { ?c <urn:bal> ?b } }
+        }
+    """)
+    assert sorted(df.columns) == ["c", "n"]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [("urn:c1", "Alice"), ("urn:c2", "Bob")]
+
+
+def test_nested_group_with_scoped_filter(tri):
+    # the nested group's FILTER applies within it; join on the shared var
+    got = sorted(_run(tri, """
+        SELECT ?n ?b WHERE {
+            ?c <urn:name> ?n .
+            { ?c <urn:bal> ?b FILTER(?b > 5) }
+        }
+    """))
+    assert got == [("Alice", "10.5")]
+
+
+def test_nested_group_with_optional(tri):
+    got = dict(_run(tri, """
+        SELECT ?n ?b WHERE {
+            ?c a <urn:Customer> .
+            { ?c <urn:name> ?n OPTIONAL { ?c <urn:bal> ?b } }
+        }
+    """))
+    assert got == {"Alice": "10.5", "Bob": "3", "Ann": None}
+
+
+def test_subquery_as_first_element(tri):
+    # leading '{' must not be mistaken for a UNION chain
+    got = sorted(_run(tri, """
+        SELECT ?n ?k WHERE {
+            { SELECT ?c (COUNT(?x) AS ?k) WHERE { ?c <urn:knows> ?x }
+              GROUP BY ?c }
+            ?c <urn:name> ?n .
+        }
+    """))
+    assert got == [("Alice", 1), ("Bob", 1)]
+
+
+def test_union_still_parses_alongside_nested(tri):
+    got = sorted(_run(tri, """
+        SELECT ?v WHERE {
+            { ?c <urn:bal> ?v } UNION { ?c <urn:name> ?v }
+        }
+    """))
+    assert got == [("10.5",), ("3",), ("Alice",), ("Ann",), ("Bob",)]
+
+
+def test_subquery_errors(tri):
+    with pytest.raises(SparqlError):  # unclosed subquery
+        sparql_select(tri, """
+            SELECT ?n WHERE { ?c <urn:name> ?n .
+                { SELECT ?c WHERE { ?c <urn:bal> ?b }
+        """).collect()
+    with pytest.raises(SparqlError):  # empty nested group
+        sparql_select(tri, "SELECT ?n WHERE { ?c <urn:name> ?n . { } }").collect()
