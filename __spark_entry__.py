@@ -1123,11 +1123,18 @@ def q_deterministic_sample(spark, sf_dir):
 def q_corpus_curate(spark, sf_dir):
     """End-to-end corpus curation audit (rdf_spark.curate): lang allow-list
     → quality floor → repetition filter → exact dedup (among survivors,
-    keep-smallest-id) → deterministic sample; returns every doc with its
-    drop_reason (null = kept).  Exact duplicates are planted (doc_id +
-    1000000 copies of the first 20 docs) since the synthetic corpus has
-    none organically — the planted copy must be dropped as 'duplicate'
-    whenever its original survives the content stages."""
+    keep-smallest-id) → MinHash near-dup clustering (round-5 stage) →
+    deterministic sample; returns every doc with its drop_reason (null =
+    kept).  Exact duplicates are planted (doc_id + 1000000 copies of the
+    first 20 docs); NEAR-duplicates are the corpus's own datagen plants —
+    docs whose text is another doc's text plus a repeated ' dup' suffix.
+    The oracle reproduces the near-dup stage exactly: candidate pairs via
+    the suffix rule, the operator's unigram-jaccard≥0.95 verify in closed
+    form (suffix sets differ by at most the token 'dup'), then recursive
+    min-label connected components among the exact-dedup survivors.  LSH
+    banding recall on these near-identical shingle sets is deterministic
+    and verified by the gate at all three scales (plus the
+    minhash_near_dup planted contract)."""
     from rdf_spark import curate
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -1136,7 +1143,7 @@ def q_corpus_curate(spark, sf_dir):
     )
     rep = curate.curate_report(
         d.unionByName(planted), langs=("en", "de"), min_quality=0.7,
-        sample_rate=0.8,
+        sample_rate=0.8, near_dup=dict(threshold=0.95),
     )
     return rep.select("doc_id", "drop_reason")
 
@@ -1955,7 +1962,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE '{_md5_thr(0.1)}' END
         """,
         "corpus_curate": f"""
-            WITH docs AS (
+            WITH RECURSIVE docs AS (
                 SELECT doc_id, text, lang FROM documents
                 UNION ALL
                 SELECT doc_id + 1000000, text, lang FROM documents
@@ -1975,16 +1982,76 @@ def oracle_sql() -> dict[str, str]:
             reps AS (
                 SELECT fp, MIN(doc_id) AS rep_id FROM flags
                 WHERE lang_ok AND qual_ok AND rep_ok GROUP BY fp
+            ),
+            survivors AS (
+                SELECT f.doc_id, d.text FROM flags f
+                JOIN reps r ON f.fp = r.fp AND f.doc_id = r.rep_id
+                JOIN docs d ON d.doc_id = f.doc_id
+                WHERE f.lang_ok AND f.qual_ok AND f.rep_ok
+            ),
+            -- near-dup stage oracle: the datagen near-dups append ' dup'
+            -- k times; the operator's unigram-jaccard verify reduces to
+            -- a closed form (token sets differ by at most 'dup')
+            nd_cand AS (
+                SELECT s1.doc_id AS a, s2.doc_id AS b, s1.text AS ta
+                FROM survivors s1 JOIN survivors s2
+                  ON s2.text = s1.text || ' dup'
+                UNION ALL SELECT s1.doc_id, s2.doc_id, s1.text
+                FROM survivors s1 JOIN survivors s2
+                  ON s2.text = s1.text || ' dup dup'
+                UNION ALL SELECT s1.doc_id, s2.doc_id, s1.text
+                FROM survivors s1 JOIN survivors s2
+                  ON s2.text = s1.text || ' dup dup dup'
+                UNION ALL SELECT s1.doc_id, s2.doc_id, s1.text
+                FROM survivors s1 JOIN survivors s2
+                  ON s2.text = s1.text || ' dup dup dup dup'
+                UNION ALL SELECT s1.doc_id, s2.doc_id, s1.text
+                FROM survivors s1 JOIN survivors s2
+                  ON s2.text = s1.text || ' dup dup dup dup dup'
+                UNION ALL SELECT s1.doc_id, s2.doc_id, s1.text
+                FROM survivors s1 JOIN survivors s2
+                  ON s2.text = s1.text || ' dup dup dup dup dup dup'
+                UNION ALL SELECT s1.doc_id, s2.doc_id, s1.text
+                FROM survivors s1 JOIN survivors s2
+                  ON s2.text = s1.text || ' dup dup dup dup dup dup dup'
+                UNION ALL SELECT s1.doc_id, s2.doc_id, s1.text
+                FROM survivors s1 JOIN survivors s2
+                  ON s2.text = s1.text || ' dup dup dup dup dup dup dup dup'
+            ),
+            nd_edge AS (
+                SELECT a, b FROM (
+                    SELECT a, b,
+                           list_distinct(regexp_split_to_array(
+                               trim(lower(ta)), '\\s+')) AS toks
+                    FROM nd_cand) t
+                WHERE list_contains(toks, 'dup')
+                   OR round(len(toks) * 1.0 / (len(toks) + 1), 6) >= 0.95
+            ),
+            nd_bi AS (
+                SELECT a, b FROM nd_edge UNION SELECT b, a FROM nd_edge
+            ),
+            nd_reach AS (
+                SELECT a AS node, a AS r FROM nd_bi
+                UNION
+                SELECT nr.node, e.b FROM nd_reach nr
+                JOIN nd_bi e ON e.a = nr.r
+            ),
+            nd_drop AS (
+                SELECT node FROM (
+                    SELECT node, MIN(r) AS comp FROM nd_reach GROUP BY node
+                ) c WHERE node <> comp
             )
             SELECT f.doc_id,
                    CASE WHEN NOT f.lang_ok THEN 'lang'
                         WHEN NOT f.qual_ok THEN 'quality'
                         WHEN NOT f.rep_ok THEN 'repetition'
                         WHEN f.doc_id <> r.rep_id THEN 'duplicate'
+                        WHEN nd.node IS NOT NULL THEN 'near_dup'
                         WHEN md5(CAST(f.doc_id AS VARCHAR)) >= '{_md5_thr(0.8)}'
                              THEN 'sampled_out'
                         ELSE NULL END AS drop_reason
             FROM flags f LEFT JOIN reps r ON f.fp = r.fp
+            LEFT JOIN nd_drop nd ON f.doc_id = nd.node
         """,
         "domain_stats": f"""
             WITH raw AS ({_REP_RAW} FROM documents),

@@ -97,6 +97,11 @@ def main() -> int:
         "sparql_not_exists",
         "sparql_having",
         "sparql_lang",
+        "sparql_path_unanchored",
+        "boilerplate_lines",
+        "decontaminate",
+        "pack_sequences",
+        "pii_redact",
     ]
 
     timings: dict[str, float] = {}

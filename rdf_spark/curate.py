@@ -16,7 +16,16 @@ document left):
                      each duplicate class is kept.  Dedup runs among
                      stage-1..3 survivors so a filtered-out page can
                      never shadow a keepable one.
-5. ``sampled_out`` — deterministic md5-threshold sample (ops.sample):
+5. ``near_dup``    — OPTIONAL (``near_dup={...}``): MinHash-LSH
+                     near-duplicate clustering (ops.dedup.
+                     near_dup_clusters) among the exact-dedup survivors;
+                     each cluster keeps its smallest doc_id, the rest
+                     drop as ``near_dup``.  Off by default — it is the
+                     most expensive stage (signature pass + band shuffle
+                     + verify join + iterative CC) and, like boilerplate
+                     stripping, has no streaming twin (cross-batch
+                     near-dup state is unbounded).
+6. ``sampled_out`` — deterministic md5-threshold sample (ops.sample):
                      the reproducible training-mix knob.
 
 Scale shape: stages 1-3 and 5 are row-local JVM expressions fused into
@@ -77,8 +86,16 @@ def curate_report(
     key_col: str = "doc_id",
     strip_boilerplate: int | None = None,
     scrub_pii: bool = False,
+    near_dup: dict | None = None,
 ) -> DataFrame:
     """Audit view: every input row with ``drop_reason`` (null = kept).
+
+    ``near_dup={...}`` enables the optional MinHash near-duplicate stage
+    (kwargs forwarded to :func:`rdf_spark.ops.dedup.near_dup_clusters`,
+    e.g. ``dict(threshold=0.95)``): clusters are computed among the
+    exact-dedup survivors only, each keeps its minimum ``key_col``
+    member, and the others drop with reason ``near_dup`` — after
+    ``duplicate`` and before ``sampled_out`` in the cascade.
 
     ``strip_boilerplate=N`` enables an optional stage 0: cross-corpus
     line-level boilerplate removal (ops.text.remove_boilerplate_lines,
@@ -132,16 +149,35 @@ def curate_report(
         .agg(F.min(key_col).alias("_rep_id"))
     )
     out = feat.join(reps, on="_fp", how="left")
+    nd_cols = []
+    if near_dup is not None:
+        from rdf_spark.ops.dedup import near_dup_clusters
+
+        survivors = out.filter(
+            F.col("_eligible") & (F.col(key_col) == F.col("_rep_id"))
+        ).select(key_col, text_col)
+        clusters = near_dup_clusters(survivors, text_col, key_col, **near_dup)
+        nd = clusters.filter(F.col(key_col) != F.col("cluster")).select(
+            F.col(key_col).alias("_nd_id")
+        )
+        # null keys never match the equi-join → can't be near-dup-dropped,
+        # mirroring their fall-through in the duplicate stage
+        out = out.join(nd, F.col(key_col) == F.col("_nd_id"), "left")
+        nd_cols = ["_nd_id"]
     reason = (
         F.when(~lang_ok, "lang")
         .when(~qual_ok, "quality")
         .when(~rep_ok, "repetition")
         .when(F.col(key_col) != F.col("_rep_id"), "duplicate")
-        .when(~smp.sample_predicate(F.col(key_col), sample_rate), "sampled_out")
-        .otherwise(F.lit(None).cast("string"))
     )
+    if near_dup is not None:
+        reason = reason.when(F.col("_nd_id").isNotNull(), "near_dup")
+    reason = reason.when(
+        ~smp.sample_predicate(F.col(key_col), sample_rate), "sampled_out"
+    ).otherwise(F.lit(None).cast("string"))
     return out.withColumn("drop_reason", reason).drop(
-        "_fp", "_eligible", "_lang_ok", "_qual_ok", "_rep_ok", "_rep_id"
+        "_fp", "_eligible", "_lang_ok", "_qual_ok", "_rep_ok", "_rep_id",
+        *nd_cols
     )
 
 

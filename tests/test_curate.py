@@ -326,3 +326,30 @@ def test_strip_boilerplate_keeps_null_keyed_rows(spark):
     rep = curate_report(df, min_quality=0.0, strip_boilerplate=5)
     assert rep.count() == 2
     assert rep.filter(F.col("doc_id").isNull()).count() == 1
+
+
+def test_curate_near_dup_stage(spark):
+    """Round-5: optional MinHash near-dup stage — clusters among the
+    exact-dedup survivors keep their min doc_id; drop_reason='near_dup'
+    for the rest; exact duplicates still drop as 'duplicate' first."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                      # exact dup of 1 → 'duplicate'
+        (3, base + " tonight", "en"),         # near dup of 1 → 'near_dup'
+        (4, "completely different text about database query engines "
+            "and distributed shuffle execution plans for analytics", "en"),
+        (5, base + " forest", "fr"),          # near dup but lang-dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    rep = curate.curate_report(
+        df, min_quality=0.0, near_dup=dict(threshold=0.9, n_bands=32,
+                                           n_hashes=64)
+    )
+    got = {r.doc_id: r.drop_reason for r in rep.collect()}
+    assert got == {1: None, 2: "duplicate", 3: "near_dup", 4: None, 5: "lang"}
+    # without the stage, doc 3 is kept — the near_dup reason is opt-in
+    rep0 = curate.curate_report(df, min_quality=0.0)
+    got0 = {r.doc_id: r.drop_reason for r in rep0.collect()}
+    assert got0[3] is None and "near_dup" not in set(got0.values())
