@@ -1030,6 +1030,28 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "sim", "rank")
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN (round-5: coarse lists + product-quantized ADC
+    shortlist + exact rerank), self-verifying like ivf_topk: identical
+    planted vectors land in the same inverted list AND get identical
+    m-byte PQ codes, hence identical ADC scores — the (id-tiebroken)
+    shortlist must contain both, so each query's top-2 after the exact
+    rerank is itself and its twin at cosine exactly 1.0."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(dup)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.ivf_pq_topk(
+        both, queries, dim=64, k=2, n_lists=16, n_probe=2, m=8,
+        shortlist=256,
+    )
+    return out.select("query_id", "vec_id", "sim", "rank")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """LSH-bucketed cosine near-dup, self-verifying: identical embeddings
     are planted (vec_id+1000000); identical vectors always share every
@@ -1359,6 +1381,7 @@ _QUERIES = {
         "winnow_overlap": q_winnow_overlap,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
@@ -1893,6 +1916,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         """,
         "ivf_topk": """
+            SELECT vec_id AS query_id, vec_id,
+                   CAST(1.0 AS DOUBLE) AS sim, 1 AS rank
+            FROM embeddings WHERE vec_id < 5
+            UNION ALL
+            SELECT vec_id, vec_id + 1000000, CAST(1.0 AS DOUBLE), 2
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "ivf_pq_topk": """
             SELECT vec_id AS query_id, vec_id,
                    CAST(1.0 AS DOUBLE) AS sim, 1 AS rank
             FROM embeddings WHERE vec_id < 5

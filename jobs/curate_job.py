@@ -7,6 +7,7 @@ selection pipeline (rdf_spark.curate) as a batch job:
         [--text-col text] [--lang-col lang] [--key-col doc_id] \\
         [--strip-boilerplate N]   # stage 0: drop lines in >=N docs
         [--scrub-pii]             # redact emails/IPs/phones pre-flags
+        [--near-dup-threshold J]  # MinHash near-dup stage at jaccard>=J
 
 Writes three outputs under --out:
   kept/    the curated corpus (original + quality/repetition signals)
@@ -37,6 +38,7 @@ def main(argv=None) -> int:
     ap.add_argument("--key-col", default="doc_id")
     ap.add_argument("--strip-boilerplate", type=int, default=None)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--near-dup-threshold", type=float, default=None)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,6 +57,10 @@ def main(argv=None) -> int:
         key_col=args.key_col,
         strip_boilerplate=args.strip_boilerplate,
         scrub_pii=args.scrub_pii,
+        near_dup=(
+            dict(threshold=args.near_dup_threshold)
+            if args.near_dup_threshold is not None else None
+        ),
     )
     docs = spark.read.parquet(args.in_path)
     report = curate.curate_report(docs, **kwargs)

@@ -264,6 +264,189 @@ def ivf_topk(
     return _exact_rerank(cands, embeddings, queries, k, id_col, vec_col, query_id_col)
 
 
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    sample_size: int = 50_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Train product-quantization codebooks: the (L2-normalized) vector is
+    split into ``m`` subvectors of ``dim // m`` dims; each subspace gets
+    its own ``n_codes``-centroid k-means (Euclidean — PQ quantizes
+    subvector positions, not angles).  Returns an ``(m, n_codes, dim/m)``
+    tensor.  Like :func:`train_ivf_centroids`, training runs on a bounded
+    driver-side sample (the only driver data movement); encoding and
+    search stay distributed.  Deterministic (seeded init, fixed
+    iterations)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    if n_codes > 256:
+        raise ValueError("n_codes > 256 does not fit the 1-byte PQ code")
+    sample = embeddings.select(vec_col).limit(sample_size).collect()
+    if not sample:
+        raise ValueError("cannot train PQ codebooks on an empty embeddings table")
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    if mat.shape[1] != dim:
+        raise ValueError(f"embedding dim {mat.shape[1]} does not match dim={dim}")
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    k = min(n_codes, len(mat))
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for sub in range(m):
+        x = mat[:, sub * dsub:(sub + 1) * dsub]
+        cent = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(n_iter):
+            # ||x-c||² = |x|² - 2x·c + |c|²; |x|² is constant per row, so
+            # argmin needs only the last two terms (one matmul, no n×k×d)
+            d = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[sub] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) rows — per subspace the nearest codebook entry, packed
+    ONE BYTE per subspace into a ``binary`` column: an m-byte code per
+    vector instead of dim×8 bytes of doubles (d=64, m=8 → 64× smaller).
+    Narrow numpy pass; the codebook tensor (m × 256 × dim/m doubles)
+    rides the task closure — broadcast-sized by construction."""
+    m, n_codes, dsub = codebooks.shape
+    cb_norms = (codebooks ** 2).sum(axis=2)  # (m, n_codes)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((n, m), dtype=np.uint8)
+            for sub in range(m):
+                x = mat[:, sub * dsub:(sub + 1) * dsub]
+                # argmin ||x-c||² = argmin |c|² - 2x·c (|x|² constant per row)
+                d = cb_norms[sub][None, :] - 2.0 * (x @ codebooks[sub].T)
+                codes[:, sub] = d.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "codes": [c.tobytes() for c in codes],
+            })
+
+    return df.mapInPandas(run, f"{id_col} long, codes binary")
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 64,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    shortlist: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse quantizer → inverted lists → asymmetric-distance
+    (ADC) scoring over m-byte PQ codes → exact full-vector rerank on the
+    per-query top-``shortlist`` only.
+
+    Why this exists at 100 TB: plain :func:`ivf_topk` reranks EVERY
+    probed candidate against its full vector — candidate-side I/O is
+    n·(n_probe/n_lists)·dim×8 bytes per query.  Here candidates carry
+    only their m-byte code through the probe join; each query builds one
+    (m × n_codes) lookup table (LUT[sub][c] = q_sub · codebook[sub][c]),
+    scores candidates by m table lookups, and only ``shortlist`` rows per
+    query touch full vectors again — a dim·8/m-fold cut in candidate
+    bytes moved (64-dim, m=8 → 64×).  ADC error only affects shortlist
+    MEMBERSHIP; returned similarities are exact (the rerank recomputes
+    cosine on full vectors).  Identical planted vectors get identical
+    codes and therefore identical ADC scores — twin recall is structural,
+    like ivf_topk's.  The query set is collected to the driver for LUT
+    construction (queries are the small side by contract, exactly as
+    brute_force_topk broadcasts them)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, dim, n_lists, vec_col, seed=seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, dim, m, n_codes, vec_col, seed=seed
+        )
+    m_, _, dsub = codebooks.shape
+    e_assign = ivf_assign(embeddings, centroids, id_col, vec_col, n_probe=1)
+    e_codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    index = e_assign.join(e_codes, id_col)  # (id, list_id, codes): the PQ index
+    q_assign = ivf_assign(
+        queries.withColumnRenamed(query_id_col, id_col), centroids, id_col,
+        vec_col, n_probe=n_probe,
+    ).withColumnRenamed(id_col, query_id_col)
+    cands = (
+        index.join(F.broadcast(q_assign), "list_id")
+        .select(query_id_col, id_col, "codes")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qvecs = {}
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        qvecs[r[0]] = v / max(float(np.linalg.norm(v)), 1e-12)
+
+    def adc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        luts: dict = {}
+        sub_idx = np.arange(m_)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            scores = np.empty(n, dtype=np.float64)
+            codes_mat = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(n, m_)
+            for qid, idx in pdf.groupby(query_id_col).indices.items():
+                lut = luts.get(qid)
+                if lut is None:
+                    qv = qvecs[qid]
+                    lut = np.stack([
+                        codebooks[sub] @ qv[sub * dsub:(sub + 1) * dsub]
+                        for sub in range(m_)
+                    ])  # (m, n_codes)
+                    luts[qid] = lut
+                scores[idx] = lut[sub_idx[None, :], codes_mat[idx]].sum(axis=1)
+            yield pd.DataFrame({
+                query_id_col: pdf[query_id_col],
+                id_col: pdf[id_col],
+                "adc": scores,
+            })
+
+    scored = cands.mapInPandas(
+        adc, f"{query_id_col} long, {id_col} long, adc double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.asc(id_col))
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(short, embeddings, queries, k, id_col, vec_col, query_id_col)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     dim: int,

@@ -821,3 +821,63 @@ def test_analyze_documents_pii_count(spark):
     )
     got = {r.doc_id: r.n_pii for r in textops.analyze_documents(df).collect()}
     assert got == {1: 2, 2: 0}
+
+
+def test_ivf_pq_topk_recall(spark, embeddings):
+    """IVF-PQ (round-5): ADC over m-byte codes must keep the planted
+    cos≈0.98 twin in the shortlist so the exact rerank returns it as
+    true top-1 for ≥90% of queries — same bar as test_ivf_topk_recall."""
+    both = _perturbed_embeddings(spark, embeddings)
+    queries = both.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_top1 = {
+        (r.query_id, r.vec_id)
+        for r in ann.brute_force_topk(both, queries, k=2).collect()
+        if r.rank == 2
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ann.ivf_pq_topk(
+            both, queries, dim=64, k=5, n_lists=32, n_probe=4, m=8,
+            shortlist=64,
+        ).collect()
+    }
+    assert len(got & exact_top1) / len(exact_top1) >= 0.9
+    # returned sims are EXACT (rerank recomputes cosine on full vectors):
+    # every query finds itself at rank 1 with sim 1.0
+    self_rows = [
+        r for r in ann.ivf_pq_topk(
+            both, queries, dim=64, k=1, n_lists=32, n_probe=1, m=8
+        ).collect()
+    ]
+    assert all(r.query_id == r.vec_id and r.sim == 1.0 and r.rank == 1
+               for r in self_rows)
+    assert len(self_rows) == 30
+
+
+def test_pq_codes_compact_and_deterministic(spark, embeddings):
+    import numpy as np
+
+    books = ann.train_pq_codebooks(embeddings, dim=64, m=8)
+    books2 = ann.train_pq_codebooks(embeddings, dim=64, m=8)
+    assert np.allclose(books, books2)  # seeded
+    assert books.shape[0] == 8 and books.shape[2] == 8
+    codes = ann.pq_encode(embeddings, books).collect()
+    assert all(len(bytes(r.codes)) == 8 for r in codes)  # m bytes per vector
+    again = {r.vec_id: bytes(r.codes) for r in ann.pq_encode(embeddings, books).collect()}
+    assert all(bytes(r.codes) == again[r.vec_id] for r in codes)
+    # identical vectors → identical codes (twin recall is structural)
+    dup = embeddings.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    dup_codes = {r.vec_id - 1000000: bytes(r.codes)
+                 for r in ann.pq_encode(dup, books).collect()}
+    assert all(bytes(r.codes) == dup_codes[r.vec_id] for r in codes)
+
+
+def test_ivf_pq_parameter_validation(spark, embeddings):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        ann.train_pq_codebooks(embeddings, dim=64, m=7)
+    with _pytest.raises(ValueError, match="1-byte"):
+        ann.train_pq_codebooks(embeddings, dim=64, m=8, n_codes=512)
