@@ -373,7 +373,69 @@ def write_turtle(df: DataFrame, path: str, namespaces: dict | None = None) -> No
     """Write a (small) triples DataFrame as a single Turtle document.
 
     Golden-file-equal output needs one writer (SURVEY.md §3.3); at scale
-    prefer :func:`write_ntriples`, or group by subject-bucket to emit many
-    Turtle shards.
+    prefer :func:`write_ntriples` or :func:`encode_turtle_partitioned`.
     """
     encode_turtle_df(df, namespaces).write.mode("overwrite").text(path)
+
+
+def encode_turtle_partitioned(
+    df: DataFrame,
+    n_buckets: int = 16,
+    namespaces: dict | None = None,
+    generate_namespaces: bool = True,
+) -> DataFrame:
+    """Scale-out Turtle encode: subject-hash-bucketed shards, each a
+    complete canonical Turtle document → ``(bucket int, value string)``.
+
+    Why concatenating the shards (any order) is ONE valid Turtle document
+    that re-parses to the identical triple set:
+
+    - bucketing is on ``(s, s_kind)``, so every subject's triples are
+      co-located — the ``;``/``,`` predicate/object compression each
+      shard applies is exactly the single-stream encoder's for that
+      subject, and no statement straddles a shard boundary;
+    - each shard mints its own ``ns%d`` prefixes; ``@prefix``
+      redeclaration mid-document is legal Turtle and REBINDS, and every
+      shard's statements follow its own directives, so pname expansion
+      is shard-locally correct regardless of concatenation order;
+    - blank-node labels are the stored corpus-global lexicals
+      (skolemized or parser-assigned; never re-minted at encode time,
+      rdf.go:271-273 parity), so the same label in two shards denotes
+      the same node — merging on re-parse is correct, and distinct nodes
+      never collide.
+
+    The single-stream golden (encode_turtle_df) stays byte-canonical;
+    this output is canonical PER SHARD (same sort, same compression) but
+    shard concatenation order is bucket order, not global subject order —
+    the contract is set-equal re-parse, property-tested in
+    tests/test_turtle_roundtrip_property.py.
+    """
+    bucketed = df.withColumn(
+        "_bkt",
+        F.pmod(F.xxhash64(F.col("s"), F.col("s_kind")), F.lit(n_buckets)).cast("int"),
+    )
+
+    def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": [int(key[0])],
+            "value": [encode_turtle_pdf(pdf, namespaces, generate_namespaces)],
+        })
+
+    return bucketed.groupBy("_bkt").applyInPandas(enc, "bucket int, value string")
+
+
+def write_turtle_partitioned(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    namespaces: dict | None = None,
+) -> None:
+    """Write a large triples DataFrame as ``n_buckets`` Turtle shard
+    documents (one text row per shard; files concatenate into one valid
+    document — see :func:`encode_turtle_partitioned`)."""
+    (
+        encode_turtle_partitioned(df, n_buckets, namespaces)
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
