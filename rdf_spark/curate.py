@@ -153,6 +153,12 @@ def curate_report(
     if near_dup is not None:
         from rdf_spark.ops.dedup import near_dup_clusters
 
+        # localCheckpoint: the flag pipeline now has FOUR consumers (the
+        # clustering's signature pass, verify-join text lookup, final id
+        # join, and the report's own reason projection) — checkpoint the
+        # flagged frame once so each reads the materialized rows instead
+        # of re-running the scan+flags+dedup subtree
+        out = out.localCheckpoint()
         survivors = out.filter(
             F.col("_eligible") & (F.col(key_col) == F.col("_rep_id"))
         ).select(key_col, text_col)

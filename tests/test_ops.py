@@ -881,3 +881,19 @@ def test_ivf_pq_parameter_validation(spark, embeddings):
         ann.train_pq_codebooks(embeddings, dim=64, m=7)
     with _pytest.raises(ValueError, match="1-byte"):
         ann.train_pq_codebooks(embeddings, dim=64, m=8, n_codes=512)
+
+
+def test_near_dup_clusters_cc_paths_equivalent(spark, documents):
+    """Round-5: the driver union-find shortcut (small pair graphs) and
+    the distributed CC must produce identical clusters."""
+    d = documents.select("doc_id", "text").limit(200)
+    dup = d.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    both = d.unionByName(dup)
+    small = {(r.doc_id, r.cluster) for r in dedup.near_dup_clusters(
+        both, threshold=0.9).collect()}
+    dist = {(r.doc_id, r.cluster) for r in dedup.near_dup_clusters(
+        both, threshold=0.9, cc_collect_max=0).collect()}
+    assert small == dist
+    assert any(c != i for i, c in small)  # planted dups actually cluster
