@@ -641,6 +641,23 @@ def q_sparql_path_grouped(spark, sf_dir):
     """)
 
 
+def q_sparql_arith(spark, sf_dir):
+    """SPARQL numeric arithmetic (round-5): BIND(?b * 2 + 1) with
+    standard precedence, consumed by a selective FILTER.  Both engines
+    derive the score from the same 2-dp decimal lexical via correctly-
+    rounded double conversion, then one exact ×2 scaling and one exact
+    +1 — bit-identical IEEE on both sides, no rounding needed."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_meta_triples(spark, sf_dir), """
+        SELECT ?c ?score WHERE {
+            ?c <urn:ex:bal> ?b .
+            BIND(?b * 2 + 1 AS ?score)
+            FILTER(?score > 5000)
+        }
+    """)
+
+
 def q_sparql_subquery(spark, sf_dir):
     """SPARQL subquery (round-5): `{ SELECT ... GROUP BY ... }` inside
     WHERE — the inner aggregate (customers per nation) evaluates
@@ -1408,6 +1425,7 @@ _QUERIES = {
         "sparql_path_unanchored": q_sparql_path_unanchored,
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
+        "sparql_arith": q_sparql_arith,
         "sparql_minus": q_sparql_minus,
         "sparql_graph": q_sparql_graph,
         "sparql_funcs": q_sparql_funcs,
@@ -2244,6 +2262,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS k
                 FROM customer GROUP BY c_nationkey
             ) t ON c.c_nationkey = t.c_nationkey
+        """,
+        "sparql_arith": """
+            SELECT 'urn:cust:' || c_custkey AS c,
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) * 2 + 1
+                       AS score
+            FROM customer
+            WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) * 2 + 1
+                  > 5000
         """,
         "sparql_minus": """
             SELECT 'urn:cust:' || c_custkey AS c FROM customer

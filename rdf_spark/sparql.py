@@ -85,7 +85,11 @@ comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``, ``bound(?v)``,
 ``contains/strstarts/strends(x, y)``, ``langMatches(lang(?v), "en")``
 (basic RFC 4647 ranges incl. ``"*"``), ``?v IN (const, …)``, and the
 operand functions ``strlen/lcase/ucase/str/concat/substr/replace(x)``
-(REPLACE is regex-based; SUBSTR is 1-based) plus the accessors
+(REPLACE is regex-based; SUBSTR is 1-based), numeric arithmetic
+``+ - * /`` with standard precedence and ``( )`` grouping (operands
+cast to double; ``/`` → try_divide so division by zero drops the
+solution like SPARQL's evaluation error), ``COALESCE(x, …)``,
+``IF(cond, a, b)``, plus the accessors
 ``lang(?v)`` / ``datatype(?v)`` (these need the canonical metadata
 columns ``s_kind o_kind o_datatype o_lang`` on the triple DataFrame,
 and ?v bound by a required triple pattern of the same group; LANG of a
@@ -129,7 +133,7 @@ _TOKEN_RE = re.compile(
       | (?P<number>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+))
       | (?P<pname>[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
       | (?P<word>[A-Za-z][A-Za-z0-9_]*)
-      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;|/^])
+      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;|/^-])
     )""",
     re.X,
 )
@@ -720,10 +724,19 @@ class _Parser:
             self.next()
             return ("not", self.unary())
         if self.peek() == ("op", "("):
-            self.next()
-            e = self.expr()
-            self.eat_op(")")
-            return e
+            # ambiguous: boolean grouping `(?a > 1 || ...)` vs an
+            # arithmetic-grouped comparison `(?a + 1) * 2 > ?b`.  Try the
+            # boolean read first; on failure rewind and parse as an
+            # operand comparison (the token index makes this a cheap
+            # backtrack).
+            mark = self.i
+            try:
+                self.next()
+                e = self.expr()
+                self.eat_op(")")
+                return e
+            except SparqlError:
+                self.i = mark
         if self.at_word("REGEX"):
             self.next()
             self.eat_op("(")
@@ -776,7 +789,31 @@ class _Parser:
         return ("cmp", v, left, right)
 
     def operand(self):
+        """Arithmetic operand grammar (round-5): additive over
+        multiplicative over primary — ``?a + ?b * 2`` groups as
+        ``?a + (?b * 2)``; '(' groups; arithmetic evaluates numerically
+        (lexicals cast to double), '/' compiles to try_divide (SPARQL:
+        division by zero is an error → the solution drops, which NULL
+        reproduces through any comparison/filter)."""
+        left = self._operand_mult()
+        while self.peek() in (("op", "+"), ("op", "-")):
+            sign = self.next()[1]
+            left = ("arith", sign, left, self._operand_mult())
+        return left
+
+    def _operand_mult(self):
+        left = self.operand_primary()
+        while self.peek() in (("op", "*"), ("op", "/")):
+            sign = self.next()[1]
+            left = ("arith", sign, left, self.operand_primary())
+        return left
+
+    def operand_primary(self):
         kind, v = self.next()
+        if kind == "op" and v == "(":
+            e = self.operand()
+            self.eat_op(")")
+            return e
         if kind == "var":
             return ("var", v[1:])
         if kind == "string":
@@ -830,6 +867,23 @@ class _Parser:
             if pat[0] != "str" or rep[0] != "str":
                 raise SparqlError("REPLACE needs string pattern/replacement")
             return ("replace", x, pat[1], rep[1])
+        if kind == "word" and v.upper() == "COALESCE":
+            self.eat_op("(")
+            parts = [self.operand()]
+            while self.peek() == ("op", ","):
+                self.next()
+                parts.append(self.operand())
+            self.eat_op(")")
+            return ("coalesce", parts)
+        if kind == "word" and v.upper() == "IF":
+            self.eat_op("(")
+            cond = self.expr()
+            self.eat_op(",")
+            then = self.operand()
+            self.eat_op(",")
+            other = self.operand()
+            self.eat_op(")")
+            return ("if", cond, then, other)
         raise SparqlError(f"bad operand {v!r}")
 
     def modifiers(self, ast: _Ast):
@@ -895,6 +949,26 @@ def _operand_col(op, numeric: bool) -> Column:
     if kind == "replace":  # SPARQL REPLACE is regex-based
         _, x, pat, rep = op
         return F.regexp_replace(_operand_col(x, False), pat, rep)
+    if kind == "arith":
+        _, sign, a, b = op
+        ca, cb = _operand_col(a, True), _operand_col(b, True)
+        if sign == "+":
+            return ca + cb
+        if sign == "-":
+            return ca - cb
+        if sign == "*":
+            return ca * cb
+        # SPARQL: division by zero is an evaluation error → the solution
+        # drops; try_divide's NULL reproduces that through any filter
+        # (and avoids Spark 4 ANSI's hard error)
+        return F.try_divide(ca, cb)
+    if kind == "coalesce":
+        return F.coalesce(*[_operand_col(p, numeric) for p in op[1]])
+    if kind == "if":
+        _, cond, then, other = op
+        return F.when(_compile_expr(cond), _operand_col(then, numeric)).otherwise(
+            _operand_col(other, numeric)
+        )
     if kind == "meta":
         _, fn, var = op
         kindc = F.col(f"_meta_kind_{var}")
@@ -924,13 +998,21 @@ def _operand_vars(op, meta_only: bool = False) -> set[str]:
         return _operand_vars(op[2], meta_only)
     if op[0] == "meta":
         return {op[2]}
-    if op[0] == "concat":
+    if op[0] in ("concat", "coalesce"):
         out: set[str] = set()
         for p in op[1]:
             out |= _operand_vars(p, meta_only)
         return out
     if op[0] in ("substr", "replace"):
         return _operand_vars(op[1], meta_only)
+    if op[0] == "arith":
+        return _operand_vars(op[2], meta_only) | _operand_vars(op[3], meta_only)
+    if op[0] == "if":
+        return (
+            _expr_vars(op[1], meta_only)
+            | _operand_vars(op[2], meta_only)
+            | _operand_vars(op[3], meta_only)
+        )
     return set()
 
 
@@ -994,7 +1076,7 @@ def _compile_expr(e) -> Column:
         return _operand_col(left, numeric).isin(vals)
     if tag == "cmp":
         _, op, a, b = e
-        numeric = a[0] == "num" or b[0] == "num"
+        numeric = a[0] in ("num", "arith") or b[0] in ("num", "arith")
         ca, cb = _operand_col(a, numeric), _operand_col(b, numeric)
         return {
             "=": ca == cb, "!=": ca != cb, "<": ca < cb,

@@ -1233,3 +1233,58 @@ def test_subquery_errors(tri):
         """).collect()
     with pytest.raises(SparqlError):  # empty nested group
         sparql_select(tri, "SELECT ?n WHERE { ?c <urn:name> ?n . { } }").collect()
+
+
+# --- round-5: arithmetic, COALESCE, IF ---
+
+
+def test_arithmetic_in_bind_and_filter(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n ?x WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b .
+            BIND(?b * 2 + 1 AS ?x) }
+    """))
+    assert got == [("Alice", 22.0), ("Bob", 7.0)]
+    # precedence: * binds tighter than +; parens override
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            FILTER((?b + 1) * 2 > 10) }
+    """))
+    assert got == [("Alice",)]
+    # subtraction and division
+    got = sorted(_run(tri, """
+        SELECT ?n ?h WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b .
+            BIND(?b / 2 - 1 AS ?h) }
+    """))
+    assert got == [("Alice", 4.25), ("Bob", 0.5)]
+
+
+def test_division_by_zero_drops_solution(tri):
+    # SPARQL: /0 is an evaluation error → the row is filtered, not kept
+    got = _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            FILTER(?b / 0 > 0) }
+    """)
+    assert got == []
+
+
+def test_coalesce_and_if(tri):
+    got = dict(_run(tri, """
+        SELECT ?n ?v WHERE { ?c <urn:name> ?n
+            OPTIONAL { ?c <urn:bal> ?b }
+            BIND(COALESCE(?b, "none") AS ?v) }
+    """))
+    assert got == {"Alice": "10.5", "Bob": "3", "Ann": "none"}
+    got = dict(_run(tri, """
+        SELECT ?n ?t WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b .
+            BIND(IF(?b > 5, "big", "small") AS ?t) }
+    """))
+    assert got == {"Alice": "big", "Bob": "small"}
+
+
+def test_boolean_parens_still_work_alongside_arith_parens(tri):
+    # the unary() backtrack must not break boolean grouping
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            FILTER((?b > 5 || ?n = "Bob") && bound(?b)) }
+    """))
+    assert got == [("Alice",), ("Bob",)]
