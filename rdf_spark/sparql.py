@@ -921,10 +921,18 @@ class _Parser:
                 raise SparqlError("empty ORDER BY")
         if self.at_word("LIMIT"):
             self.next()
-            ast.limit = int(self.next()[1])
+            ast.limit = self._int("LIMIT")
         if self.at_word("OFFSET"):
             self.next()
-            ast.offset = int(self.next()[1])
+            ast.offset = self._int("OFFSET")
+
+    def _int(self, what: str) -> int:
+        kind, v = self.next()
+        # a non-negative integer NUMBER token; "1.5", "-", or a word must
+        # be a SparqlError, not a ValueError out of int()
+        if kind != "number" or not v.isdigit():
+            raise SparqlError(f"{what} needs a non-negative integer, got {v!r}")
+        return int(v)
 
 
 def _operand_col(op, numeric: bool) -> Column:

@@ -1288,3 +1288,15 @@ def test_boolean_parens_still_work_alongside_arith_parens(tri):
             FILTER((?b > 5 || ?n = "Bob") && bound(?b)) }
     """))
     assert got == [("Alice",), ("Bob",)]
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT ?n WHERE { ?c <urn:name> ?n } LIMIT -",
+    "SELECT ?n WHERE { ?c <urn:name> ?n } LIMIT 1.5",
+    "SELECT ?n WHERE { ?c <urn:name> ?n } LIMIT -3",
+    "SELECT ?n WHERE { ?c <urn:name> ?n } OFFSET x",
+])
+def test_limit_offset_integer_guard(tri, bad):
+    # must be SparqlError, never a raw ValueError out of int()
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
