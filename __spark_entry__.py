@@ -641,6 +641,18 @@ def q_sparql_path_grouped(spark, sf_dir):
     """)
 
 
+def q_sparql_describe_var(spark, sf_dir):
+    """DESCRIBE ?var WHERE (round-5): the variable's distinct bindings
+    semi-join the triple table on subject and object — customer 1's
+    nation is described by its name triple plus every inNation edge
+    pointing at it.  No collect: the binding set stays a DataFrame."""
+    from rdf_spark.sparql import sparql_describe
+
+    return sparql_describe(_customer_triples(spark, sf_dir), """
+        DESCRIBE ?n WHERE { <urn:cust:1> <urn:ex:inNation> ?n }
+    """)
+
+
 def q_sparql_arith(spark, sf_dir):
     """SPARQL numeric arithmetic (round-5): BIND(?b * 2 + 1) with
     standard precedence, consumed by a selective FILTER.  Both engines
@@ -1426,6 +1438,7 @@ _QUERIES = {
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
         "sparql_arith": q_sparql_arith,
+        "sparql_describe_var": q_sparql_describe_var,
         "sparql_minus": q_sparql_minus,
         "sparql_graph": q_sparql_graph,
         "sparql_funcs": q_sparql_funcs,
@@ -2270,6 +2283,25 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) * 2 + 1
                   > 5000
+        """,
+        "sparql_describe_var": """
+            WITH tri AS (
+                SELECT 'urn:cust:' || c_custkey AS s, 'rdf:type' AS p,
+                       'urn:ex:Customer' AS o FROM customer
+                UNION ALL
+                SELECT 'urn:cust:' || c_custkey, 'urn:ex:inNation',
+                       'urn:nation:' || c_nationkey FROM customer
+                UNION ALL
+                SELECT 'urn:nation:' || n_nationkey, 'urn:ex:name', n_name
+                FROM nation
+            ),
+            target AS (
+                SELECT 'urn:nation:' || c_nationkey AS nid FROM customer
+                WHERE c_custkey = 1
+            )
+            SELECT DISTINCT s, p, o FROM tri
+            WHERE s IN (SELECT nid FROM target)
+               OR o IN (SELECT nid FROM target)
         """,
         "sparql_minus": """
             SELECT 'urn:cust:' || c_custkey AS c FROM customer

@@ -15,7 +15,10 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
     SELECT [DISTINCT] (?var | (AGG(?v|*) AS ?alias))… | *
     CONSTRUCT { template triples }    -- → (s,p,o) DataFrame, set semantics
     ASK [WHERE] { group }             -- → bool
-    DESCRIBE <iri>…                   -- → subject/object-touching triples
+    DESCRIBE <iri>… | DESCRIBE ?v… WHERE { group }
+                                      -- → subject/object-touching triples
+                                         (?v forms semi-join the var's
+                                         distinct bindings — no collect)
     WHERE { group }  |  WHERE { { group } UNION { group } … }
       group: triple patterns '.'-separated
              property paths with full SPARQL 1.1 precedence — '^'
@@ -308,23 +311,32 @@ class _Parser:
         self._where_and_modifiers(ast, where_optional=True)
         return ast
 
-    def describe_query(self) -> list[str]:
+    def describe_query(self) -> tuple[list[str], list[str], "_Ast | None"]:
+        """DESCRIBE <iri>… | DESCRIBE ?var… WHERE { group } (round-5) —
+        returns (iris, vars, where_ast_or_None); a WHERE clause is
+        required iff any ?var appears."""
         self.prologue()
         self.eat_word("DESCRIBE")
-        iris = []
+        iris, vars_ = [], []
         while True:
             kind, v = self.peek()
             if kind == "iri":
                 iris.append(self.next()[1][1:-1])
             elif kind == "pname":
                 iris.append(self.expand_pname(self.next()[1]))
+            elif kind == "var":
+                vars_.append(self.next()[1][1:])
             else:
                 break
-        if not iris:
-            raise SparqlError("DESCRIBE needs at least one <iri>")
-        if self.peek()[0] != "eof":
+        if not (iris or vars_):
+            raise SparqlError("DESCRIBE needs at least one <iri> or ?var")
+        ast = None
+        if vars_:
+            ast = _Ast()
+            self._where_and_modifiers(ast)
+        elif self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
-        return iris
+        return iris, vars_, ast
 
     def query(self) -> _Ast:
         self.prologue()
@@ -1562,11 +1574,37 @@ def sparql_ask(triples: DataFrame, query: str) -> bool:
 
 
 def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
-    """DESCRIBE <iri>…: every triple where one of the IRIs appears as
-    subject or object (the simple symmetric-concise-bounded variant,
-    matching ops.graph.describe) — two scan-pushable IN filters."""
-    iris = _Parser(query).describe_query()
-    return triples.filter(F.col("s").isin(iris) | F.col("o").isin(iris))
+    """DESCRIBE <iri>… [?var… WHERE { group }]: every triple where a
+    described term appears as subject or object (the simple symmetric-
+    concise-bounded variant, matching ops.graph.describe).  Constant IRIs
+    become two scan-pushable IN filters; ?var forms (round-5) evaluate
+    the WHERE group, take the variable's distinct bindings, and LEFT SEMI
+    join the triple table on subject and on object — never a collect, so
+    a million-binding DESCRIBE stays distributed."""
+    iris, vars_, ast = _Parser(query).describe_query()
+    parts = []
+    if iris:
+        parts.append(
+            triples.filter(F.col("s").isin(iris) | F.col("o").isin(iris))
+        )
+    if vars_:
+        sols = _apply_row_modifiers(_solutions(triples, ast), ast)
+        missing = [v for v in vars_ if v not in sols.columns]
+        if missing:
+            raise SparqlError(f"DESCRIBE of unbound variable(s) {missing}")
+        for v in vars_:
+            vals = sols.select(v).distinct()
+            parts.append(triples.join(
+                vals.withColumnRenamed(v, "s"), "s", "left_semi"
+            ))
+            parts.append(triples.join(
+                vals.withColumnRenamed(v, "o"), "o", "left_semi"
+            ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # a triple can match several described terms / both positions
+    return out.dropDuplicates() if len(parts) > 1 else out
 
 
 def sniff_form(query: str) -> str:

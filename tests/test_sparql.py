@@ -1300,3 +1300,32 @@ def test_limit_offset_integer_guard(tri, bad):
     # must be SparqlError, never a raw ValueError out of int()
     with pytest.raises(SparqlError):
         sparql_select(tri, bad).collect()
+
+
+def test_describe_var_where(tri):
+    from rdf_spark.sparql import sparql_describe
+
+    # everyone Alice knows: c2 — all triples touching c2
+    got = sorted(tuple(r) for r in sparql_describe(tri, """
+        DESCRIBE ?k WHERE { ?c <urn:name> "Alice" . ?c <urn:knows> ?k }
+    """).collect())
+    assert got == sorted([
+        ("urn:c2", RDF_TYPE, "urn:Customer"),
+        ("urn:c2", "urn:name", "Bob"),
+        ("urn:c2", "urn:bal", "3"),
+        ("urn:c2", "urn:knows", "urn:c3"),
+        ("urn:c1", "urn:knows", "urn:c2"),
+    ])
+    # mixed constant + var, duplicates collapsed
+    got2 = {tuple(r) for r in sparql_describe(tri, """
+        DESCRIBE <urn:c2> ?k WHERE { ?c <urn:knows> ?k }
+    """).collect()}
+    assert ("urn:c2", "urn:name", "Bob") in got2
+    assert ("urn:c3", "urn:name", "Ann") in got2
+    # LIMIT applies to the solution sequence before describing
+    got3 = {tuple(r) for r in sparql_describe(tri, """
+        DESCRIBE ?k WHERE { ?c <urn:knows> ?k } ORDER BY ?k LIMIT 1
+    """).collect()}
+    assert all("urn:c2" in (r[0], r[2]) for r in got3) and got3
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_describe(tri, "DESCRIBE ?z WHERE { ?c <urn:name> ?n }").collect()
