@@ -164,8 +164,24 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
                     )
                 out.append((kind, v))
                 break
+    # reject pathological nesting up front: the recursive-descent parser
+    # (and the arithmetic/boolean backtrack) would otherwise surface a
+    # RecursionError instead of a SparqlError on '((((((…' inputs
+    depth = 0
+    for kind, v in out:
+        if kind == "op" and v in ("(", "{"):
+            depth += 1
+            if depth > _MAX_NESTING:
+                raise SparqlError(
+                    f"query nesting deeper than {_MAX_NESTING} levels"
+                )
+        elif kind == "op" and v in (")", "}"):
+            depth -= 1
     out.append(("eof", ""))
     return out
+
+
+_MAX_NESTING = 200
 
 
 _STRING_ESCAPES = {
