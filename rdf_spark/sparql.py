@@ -461,16 +461,30 @@ class _Parser:
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
 
     def pattern_block(self, what: str) -> list[tuple[str, str, str]]:
+        """Triple patterns of an OPTIONAL/EXISTS/MINUS/GRAPH block.
+        Round-5: property paths are allowed wherever they compile to
+        plain patterns (atoms, inverses, negated sets, atom sequences
+        via fresh-var hops, uniform alternations); closures raise — the
+        block compilers consume pattern lists, not arbitrary binding
+        tables."""
         self.eat_op("{")
-        block = []
+        scratch = _Group()
         while self.peek() != ("op", "}"):
-            block.append(self.triple())
+            s = self.term("s")
+            node = self.path_expr()
+            o = self.term("o")
+            self._plant_path(scratch, s, node, o)
+            if scratch.paths or scratch.generic_paths:
+                raise SparqlError(
+                    "property-path closures are not supported inside "
+                    f"{what} blocks"
+                )
             if self.peek() == ("op", "."):
                 self.next()
         self.next()  # }
-        if not block:
+        if not scratch.patterns:
             raise SparqlError(f"empty {what} block")
-        return block
+        return scratch.patterns
 
     def group(self, g: _Group):
         while True:

@@ -1329,3 +1329,29 @@ def test_describe_var_where(tri):
     assert all("urn:c2" in (r[0], r[2]) for r in got3) and got3
     with pytest.raises(SparqlError, match="unbound"):
         sparql_describe(tri, "DESCRIBE ?z WHERE { ?c <urn:name> ?n }").collect()
+
+
+def test_paths_inside_optional_exists_minus(tri):
+    # round-5: path shapes that compile to plain patterns work inside
+    # OPTIONAL / EXISTS / MINUS blocks
+    got = dict(_run(tri, """
+        SELECT ?n ?fofn WHERE { ?c <urn:name> ?n
+            OPTIONAL { ?c <urn:knows>/<urn:name> ?fofn } }
+    """))
+    assert got == {"Alice": "Bob", "Bob": "Ann", "Ann": None}
+    got2 = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER EXISTS { ?c <urn:knows>|<urn:bal> ?x } }
+    """))
+    assert got2 == [("Alice",), ("Bob",)]
+    got3 = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            MINUS { ?x ^<urn:knows> ?c } }
+    """))
+    # ?x ^knows ?c ≡ ?c knows ?x: c1 and c2 know someone → removed
+    assert got3 == [("Ann",)]
+    with pytest.raises(SparqlError, match="closures are not supported"):
+        sparql_select(tri, """
+            SELECT ?n WHERE { ?c <urn:name> ?n
+                OPTIONAL { ?c <urn:knows>+ ?k } }
+        """).collect()
