@@ -670,6 +670,30 @@ def q_sparql_arith(spark, sf_dir):
     """)
 
 
+def q_sparql_builtins(spark, sf_dir):
+    """SPARQL builtin pack (round-5): term-kind tests (isLiteral /
+    isNumeric over carried datatype metadata), numeric ABS/FLOOR/CEIL/
+    ROUND (XPath ties-toward-+inf via floor(x+0.5), identical in both
+    engines), and STRAFTER.  The ABS filter is genuinely selective
+    (|bal| > 4000 keeps ~half the customers at every scale); the
+    balances are 2-dp decimal lexicals so the double conversion is
+    correctly-rounded and bit-identical on both sides."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_meta_triples(spark, sf_dir), """
+        SELECT ?c ?idpart ?whole ?up ?rnd WHERE {
+            ?c <urn:ex:name> ?nm .
+            ?c <urn:ex:bal> ?b .
+            FILTER(isLiteral(?nm) && !isNumeric(?nm) && isNumeric(?b)
+                   && ABS(?b) > 4000)
+            BIND(STRAFTER(?nm, "#") AS ?idpart)
+            BIND(FLOOR(?b) AS ?whole)
+            BIND(CEIL(?b) AS ?up)
+            BIND(ROUND(?b) AS ?rnd)
+        }
+    """)
+
+
 def q_sparql_subquery(spark, sf_dir):
     """SPARQL subquery (round-5): `{ SELECT ... GROUP BY ... }` inside
     WHERE — the inner aggregate (customers per nation) evaluates
@@ -1438,6 +1462,7 @@ _QUERIES = {
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
         "sparql_arith": q_sparql_arith,
+        "sparql_builtins": q_sparql_builtins,
         "sparql_describe_var": q_sparql_describe_var,
         "sparql_minus": q_sparql_minus,
         "sparql_graph": q_sparql_graph,
@@ -2283,6 +2308,19 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) * 2 + 1
                   > 5000
+        """,
+        "sparql_builtins": """
+            WITH b AS (
+                SELECT c_custkey, c_name,
+                       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
+                FROM customer
+            )
+            SELECT 'urn:cust:' || c_custkey AS c,
+                   substr(c_name, strpos(c_name, '#') + 1) AS idpart,
+                   FLOOR(v) AS whole,
+                   CEIL(v) AS up,
+                   FLOOR(v + 0.5) AS rnd
+            FROM b WHERE ABS(v) > 4000
         """,
         "sparql_describe_var": """
             WITH tri AS (

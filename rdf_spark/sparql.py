@@ -121,7 +121,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rdf_spark.ops.graph import META_COLS, bgp_match
-from rdf_spark.terms import KIND_LITERAL, RDF_LANG_STRING, RDF_TYPE, XSD_STRING
+from rdf_spark.terms import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_LANG_STRING,
+    RDF_TYPE,
+    XSD,
+    XSD_STRING,
+)
+
+# the XSD numeric datatype space ISNUMERIC() tests against (SPARQL 1.1
+# §17.4.2.4 operand types plus the derived integer types, matching the
+# reference's typed-conversion table, /root/reference/literal.go area)
+_XSD_NUMERIC = tuple(sorted(
+    XSD + n
+    for n in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong",
+        "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+))
 
 
 class SparqlError(ValueError):
@@ -807,6 +828,14 @@ class _Parser:
             if fn == "LANGMATCHES":
                 return ("langmatches", a, b)
             return ("strfn2", fn, a, b)
+        if self.at_word("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC"):
+            fn = self.next()[1].upper()
+            self.eat_op("(")
+            var = self.next()
+            if var[0] != "var":
+                raise SparqlError(f"{fn}(?var) expected")
+            self.eat_op(")")
+            return ("istest", "ISIRI" if fn == "ISURI" else fn, var[1][1:])
         left = self.operand()
         if self.at_word("IN"):
             self.next()
@@ -868,6 +897,24 @@ class _Parser:
             inner = self.operand()
             self.eat_op(")")
             return ("fn", fn, inner)
+        if kind == "word" and v.upper() in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            fn = v.upper()
+            self.eat_op("(")
+            inner = self.operand()
+            self.eat_op(")")
+            return ("numfn", fn, inner)
+        if kind == "word" and v.upper() in ("STRBEFORE", "STRAFTER"):
+            fn = v.upper()
+            self.eat_op("(")
+            x = self.operand()
+            self.eat_op(",")
+            sep = self.operand()
+            self.eat_op(")")
+            if sep[0] != "str" or not sep[1]:
+                raise SparqlError(
+                    f"{fn} separator must be a non-empty string constant"
+                )
+            return ("strslice", fn, x, sep[1])
         if kind == "word" and v.upper() in ("LANG", "DATATYPE"):
             fn = v.upper()
             self.eat_op("(")
@@ -990,6 +1037,30 @@ def _operand_col(op, numeric: bool) -> Column:
         if fn == "STR":
             return c  # this dialect's bindings ARE lexical forms
         return F.lower(c) if fn == "LCASE" else F.upper(c)
+    if kind == "numfn":
+        _, fn, inner = op
+        c = _operand_col(inner, True)
+        if fn == "ABS":
+            return F.abs(c)
+        if fn == "CEIL":  # XPath fn:ceiling/floor return the argument's
+            return F.ceil(c).cast("double")  # type; inputs are doubles here
+        if fn == "FLOOR":
+            return F.floor(c).cast("double")
+        # XPath fn:round ties toward +inf (round(-2.5) = -2); both Spark's
+        # and DuckDB's native round() tie away from zero (-3), so compile
+        # to floor(x + 0.5) — identical in both engines AND spec-correct
+        return F.floor(c + F.lit(0.5)).cast("double")
+    if kind == "strslice":
+        _, fn, x, sep = op
+        c = _operand_col(x, False)
+        pos = F.instr(c, sep)
+        if fn == "STRBEFORE":  # SPARQL: "" when the separator is absent
+            return F.when(pos > 0, F.substring(c, F.lit(1), pos - 1)).otherwise(
+                F.lit("")
+            )
+        return F.when(
+            pos > 0, F.substring(c, pos + F.lit(len(sep)), F.lit(2**31 - 1))
+        ).otherwise(F.lit(""))
     if kind == "concat":
         return F.concat(*[_operand_col(p, False) for p in op[1]])
     if kind == "substr":  # SPARQL substr is 1-based, like F.substring
@@ -1044,7 +1115,9 @@ def _operand_col(op, numeric: bool) -> Column:
 def _operand_vars(op, meta_only: bool = False) -> set[str]:
     if op[0] == "var":
         return set() if meta_only else {op[1]}
-    if op[0] == "fn":
+    if op[0] in ("fn", "numfn"):
+        return _operand_vars(op[2], meta_only)
+    if op[0] == "strslice":
         return _operand_vars(op[2], meta_only)
     if op[0] == "meta":
         return {op[2]}
@@ -1076,6 +1149,8 @@ def _expr_vars(e, meta_only: bool = False) -> set[str]:
         return _expr_vars(e[1], meta_only)
     if tag in ("regex", "bound"):
         return set() if meta_only else {e[1]}
+    if tag == "istest":
+        return {e[2]}  # needs the carried kind (and dt) columns
     if tag == "strfn2":
         return _operand_vars(e[2], meta_only) | _operand_vars(e[3], meta_only)
     if tag == "langmatches":
@@ -1105,6 +1180,22 @@ def _compile_expr(e) -> Column:
         return F.col(e[1]).rlike(e[2])
     if tag == "bound":
         return F.col(e[1]).isNotNull()
+    if tag == "istest":
+        _, fn, var = e
+        kindc = F.col(f"_meta_kind_{var}")
+        if fn == "ISIRI":
+            return kindc == str(KIND_IRI)
+        if fn == "ISBLANK":
+            return kindc == str(KIND_BLANK)
+        if fn == "ISLITERAL":
+            return kindc == str(KIND_LITERAL)
+        # ISNUMERIC: a literal whose datatype is an XSD numeric type
+        # (lexical validity is the decoder's responsibility upstream).
+        # A dt-less (plain/lang) literal has a NULL tag — isin would
+        # yield NULL and poison a surrounding NOT; coalesce to False.
+        return (kindc == str(KIND_LITERAL)) & F.coalesce(
+            F.col(f"_meta_dt_{var}").isin(list(_XSD_NUMERIC)), F.lit(False)
+        )
     if tag == "strfn2":
         _, fn, a, b = e
         ca, cb = _operand_col(a, False), _operand_col(b, False)
@@ -1475,8 +1566,8 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         for mv in mvars:
             if f"_meta_kind_{mv}" not in df.columns:
                 raise SparqlError(
-                    f"LANG()/DATATYPE() over ?{mv} needs it bound by a "
-                    "required triple pattern in the same group"
+                    f"LANG()/DATATYPE()/isIRI-family over ?{mv} needs it "
+                    "bound by a required triple pattern in the same group"
                 )
 
     for var, ex in g.binds:

@@ -1355,3 +1355,126 @@ def test_paths_inside_optional_exists_minus(tri):
             SELECT ?n WHERE { ?c <urn:name> ?n
                 OPTIONAL { ?c <urn:knows>+ ?k } }
         """).collect()
+
+
+def test_numeric_builtins(tri):
+    # ABS/CEIL/FLOOR over computed arithmetic; ROUND ties toward +inf
+    # (XPath fn:round), which floor(x+0.5) reproduces
+    got = dict(_run(tri, """
+        SELECT ?n ?v WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            BIND(CEIL(?b) AS ?v) }
+    """))
+    assert got == {"Alice": 11.0, "Bob": 3.0}
+    got = dict(_run(tri, """
+        SELECT ?n ?v WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            BIND(FLOOR(?b) AS ?v) }
+    """))
+    assert got == {"Alice": 10.0, "Bob": 3.0}
+    got = dict(_run(tri, """
+        SELECT ?n ?v WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            BIND(ABS(1 - ?b) AS ?v) }
+    """))
+    assert got == {"Alice": 9.5, "Bob": 2.0}
+    got = dict(_run(tri, """
+        SELECT ?n ?v WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            BIND(ROUND(?b) AS ?v) }
+    """))
+    assert got == {"Alice": 11.0, "Bob": 3.0}
+    # the tie case: ROUND(-2.5) = -2 toward +inf, not -3 away from zero
+    got = _run(tri, """
+        SELECT DISTINCT ?v WHERE { ?c <urn:name> ?n
+            BIND(ROUND(0 - 2.5) AS ?v) }
+    """)
+    assert got == [(-2.0,)]
+    # usable inside FILTER comparisons
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b
+            FILTER(FLOOR(?b) = 10) }
+    """))
+    assert got == [("Alice",)]
+
+
+def test_strbefore_strafter(tri):
+    got = dict(_run(tri, """
+        SELECT ?n ?v WHERE { ?c <urn:name> ?n
+            BIND(STRBEFORE(?n, "n") AS ?v) }
+    """))
+    # SPARQL: "" when the separator does not occur (Bob has no "n")
+    assert got == {"Alice": "", "Bob": "", "Ann": "A"}
+    got = dict(_run(tri, """
+        SELECT ?n ?v WHERE { ?c <urn:name> ?n
+            BIND(STRAFTER(?n, "A") AS ?v) }
+    """))
+    assert got == {"Alice": "lice", "Bob": "", "Ann": "nn"}
+    # multi-char separator, first occurrence
+    got = dict(_run(tri, """
+        SELECT ?n ?v WHERE { ?c <urn:name> ?n
+            BIND(STRAFTER(CONCAT(?n, "--", ?n), "--") AS ?v) }
+    """))
+    assert got == {"Alice": "Alice", "Bob": "Bob", "Ann": "Ann"}
+    with pytest.raises(SparqlError, match="separator"):
+        sparql_select(tri, """
+            SELECT ?v WHERE { ?c <urn:name> ?n
+                BIND(STRBEFORE(?n, ?n) AS ?v) }
+        """).collect()
+
+
+def test_term_kind_tests(trim):
+    got = sorted(_run(trim, """
+        SELECT ?o WHERE { <urn:c1> ?p ?o FILTER(ISIRI(?o)) }
+    """))
+    assert got == [("urn:c2",)]
+    # isURI is a synonym; case-insensitive keyword
+    got = sorted(_run(trim, """
+        SELECT ?o WHERE { <urn:c1> ?p ?o FILTER(isUri(?o)) }
+    """))
+    assert got == [("urn:c2",)]
+    got = sorted(_run(trim, """
+        SELECT ?o WHERE { <urn:c1> ?p ?o FILTER(isLiteral(?o)) }
+    """))
+    assert got == [("10",), ("Alice",)]
+    got = sorted(_run(trim, """
+        SELECT ?o WHERE { <urn:c1> ?p ?o FILTER(isNumeric(?o)) }
+    """))
+    assert got == [("10",)]
+    # no blank nodes in this store; predicates are always IRIs
+    assert _run(trim, """
+        SELECT ?o WHERE { <urn:c1> ?p ?o FILTER(ISBLANK(?o)) }
+    """) == []
+    got = sorted(_run(trim, """
+        SELECT ?p WHERE { <urn:c1> ?p ?o FILTER(ISIRI(?p) && isLiteral(?o)) }
+    """))
+    assert got == [("urn:age",), ("urn:name",)]
+    # negation composes
+    got = sorted(_run(trim, """
+        SELECT ?o WHERE { <urn:c1> ?p ?o
+            FILTER(isLiteral(?o) && !isNumeric(?o)) }
+    """))
+    assert got == [("Alice",)]
+
+
+def test_term_kind_blank(spark):
+    from rdf_spark.terms import KIND_BLANK, KIND_IRI, KIND_LITERAL
+
+    rows = [
+        ("urn:c1", KIND_IRI, "urn:knows", "b0", KIND_BLANK, None, None),
+        ("b0", KIND_BLANK, "urn:name", "Zed", KIND_LITERAL, None, None),
+    ]
+    trib = spark.createDataFrame(
+        rows,
+        "s string, s_kind tinyint, p string, o string, o_kind tinyint, "
+        "o_datatype string, o_lang string",
+    )
+    got = _run(trib, "SELECT ?o WHERE { ?s ?p ?o FILTER(ISBLANK(?o)) }")
+    assert got == [("b0",)]
+    # subject-position kind is carried too
+    got = _run(trib, "SELECT ?s WHERE { ?s ?p ?o FILTER(ISBLANK(?s)) }")
+    assert got == [("b0",)]
+
+
+def test_istest_requires_required_binding(trim):
+    with pytest.raises(SparqlError, match="isIRI-family"):
+        sparql_select(trim, """
+            SELECT ?x WHERE { ?c <urn:name> ?n
+                OPTIONAL { ?c <urn:knows> ?x } FILTER(ISIRI(?x)) }
+        """).collect()
