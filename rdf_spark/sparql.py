@@ -400,6 +400,20 @@ class _Parser:
                     items.append(("var", self.next()[1][1:]))
                 elif kind == "op" and v == "(":
                     self.next()
+                    pk, pv = self.peek()
+                    if not (pk == "word" and pv.upper() in self._AGG_FNS):
+                        # (expr AS ?alias) projection — any operand
+                        # expression, compiled like an implicit BIND
+                        e = self.operand()
+                        self.eat_word("AS")
+                        alias = self.next()
+                        if alias[0] != "var":
+                            raise SparqlError(
+                                "expression projection needs AS ?alias"
+                            )
+                        self.eat_op(")")
+                        items.append(("expr", e, alias[1][1:]))
+                        continue
                     fn = self.eat_word(*self._AGG_FNS)
                     self.eat_op("(")
                     opts: dict = {}
@@ -806,10 +820,18 @@ class _Parser:
             var = self.operand()
             self.eat_op(",")
             pat = self.operand()
+            flags = ""
+            if self.peek() == ("op", ","):
+                self.next()
+                fl = self.operand()
+                # the XQuery flags Java regex shares as inline modifiers
+                if fl[0] != "str" or (set(fl[1]) - set("ism")) or not fl[1]:
+                    raise SparqlError('regex flags must be non-empty, "ism" only')
+                flags = fl[1]
             self.eat_op(")")
             if var[0] != "var" or pat[0] != "str":
                 raise SparqlError("regex(?var, \"pattern\") expected")
-            return ("regex", var[1], pat[1])
+            return ("regex", var[1], pat[1], flags)
         if self.at_word("BOUND"):
             self.next()
             self.eat_op("(")
@@ -1177,7 +1199,8 @@ def _compile_expr(e) -> Column:
     if tag == "not":
         return ~_compile_expr(e[1])
     if tag == "regex":
-        return F.col(e[1]).rlike(e[2])
+        pat = f"(?{e[3]}){e[2]}" if len(e) > 3 and e[3] else e[2]
+        return F.col(e[1]).rlike(pat)
     if tag == "bound":
         return F.col(e[1]).isNotNull()
     if tag == "istest":
@@ -1791,6 +1814,11 @@ def _select_df(triples: DataFrame, ast: _Ast) -> DataFrame:
                 raise SparqlError(
                     f"?{it[1]} selected outside an aggregate must be in GROUP BY"
                 )
+            if it[0] == "expr":
+                raise SparqlError(
+                    "expression projections are not supported in aggregate "
+                    "queries — BIND the expression in WHERE instead"
+                )
         missing = [v for v in ast.group_by if v not in df.columns]
         if missing:
             raise SparqlError(f"GROUP BY of unbound variable(s) {missing}")
@@ -1819,10 +1847,28 @@ def _select_df(triples: DataFrame, ast: _Ast) -> DataFrame:
             df = df.filter(_compile_expr(ast.having))
         df = df.select(*[it[1] if it[0] == "var" else it[3] for it in items])
     elif items is not None:
-        names = [it[1] for it in items]
-        missing = [v for v in names if v not in df.columns]
-        if missing:
-            raise SparqlError(f"SELECT of unbound variable(s) {missing}")
+        names: list[str] = []
+        for it in items:
+            if it[0] == "var":
+                if it[1] not in df.columns:
+                    raise SparqlError(f"SELECT of unbound variable(s) [{it[1]!r}]")
+                names.append(it[1])
+                continue
+            _, e, alias = it
+            if _operand_vars(e, meta_only=True):
+                raise SparqlError(
+                    "LANG()/DATATYPE() projections need a BIND inside the "
+                    "group (metadata columns are scoped to the WHERE group)"
+                )
+            unknown = _operand_vars(e) - set(df.columns)
+            if unknown:
+                raise SparqlError(
+                    f"expression projection references unbound {sorted(unknown)}"
+                )
+            if alias in df.columns or alias in names:
+                raise SparqlError(f"projection would rebind already-bound ?{alias}")
+            df = df.withColumn(alias, _operand_col(e, False))
+            names.append(alias)
         df = df.select(*names)
 
     if ast.distinct:

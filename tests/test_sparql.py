@@ -1478,3 +1478,44 @@ def test_istest_requires_required_binding(trim):
             SELECT ?x WHERE { ?c <urn:name> ?n
                 OPTIONAL { ?c <urn:knows> ?x } FILTER(ISIRI(?x)) }
         """).collect()
+
+
+def test_select_expression_projection(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n (STRLEN(?n) AS ?len) WHERE { ?c <urn:name> ?n }
+    """))
+    assert got == [("Alice", 5), ("Ann", 3), ("Bob", 3)]
+    # arithmetic + mixing with plain vars; rename form (?v AS ?alias)
+    got = sorted(_run(tri, """
+        SELECT (?b * 2 AS ?dbl) (?n AS ?who) WHERE {
+            ?c <urn:name> ?n . ?c <urn:bal> ?b }
+    """))
+    assert got == [(6.0, "Bob"), (21.0, "Alice")]
+    with pytest.raises(SparqlError, match="rebind"):
+        sparql_select(tri, """
+            SELECT ?n (LCASE(?n) AS ?n) WHERE { ?c <urn:name> ?n }
+        """).collect()
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(tri, """
+            SELECT (STRLEN(?nope) AS ?x) WHERE { ?c <urn:name> ?n }
+        """).collect()
+    with pytest.raises(SparqlError, match="aggregate"):
+        sparql_select(tri, """
+            SELECT (STRLEN(?n) AS ?x) (COUNT(?c) AS ?k)
+            WHERE { ?c <urn:name> ?n } GROUP BY ?n
+        """).collect()
+
+
+def test_regex_flags(tri):
+    got = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(REGEX(?n, "^a", "i")) }
+    """))
+    assert got == [("Alice",), ("Ann",)]
+    # without the flag the same pattern matches nothing
+    assert _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n FILTER(REGEX(?n, "^a")) }
+    """) == []
+    with pytest.raises(SparqlError, match="flags"):
+        sparql_select(tri, """
+            SELECT ?n WHERE { ?c <urn:name> ?n FILTER(REGEX(?n, "a", "x")) }
+        """).collect()
