@@ -795,6 +795,36 @@ def q_decontaminate(spark, sf_dir):
     return ngram_contamination(d, d.filter(F.col("doc_id") < 5), n=8)
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (ops.url.normalize_url): four messy-URL
+    shapes planted per doc_id — mixed-case scheme/host + default port +
+    unsorted query + tracking params + fragment; bare default-port
+    origin; non-default port with a tracking-only query; unsorted
+    params.  The oracle emits the expected canonical string CLOSED-FORM
+    per shape (not a regex replay), so any rule regression —
+    lowercasing, port stripping, param sorting/dropping, fragment
+    removal, empty-path slash — breaks the match.  Row-local, zero
+    shuffle at any corpus size."""
+    from rdf_spark.ops import url as urlops
+
+    d = _t(spark, sf_dir, "documents")
+    dom = F.concat(F.lit("d"), F.col("doc_id") % 7, F.lit(".example.org"))
+    k = F.col("doc_id") % 4
+    url = (
+        F.when(k == 0, F.concat(
+            F.lit("HTTPS://"), F.upper(dom), F.lit(":443/Page/"),
+            F.col("doc_id"), F.lit("?b=2&utm_source=x&a="),
+            F.col("doc_id") % 3, F.lit("#frag")))
+        .when(k == 1, F.concat(F.lit("http://"), dom, F.lit(":80")))
+        .when(k == 2, F.concat(
+            F.lit("http://"), dom, F.lit(":8080/p/"), F.col("doc_id"),
+            F.lit("?utm_only=1")))
+        .otherwise(F.concat(F.lit("https://"), dom, F.lit("/p?z=1&y=2&x=3")))
+    )
+    planted = d.select("doc_id", url.alias("url"))
+    return urlops.normalize_url(planted).select("doc_id", "url_norm")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (ops.text.redact_pii): emails/IPs/phones planted into
     every document are replaced with typed placeholders; per-category
@@ -1471,6 +1501,7 @@ _QUERIES = {
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
+        "url_normalize": q_url_normalize,
     }
 
 
@@ -2396,6 +2427,21 @@ def oracle_sql() -> dict[str, str]:
         # PII patterns injected verbatim from ops.text.PII_PATTERNS (the
         # Java/RE2-common subset); DuckDB regexp_replace needs the 'g'
         # flag (Spark replaces globally by default)
+        "url_normalize": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'https://d' || (doc_id % 7)
+                          || '.example.org/Page/' || doc_id
+                          || '?a=' || (doc_id % 3) || '&b=2'
+                     WHEN 1 THEN 'http://d' || (doc_id % 7)
+                          || '.example.org/'
+                     WHEN 2 THEN 'http://d' || (doc_id % 7)
+                          || '.example.org:8080/p/' || doc_id
+                     ELSE 'https://d' || (doc_id % 7)
+                          || '.example.org/p?x=3&y=2&z=1'
+                   END AS url_norm
+            FROM documents
+        """,
         "pii_redact": r"""
             WITH base AS (
                 SELECT doc_id,

@@ -1,0 +1,105 @@
+"""URL canonicalization — the key-cleaning step of a URL-keyed crawl
+corpus (north rule: pages keyed by ``url``; the reference keys its
+extraction by exact url string, so lookalike URLs become spurious
+distinct pages unless normalized first).
+
+``normalize_url`` rewrites each URL into a canonical form so that
+byte-different spellings of the same resource collapse under exact
+dedup / groupBy:
+
+- scheme and host lowercased (RFC 3986 §6.2.2.1 case normalization)
+- fragment stripped (never sent to the server)
+- default ports dropped (``http://h:80`` → ``http://h``,
+  ``https://h:443`` → ``https://h``; non-default ports kept)
+- empty path → ``/`` (RFC 3986 §6.2.3)
+- query parameters: empties dropped, tracking parameters removed by
+  configurable prefix (``utm_`` etc.), survivors SORTED so parameter
+  order is canonical; an emptied query loses its ``?``
+
+Everything is a single projection of pure JVM expressions
+(regexp_extract / array_sort / filter lambdas) — zero shuffle, scales
+row-locally at any corpus size, and whole-stage codegen applies.  Inputs
+that do not look like absolute URLs (no ``scheme://``) pass through
+trimmed-but-unchanged rather than being mangled (sound-not-complete,
+same policy as the arrow fast paths).
+
+At 100 TB this runs as a narrow stage ahead of ``exact_dedup`` or the
+url-hash shard partitioner in ``pipeline.py`` — normalizing BEFORE the
+shuffle means lookalike spellings land in the same partition and
+collapse map-side.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query-parameter prefixes that identify tracking/session noise; matched
+# with startswith against the full "k=v" token, so "utm_" catches every
+# utm_* key and "fbclid=" only that exact key
+DEFAULT_DROP_PARAMS = ("utm_", "fbclid=", "gclid=", "msclkid=", "sessionid=")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def normalize_url_col(
+    col: Column, drop_params: tuple[str, ...] = DEFAULT_DROP_PARAMS
+) -> Column:
+    """The canonical-URL expression over a string column (see module
+    docstring for the exact rewrite rules)."""
+    u0 = F.trim(col)
+    # fragment first: a '?' inside a fragment must not read as a query
+    u = F.regexp_replace(u0, r"#.*$", "")
+    has_scheme = u.rlike(_SCHEME_RE)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+
+    def _keep(x: Column) -> Column:
+        return reduce(
+            lambda acc, p: acc & ~x.startswith(p),
+            drop_params,
+            x != "",
+        )
+
+    qn = F.array_join(F.array_sort(F.filter(F.split(query, "&"), _keep)), "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+    return F.when(has_scheme, norm).otherwise(u0)
+
+
+def normalize_url(
+    df: DataFrame,
+    col: str = "url",
+    out: str = "url_norm",
+    drop_params: tuple[str, ...] = DEFAULT_DROP_PARAMS,
+) -> DataFrame:
+    """Add ``out`` = the canonical form of ``col``.  Row-local (zero
+    shuffle); feed the result to ``ops.dedup.exact_dedup`` keyed on
+    ``out`` to collapse lookalike URL spellings."""
+    return df.withColumn(out, normalize_url_col(F.col(col), drop_params))
+
+
+def url_host(df: DataFrame, col: str = "url", out: str = "host") -> DataFrame:
+    """Add ``out`` = the lowercased host[:port] of ``col`` ('' when the
+    value is not an absolute URL) — the grouping key of per-domain
+    corpus analytics (``pipeline.domain_stats`` uses the same shape)."""
+    return df.withColumn(
+        out, F.lower(F.regexp_extract(F.trim(F.col(col)), _HOSTPORT_RE, 1))
+    )

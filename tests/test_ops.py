@@ -897,3 +897,54 @@ def test_near_dup_clusters_cc_paths_equivalent(spark, documents):
         both, threshold=0.9, cc_collect_max=0).collect()}
     assert small == dist
     assert any(c != i for i, c in small)  # planted dups actually cluster
+
+
+# ---------------------------------------------------------------- url ops
+
+
+def test_normalize_url_rules(spark):
+    from rdf_spark.ops import url as urlops
+
+    cases = [
+        # scheme/host case, default port, tracking params, sort, fragment
+        ("HTTPS://Example.COM:443/A/b?b=2&utm_source=x&a=1#frag",
+         "https://example.com/A/b?a=1&b=2"),      # path case preserved
+        ("http://Host:80", "http://host/"),        # empty path -> /
+        ("http://host:8080/x", "http://host:8080/x"),  # non-default port kept
+        ("https://h:80/x", "https://h:80/x"),      # :80 not https' default
+        ("https://h/p?utm_a=1&utm_b=2", "https://h/p"),  # emptied query
+        ("  https://h/p#only-frag ", "https://h/p"),
+        ("ftp://H/x", "ftp://h/x"),
+        ("not a url", "not a url"),                # pass-through, trimmed
+        ("http://h/p?#f", "http://h/p"),
+        ("http://h/p#f?x=1", "http://h/p"),        # '?' inside fragment
+        ("http://h/p?fbclid=abc&real=1", "http://h/p?real=1"),
+        ("http://h/p?a=1&&a=1", "http://h/p?a=1&a=1"),  # empties only
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["url_norm"]
+        for r in urlops.normalize_url(df).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_url_host(spark):
+    from rdf_spark.ops import url as urlops
+
+    df = spark.createDataFrame(
+        [("HTTPS://Ex.Com:8443/p",), ("nope",)], "url string"
+    )
+    got = {r["url"]: r["host"] for r in urlops.url_host(df).collect()}
+    assert got == {"HTTPS://Ex.Com:8443/p": "ex.com:8443", "nope": ""}
+
+
+def test_normalize_url_zero_shuffle(spark):
+    from rdf_spark.ops import url as urlops
+
+    df = spark.createDataFrame([("http://A/x?b=1&a=2",)], "url string")
+    plan = urlops.normalize_url(df)._sc._jvm.PythonSQLUtils.explainString(
+        urlops.normalize_url(df)._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan
