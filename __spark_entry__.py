@@ -825,6 +825,27 @@ def q_url_normalize(spark, sf_dir):
     return urlops.normalize_url(planted).select("doc_id", "url_norm")
 
 
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization (ops.text.unicode_normalize): three
+    planted suffix shapes per doc_id — a DECOMPOSED e+COMBINING-ACUTE
+    (must compose to the precomposed é), an already-NFC é (idempotence),
+    and pure ASCII (exercises the batch fast-skip).  Oracle is DuckDB's
+    utf8proc nfc_normalize over the identical planted input, so a
+    regression in form handling or the ASCII-skip mask breaks the byte
+    hash.  Arrow-batched pandas_udf, row-local, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 3
+    suffix = (
+        F.when(k == 0, F.lit(" cafe" + chr(0x0301)))  # decomposed
+        .when(k == 1, F.lit(" caf" + chr(0xE9)))      # precomposed
+        .otherwise(F.lit(" plain"))
+    )
+    planted = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return textops.unicode_normalize(planted).select("doc_id", "text_nfc")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (ops.text.redact_pii): emails/IPs/phones planted into
     every document are replaced with typed placeholders; per-category
@@ -1502,6 +1523,7 @@ _QUERIES = {
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "url_normalize": q_url_normalize,
+        "unicode_normalize": q_unicode_normalize,
     }
 
 
@@ -2440,6 +2462,15 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'https://d' || (doc_id % 7)
                           || '.example.org/p?x=3&y=2&z=1'
                    END AS url_norm
+            FROM documents
+        """,
+        # chr(769)=U+0301 COMBINING ACUTE, chr(233)=U+00E9 precomposed é
+        "unicode_normalize": """
+            SELECT doc_id,
+                   nfc_normalize(text || CASE doc_id % 3
+                     WHEN 0 THEN ' cafe' || chr(769)
+                     WHEN 1 THEN ' caf' || chr(233)
+                     ELSE ' plain' END) AS text_nfc
             FROM documents
         """,
         "pii_redact": r"""

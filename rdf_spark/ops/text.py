@@ -339,3 +339,49 @@ def redact_pii(
     return df.select(
         F.col(id_col), redact_col(F.col(text_col)).alias("clean_text"), *counts
     )
+
+
+_UNICODE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def unicode_normalize_col(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization of a string column (default NFC — the W3C
+    "Character Model" canonical form the reference's conformance inputs
+    are already in).  Byte-different but canonically-equivalent spellings
+    ("e" + COMBINING ACUTE vs the precomposed "é") collapse, which is a
+    prerequisite for exact dedup / URL-keying over real web text.
+
+    Spark has no JVM normalizer expression, so this is the documented
+    Arrow-batched Python path (pandas_udf) — never per-row.  Inside each
+    batch, rows that contain only ASCII (the overwhelming majority of
+    web corpora) are proven-NFC and skipped; only the non-ASCII subset
+    pays the normalizer, so at 100 TB the Python cost tracks the foreign
+    -script fraction, not the corpus size.
+    """
+    if form not in _UNICODE_FORMS:
+        raise ValueError(f"form must be one of {_UNICODE_FORMS}, got {form!r}")
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        # ASCII is closed under every normalization form: skip those rows
+        mask = s.notna() & s.str.contains(r"[^\x00-\x7F]", regex=True)
+        if not mask.any():
+            return s
+        out = s.copy()
+        out[mask] = out[mask].str.normalize(form)
+        return out
+
+    return _norm(text)
+
+
+def unicode_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "text_nfc",
+    form: str = "NFC",
+) -> DataFrame:
+    """Add ``out`` = the ``form``-normalized text (see
+    :func:`unicode_normalize_col`).  Row-local, zero shuffle."""
+    return df.withColumn(out, unicode_normalize_col(F.col(text_col), form))

@@ -948,3 +948,27 @@ def test_normalize_url_zero_shuffle(spark):
         urlops.normalize_url(df)._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan
+
+
+def test_unicode_normalize(spark):
+    comb = "e" + chr(0x0301)  # e + COMBINING ACUTE ACCENT
+    df = spark.createDataFrame(
+        [(1, f"caf{comb}"), (2, "plain ascii"), (3, None), (4, "café")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_nfc"]
+        for r in textops.unicode_normalize(df).collect()
+    }
+    assert got[1] == "café" and len(got[1]) == 4
+    assert got[2] == "plain ascii"
+    assert got[3] is None
+    assert got[4] == "café"  # idempotent on already-NFC input
+    # NFD expands the precomposed char back out
+    nfd = {
+        r["doc_id"]: r["text_nfc"]
+        for r in textops.unicode_normalize(df, form="NFD").collect()
+    }
+    assert nfd[4] == "cafe" + chr(0x0301)
+    with pytest.raises(ValueError, match="form"):
+        textops.unicode_normalize(df, form="NFX")
