@@ -846,6 +846,71 @@ def q_unicode_normalize(spark, sf_dir):
     return textops.unicode_normalize(planted).select("doc_id", "text_nfc")
 
 
+def q_warc_parse(spark, sf_dir):
+    """WARC source reader (rdf_spark.warc): every document is wrapped
+    in a spec-exact WARC response record (version line, CRLF framing,
+    byte Content-Length, embedded HTTP response); records are grouped
+    into 8 multi-record 'files' each led by a warcinfo record, then
+    parse_warc explodes them back — exercising record framing, the
+    default type filter (warcinfo must vanish), HTTP status/charset
+    split, and text decode.  Oracle is CLOSED-FORM (the planted fields
+    straight from documents), not a replay of the parser.  The reader
+    itself is a narrow binaryFile→mapInPandas stage, one task per file."""
+    from rdf_spark import warc as warcmod
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"
+              "Content-Type: text/plain; charset=utf-8\r\n\r\n"),
+        F.col("text"),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
+        did,
+        F.lit(">\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+              "WARC-Target-URI: https://example.org/doc/"),
+        did,
+        F.lit("\r\nContent-Type: application/http;msgtype=response\r\n"
+              "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    grouped = (
+        d.select(
+            (F.col("doc_id") % 8).alias("g"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+    winfo = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:winfo:"),
+        F.col("g").cast("string"),
+        F.lit(">\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"),
+    )
+    files = grouped.select(
+        F.concat(F.lit("mem://"), F.col("g").cast("string")).alias("path"),
+        F.encode(
+            F.concat(
+                winfo,
+                F.array_join(F.transform("ss", lambda s: s["rec"]), ""),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    parsed = warcmod.parse_warc(files)  # default types=('response',)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("http_status"),
+        F.col("text"),
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (ops.text.redact_pii): emails/IPs/phones planted into
     every document are replaced with typed placeholders; per-category
@@ -1524,6 +1589,7 @@ _QUERIES = {
         "pii_redact": q_pii_redact,
         "url_normalize": q_url_normalize,
         "unicode_normalize": q_unicode_normalize,
+        "warc_parse": q_warc_parse,
     }
 
 
@@ -2463,6 +2529,11 @@ def oracle_sql() -> dict[str, str]:
                           || '.example.org/p?x=3&y=2&z=1'
                    END AS url_norm
             FROM documents
+        """,
+        # closed-form: the WARC wrap/parse round-trip must hand back
+        # exactly the planted (doc_id, 200, text) rows
+        "warc_parse": """
+            SELECT doc_id, 200 AS http_status, text FROM documents
         """,
         # chr(769)=U+0301 COMBINING ACUTE, chr(233)=U+00E9 precomposed é
         "unicode_normalize": """
