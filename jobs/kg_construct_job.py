@@ -24,6 +24,8 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="input pages table (parquet path)")
+    ap.add_argument("--warc", help="input crawl segments (.warc/.warc.gz "
+                    "path/glob) instead of --pages")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of reading --pages")
     ap.add_argument("--out", required=True)
@@ -40,10 +42,14 @@ def main(argv=None) -> int:
 
     if args.synthetic:
         pages = datagen.pages(spark, args.synthetic)
+    elif args.warc:
+        from rdf_spark import warc
+
+        pages = warc.pages_from_warc(warc.read_warc(spark, args.warc))
     elif args.pages:
         pages = spark.read.parquet(args.pages)
     else:
-        ap.error("one of --pages or --synthetic is required")
+        ap.error("one of --pages, --warc or --synthetic is required")
 
     aliases = datagen.aliases(spark)
     results = pipeline.run_pipeline(

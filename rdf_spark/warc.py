@@ -237,6 +237,31 @@ def read_warc(
     return parse_warc(files, types=types, errors=errors, want_text=want_text)
 
 
+def pages_from_warc(records: DataFrame) -> DataFrame:
+    """Adapt :func:`parse_warc` / :func:`read_warc` output to the KG
+    pipeline's ``pages(url, warc_ts, html, text, lang)`` contract
+    (rdf_spark.pipeline.run_pipeline), so a crawl snapshot feeds the
+    extraction stage directly: ``run_pipeline(spark,
+    pages_from_warc(read_warc(spark, segs)), aliases, out)``.
+
+    Quarantined files and records without a target URI are dropped here
+    (they carry no page).  ``text`` and ``lang`` are left null: the
+    pages contract's ``text`` is a REFERENCE extraction (the pipeline's
+    byte-identical invariant checks it against its own extractor when
+    present), and a crawl ships raw HTML only — the extractor and the
+    lang-ID operator (ops.text.lang_id) fill both downstream.  Narrow —
+    no shuffle."""
+    return records.filter(
+        F.col("err").isNull() & F.col("target_uri").isNotNull()
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.try_to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def encode_warc_record(
     headers: dict[str, str],
     payload: bytes,

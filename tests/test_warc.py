@@ -132,3 +132,62 @@ def test_read_warc_quarantine(spark, tmp_path):
     assert len(oks) == 1 and oks[0]["text"] == "fine"
     with pytest.raises(Exception):  # strict mode surfaces the WarcError
         warc.read_warc(spark, str(d), errors="strict").collect()
+
+
+def test_pages_from_warc_feeds_pipeline(spark, tmp_path):
+    from rdf_spark import extraction
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    html = (b"<html><head><script>x=1</script></head>"
+            b"<body><p>Alpha Corp announced</p>"
+            b"<script type=\"text/turtle\">"
+            b"<http://x/s> <http://x/p> \"v\" ."
+            b"</script></body></html>")
+    (d / "seg.warc").write_bytes(
+        _rec("warcinfo", None, b"software: t\r\n")
+        + _rec("response", "https://x.org/page",
+               _http(html, ct=b"text/html; charset=utf-8")))
+    pages = warc.pages_from_warc(warc.read_warc(spark, str(d)))
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"]
+    assert pages.schema["warc_ts"].dataType.typeName() == "timestamp"
+    row = extraction.extract_stage(pages).collect()[0]
+    assert row["url"] == "https://x.org/page"
+    assert "Alpha Corp announced" in row["extracted_text"]
+    assert "<p>" not in row["extracted_text"]
+    assert row["rdf_text"].strip() == '<http://x/s> <http://x/p> "v" .'
+
+
+def test_kg_construct_job_warc_input(spark, tmp_path):
+    """--warc CLI path: crawl segments → pages → full pipeline."""
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = []
+    for i in range(6):
+        html = (f"<html><body><p>page {i}</p>"
+                f"<script type=\"text/turtle\">"
+                f"<http://x/s{i}> <http://x/p> \"v{i}\" ."
+                f"</script></body></html>").encode()
+        recs.append(_rec("response", f"https://x.org/doc/{i}", _http(
+            html, ct=b"text/html; charset=utf-8"), rid=f"<urn:uuid:{i}>"))
+    (d / "seg0.warc").write_bytes(b"".join(recs[:3]))
+    (d / "seg1.warc").write_bytes(b"".join(recs[3:]))
+    out = str(tmp_path / "store")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--warc", str(d), "--out", out, "--shards", "2", "--buckets", "4"])
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["pages"] == 6
+    assert summary["triples"] >= 6  # one embedded-Turtle triple per page
+    assert summary["parse_errors"] == 0
