@@ -1,0 +1,208 @@
+"""HTML structured-data and hyperlink extraction — the crawl-side triple
+sources of a web→KG pipeline.
+
+Real Common-Crawl pages carry their machine-readable facts in embedded
+``<script type="application/ld+json">`` islands (schema.org JSON-LD; by
+far the dominant structured-data carrier on the public web) and, less
+often, ``<script type="text/turtle">`` blocks.  ``parse_html_structured``
+turns a ``pages(url, html, …)`` table into canonical triples by routing
+each island through the existing document parsers
+(:func:`rdf_spark.sources.parse_documents`), and ``extract_links`` /
+``host_link_graph`` turn ``<a href>`` anchors into a host-level link
+graph ready for :func:`rdf_spark.ops.graph.pagerank`.
+
+Scale shape: island/anchor extraction is a single JVM projection
+(``regexp_extract_all`` → ``explode``) — zero Python, zero shuffle, and
+whole-stage codegen applies; only the RDF parse itself runs in the
+Arrow-batched ``mapInPandas`` stage the other decoders already use.  The
+link-graph aggregation shuffles 8-byte-ish host pairs, never HTML.
+
+Soundness policy (same as the arrow fast paths / ops.url): regex HTML
+scanning is sound-not-complete — islands with a literal ``</script>``
+inside a JSON string, or anchors produced by javascript, are missed, and
+relative-href resolution does not collapse ``..`` dot-segments.  Blank
+node scope follows the established pipeline convention
+(extraction.extract_turtle_blocks): all same-format islands of one page
+form ONE document (one ``_:b…`` scope per page per format), so
+skolemization (keyed by url) stays collision-free.
+
+JSON-LD islands are combined per page as a single top-level array
+``[island1, island2, …]`` — the parser flattens nested node arrays, so
+array-valued islands compose too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_spark import sources
+from rdf_spark.ops.url import normalize_url_col, DEFAULT_DROP_PARAMS
+
+# mime-type patterns per supported island format; attribute order and
+# quoting vary in the wild, so match type= anywhere inside the open tag
+_MIMES = {
+    "jsonld": r"application/ld\+json",
+    "turtle": r"text/turtle",
+}
+
+_HREF_PAT = r"""(?is)<a\b[^>]*?\bhref\s*=\s*["']([^"'<>]*)["']"""
+
+
+def _block_pat(fmt: str) -> str:
+    try:
+        mime = _MIMES[fmt]
+    except KeyError:
+        raise ValueError(f"unsupported embedded format {fmt!r}; one of {sorted(_MIMES)}")
+    return (
+        r"""(?is)<script\b[^>]*?\btype\s*=\s*["']""" + mime
+        + r"""["'][^>]*>(.*?)</script>"""
+    )
+
+
+def _html_str(df: DataFrame, html_col: str) -> Column:
+    """html as a string column (the pages contract stores utf-8 bytes)."""
+    col = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        col = F.decode(col, "UTF-8")
+    return col
+
+
+def extract_script_blocks(
+    pages: DataFrame,
+    fmt: str = "jsonld",
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per embedded ``<script>`` island: ``(url, block, text)``.
+
+    ``block`` is the 0-based island ordinal within the page (document
+    order).  Pure JVM (regexp_extract_all → posexplode): row-local, no
+    shuffle, no Python.
+    """
+    blocks = F.regexp_extract_all(_html_str(pages, html_col), F.lit(_block_pat(fmt)), 1)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(blocks).alias("block", "text"),
+    )
+
+
+def _combined_docs(
+    pages: DataFrame, fmt: str, html_col: str, url_col: str
+) -> DataFrame:
+    """(url, text) with all same-format islands combined into ONE document
+    per page (blank-node scope = page, matching extract_turtle_blocks);
+    pages with no island for ``fmt`` produce no row."""
+    blocks = F.regexp_extract_all(_html_str(pages, html_col), F.lit(_block_pat(fmt)), 1)
+    kept = F.col("_blocks")
+    if fmt == "jsonld":
+        # a bare concatenation of JSON objects is not valid JSON — wrap
+        # the islands as one top-level array (parser flattens nesting)
+        text = F.concat(F.lit("["), F.array_join(kept, ","), F.lit("]"))
+    else:
+        text = F.array_join(kept, "\n")
+    return (
+        pages.select(F.col(url_col).alias("url"), blocks.alias("_blocks"))
+        .filter(F.size("_blocks") > 0)
+        .select("url", text.alias("text"))
+    )
+
+
+def parse_html_structured(
+    pages: DataFrame,
+    fmts: tuple[str, ...] = ("jsonld", "turtle"),
+    html_col: str = "html",
+    url_col: str = "url",
+    base_from_url: bool = True,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Parse every supported structured-data island of ``pages`` into the
+    canonical quad schema (+``fmt`` tag, +``err``).
+
+    Narrow end-to-end: extraction is a JVM projection, parsing the usual
+    Arrow-batched per-document stage; no shuffle is introduced.  Feed the
+    result to :func:`rdf_spark.canonical.skolemize` before any
+    cross-document merge, exactly like the other decoders.
+    """
+    outs = []
+    for fmt in fmts:
+        docs = _combined_docs(pages, fmt, html_col, url_col)
+        tri = sources.parse_documents(
+            docs, fmt=fmt, base_from_url=base_from_url, errors=errors
+        )
+        if "graph" not in tri.columns:  # lift triple formats to the quad schema
+            tri = tri.withColumn("graph", F.lit(None).cast("string")).withColumn(
+                "graph_kind", F.lit(None).cast("tinyint")
+            )
+        cols = [c for c in tri.columns if c != "err"]
+        outs.append(tri.select(*cols, F.lit(fmt).alias("fmt"), "err"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    resolve: bool = True,
+) -> DataFrame:
+    """One row per ``<a href>`` anchor: ``(url, href)``.
+
+    With ``resolve=True`` the href is resolved against the page URL by
+    JVM-side RFC-3986-lite rules — absolute kept, ``//authority`` gets
+    the page scheme, ``/rooted`` gets the page origin, relative paths
+    resolve against the page path's directory (no ``..`` collapsing —
+    sound-not-complete), fragment-only and non-http(s) results dropped.
+    Pure projection + filter: zero shuffle, codegen-friendly.
+    """
+    hrefs = F.regexp_extract_all(_html_str(pages, html_col), F.lit(_HREF_PAT), 1)
+    out = pages.select(
+        F.col(url_col).alias("url"), F.explode(hrefs).alias("href")
+    )
+    if not resolve:
+        return out
+    page, href = F.col("url"), F.col("href")
+    scheme = F.regexp_extract(page, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    origin = F.regexp_extract(page, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    # directory of the page path, always ending in '/'
+    dirpath = F.regexp_extract(page, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*/)", 1)
+    dirpath = F.when(dirpath == "", F.lit("/")).otherwise(dirpath)
+    bare = F.regexp_replace(href, r"#.*$", "")  # fragment never reaches the server
+    resolved = (
+        F.when(bare.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), bare)  # absolute (any scheme)
+        .when(bare.startswith("//"), F.concat(scheme, F.lit(":"), bare))
+        .when(bare.startswith("/"), F.concat(origin, bare))
+        .when(bare == "", F.lit(None).cast("string"))  # fragment-only / empty
+        .otherwise(F.concat(origin, dirpath, bare))
+    )
+    return (
+        out.select("url", resolved.alias("href"))
+        .filter(F.col("href").rlike("^https?://"))
+    )
+
+
+def host_link_graph(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    drop_params: tuple[str, ...] = DEFAULT_DROP_PARAMS,
+    keep_self: bool = False,
+) -> DataFrame:
+    """Host-level link graph ``(src, dst, n_links)`` from anchor tags.
+
+    Targets are URL-canonicalized (ops.url rules) before hosts are taken,
+    so lookalike spellings collapse map-side.  The only shuffle moves
+    (src, dst) host pairs — bytes per edge, never HTML — into a
+    map-side-combinable count aggregation.  Output feeds
+    :func:`rdf_spark.ops.graph.pagerank` (src/dst columns) directly.
+    """
+    links = extract_links(pages, html_col=html_col, url_col=url_col)
+    norm = normalize_url_col(F.col("href"), drop_params)
+    src = F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    dst = F.lower(F.regexp_extract(norm, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    edges = links.select(src.alias("src"), dst.alias("dst"))
+    if not keep_self:
+        edges = edges.filter(F.col("src") != F.col("dst"))
+    return edges.groupBy("src", "dst").agg(F.count("*").alias("n_links"))

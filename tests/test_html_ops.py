@@ -1,0 +1,153 @@
+"""HTML structured-data island + link extraction (ops/html.py).
+
+The web-KG entry point: ``<script type="application/ld+json">`` /
+``text/turtle`` islands → canonical triples, ``<a href>`` anchors →
+host link graph.  Includes a differential test against the pipeline's
+own turtle-block extractor over the datagen corpus.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_spark import datagen, sources
+from rdf_spark.ops import html as H
+
+
+PAGE = """<html><head>
+<script type="application/ld+json">{"@id":"urn:x:1","urn:p:n":"one"}</script>
+<SCRIPT data-x=1 TYPE='application/ld+json'>[{"@id":"urn:x:2","urn:p:n":2}]</SCRIPT>
+<script type="text/turtle"><urn:t:1> <urn:p:k> "v" .</script>
+<script src="app.js"></script>
+</head><body>
+<a href="https://Other.com:443/z?utm_src=t&b=1#frag">x</a>
+<a class=c HREF='//cdn.ex.com/lib.js'>y</a>
+<a href="/root.html">r</a>
+<a href="rel/doc.html">rel</a>
+<a href="#top">self</a>
+<a href="">empty</a>
+<a href="mailto:a@b.c">m</a>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(
+        [
+            ("https://ex.com/a/page1", PAGE),
+            ("https://ex.com/empty", "<html><body>plain</body></html>"),
+        ],
+        "url string, html string",
+    )
+
+
+def test_extract_script_blocks(pages):
+    rows = (
+        H.extract_script_blocks(pages, "jsonld")
+        .orderBy("url", "block")
+        .collect()
+    )
+    # case-insensitive tag/attr, both quote styles, extra attributes; the
+    # plain src= script and the turtle block are not jsonld islands
+    assert [(r.url, r.block) for r in rows] == [
+        ("https://ex.com/a/page1", 0),
+        ("https://ex.com/a/page1", 1),
+    ]
+    assert rows[0].text == '{"@id":"urn:x:1","urn:p:n":"one"}'
+    assert rows[1].text.startswith("[{")
+    ttl = H.extract_script_blocks(pages, "turtle").collect()
+    assert len(ttl) == 1 and "<urn:t:1>" in ttl[0].text
+    with pytest.raises(ValueError):
+        H.extract_script_blocks(pages, "rdfa")
+
+
+def test_parse_html_structured(pages):
+    out = H.parse_html_structured(pages)
+    ok = out.filter(F.col("err").isNull()).orderBy("s").collect()
+    assert [(r.s, r.p, r.o, r.fmt) for r in ok] == [
+        ("urn:t:1", "urn:p:k", "v", "turtle"),
+        ("urn:x:1", "urn:p:n", "one", "jsonld"),
+        ("urn:x:2", "urn:p:n", "2", "jsonld"),
+    ]
+    # pages without islands contribute nothing (not even an err row)
+    assert out.filter(F.col("url") == "https://ex.com/empty").count() == 0
+
+
+def test_parse_html_structured_quarantine(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u:bad", '<script type="application/ld+json">{nope</script>'),
+            ("u:good", '<script type="application/ld+json">{"@id":"urn:g","urn:p:v":7}</script>'),
+        ],
+        "url string, html string",
+    )
+    out = H.parse_html_structured(pages, fmts=("jsonld",))
+    assert out.filter((F.col("url") == "u:bad") & F.col("err").isNotNull()).count() == 1
+    good = out.filter(F.col("url") == "u:good").collect()
+    assert len(good) == 1 and good[0].err is None and good[0].s == "urn:g"
+
+
+def test_extract_links_resolution(pages):
+    got = {
+        r.href
+        for r in H.extract_links(pages).collect()
+    }
+    assert got == {
+        "https://Other.com:443/z?utm_src=t&b=1",  # absolute: fragment cut, else raw
+        "https://cdn.ex.com/lib.js",              # protocol-relative gets page scheme
+        "https://ex.com/root.html",               # root-relative gets origin
+        "https://ex.com/a/rel/doc.html",          # relative resolves in page dir
+    }  # fragment-only, empty, and mailto anchors are dropped
+
+
+def test_extract_links_pathless_page(spark):
+    pages = spark.createDataFrame(
+        [("https://ex.com", '<a href="x.html">x</a><a href="/y">y</a>')],
+        "url string, html string",
+    )
+    got = {r.href for r in H.extract_links(pages).collect()}
+    assert got == {"https://ex.com/x.html", "https://ex.com/y"}
+
+
+def test_extract_links_unresolved(pages):
+    raw = {r.href for r in H.extract_links(pages, resolve=False).collect()}
+    assert "#top" in raw and "mailto:a@b.c" in raw and "rel/doc.html" in raw
+
+
+def test_host_link_graph(spark):
+    html = (
+        '<a href="https://B.example:443/1">1</a>'
+        '<a href="https://b.example/2?utm_x=1">2</a>'
+        '<a href="/self">s</a>'
+        '<a href="//c.example/x">c</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example/p", html)], "url string, html string"
+    )
+    got = {(r.src, r.dst): r.n_links for r in H.host_link_graph(pages).collect()}
+    # the two b.example spellings collapse post-normalization; self dropped
+    assert got == {("a.example", "b.example"): 2, ("a.example", "c.example"): 1}
+    with_self = {
+        (r.src, r.dst): r.n_links
+        for r in H.host_link_graph(pages, keep_self=True).collect()
+    }
+    assert with_self[("a.example", "a.example")] == 1
+
+
+def test_datagen_differential_vs_pipeline_extractor(spark):
+    """The html-ops turtle route must produce exactly the triples of the
+    pipeline's own extract_turtle_blocks path over the datagen corpus —
+    same islands, same quarantine decisions."""
+    from rdf_spark.extraction import extract_stage
+
+    pages = datagen.pages(spark, 80)
+    via_html = H.parse_html_structured(pages, fmts=("turtle",))
+    staged = extract_stage(pages).select("url", F.col("rdf_text").alias("text"))
+    via_pipeline = sources.parse_documents(staged.filter(F.col("text") != ""), fmt="turtle")
+
+    cols = ["url", "s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
+    a = {tuple(r) for r in via_html.filter(F.col("err").isNull()).select(*cols).collect()}
+    b = {tuple(r) for r in via_pipeline.filter(F.col("err").isNull()).select(*cols).collect()}
+    assert a == b and len(a) > 300
+    bad_a = {r.url for r in via_html.filter(F.col("err").isNotNull()).select("url").collect()}
+    bad_b = {r.url for r in via_pipeline.filter(F.col("err").isNotNull()).select("url").collect()}
+    assert bad_a == bad_b and bad_a
