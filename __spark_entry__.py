@@ -911,6 +911,72 @@ def q_warc_parse(spark, sf_dir):
     )
 
 
+def q_html_structured(spark, sf_dir):
+    """HTML structured-data islands → triples (ops.html): every page
+    carries TWO ``application/ld+json`` islands (mixed quote styles;
+    combined per page into one array-document) and one ``text/turtle``
+    block, all routed through the existing document parsers.  The
+    oracle reconstructs the four expected triples per customer
+    CLOSED-FORM, so island detection, per-format combination, JSON-LD
+    typing (@type → rdf:type, integer → xsd:integer) and the turtle
+    route are all load-bearing.  Island extraction is a single JVM
+    projection; only the parse runs in the Arrow batch stage."""
+    from rdf_spark.ops import html as htmlops
+
+    c = _t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://h"), F.col("c_custkey") % 5,
+        F.lit(".example.org/c/"), F.col("c_custkey"),
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@context":{"v":"urn:v:"},"@id":"urn:cust:'),
+        F.col("c_custkey"),
+        F.lit('","@type":"v:Customer","v:name":"'), F.col("c_name"),
+        F.lit("\"}</script><script type='application/ld+json'>"
+              '{"@id":"urn:acct:'),
+        F.col("c_custkey"),
+        F.lit('","urn:v:nation":'), F.col("c_nationkey"),
+        F.lit('}</script></head><body><script type="text/turtle"><urn:cust:'),
+        F.col("c_custkey"),
+        F.lit('> <urn:v:segment> "'), F.col("c_mktsegment"),
+        F.lit('" .</script></body></html>'),
+    )
+    pages = c.select(url.alias("url"), html.alias("html"))
+    out = htmlops.parse_html_structured(_spread(pages))
+    return out.filter(F.col("err").isNull()).select(
+        "url", "s", "p", "o",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_datatype", "fmt",
+    )
+
+
+def q_html_links(spark, sf_dir):
+    """Host link graph from anchor tags (ops.html.host_link_graph):
+    each order page plants a messy absolute anchor (upper-case host,
+    default :443 port, tracking param), a same-host self link (must be
+    dropped), and a protocol-relative CDN link.  The oracle aggregates
+    the expected canonical host pairs closed-form, so href extraction,
+    RFC-3986-lite resolution, URL canonicalization, and self-edge
+    filtering all participate.  Pure JVM end-to-end; the only shuffle
+    moves host-pair keys into a map-side-combinable count."""
+    from rdf_spark.ops import html as htmlops
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://s"), F.col("o_custkey") % 7,
+        F.lit(".shop.example/ord/"), F.col("o_orderkey"),
+    )
+    html = F.concat(
+        F.lit('<p><a href="https://S'), (F.col("o_custkey") + 1) % 7,
+        F.lit('.SHOP.example:443/x?utm_s=1&a=2">p</a>'),
+        F.lit('<a href="/ord/'), F.col("o_orderkey"), F.lit('">self</a>'),
+        F.lit('<a href="//cdn'), F.col("o_orderkey") % 3,
+        F.lit('.shop.example/l.js">c</a></p>'),
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return htmlops.host_link_graph(pages)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (ops.text.redact_pii): emails/IPs/phones planted into
     every document are replaced with typed placeholders; per-category
@@ -1590,6 +1656,8 @@ _QUERIES = {
         "url_normalize": q_url_normalize,
         "unicode_normalize": q_unicode_normalize,
         "warc_parse": q_warc_parse,
+        "html_structured": q_html_structured,
+        "html_links": q_html_links,
     }
 
 
@@ -2534,6 +2602,49 @@ def oracle_sql() -> dict[str, str]:
         # exactly the planted (doc_id, 200, text) rows
         "warc_parse": """
             SELECT doc_id, 200 AS http_status, text FROM documents
+        """,
+        # closed-form: the four triples each page's three islands carry
+        "html_structured": """
+            WITH c AS (
+              SELECT c_custkey AS k, c_name, c_mktsegment, c_nationkey,
+                     'https://h' || (c_custkey % 5) || '.example.org/c/'
+                       || c_custkey AS url
+              FROM customer
+            )
+            SELECT url, 'urn:cust:' || k AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'urn:v:Customer' AS o, 1 AS o_kind,
+                   CAST(NULL AS VARCHAR) AS o_datatype, 'jsonld' AS fmt
+            FROM c
+            UNION ALL
+            SELECT url, 'urn:cust:' || k, 'urn:v:name', c_name, 2,
+                   'http://www.w3.org/2001/XMLSchema#string', 'jsonld'
+            FROM c
+            UNION ALL
+            SELECT url, 'urn:acct:' || k, 'urn:v:nation',
+                   CAST(c_nationkey AS VARCHAR), 2,
+                   'http://www.w3.org/2001/XMLSchema#integer', 'jsonld'
+            FROM c
+            UNION ALL
+            SELECT url, 'urn:cust:' || k, 'urn:v:segment', c_mktsegment, 2,
+                   'http://www.w3.org/2001/XMLSchema#string', 'turtle'
+            FROM c
+        """,
+        # closed-form host pairs: absolute anchor → next customer-bucket
+        # host (canonicalized), cdn anchor → orderkey-bucket host; the
+        # same-host self anchor is filtered and must NOT appear
+        "html_links": """
+            WITH o AS (
+              SELECT 's' || (o_custkey % 7) || '.shop.example' AS src,
+                     's' || ((o_custkey + 1) % 7) || '.shop.example' AS d1,
+                     'cdn' || (o_orderkey % 3) || '.shop.example' AS d2
+              FROM orders
+            ), e AS (
+              SELECT src, d1 AS dst FROM o
+              UNION ALL
+              SELECT src, d2 FROM o
+            )
+            SELECT src, dst, COUNT(*) AS n_links FROM e GROUP BY src, dst
         """,
         # chr(769)=U+0301 COMBINING ACUTE, chr(233)=U+00E9 precomposed é
         "unicode_normalize": """
