@@ -32,6 +32,13 @@ def main(argv=None) -> int:
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--structured", action="append", default=[],
+                    choices=["jsonld"],
+                    help="also parse embedded structured-data islands of "
+                    "this format (repeatable); turtle blocks are always on")
+    ap.add_argument("--link-graph",
+                    help="also write the host-level <a href> link graph "
+                    "(src, dst, n_links) to this parquet path")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -56,7 +63,14 @@ def main(argv=None) -> int:
         spark, pages, aliases, args.out,
         n_shards=args.shards, n_buckets=args.buckets,
         resume=not args.no_resume,
+        extra_fmts=tuple(args.structured),
     )
+    if args.link_graph:
+        from rdf_spark.ops import html as htmlops
+
+        htmlops.host_link_graph(pages).write.mode("overwrite").parquet(
+            args.link_graph
+        )
     summary = {
         "shards": len(results),
         "pages": sum(r.n_pages for r in results),

@@ -98,6 +98,7 @@ def run_pipeline(
     n_buckets: int = 16,
     resume: bool = True,
     store=None,
+    extra_fmts: tuple[str, ...] = (),
 ) -> list[ShardResult]:
     """Run the full pipeline shard-by-shard with manifest-based resume.
 
@@ -107,6 +108,17 @@ def run_pipeline(
     materialize into a catalog table instead (requires iceberg jars +
     catalog config).  Manifests stay filesystem JSON either way — they
     are pipeline resume bookkeeping, not store data.
+
+    ``extra_fmts`` adds further embedded structured-data routes beyond
+    the fused stage's ``text/turtle`` blocks — e.g. ``("jsonld",)``
+    parses every ``<script type="application/ld+json">`` island
+    (ops.html) and merges its triples into the same
+    validate→skolemize→dedup flow.  Named-graph membership is flattened
+    (the store is a triple store: RDF-dataset union semantics) and
+    island blank-node labels are re-namespaced ``_:b…`` → ``_:jb…`` so
+    they can never collide with the turtle blocks' labels under the
+    url-keyed skolemizer.  Each extra format is one additional narrow
+    scan of the shard's pages — no new shuffle.
     """
     if store is None:
         from rdf_spark.store import ParquetBucketStore
@@ -135,6 +147,24 @@ def run_pipeline(
         t0 = time.time()
         shard_pages = pages.filter(F.col("_shard") == k).drop("_shard")
         tagged = extraction.fused_extract_parse_link(shard_pages, alias_bc)
+        for fmt in extra_fmts:
+            from rdf_spark.ops import html as _html
+
+            ex = _html.parse_html_structured(shard_pages, fmts=(fmt,))
+            pfx = fmt[0]  # _:b1 → _:jb1 etc.: island labels must never
+            # collide with the turtle blocks' under the url-keyed skolemizer
+            relab = lambda c, kc: F.when(  # noqa: E731
+                F.col(kc) == 0, F.regexp_replace(F.col(c), "^_:", "_:" + pfx)
+            ).otherwise(F.col(c))
+            tagged = tagged.unionByName(
+                ex.select(
+                    "url",
+                    relab("s", "s_kind").alias("s"), "s_kind",
+                    "p",
+                    relab("o", "o_kind").alias("o"), "o_kind",
+                    "o_datatype", "o_lang", "err",
+                )
+            )
         from pyspark import StorageLevel
 
         tagged = tagged.persist(StorageLevel.DISK_ONLY)  # 2 consumers, 1 scan

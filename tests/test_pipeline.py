@@ -501,3 +501,101 @@ def test_fused_broadcast_gazetteer_equivalent(spark):
     # monkeypatch would NOT: workers import the module fresh)
     assert run(bc, engine="aho") == expect
     assert run(aliases, engine="aho") == expect
+
+
+def _jsonld_pages(spark, n=40):
+    """Pages carrying BOTH a turtle block (with a [ ] bnode) and a
+    JSON-LD island (with a nested bnode) — both islands mint the label
+    _:b1 locally, so the routes collide unless re-namespaced."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    html = F.concat(
+        F.lit('<html><body><script type="text/turtle">'
+              '@prefix e: <urn:e:> . <#it> e:tag [ e:lab "t" ] .'
+              '</script><script type="application/ld+json">'
+              '{"@id":"urn:item:'), F.col("id"),
+        F.lit('","urn:v:meta":{"urn:v:depth":7}}</script>'
+              "<p>About Ada Lovelace and Alan Turing.</p></body></html>"),
+    )
+    return df.select(
+        F.concat(F.lit("https://j.example/p/"), F.col("id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def test_pipeline_extra_fmts_jsonld(spark, tmp_path):
+    pages = _jsonld_pages(spark, 40)
+    aliases = datagen.aliases(spark)
+
+    out = str(tmp_path / "kg_j")
+    pipeline.run_pipeline(
+        spark, pages, aliases, out, n_shards=2, n_buckets=4,
+        extra_fmts=("jsonld",),
+    )
+    store = pipeline.read_triple_store(spark, out)
+    # jsonld route contributes the typed-depth triple for every page
+    depth = store.filter(F.col("p") == "urn:v:depth")
+    assert depth.count() == 40
+    assert depth.filter(F.col("o") == "7").count() == 40
+    # both routes' bnodes survive skolemization WITHOUT merging: per page
+    # one turtle bnode (tag) and one jsonld bnode (meta) → 2 distinct
+    # skolemized blank subjects per url
+    blanks = (
+        store.filter(F.col("s_kind") == 0)
+        .select("s").distinct().count()
+    )
+    assert blanks == 80
+    # link triples still extracted (fused stage untouched)
+    assert store.filter(F.col("p").endswith("mentions")).count() > 0
+
+    # default run (no extra_fmts): no jsonld triples
+    out2 = str(tmp_path / "kg_plain")
+    pipeline.run_pipeline(spark, pages, aliases, out2, n_shards=2, n_buckets=4)
+    store2 = pipeline.read_triple_store(spark, out2)
+    assert store2.filter(F.col("p") == "urn:v:depth").count() == 0
+
+
+def test_kg_construct_job_structured_and_link_graph(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    pages = _jsonld_pages(spark, 20)
+    # plant one cross-host anchor so the link graph is non-empty
+    pages = pages.withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.decode("html", "utf-8"),
+                F.lit('<a href="https://T.example:443/x?utm_a=1">t</a>'),
+            ),
+            "utf-8",
+        ),
+    )
+    src = str(tmp_path / "pages_in")
+    pages.write.parquet(src)
+    out = str(tmp_path / "job_out")
+    lg = str(tmp_path / "links")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--pages", src, "--out", out, "--shards", "1", "--buckets", "2",
+             "--structured", "jsonld", "--link-graph", lg]
+        )
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["pages"] == 20
+    store = pipeline.read_triple_store(spark, out)
+    assert store.filter(F.col("p") == "urn:v:depth").count() == 20
+    links = {
+        (r.src, r.dst): r.n_links for r in spark.read.parquet(lg).collect()
+    }
+    assert links == {("j.example", "t.example"): 20}
