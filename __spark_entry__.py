@@ -977,6 +977,41 @@ def q_html_links(spark, sf_dir):
     return htmlops.host_link_graph(pages)
 
 
+def q_html_microdata(spark, sf_dir):
+    """Microdata → RDF (rdf_spark.microdata): every supplier page
+    carries an itemscope/itemtype/itemid Organization with a text
+    property (nested-tag stripping), a relative-href IRI property
+    (urljoin against the page url), and an UNTYPED nested address item
+    (vocabulary inheritance + ``_:md1`` blank minting).  The oracle
+    reconstructs all five triples closed-form, so node identity, the
+    vocabulary rule, per-element value extraction, and resolution are
+    each load-bearing.  Arrow-batched mapInPandas walk — narrow, no
+    shuffle."""
+    from rdf_spark import microdata as mdmod
+
+    sup = _t(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("https://md"), F.col("s_nationkey"),
+        F.lit(".example.net/s/"), F.col("s_suppkey"),
+    )
+    html = F.concat(
+        F.lit('<html><body><div itemscope '
+              'itemtype="http://schema.org/Organization" itemid="urn:sup:'),
+        F.col("s_suppkey"),
+        F.lit('"><span itemprop="name">'), F.col("s_name"),
+        F.lit('</span><a itemprop="url" href="/profile/'), F.col("s_suppkey"),
+        F.lit('">p</a><div itemprop="address" itemscope>'
+              '<span itemprop="addressCountry">nation-'), F.col("s_nationkey"),
+        F.lit("</span></div></div></body></html>"),
+    )
+    pages = sup.select(url.alias("url"), html.alias("html"))
+    out = mdmod.parse_microdata(_spread(pages))
+    return out.filter(F.col("err").isNull()).select(
+        "url", "s", "p", "o",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_datatype",
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (ops.text.redact_pii): emails/IPs/phones planted into
     every document are replaced with typed placeholders; per-category
@@ -1658,6 +1693,7 @@ _QUERIES = {
         "warc_parse": q_warc_parse,
         "html_structured": q_html_structured,
         "html_links": q_html_links,
+        "html_microdata": q_html_microdata,
     }
 
 
@@ -2629,6 +2665,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 'urn:cust:' || k, 'urn:v:segment', c_mktsegment, 2,
                    'http://www.w3.org/2001/XMLSchema#string', 'turtle'
             FROM c
+        """,
+        # closed-form: the five microdata triples per supplier page —
+        # type, stripped text, resolved href IRI, nested blank, and the
+        # vocabulary-inherited nested property
+        "html_microdata": """
+            WITH s AS (
+              SELECT s_suppkey AS k, s_name, s_nationkey,
+                     'https://md' || s_nationkey || '.example.net/s/'
+                       || s_suppkey AS url
+              FROM supplier
+            )
+            SELECT url, 'urn:sup:' || k AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'http://schema.org/Organization' AS o, 1 AS o_kind,
+                   CAST(NULL AS VARCHAR) AS o_datatype
+            FROM s
+            UNION ALL
+            SELECT url, 'urn:sup:' || k, 'http://schema.org/name', s_name, 2,
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM s
+            UNION ALL
+            SELECT url, 'urn:sup:' || k, 'http://schema.org/url',
+                   'https://md' || s_nationkey || '.example.net/profile/' || k,
+                   1, CAST(NULL AS VARCHAR)
+            FROM s
+            UNION ALL
+            SELECT url, 'urn:sup:' || k, 'http://schema.org/address',
+                   '_:md1', 0, CAST(NULL AS VARCHAR)
+            FROM s
+            UNION ALL
+            SELECT url, '_:md1', 'http://schema.org/addressCountry',
+                   'nation-' || s_nationkey, 2,
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM s
         """,
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the

@@ -102,6 +102,9 @@ def main() -> int:
         "decontaminate",
         "pack_sequences",
         "pii_redact",
+        "html_structured",
+        "html_links",
+        "html_microdata",
     ]
 
     timings: dict[str, float] = {}

@@ -183,6 +183,42 @@ def extract_links(
     )
 
 
+_ANCHOR_PAT = (
+    r"""(?is)<a\b[^>]*?\bhref\s*=\s*["']([^"'<>]*)["'][^>]*>(.*?)</a>"""
+)
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """``(url, href, anchor_text)`` per anchor — the classic
+    entity-linking prior source (anchor text ≈ a human-written surface
+    form for the link target; feed it to the gazetteer/mention stage or
+    aggregate (anchor_text, href) counts into a link-prior dictionary).
+
+    ``anchor_text`` is the anchor's inner HTML with tags stripped and
+    whitespace squashed.  Both captures come from the SAME regex applied
+    twice (group 1 / group 2), so the arrays align by construction and
+    ``arrays_zip`` recombines them — still a single JVM projection, no
+    Python, no shuffle.  Anchors without closing tags (or hrefs
+    introduced by scripts) are missed: sound-not-complete, same policy
+    as the rest of this module.
+    """
+    html = _html_str(pages, html_col)
+    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_PAT), 1)
+    inners = F.regexp_extract_all(html, F.lit(_ANCHOR_PAT), 2)
+    pair = F.explode(F.arrays_zip(hrefs.alias("href"), inners.alias("inner")))
+    out = pages.select(F.col(url_col).alias("url"), pair.alias("a"))
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("a.inner"), r"<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return out.select("url", F.col("a.href").alias("href"), text.alias("anchor_text"))
+
+
 def host_link_graph(
     pages: DataFrame,
     html_col: str = "html",

@@ -110,9 +110,10 @@ def run_pipeline(
     are pipeline resume bookkeeping, not store data.
 
     ``extra_fmts`` adds further embedded structured-data routes beyond
-    the fused stage's ``text/turtle`` blocks — e.g. ``("jsonld",)``
-    parses every ``<script type="application/ld+json">`` island
-    (ops.html) and merges its triples into the same
+    the fused stage's ``text/turtle`` blocks — ``("jsonld",)`` parses
+    every ``<script type="application/ld+json">`` island (ops.html),
+    ``("microdata",)`` walks itemscope/itemprop attributes
+    (rdf_spark.microdata); both merge their triples into the same
     validate→skolemize→dedup flow.  Named-graph membership is flattened
     (the store is a triple store: RDF-dataset union semantics) and
     island blank-node labels are re-namespaced ``_:b…`` → ``_:jb…`` so
@@ -148,9 +149,14 @@ def run_pipeline(
         shard_pages = pages.filter(F.col("_shard") == k).drop("_shard")
         tagged = extraction.fused_extract_parse_link(shard_pages, alias_bc)
         for fmt in extra_fmts:
-            from rdf_spark.ops import html as _html
+            if fmt == "microdata":
+                from rdf_spark import microdata as _md
 
-            ex = _html.parse_html_structured(shard_pages, fmts=(fmt,))
+                ex = _md.parse_microdata(shard_pages)
+            else:
+                from rdf_spark.ops import html as _html
+
+                ex = _html.parse_html_structured(shard_pages, fmts=(fmt,))
             pfx = fmt[0]  # _:b1 → _:jb1 etc.: island labels must never
             # collide with the turtle blocks' under the url-keyed skolemizer
             relab = lambda c, kc: F.when(  # noqa: E731

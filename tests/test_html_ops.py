@@ -151,3 +151,20 @@ def test_datagen_differential_vs_pipeline_extractor(spark):
     bad_a = {r.url for r in via_html.filter(F.col("err").isNotNull()).select("url").collect()}
     bad_b = {r.url for r in via_pipeline.filter(F.col("err").isNotNull()).select("url").collect()}
     assert bad_a == bad_b and bad_a
+
+
+def test_extract_anchor_texts(spark):
+    pages = spark.createDataFrame(
+        [(
+            "u1",
+            '<a href="https://a/x"> The  <b>Ada</b> Lovelace page </a>'
+            '<a href="/y">plain</a><a href="z">unclosed',
+        )],
+        "url string, html string",
+    )
+    rows = {(r.href, r.anchor_text) for r in H.extract_anchor_texts(pages).collect()}
+    # inner tags stripped, whitespace squashed, unclosed anchor dropped
+    assert rows == {
+        ("https://a/x", "The Ada Lovelace page"),
+        ("/y", "plain"),
+    }
