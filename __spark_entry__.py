@@ -977,6 +977,31 @@ def q_html_links(spark, sf_dir):
     return htmlops.host_link_graph(pages)
 
 
+def q_anchor_priors(spark, sf_dir):
+    """Anchor-text link priors (ops.html.anchor_link_priors): each
+    order page links surface 'entity {custkey%5}' to a target whose
+    host varies by orderkey parity, carries a tracking param, and
+    upper-cases its host — so extraction, resolution, canonicalization
+    (param drop + host lowercase), pair counting, and the
+    within-surface prior window are all load-bearing.  The oracle
+    replays the count/prior algebra closed-form (single IEEE division
+    of exact ints — bit-identical across engines)."""
+    from rdf_spark.ops import html as htmlops
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://a"), F.col("o_custkey") % 3,
+        F.lit(".example/o/"), F.col("o_orderkey"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://T'), F.col("o_orderkey") % 2,
+        F.lit(".example/e/"), F.col("o_custkey") % 5,
+        F.lit('?utm_x=1">entity '), F.col("o_custkey") % 5, F.lit("</a>"),
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return htmlops.anchor_link_priors(pages)
+
+
 def q_html_microdata(spark, sf_dir):
     """Microdata → RDF (rdf_spark.microdata): every supplier page
     carries an itemscope/itemtype/itemid Organization with a text
@@ -1694,6 +1719,7 @@ _QUERIES = {
         "html_structured": q_html_structured,
         "html_links": q_html_links,
         "html_microdata": q_html_microdata,
+        "anchor_priors": q_anchor_priors,
     }
 
 
@@ -2664,6 +2690,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT url, 'urn:cust:' || k, 'urn:v:segment', c_mktsegment, 2,
                    'http://www.w3.org/2001/XMLSchema#string', 'turtle'
+            FROM c
+        """,
+        # closed-form replay of the anchor-prior algebra over the
+        # canonical (post-normalization) targets
+        "anchor_priors": """
+            WITH a AS (
+              SELECT 'entity ' || (o_custkey % 5) AS surface,
+                     'https://t' || (o_orderkey % 2) || '.example/e/'
+                       || (o_custkey % 5) AS entity_iri
+              FROM orders
+            ), c AS (
+              SELECT surface, entity_iri, COUNT(*) AS n
+              FROM a GROUP BY surface, entity_iri
+            )
+            SELECT surface, entity_iri, n,
+                   CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY surface) AS prior
             FROM c
         """,
         # closed-form: the five microdata triples per supplier page —

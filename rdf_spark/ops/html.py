@@ -163,23 +163,27 @@ def extract_links(
     )
     if not resolve:
         return out
-    page, href = F.col("url"), F.col("href")
+    return (
+        out.select("url", _resolve_href(F.col("url"), F.col("href")).alias("href"))
+        .filter(F.col("href").rlike("^https?://"))
+    )
+
+
+def _resolve_href(page: Column, href: Column) -> Column:
+    """RFC-3986-lite resolution of ``href`` against ``page`` (see
+    extract_links docstring); null for fragment-only/empty hrefs."""
     scheme = F.regexp_extract(page, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
     origin = F.regexp_extract(page, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
     # directory of the page path, always ending in '/'
     dirpath = F.regexp_extract(page, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*/)", 1)
     dirpath = F.when(dirpath == "", F.lit("/")).otherwise(dirpath)
     bare = F.regexp_replace(href, r"#.*$", "")  # fragment never reaches the server
-    resolved = (
+    return (
         F.when(bare.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), bare)  # absolute (any scheme)
         .when(bare.startswith("//"), F.concat(scheme, F.lit(":"), bare))
         .when(bare.startswith("/"), F.concat(origin, bare))
         .when(bare == "", F.lit(None).cast("string"))  # fragment-only / empty
         .otherwise(F.concat(origin, dirpath, bare))
-    )
-    return (
-        out.select("url", resolved.alias("href"))
-        .filter(F.col("href").rlike("^https?://"))
     )
 
 
@@ -217,6 +221,52 @@ def extract_anchor_texts(
         )
     )
     return out.select("url", F.col("a.href").alias("href"), text.alias("anchor_text"))
+
+
+def anchor_link_priors(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    drop_params: tuple[str, ...] = DEFAULT_DROP_PARAMS,
+    min_count: int = 1,
+) -> DataFrame:
+    """Anchor-text link priors: ``(surface, entity_iri, n, prior)``.
+
+    The classic web-mined entity-linking dictionary — for each anchor
+    text (surface form), how often the corpus links it to each
+    canonicalized target, and the within-surface fraction ``prior``
+    (= n / Σn over the surface).  The output schema deliberately matches
+    the gazetteer contract of :func:`rdf_spark.pipeline.run_pipeline`
+    (surface, entity_iri, prior), so a crawl can bootstrap its own
+    linking dictionary.
+
+    Scale shape: extraction is the JVM projection of
+    :func:`extract_anchor_texts`; counting is a map-side-combinable
+    groupBy on (surface, target) pairs; the prior is a window over
+    ``surface`` — the shuffle moves counted pairs, never HTML, and a
+    hot surface costs one window partition, not a driver collect.
+    ``min_count`` prunes the long noise tail AFTER the prior is
+    computed (denominator stays honest).
+    """
+    from pyspark.sql.window import Window
+
+    a = extract_anchor_texts(pages, html_col=html_col, url_col=url_col)
+    target = normalize_url_col(
+        _resolve_href(F.col("url"), F.col("href")), drop_params
+    )
+    pairs = (
+        a.select(F.col("anchor_text").alias("surface"), target.alias("entity_iri"))
+        .filter(
+            (F.col("surface") != "") & F.col("entity_iri").rlike("^https?://")
+        )
+        .groupBy("surface", "entity_iri")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("surface"))
+    return (
+        pairs.withColumn("prior", F.col("n") / total)
+        .filter(F.col("n") >= min_count)
+    )
 
 
 def host_link_graph(

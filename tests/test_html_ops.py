@@ -168,3 +168,33 @@ def test_extract_anchor_texts(spark):
         ("https://a/x", "The Ada Lovelace page"),
         ("/y", "plain"),
     }
+
+
+def test_anchor_link_priors(spark):
+    mk = lambda t, h: f'<a href="{h}">{t}</a>'  # noqa: E731
+    rows = [
+        ("https://p.example/1",
+         mk("Ada", "https://T.example:443/e/ada?utm_x=1")
+         + mk("Ada", "https://t.example/e/ada")
+         + mk("Ada", "https://other.example/ada-l")
+         + mk("rare", "https://x.example/r")),
+        ("https://p.example/2", mk("Ada", "https://t.example/e/ada")),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        (r.surface, r.entity_iri): (r.n, r.prior)
+        for r in H.anchor_link_priors(pages).collect()
+    }
+    # the three t.example spellings collapse under canonicalization
+    assert got[("Ada", "https://t.example/e/ada")] == (3, 0.75)
+    assert got[("Ada", "https://other.example/ada-l")] == (1, 0.25)
+    assert got[("rare", "https://x.example/r")] == (1, 1.0)
+    # min_count prunes the tail AFTER the denominator is fixed
+    kept = {
+        (r.surface, r.entity_iri): (r.n, r.prior)
+        for r in H.anchor_link_priors(pages, min_count=2).collect()
+    }
+    assert kept == {("Ada", "https://t.example/e/ada"): (3, 0.75)}
+    # output schema is the pipeline gazetteer contract
+    assert {"surface", "entity_iri", "prior"} <= set(kept and
+        H.anchor_link_priors(pages).columns)
