@@ -977,6 +977,40 @@ def q_html_links(spark, sf_dir):
     return htmlops.host_link_graph(pages)
 
 
+def q_robots_gate(spark, sf_dir):
+    """robots.txt politeness gate (ops.robots.robots_filter): hosts
+    h0..h24 (from nation) publish rules — Disallow /private/, a longer
+    Allow /private/pub/, and a wildcard-anchored Disallow /*.pdf$ —
+    while order pages land on hosts h0..h29 with four path shapes, so
+    longest-match precedence, the $ anchor, case-blind host matching,
+    and the missing-robots default (hosts 25..29) are all load-bearing.
+    The oracle states the RFC 9309 decision closed-form per shape.
+    Rules parse once per host; the decision is a host join + JVM
+    max(struct) — no broadcast of the rule table, no driver state."""
+    from rdf_spark.ops import robots as robmod
+
+    n = _t(spark, sf_dir, "nation")
+    robots = n.select(
+        F.concat(F.lit("h"), F.col("n_nationkey"), F.lit(".example")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /private/\n"
+              "Allow: /private/pub/\nDisallow: /*.pdf$\n").alias("body"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 4
+    path = (
+        F.when(k == 0, F.concat(F.lit("/pub/"), F.col("o_orderkey")))
+        .when(k == 1, F.concat(F.lit("/private/"), F.col("o_orderkey")))
+        .when(k == 2, F.concat(F.lit("/private/pub/"), F.col("o_orderkey")))
+        .otherwise(F.concat(F.lit("/files/"), F.col("o_orderkey"), F.lit(".pdf")))
+    )
+    pages = o.select(
+        F.concat(
+            F.lit("https://H"), F.col("o_custkey") % 30, F.lit(".example"), path
+        ).alias("url")
+    )
+    return robmod.robots_filter(pages, robots).select("url", "crawl_allowed")
+
+
 def q_anchor_priors(spark, sf_dir):
     """Anchor-text link priors (ops.html.anchor_link_priors): each
     order page links surface 'entity {custkey%5}' to a target whose
@@ -1720,6 +1754,7 @@ _QUERIES = {
         "html_links": q_html_links,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
+        "robots_gate": q_robots_gate,
     }
 
 
@@ -2691,6 +2726,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 'urn:cust:' || k, 'urn:v:segment', c_mktsegment, 2,
                    'http://www.w3.org/2001/XMLSchema#string', 'turtle'
             FROM c
+        """,
+        # closed-form RFC 9309 decision per planted path shape: /private/
+        # denied, /private/pub/ re-allowed by the longer Allow, *.pdf$
+        # denied, /pub/ untouched; hosts 25..29 have no robots.txt
+        "robots_gate": """
+            SELECT 'https://H' || (o_custkey % 30) || '.example'
+                   || CASE o_orderkey % 4
+                        WHEN 0 THEN '/pub/' || o_orderkey
+                        WHEN 1 THEN '/private/' || o_orderkey
+                        WHEN 2 THEN '/private/pub/' || o_orderkey
+                        ELSE '/files/' || o_orderkey || '.pdf'
+                      END AS url,
+                   (o_custkey % 30) >= 25 OR (o_orderkey % 4) IN (0, 2)
+                     AS crawl_allowed
+            FROM orders
         """,
         # closed-form replay of the anchor-prior algebra over the
         # canonical (post-normalization) targets

@@ -105,6 +105,7 @@ def main() -> int:
         "html_structured",
         "html_links",
         "html_microdata",
+        "robots_gate",
     ]
 
     timings: dict[str, float] = {}

@@ -1,0 +1,99 @@
+"""robots.txt politeness gate (ops/robots.py): RFC 9309 group
+selection, longest-match precedence, wildcards, and the Spark join
+decision."""
+
+from pyspark.sql import functions as F
+
+from rdf_spark.ops.robots import (
+    parse_robots_body,
+    robots_filter,
+    robots_rules,
+)
+
+
+BODY = """# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+Disallow: /*.pdf$
+
+User-agent: gptbot
+User-agent: claudebot
+Disallow: /
+
+User-agent: goodbot
+Disallow:
+"""
+
+
+def _decide(rules, path):
+    best_len, best_allow = -1, True
+    for allow, pattern in rules:
+        from rdf_spark.ops.robots import _pattern_re
+
+        n = len(pattern) if _pattern_re(pattern).match(path) else -1
+        if n >= 0 and (n > best_len or (n == best_len and allow)):
+            best_len, best_allow = n, allow
+    return best_allow
+
+
+def test_parse_and_decide_core():
+    r = parse_robots_body(BODY)
+    assert _decide(r, "/index.html") is True
+    assert _decide(r, "/private/x") is False
+    assert _decide(r, "/private/pub/x") is True      # longer Allow wins
+    assert _decide(r, "/doc/a.pdf") is False         # '*' + '$' anchor
+    assert _decide(r, "/doc/a.pdf.html") is True     # '$' anchors the end
+    # most specific agent group wins; stacked User-agent lines share it
+    for agent in ("ClaudeBot/2.1", "gptbot"):
+        rb = parse_robots_body(BODY, agent=agent)
+        assert _decide(rb, "/anything") is False
+    # empty Disallow = allow-all group
+    rg = parse_robots_body(BODY, agent="goodbot-2")
+    assert _decide(rg, "/private/x") is True
+    # allow wins exact ties
+    assert _decide([(False, "/a/"), (True, "/a/")], "/a/x") is True
+
+
+def test_robots_rules_stage(spark):
+    robots = spark.createDataFrame(
+        [("Ex.com", BODY), ("empty.example", "# nothing here")],
+        "host string, body string",
+    )
+    rows = robots_rules(robots).collect()
+    # host lowercased; rule-less hosts emit nothing
+    assert {r.host for r in rows} == {"ex.com"}
+    assert {(r.allow, r.pattern) for r in rows} == {
+        (False, "/private/"), (True, "/private/pub/"), (False, "/*.pdf$"),
+    }
+
+
+def test_robots_filter_spark(spark):
+    robots = spark.createDataFrame([("ex.com", BODY)], "host string, body string")
+    pages = spark.createDataFrame(
+        [
+            ("https://ex.com/index.html",),
+            ("https://ex.com/private/secret",),
+            ("https://ex.com/private/pub/ok",),
+            ("https://EX.com/file.pdf",),       # host matching is case-blind
+            ("https://ex.com/file.pdf.html",),
+            ("https://norobots.example/x",),    # no robots.txt → allowed
+        ],
+        "url string",
+    )
+    got = {r.url: r.crawl_allowed for r in robots_filter(pages, robots).collect()}
+    assert got == {
+        "https://ex.com/index.html": True,
+        "https://ex.com/private/secret": False,
+        "https://ex.com/private/pub/ok": True,
+        "https://EX.com/file.pdf": False,
+        "https://ex.com/file.pdf.html": True,
+        "https://norobots.example/x": True,
+    }
+    kept = robots_filter(pages, robots, agent="ClaudeBot/1.0", keep_denied=False)
+    assert [r.url for r in kept.collect()] == ["https://norobots.example/x"]
+    assert "crawl_allowed" not in kept.columns
+    # page payload columns survive the decision join
+    paged = pages.withColumn("payload", F.length("url"))
+    out = robots_filter(paged, robots)
+    assert set(out.columns) == {"url", "payload", "crawl_allowed"}
