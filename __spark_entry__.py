@@ -977,6 +977,40 @@ def q_html_links(spark, sf_dir):
     return htmlops.host_link_graph(pages)
 
 
+def q_html_rdfa(spark, sf_dir):
+    """RDFa Lite → RDF (rdf_spark.rdfa): every part page carries a
+    vocab-scoped Product with a lang-tagged text property, a
+    resolved-href IRI property, a meta content literal, and a CHAINED
+    property+typeof Brand node (``_:ra1``) — so vocabulary scoping,
+    xml:lang, per-element value rules, and chaining are each
+    load-bearing.  Oracle reconstructs all seven triples closed-form.
+    Arrow-batched mapInPandas walk — narrow, no shuffle."""
+    from rdf_spark import rdfa as rdfamod
+
+    p = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://p"), F.col("p_partkey") % 4,
+        F.lit(".example/parts/"), F.col("p_partkey"),
+    )
+    html = F.concat(
+        F.lit('<html><body vocab="http://schema.org/">'
+              '<div typeof="Product" about="urn:part:'),
+        F.col("p_partkey"),
+        F.lit('"><span property="name" xml:lang="en">'), F.col("p_name"),
+        F.lit('</span><a property="url" href="/p/'), F.col("p_partkey"),
+        F.lit('">x</a><meta property="size" content="'), F.col("p_size"),
+        F.lit('"><div property="brand" typeof="Brand">'
+              '<span property="name">'), F.col("p_brand"),
+        F.lit("</span></div></div></body></html>"),
+    )
+    pages = p.select(url.alias("url"), html.alias("html"))
+    out = rdfamod.parse_rdfa(_spread(pages))
+    return out.filter(F.col("err").isNull()).select(
+        "url", "s", "p", "o",
+        F.col("o_kind").cast("int").alias("o_kind"), "o_datatype", "o_lang",
+    )
+
+
 def q_robots_gate(spark, sf_dir):
     """robots.txt politeness gate (ops.robots.robots_filter): hosts
     h0..h24 (from nation) publish rules — Disallow /private/, a longer
@@ -1755,6 +1789,7 @@ _QUERIES = {
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "robots_gate": q_robots_gate,
+        "html_rdfa": q_html_rdfa,
     }
 
 
@@ -2726,6 +2761,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 'urn:cust:' || k, 'urn:v:segment', c_mktsegment, 2,
                    'http://www.w3.org/2001/XMLSchema#string', 'turtle'
             FROM c
+        """,
+        # closed-form: the seven RDFa triples per part page — type,
+        # lang-tagged name, resolved href, meta content, chained Brand
+        "html_rdfa": """
+            WITH p AS (
+              SELECT p_partkey AS k, p_name, p_brand, p_size,
+                     'https://p' || (p_partkey % 4) || '.example/parts/'
+                       || p_partkey AS url
+              FROM part
+            )
+            SELECT url, 'urn:part:' || k AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'http://schema.org/Product' AS o, 1 AS o_kind,
+                   CAST(NULL AS VARCHAR) AS o_datatype,
+                   CAST(NULL AS VARCHAR) AS o_lang
+            FROM p
+            UNION ALL
+            SELECT url, 'urn:part:' || k, 'http://schema.org/name', p_name, 2,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString',
+                   'en'
+            FROM p
+            UNION ALL
+            SELECT url, 'urn:part:' || k, 'http://schema.org/url',
+                   'https://p' || (k % 4) || '.example/p/' || k, 1,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM p
+            UNION ALL
+            SELECT url, 'urn:part:' || k, 'http://schema.org/size',
+                   CAST(p_size AS VARCHAR), 2,
+                   'http://www.w3.org/2001/XMLSchema#string',
+                   CAST(NULL AS VARCHAR)
+            FROM p
+            UNION ALL
+            SELECT url, '_:ra1',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://schema.org/Brand', 1,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM p
+            UNION ALL
+            SELECT url, 'urn:part:' || k, 'http://schema.org/brand',
+                   '_:ra1', 0, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM p
+            UNION ALL
+            SELECT url, '_:ra1', 'http://schema.org/name', p_brand, 2,
+                   'http://www.w3.org/2001/XMLSchema#string',
+                   CAST(NULL AS VARCHAR)
+            FROM p
         """,
         # closed-form RFC 9309 decision per planted path shape: /private/
         # denied, /private/pub/ re-allowed by the longer Allow, *.pdf$

@@ -106,6 +106,7 @@ def main() -> int:
         "html_links",
         "html_microdata",
         "robots_gate",
+        "html_rdfa",
     ]
 
     timings: dict[str, float] = {}

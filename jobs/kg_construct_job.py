@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--structured", action="append", default=[],
-                    choices=["jsonld", "microdata"],
+                    choices=["jsonld", "microdata", "rdfa"],
                     help="also parse embedded structured-data islands of "
                     "this format (repeatable); turtle blocks are always on")
     ap.add_argument("--link-graph",

@@ -113,7 +113,8 @@ def run_pipeline(
     the fused stage's ``text/turtle`` blocks — ``("jsonld",)`` parses
     every ``<script type="application/ld+json">`` island (ops.html),
     ``("microdata",)`` walks itemscope/itemprop attributes
-    (rdf_spark.microdata); both merge their triples into the same
+    (rdf_spark.microdata), ``("rdfa",)`` walks RDFa Lite attributes
+    (rdf_spark.rdfa); all merge their triples into the same
     validate→skolemize→dedup flow.  Named-graph membership is flattened
     (the store is a triple store: RDF-dataset union semantics) and
     island blank-node labels are re-namespaced ``_:b…`` → ``_:jb…`` so
@@ -153,6 +154,10 @@ def run_pipeline(
                 from rdf_spark import microdata as _md
 
                 ex = _md.parse_microdata(shard_pages)
+            elif fmt == "rdfa":
+                from rdf_spark import rdfa as _ra
+
+                ex = _ra.parse_rdfa(shard_pages)
             else:
                 from rdf_spark.ops import html as _html
 
