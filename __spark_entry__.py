@@ -977,6 +977,43 @@ def q_html_links(spark, sf_dir):
     return htmlops.host_link_graph(pages)
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML → URL seed rows (rdf_spark.sitemap): one urlset per
+    part with a fully-attributed entry (lastmod/changefreq/priority)
+    and a bare-loc entry, so field extraction, float priority parsing,
+    and loc-less-entry dropping are load-bearing.  The oracle replays
+    both rows closed-form (priority via decimal-string cast — parsing
+    is correctly rounded in both engines).  Arrow-batched mapInPandas,
+    narrow, no shuffle."""
+    from rdf_spark import sitemap as smmod
+
+    p = _t(spark, sf_dir, "part")
+    day = F.lpad((F.col("p_partkey") % 28 + 1).cast("string"), 2, "0")
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>https://p"), F.col("p_partkey") % 4,
+        F.lit(".example/parts/"), F.col("p_partkey"),
+        F.lit("</loc><lastmod>2026-01-"), day,
+        F.lit("</lastmod><changefreq>weekly</changefreq><priority>0."),
+        F.col("p_partkey") % 10,
+        F.lit("</priority></url><url><loc>https://p"), F.col("p_partkey") % 4,
+        F.lit(".example/parts/"), F.col("p_partkey"),
+        F.lit("/specs</loc></url><url><lastmod>dropped</lastmod></url>"
+              "</urlset>"),
+    )
+    docs = p.select(
+        F.concat(
+            F.lit("https://p"), F.col("p_partkey") % 4,
+            F.lit(".example/sitemap-"), F.col("p_partkey"), F.lit(".xml"),
+        ).alias("url"),
+        xml.alias("xml"),
+    )
+    out = smmod.parse_sitemaps(_spread(docs))
+    return out.filter(F.col("err").isNull()).select(
+        "url", "kind", "loc", "lastmod", "changefreq", "priority"
+    )
+
+
 def q_html_rdfa(spark, sf_dir):
     """RDFa Lite → RDF (rdf_spark.rdfa): every part page carries a
     vocab-scoped Product with a lang-tagged text property, a
@@ -1790,6 +1827,7 @@ _QUERIES = {
         "anchor_priors": q_anchor_priors,
         "robots_gate": q_robots_gate,
         "html_rdfa": q_html_rdfa,
+        "sitemap_parse": q_sitemap_parse,
     }
 
 
@@ -2761,6 +2799,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 'urn:cust:' || k, 'urn:v:segment', c_mktsegment, 2,
                    'http://www.w3.org/2001/XMLSchema#string', 'turtle'
             FROM c
+        """,
+        # closed-form replay of both sitemap entries per part (the
+        # loc-less third entry must be dropped)
+        "sitemap_parse": """
+            WITH p AS (
+              SELECT p_partkey AS k,
+                     'https://p' || (p_partkey % 4) || '.example' AS origin,
+                     'https://p' || (p_partkey % 4) || '.example/sitemap-'
+                       || p_partkey || '.xml' AS url
+              FROM part
+            )
+            SELECT url, 'urlset' AS kind,
+                   origin || '/parts/' || k AS loc,
+                   '2026-01-' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0')
+                     AS lastmod,
+                   'weekly' AS changefreq,
+                   CAST('0.' || (k % 10) AS DOUBLE) AS priority
+            FROM p
+            UNION ALL
+            SELECT url, 'urlset', origin || '/parts/' || k || '/specs',
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM p
         """,
         # closed-form: the seven RDFa triples per part page — type,
         # lang-tagged name, resolved href, meta content, chained Brand

@@ -80,6 +80,97 @@ def parse_robots_body(body: str, agent: str = "*") -> list[tuple[bool, str]]:
     return groups.get("*", [])
 
 
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """``(host, crawl_delay)`` seconds for ``agent`` — the politeness
+    budget a fetch scheduler joins against its frontier.  Group
+    selection follows :func:`parse_robots_body`; hosts without a
+    Crawl-delay emit nothing (scheduler default applies)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hosts, delays = [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if body is None:
+                    continue
+                if isinstance(body, (bytes, bytearray, memoryview)):
+                    body = bytes(body).decode("utf-8", errors="replace")
+                d = _crawl_delay(str(body), agent)
+                if d is not None:
+                    hosts.append("" if host is None else str(host).lower())
+                    delays.append(d)
+            yield pd.DataFrame({"host": hosts, "crawl_delay": delays})
+
+    return robots.mapInPandas(run, "host string, crawl_delay double")
+
+
+def _crawl_delay(body: str, agent: str) -> float | None:
+    agent = agent.lower()
+    groups: dict[str, float] = {}
+    cur_tokens: list[str] = []
+    last_was_agent = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                cur_tokens = []
+            cur_tokens.append(val.lower())
+            last_was_agent = True
+        else:
+            last_was_agent = False
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                for tok in cur_tokens:
+                    groups.setdefault(tok, d)
+    best = None
+    for tok in groups:
+        if tok != "*" and agent.startswith(tok):
+            if best is None or len(tok) > len(best):
+                best = tok
+    if best is not None:
+        return groups[best]
+    return groups.get("*")
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """``(host, sitemap_url)`` per ``Sitemap:`` line (RFC 9309 §2.3 —
+    group-independent, so no agent parameter).  Feed the urls to
+    :func:`rdf_spark.sitemap.parse_sitemaps` to seed the frontier."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hosts, urls = [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if body is None:
+                    continue
+                if isinstance(body, (bytes, bytearray, memoryview)):
+                    body = bytes(body).decode("utf-8", errors="replace")
+                for raw in str(body).splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    key, _, val = line.partition(":")
+                    if key.strip().lower() == "sitemap" and val.strip():
+                        hosts.append("" if host is None else str(host).lower())
+                        urls.append(val.strip())
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return robots.mapInPandas(run, "host string, sitemap_url string")
+
+
 def _pattern_re(pattern: str) -> re.Pattern:
     anchored_end = pattern.endswith("$")
     if anchored_end:

@@ -97,3 +97,33 @@ def test_robots_filter_spark(spark):
     paged = pages.withColumn("payload", F.length("url"))
     out = robots_filter(paged, robots)
     assert set(out.columns) == {"url", "payload", "crawl_allowed"}
+
+
+def test_crawl_delays_and_sitemaps(spark):
+    body = """User-agent: *
+Crawl-delay: 2.5
+Sitemap: https://ex.com/sitemap.xml
+Sitemap: https://ex.com/news.xml
+
+User-agent: claudebot
+Crawl-delay: 10
+"""
+    from rdf_spark.ops.robots import robots_crawl_delays, robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [("Ex.com", body), ("quiet.example", "User-agent: *\nDisallow: /x\n")],
+        "host string, body string",
+    )
+    d = {r.host: r.crawl_delay for r in robots_crawl_delays(robots).collect()}
+    assert d == {"ex.com": 2.5}  # delay-less hosts emit nothing
+    db = {
+        r.host: r.crawl_delay
+        for r in robots_crawl_delays(robots, agent="ClaudeBot/1.0").collect()
+    }
+    assert db == {"ex.com": 10.0}
+    sm = {(r.host, r.sitemap_url) for r in robots_sitemaps(robots).collect()}
+    # Sitemap lines are group-independent; the URL's colons survive
+    assert sm == {
+        ("ex.com", "https://ex.com/sitemap.xml"),
+        ("ex.com", "https://ex.com/news.xml"),
+    }
