@@ -973,7 +973,7 @@ def q_html_links(spark, sf_dir):
         F.lit('<a href="//cdn'), F.col("o_orderkey") % 3,
         F.lit('.shop.example/l.js">c</a></p>'),
     )
-    pages = o.select(url.alias("url"), html.alias("html"))
+    pages = _spread(o.select(url.alias("url"), html.alias("html")))
     return htmlops.host_link_graph(pages)
 
 
@@ -1074,11 +1074,11 @@ def q_robots_gate(spark, sf_dir):
         .when(k == 2, F.concat(F.lit("/private/pub/"), F.col("o_orderkey")))
         .otherwise(F.concat(F.lit("/files/"), F.col("o_orderkey"), F.lit(".pdf")))
     )
-    pages = o.select(
+    pages = _spread(o.select(
         F.concat(
             F.lit("https://H"), F.col("o_custkey") % 30, F.lit(".example"), path
         ).alias("url")
-    )
+    ))
     return robmod.robots_filter(pages, robots).select("url", "crawl_allowed")
 
 
@@ -1103,7 +1103,7 @@ def q_anchor_priors(spark, sf_dir):
         F.lit(".example/e/"), F.col("o_custkey") % 5,
         F.lit('?utm_x=1">entity '), F.col("o_custkey") % 5, F.lit("</a>"),
     )
-    pages = o.select(url.alias("url"), html.alias("html"))
+    pages = _spread(o.select(url.alias("url"), html.alias("html")))
     return htmlops.anchor_link_priors(pages)
 
 

@@ -198,3 +198,18 @@ def test_anchor_link_priors(spark):
     # output schema is the pipeline gazetteer contract
     assert {"surface", "entity_iri", "prior"} <= set(kept and
         H.anchor_link_priors(pages).columns)
+
+
+def test_empty_islands_do_not_poison_page(spark):
+    pages = spark.createDataFrame(
+        [(
+            "u:e",
+            '<script type="application/ld+json"></script>'
+            '<script type="application/ld+json">  </script>'
+            '<script type="application/ld+json">{"@id":"urn:k","urn:p:v":1}</script>',
+        ), ("u:only-empty", '<script type="application/ld+json"></script>')],
+        "url string, html string",
+    )
+    out = H.parse_html_structured(pages, fmts=("jsonld",)).collect()
+    # blank stubs are dropped, the real island still parses, no err rows
+    assert [(r.url, r.s, r.err) for r in out] == [("u:e", "urn:k", None)]
