@@ -39,6 +39,13 @@ def main(argv=None) -> int:
     ap.add_argument("--link-graph",
                     help="also write the host-level <a href> link graph "
                     "(src, dst, n_links) to this parquet path")
+    ap.add_argument("--anchor-priors",
+                    help="also write the anchor-text link-prior dictionary "
+                    "(surface, entity_iri, n, prior) to this parquet path — "
+                    "gazetteer-shaped, reusable as the next run's aliases")
+    ap.add_argument("--normalize-urls", action="store_true",
+                    help="canonicalize page URLs (ops.url rules) before "
+                    "sharding, so lookalike spellings co-locate and collapse")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -58,6 +65,13 @@ def main(argv=None) -> int:
     else:
         ap.error("one of --pages, --warc or --synthetic is required")
 
+    if args.normalize_urls:
+        from pyspark.sql import functions as F
+
+        from rdf_spark.ops.url import normalize_url_col
+
+        pages = pages.withColumn("url", normalize_url_col(F.col("url")))
+
     aliases = datagen.aliases(spark)
     results = pipeline.run_pipeline(
         spark, pages, aliases, args.out,
@@ -70,6 +84,12 @@ def main(argv=None) -> int:
 
         htmlops.host_link_graph(pages).write.mode("overwrite").parquet(
             args.link_graph
+        )
+    if args.anchor_priors:
+        from rdf_spark.ops import html as htmlops
+
+        htmlops.anchor_link_priors(pages).write.mode("overwrite").parquet(
+            args.anchor_priors
         )
     summary = {
         "shards": len(results),

@@ -599,3 +599,48 @@ def test_kg_construct_job_structured_and_link_graph(spark, tmp_path):
         (r.src, r.dst): r.n_links for r in spark.read.parquet(lg).collect()
     }
     assert links == {("j.example", "t.example"): 20}
+
+
+def test_kg_construct_job_priors_and_normalize(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    df = spark.range(15)
+    # messy page url (uppercase host + default port + tracking param)
+    # that must collapse under --normalize-urls; one anchor linking the
+    # surface 'Ada Lovelace' to a canonicalizable target
+    html = F.concat(
+        F.lit('<a href="https://KG.example:443/e/ada?utm_x=1">Ada Lovelace</a>'
+              "<p>About Grace Hopper.</p>"),
+    )
+    pages = df.select(
+        F.concat(F.lit("HTTPS://NP.Example:443/p/"), F.col("id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    src = str(tmp_path / "pages_np")
+    pages.write.parquet(src)
+    out = str(tmp_path / "job_np")
+    priors = str(tmp_path / "priors")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--pages", src, "--out", out, "--shards", "1", "--buckets", "2",
+             "--normalize-urls", "--anchor-priors", priors]
+        )
+    assert rc == 0
+    assert _json.loads(buf.getvalue().strip().splitlines()[-1])["pages"] == 15
+    # store subjects carry the canonical page url
+    store = pipeline.read_triple_store(spark, out)
+    assert store.filter(F.col("s").startswith("https://np.example/p/")).count() > 0
+    assert store.filter(F.col("s").contains(":443")).count() == 0
+    got = {(r.surface, r.entity_iri): (r.n, r.prior)
+           for r in spark.read.parquet(priors).collect()}
+    assert got == {("Ada Lovelace", "https://kg.example/e/ada"): (15, 1.0)}
