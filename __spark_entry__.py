@@ -977,6 +977,26 @@ def q_html_links(spark, sf_dir):
     return htmlops.host_link_graph(pages)
 
 
+def q_sparql_agg_expr(spark, sf_dir):
+    """SPARQL select expressions in aggregate queries (§18.2.4,
+    round-5): a group-key expression (CONCAT over ?nm), an
+    aggregate-alias expression (?n_cust * 2 — exact small-int double),
+    and a chained expression alias (?dbl + 1) — all computed
+    post-aggregation.  Same partial+final hash-aggregate plan as
+    `sparql_agg`; the projections are row-local additions."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_triples(spark, sf_dir), """
+        SELECT ?nm (COUNT(?c) AS ?n_cust) (?n_cust * 2 AS ?dbl)
+               (?dbl + 1 AS ?dblp) (CONCAT(?nm, "#") AS ?tag)
+        WHERE {
+            ?c <rdf:type> <urn:ex:Customer> .
+            ?c <urn:ex:inNation> ?n .
+            ?n <urn:ex:name> ?nm
+        } GROUP BY ?nm
+    """)
+
+
 def q_sitemap_parse(spark, sf_dir):
     """Sitemap XML → URL seed rows (rdf_spark.sitemap): one urlset per
     part with a fully-attributed entry (lastmod/changefreq/priority)
@@ -1828,6 +1848,7 @@ _QUERIES = {
         "robots_gate": q_robots_gate,
         "html_rdfa": q_html_rdfa,
         "sitemap_parse": q_sitemap_parse,
+        "sparql_agg_expr": q_sparql_agg_expr,
     }
 
 
@@ -2618,6 +2639,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.n_name AS nm, CAST(COUNT(*) AS BIGINT) AS n_cust
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name HAVING COUNT(*) >= 5
+        """,
+        # select expressions over the group: count doubled (exact
+        # small-int double), chained +1, and a key concat
+        "sparql_agg_expr": """
+            SELECT n.n_name AS nm, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(COUNT(*) AS DOUBLE) * 2 AS dbl,
+                   CAST(COUNT(*) AS DOUBLE) * 2 + 1 AS dblp,
+                   n.n_name || '#' AS tag
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "sparql_lang": f"""
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm,

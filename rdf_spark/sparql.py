@@ -12,7 +12,9 @@ predicates, and the solution modifiers map 1:1 onto
 Supported subset (anything else raises ``SparqlError`` at parse time):
 
     [PREFIX ns: <iri> …]
-    SELECT [DISTINCT] (?var | (AGG(?v|*) AS ?alias))… | *
+    SELECT [DISTINCT] (?var | (AGG(?v|*) AS ?alias) | (expr AS ?alias))… | *
+      -- in aggregate queries, expr may use GROUP BY keys, aggregate
+      -- aliases, and earlier expression aliases (§18.2.4)
     CONSTRUCT { template triples }    -- → (s,p,o) DataFrame, set semantics
     ASK [WHERE] { group }             -- → bool
     DESCRIBE <iri>… | DESCRIBE ?v… WHERE { group }
@@ -1809,16 +1811,41 @@ def _select_df(triples: DataFrame, ast: _Ast) -> DataFrame:
     if has_agg or ast.group_by:
         if items is None:
             raise SparqlError("aggregate queries cannot SELECT *")
+        agg_aliases = {it[3] for it in items if it[0] == "agg"}
+        seen_expr: set[str] = set()
+        seen_aliases: set[str] = set()
+        for it in items:
+            alias = it[3] if it[0] == "agg" else (it[2] if it[0] == "expr" else None)
+            if alias is not None:
+                if alias in ast.group_by or alias in seen_aliases:
+                    raise SparqlError(
+                        f"projection would rebind already-bound ?{alias}"
+                    )
+                seen_aliases.add(alias)
         for it in items:
             if it[0] == "var" and it[1] not in ast.group_by:
                 raise SparqlError(
                     f"?{it[1]} selected outside an aggregate must be in GROUP BY"
                 )
             if it[0] == "expr":
-                raise SparqlError(
-                    "expression projections are not supported in aggregate "
-                    "queries — BIND the expression in WHERE instead"
+                # SPARQL 1.1 §18.2.4: select expressions over the group —
+                # here: GROUP BY keys and aggregate aliases (computed
+                # post-aggregation, so ?avg = ?sum/?n compositions work)
+                if _operand_vars(it[1], meta_only=True):
+                    raise SparqlError(
+                        "LANG()/DATATYPE() projections are not available "
+                        "after grouping — BIND them in WHERE instead"
+                    )
+                bad = _operand_vars(it[1]) - (
+                    set(ast.group_by) | agg_aliases | seen_expr
                 )
+                if bad:
+                    raise SparqlError(
+                        f"expression projection references {sorted(bad)} — "
+                        "only GROUP BY keys, aggregate aliases, and earlier "
+                        "expression aliases are in scope after grouping"
+                    )
+                seen_expr.add(it[2])
         missing = [v for v in ast.group_by if v not in df.columns]
         if missing:
             raise SparqlError(f"GROUP BY of unbound variable(s) {missing}")
@@ -1845,7 +1872,21 @@ def _select_df(triples: DataFrame, ast: _Ast) -> DataFrame:
                     "keys and aggregate aliases are in scope"
                 )
             df = df.filter(_compile_expr(ast.having))
-        df = df.select(*[it[1] if it[0] == "var" else it[3] for it in items])
+        names: list[str] = []
+        for it in items:
+            if it[0] == "var":
+                names.append(it[1])
+            elif it[0] == "agg":
+                names.append(it[3])
+            else:
+                _, e, alias = it
+                if alias in df.columns or alias in names:
+                    raise SparqlError(
+                        f"projection would rebind already-bound ?{alias}"
+                    )
+                df = df.withColumn(alias, _operand_col(e, False))
+                names.append(alias)
+        df = df.select(*names)
     elif items is not None:
         names: list[str] = []
         for it in items:

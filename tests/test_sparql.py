@@ -1499,11 +1499,13 @@ def test_select_expression_projection(tri):
         sparql_select(tri, """
             SELECT (STRLEN(?nope) AS ?x) WHERE { ?c <urn:name> ?n }
         """).collect()
-    with pytest.raises(SparqlError, match="aggregate"):
-        sparql_select(tri, """
-            SELECT (STRLEN(?n) AS ?x) (COUNT(?c) AS ?k)
-            WHERE { ?c <urn:name> ?n } GROUP BY ?n
-        """).collect()
+    # round-5: expressions over GROUP BY keys are legal in aggregate
+    # queries (§18.2.4) — formerly rejected
+    got = sorted(_run(tri, """
+        SELECT (STRLEN(?n) AS ?x) (COUNT(?c) AS ?k)
+        WHERE { ?c <urn:name> ?n } GROUP BY ?n
+    """))
+    assert got == [(3, 1), (3, 1), (5, 1)]
 
 
 def test_regex_flags(tri):
@@ -1519,3 +1521,40 @@ def test_regex_flags(tri):
         sparql_select(tri, """
             SELECT ?n WHERE { ?c <urn:name> ?n FILTER(REGEX(?n, "a", "x")) }
         """).collect()
+
+
+def test_aggregate_expression_projections(tri):
+    # §18.2.4: expressions over GROUP BY keys, aggregate aliases, and
+    # earlier expression aliases, computed post-aggregation
+    got = _run(tri, """
+        SELECT ?n (COUNT(?k) AS ?deg) (?deg + 1 AS ?a) (?a * 2 AS ?b)
+               (CONCAT(?n, "!") AS ?tag)
+        WHERE { ?c <urn:name> ?n . ?c <urn:knows> ?k }
+        GROUP BY ?n ORDER BY ?n
+    """)
+    assert got == [("Alice", 1, 2.0, 4.0, "Alice!"), ("Bob", 1, 2.0, 4.0, "Bob!")]
+    # global aggregate (no GROUP BY) with a derived expression
+    got = _run(tri, """
+        SELECT (COUNT(*) AS ?n) (?n * 10 AS ?x) WHERE { ?c a <urn:Customer> }
+    """)
+    assert got == [(3, 30.0)]
+
+
+@pytest.mark.parametrize("bad", [
+    # ungrouped variable inside a select expression
+    "SELECT (COUNT(?n) AS ?c) (?n AS ?x) WHERE { ?s <urn:name> ?n }",
+    # rebinding a GROUP BY key
+    "SELECT ?n (COUNT(*) AS ?n) WHERE { ?s <urn:name> ?n } GROUP BY ?n",
+    # duplicate aggregate aliases
+    "SELECT (COUNT(*) AS ?n) (SUM(?b) AS ?n) WHERE { ?s <urn:bal> ?b }",
+    # EXPRESSION alias referenced before it is defined (aggregate
+    # aliases, unlike expression aliases, are visible regardless of
+    # order — they are computed in the aggregation step first)
+    "SELECT (COUNT(*) AS ?n) (?e AS ?b) (?n + 1 AS ?e) "
+    "WHERE { ?s <urn:name> ?n2 }",
+    # LANG is group-scoped metadata, unavailable post-aggregation
+    "SELECT ?n (COUNT(*) AS ?c) (LANG(?n) AS ?l) WHERE { ?s <urn:name> ?n } GROUP BY ?n",
+])
+def test_aggregate_expression_errors(tri, bad):
+    with pytest.raises(SparqlError):
+        sparql_select(tri, bad).collect()
