@@ -977,6 +977,21 @@ def q_html_links(spark, sf_dir):
     return htmlops.host_link_graph(pages)
 
 
+def q_host_cap(spark, sf_dir):
+    """Per-key quota cap (ops.sample.cap_per_key): at most 4 documents
+    per synthetic host bucket, survivor set decided by the md5 rank so
+    it is identical at any parallelism AND replayable verbatim in SQL.
+    The row_number<=k filter compiles to a map-side WindowGroupLimit —
+    a hot host's excess rows are truncated before the shuffle (the same
+    skew guard as the LSH bucket pre-cap)."""
+    from rdf_spark.ops.sample import cap_per_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(7)).alias("host")
+    )
+    return cap_per_key(d, "host", 4).select("doc_id", "host")
+
+
 def q_sparql_agg_expr(spark, sf_dir):
     """SPARQL select expressions in aggregate queries (§18.2.4,
     round-5): a group-key expression (CONCAT over ?nm), an
@@ -1849,6 +1864,7 @@ _QUERIES = {
         "html_rdfa": q_html_rdfa,
         "sitemap_parse": q_sitemap_parse,
         "sparql_agg_expr": q_sparql_agg_expr,
+        "host_cap": q_host_cap,
     }
 
 
@@ -2639,6 +2655,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.n_name AS nm, CAST(COUNT(*) AS BIGINT) AS n_cust
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name HAVING COUNT(*) >= 5
+        """,
+        # verbatim replay of the md5 rank-window quota
+        "host_cap": """
+            SELECT doc_id, host FROM (
+              SELECT doc_id, doc_id % 7 AS host,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY doc_id % 7
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                CAST(doc_id AS VARCHAR) ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 4
         """,
         # select expressions over the group: count doubled (exact
         # small-int double), chained +1, and a key concat

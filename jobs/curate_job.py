@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     ap.add_argument("--strip-boilerplate", type=int, default=None)
     ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument("--near-dup-threshold", type=float, default=None)
+    ap.add_argument("--host-cap", default=None, metavar="COL:N",
+                    help="final per-host quota: keep at most N rows per "
+                    "distinct COL value (drop_reason=host_capped)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -62,6 +65,11 @@ def main(argv=None) -> int:
             if args.near_dup_threshold is not None else None
         ),
     )
+    if args.host_cap is not None:
+        col, _, n = args.host_cap.rpartition(":")
+        if not col or not n.isdigit():
+            ap.error("--host-cap expects COL:N (e.g. source:1000)")
+        kwargs["host_cap"] = (col, int(n))
     docs = spark.read.parquet(args.in_path)
     report = curate.curate_report(docs, **kwargs)
     # one computation, two consumers: persist the report, derive the rest

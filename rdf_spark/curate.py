@@ -27,6 +27,11 @@ document left):
                      near-dup state is unbounded).
 6. ``sampled_out`` — deterministic md5-threshold sample (ops.sample):
                      the reproducible training-mix knob.
+7. ``host_capped`` — OPTIONAL (``host_cap=(col, N)``): at most N kept
+                     rows per distinct ``col`` value (per-host/domain
+                     quota — a hot domain must not dominate the mix);
+                     survivors chosen by md5 rank of the key, so
+                     parallelism-invariant and SQL-replayable.
 
 Scale shape: stages 1-3 and 5 are row-local JVM expressions fused into
 the scan (zero shuffle, zero Python).  Stage 4 is the pipeline's ONLY
@@ -87,6 +92,7 @@ def curate_report(
     strip_boilerplate: int | None = None,
     scrub_pii: bool = False,
     near_dup: dict | None = None,
+    host_cap: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Audit view: every input row with ``drop_reason`` (null = kept).
 
@@ -112,6 +118,14 @@ def curate_report(
     (two pages differing only in a contact email collapse) and the kept
     corpus never carries the raw identifiers.  Row-local JVM: free at
     any scale, and valid per micro-batch in a streaming setting.
+
+    ``host_cap=(col, N)`` enables a FINAL quota stage: among the rows
+    every earlier stage kept, at most N per distinct value of ``col``
+    (the standard per-host/per-domain cap — one hot domain must not
+    dominate the mix); excess rows drop as ``host_capped``.  Which rows
+    survive is the md5 rank of ``key_col`` (ops.sample.cap_per_key's
+    rule), so the quota is deterministic at any parallelism and replays
+    verbatim in SQL.  Dropped-earlier rows never consume quota.
 
     Deterministic on any cluster at any parallelism: every stage is a
     pure function of row content except dedup, whose keep-the-smallest-id
@@ -181,10 +195,33 @@ def curate_report(
     reason = reason.when(
         ~smp.sample_predicate(F.col(key_col), sample_rate), "sampled_out"
     ).otherwise(F.lit(None).cast("string"))
-    return out.withColumn("drop_reason", reason).drop(
+    out = out.withColumn("drop_reason", reason).drop(
         "_fp", "_eligible", "_lang_ok", "_qual_ok", "_rep_ok", "_rep_id",
         *nd_cols
     )
+    if host_cap is not None:
+        from pyspark.sql.window import Window
+
+        cap_col, cap_n = host_cap
+        if cap_n < 1:
+            raise ValueError(f"host_cap count must be >= 1, got {cap_n}")
+        # rank ONLY the so-far-kept rows of each host against each other
+        # (dropped rows must not consume quota); md5-of-key order makes
+        # the surviving set parallelism-invariant and SQL-replayable
+        w = Window.partitionBy(
+            F.col(cap_col), F.col("drop_reason").isNull()
+        ).orderBy(
+            F.md5(F.col(key_col).cast("string")).asc(),
+            F.col(key_col).cast("string").asc(),
+        )
+        out = out.withColumn("_cap_rn", F.row_number().over(w)).withColumn(
+            "drop_reason",
+            F.when(
+                F.col("drop_reason").isNull() & (F.col("_cap_rn") > cap_n),
+                "host_capped",
+            ).otherwise(F.col("drop_reason")),
+        ).drop("_cap_rn")
+    return out
 
 
 def curate_corpus(df: DataFrame, **kwargs) -> DataFrame:

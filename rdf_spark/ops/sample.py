@@ -70,3 +70,41 @@ def stratified_sample(
     for stratum, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == stratum, F.lit(md5_threshold(rate))).otherwise(thr)
     return df.filter(digest < thr)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: str | list[str],
+    max_per_key: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-key quota: keep at most ``max_per_key`` rows per
+    key — the standard host/domain cap of a web corpus (one hot domain
+    must not dominate a training mix).
+
+    Which rows survive is decided by md5 of ``order_col`` (ties broken
+    by the stringified key itself), so the kept set is identical on any
+    cluster, at any parallelism — same auditability contract as
+    :func:`deterministic_sample`, and the md5 rank replays verbatim in a
+    SQL oracle.
+
+    Scale shape: one rank window per key.  Spark compiles the
+    ``row_number <= k`` filter to a map-side WindowGroupLimit (the same
+    plan shape as the LSH bucket pre-cap, ops/dedup.py), so a hot key's
+    excess rows are truncated to k per map task BEFORE the shuffle —
+    the skewed-host pathology never crosses the exchange in full.
+    """
+    from pyspark.sql.window import Window
+
+    if max_per_key < 1:
+        raise ValueError(f"max_per_key must be >= 1, got {max_per_key}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    rank_key = F.md5(F.col(order_col).cast("string"))
+    w = Window.partitionBy(*keys).orderBy(
+        rank_key.asc(), F.col(order_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= max_per_key)
+        .drop("_cap_rn")
+    )

@@ -353,3 +353,84 @@ def test_curate_near_dup_stage(spark):
     rep0 = curate.curate_report(df, min_quality=0.0)
     got0 = {r.doc_id: r.drop_reason for r in rep0.collect()}
     assert got0[3] is None and "near_dup" not in set(got0.values())
+
+
+def test_cap_per_key_deterministic_and_mapside(spark, documents):
+    from rdf_spark.ops.sample import cap_per_key
+
+    keyed = documents.withColumn("host", F.pmod("doc_id", F.lit(5)))
+    capped = cap_per_key(keyed, "host", 4)
+    counts = {r.host: r.n for r in
+              capped.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    totals = {r.host: r.n for r in
+              keyed.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(counts[h] == min(4, totals[h]) for h in totals)
+    # identical survivors under a different partitioning (audit contract)
+    again = cap_per_key(keyed.repartition(13), "host", 4)
+    assert sorted(r.doc_id for r in capped.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+    # the skew guard: row_number<=k compiles to a map-side WindowGroupLimit
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    import pytest
+    with pytest.raises(ValueError):
+        cap_per_key(keyed, "host", 0)
+
+
+def test_curate_host_cap_stage(spark, documents):
+    keyed = documents.withColumn("source", F.pmod("doc_id", F.lit(3)))
+    rep = curate.curate_report(keyed, host_cap=("source", 2))
+    kept = rep.filter(F.col("drop_reason").isNull())
+    per_host = {r.source: r.n for r in
+                kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 2 for n in per_host.values()) and per_host
+    capped = rep.filter(F.col("drop_reason") == "host_capped")
+    # quota only demotes rows every earlier stage kept
+    base = curate.curate_report(keyed)
+    base_kept = {r.doc_id for r in
+                 base.filter(F.col("drop_reason").isNull()).collect()}
+    assert {r.doc_id for r in capped.collect()} <= base_kept
+    # other reasons unchanged by the cap stage
+    a = {(r.doc_id, r.drop_reason) for r in base.collect()
+         if r.drop_reason is not None}
+    b = {(r.doc_id, r.drop_reason) for r in rep.collect()
+         if r.drop_reason not in (None, "host_capped")}
+    assert a == b
+    # deterministic survivors under different partitioning
+    again = curate.curate_report(keyed.repartition(11), host_cap=("source", 2))
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in
+        again.filter(F.col("drop_reason").isNull()).collect())
+    import pytest
+    with pytest.raises(ValueError):
+        curate.curate_report(keyed, host_cap=("source", 0))
+
+
+def test_curate_job_host_cap_flag(spark, tmp_path, documents):
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    src = str(tmp_path / "docs_cap_in")
+    documents.withColumn("source", F.pmod("doc_id", F.lit(2))).write.parquet(src)
+    out = str(tmp_path / "docs_cap_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main([
+            "--in", src, "--out", out, "--langs", "en,de",
+            "--min-quality", "0.0", "--host-cap", "source:3",
+        ])
+    assert rc == 0
+    stages = json.loads(buf.getvalue().strip().splitlines()[-1])["stages"]
+    assert stages.get("host_capped", 0) > 0
+    kept = spark.read.parquet(f"{out}/kept")
+    per = {r.source: r.n for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in per.values())
+    import pytest
+    with pytest.raises(SystemExit):
+        curate_job.main(["--in", src, "--out", out, "--host-cap", "nope"])
