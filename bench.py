@@ -107,6 +107,10 @@ def main() -> int:
         "html_microdata",
         "robots_gate",
         "html_rdfa",
+        "anchor_priors",
+        "sitemap_parse",
+        "sparql_agg_expr",
+        "host_cap",
     ]
 
     timings: dict[str, float] = {}
