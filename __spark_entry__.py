@@ -620,6 +620,33 @@ def q_sparql_path_unanchored(spark, sf_dir):
     return sparql_select(tri, "SELECT ?a ?b WHERE { ?a <urn:child>+ ?b }")
 
 
+def q_sparql_path_zero_or_one(spark, sf_dir):
+    """SPARQL ZeroOrOnePath `?a <p>? ?b` (round-5, §18.4): the DIRECT
+    edge pairs unioned with the zero-length identity over every graph
+    node — set semantics like the closures but NO fixpoint ever runs
+    (rdf_spark.sparql._path_edges short-circuits the '?' modifier to
+    `edges.distinct() ∪ identity`).  Same deterministic binary tree as
+    `sparql_path_unanchored`; the oracle replays edges UNION node
+    identity in plain SQL — no recursion needed, which is exactly the
+    point of '?' vs '+'."""
+    from rdf_spark.sparql import sparql_select
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tri = (
+        d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 1).alias("o"),
+        )
+        .unionByName(d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 2).alias("o"),
+        ))
+    )
+    return sparql_select(tri, "SELECT ?a ?b WHERE { ?a <urn:child>? ?b }")
+
+
 def q_sparql_path_grouped(spark, sf_dir):
     """Grouped-path precedence (round-5): `<p1>/<p2>|<p3>` parses as
     `(<p1>/<p2>)|<p3>` per SPARQL 1.1 ('/' binds tighter than '|') —
@@ -1841,6 +1868,7 @@ _QUERIES = {
         "sparql_lang": q_sparql_lang,
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_unanchored": q_sparql_path_unanchored,
+        "sparql_path_zero_or_one": q_sparql_path_zero_or_one,
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
         "sparql_arith": q_sparql_arith,
@@ -2701,6 +2729,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
             )
             SELECT src AS a, dst AS b FROM reach
+        """,
+        "sparql_path_zero_or_one": """
+            WITH edges AS (
+                SELECT 'urn:d' || doc_id AS a,
+                       'urn:d' || (doc_id * 2 + 1) AS b
+                FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT 'urn:d' || doc_id, 'urn:d' || (doc_id * 2 + 2)
+                FROM documents WHERE doc_id < 200
+            ), nodes AS (
+                SELECT a AS n FROM edges UNION SELECT b FROM edges
+            )
+            SELECT a, b FROM edges
+            UNION
+            SELECT n AS a, n AS b FROM nodes
         """,
         "sparql_path_grouped": """
             SELECT 'urn:order:' || o.o_orderkey AS x,

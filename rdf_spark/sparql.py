@@ -24,7 +24,8 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
     WHERE { group }  |  WHERE { { group } UNION { group } … }
       group: triple patterns '.'-separated
              property paths with full SPARQL 1.1 precedence — '^'
-               (inverse) > '+'/'*' (closure) > '/' (sequence) > '|'
+               (inverse) > '+'/'*'/'?' (closure / zero-or-one) > '/'
+               (sequence) > '|'
                (alternation), '(' path ')' groups.  Compilation picks
                the cheapest shape that fits:
                - plain atoms / atom sequences → triple patterns with a
@@ -42,7 +43,10 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                  anchored compound closures still run the BFS over the
                  inner path's pair set.  ?a <p>* ?b includes the
                  zero-length solution ?a=?b for EVERY node of the graph
-                 (every subject/object term, per SPARQL §9.1 ALP)
+                 (every subject/object term, per SPARQL §9.1 ALP);
+                 elt? (ZeroOrOnePath, §18.4) is the same zero-length
+                 set unioned with elt's DIRECT pairs — set semantics,
+                 no fixpoint ever runs
              negated property sets  ?s !<p> ?o | ?s !(<p1>|<p2>) ?o —
                a NOT-IN predicate filter (forward members only; ^ inside
                a negated set is not supported)
@@ -159,7 +163,7 @@ _TOKEN_RE = re.compile(
       | (?P<number>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+))
       | (?P<pname>[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
       | (?P<word>[A-Za-z][A-Za-z0-9_]*)
-      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;|/^-])
+      | (?P<op>\|\||&&|!=|<=|>=|[{}().,=<>!*+;|/^?-])
     )""",
     re.X,
 )
@@ -680,7 +684,8 @@ class _Parser:
         elif tag == "closure":
             inner = node[1]
             anchored = not s.startswith("?") or not o.startswith("?")
-            if inner[0] in ("pred", "ipred") and anchored:
+            if inner[0] in ("pred", "ipred") and anchored \
+                    and node[2] != "?":
                 if inner[0] == "ipred":  # X ^p+ Y ≡ Y p+ X
                     s, o = o, s
                 g.paths.append((s, inner[1], node[2], o))
@@ -691,11 +696,11 @@ class _Parser:
     #   PathAlternative ::= PathSequence ('|' PathSequence)*
     #   PathSequence    ::= PathEltOrInverse ('/' PathEltOrInverse)*
     #   PathEltOrInverse::= PathElt | '^' PathElt
-    #   PathElt         ::= PathPrimary ('+'|'*')?
+    #   PathElt         ::= PathPrimary ('+'|'*'|'?')?
     #   PathPrimary     ::= iri | 'a' | '!' NPS | '(' PathAlternative ')'
     # AST nodes: ('pred', iri) ('ipred', iri) ('nps', [iris])
     # ('inps', [iris]) ('alt', [nodes]) ('seq', [nodes])
-    # ('closure', node, '+'|'*').  Inverses are pushed to the leaves at
+    # ('closure', node, '+'|'*'|'?').  Inverses are pushed to the leaves at
     # parse time (_path_inverse) so the compiler only sees the six tags.
 
     def path_expr(self):
@@ -726,7 +731,7 @@ class _Parser:
 
     def path_elt(self):
         prim = self.path_prim()
-        if self.peek() in (("op", "+"), ("op", "*")):
+        if self.peek() in (("op", "+"), ("op", "*"), ("op", "?")):
             return ("closure", prim, self.next()[1])
         return prim
 
@@ -1402,8 +1407,11 @@ def _path_edges(triples: DataFrame, node: tuple) -> DataFrame:
             )
         return out
     if tag == "closure":
-        pairs = _closure_pairs(_path_edges(triples, node[1]))
-        if node[2] == "*":
+        inner = _path_edges(triples, node[1])
+        # '?' (ZeroOrOnePath) is identity ∪ DIRECT pairs — set
+        # semantics like the closures (§18.4), but no fixpoint runs
+        pairs = inner.distinct() if node[2] == "?" else _closure_pairs(inner)
+        if node[2] in ("*", "?"):
             ident = _graph_nodes(triples).select(
                 F.col("node").alias("_src"), F.col("node").alias("_dst")
             )
@@ -1430,8 +1438,15 @@ def _compile_generic_path(triples: DataFrame, s: str, node: tuple, o: str,
             anchor, var_term = o, s
         else:
             anchor, var_term = s, o
-        reach = _reach_from(inner, anchor)
-        if node[2] == "*":  # zero-length: the anchor reaches itself
+        if node[2] == "?":  # one step at most: no BFS, one filter
+            reach = (
+                inner.filter(F.col("_src") == anchor)
+                .select(F.col("_dst").alias("node"))
+                .distinct()
+            )
+        else:
+            reach = _reach_from(inner, anchor)
+        if node[2] in ("*", "?"):  # zero-length: anchor reaches itself
             reach = reach.unionByName(
                 spark.createDataFrame([(anchor,)], "node string")
             ).distinct()

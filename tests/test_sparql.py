@@ -398,6 +398,35 @@ def test_path_unanchored_closure(tri):
     assert got2 == [("Alice", "urn:c2"), ("Alice", "urn:c3")]
 
 
+def test_path_zero_or_one(tri):
+    # round-5: elt? (ZeroOrOnePath §18.4) — zero-length plus the DIRECT
+    # pairs only, never the transitive closure
+    got = sorted(r.x for r in sparql_select(
+        tri, "SELECT ?x WHERE { <urn:c1> <urn:knows>? ?x }").collect())
+    assert got == ["urn:c1", "urn:c2"]  # NOT c3
+    got_rev = sorted(r.x for r in sparql_select(
+        tri, "SELECT ?x WHERE { ?x <urn:knows>? <urn:c3> }").collect())
+    assert got_rev == ["urn:c2", "urn:c3"]
+    # inside a sequence the optional hop extends each one-hop pair
+    got_seq = sorted(r.x for r in sparql_select(
+        tri, "SELECT ?x WHERE { <urn:c1> <urn:knows>/<urn:knows>? ?x }"
+    ).collect())
+    assert got_seq == ["urn:c2", "urn:c3"]
+
+
+def test_path_zero_or_one_ask_and_var_var(tri):
+    from rdf_spark.sparql import sparql_ask
+
+    # zero-length: a bound anchor always reaches itself
+    assert sparql_ask(tri, "ASK { <urn:c1> <urn:knows>? <urn:c1> }") is True
+    assert sparql_ask(tri, "ASK { <urn:c1> <urn:knows>? <urn:c3> }") is False
+    # var-var: identity over every graph node ∪ direct pairs
+    got = sorted(_run(tri, "SELECT ?a ?b WHERE { ?a <urn:knows>? ?b }"))
+    assert ("urn:c1", "urn:c2") in got and ("urn:c2", "urn:c3") in got
+    assert ("urn:c1", "urn:c3") not in got  # no transitivity
+    assert ("urn:Customer", "urn:Customer") in got  # object-only node
+
+
 # ---------------------------------------------------------------------------
 # PREFIX and VALUES
 # ---------------------------------------------------------------------------

@@ -145,12 +145,13 @@ def _naive_path(triples, node):
         return cur
     if tag == "closure":
         result = set(_naive_path(triples, node[1]))
-        while True:
-            new = {(a, d) for a, b in result for c, d in result if b == c} - result
-            if not new:
-                break
-            result |= new
-        if node[2] == "*":
+        if node[2] != "?":  # ZeroOrOnePath keeps DIRECT pairs only
+            while True:
+                new = {(a, d) for a, b in result for c, d in result if b == c} - result
+                if not new:
+                    break
+                result |= new
+        if node[2] in ("*", "?"):
             nodes = {s for s, _, _ in triples} | {o for _, _, o in triples}
             result |= {(n, n) for n in nodes}
         return sorted(result)
@@ -191,7 +192,7 @@ def _random_path(rng, depth):
     if roll < 0.85:
         return ("seq", [_random_path(rng, depth - 1)
                         for _ in range(rng.randint(2, 3))])
-    return ("closure", _random_path(rng, depth - 1), rng.choice("+*"))
+    return ("closure", _random_path(rng, depth - 1), rng.choice("+*?"))
 
 
 def test_compound_paths_match_naive_evaluator(spark, rng):
@@ -210,17 +211,22 @@ def test_anchored_compound_paths_match_naive(spark, rng):
     for case in range(10):
         triples = _random_graph(rng, rng.randint(8, 20))
         df = spark.createDataFrame(triples, "s string, p string, o string")
-        node = ("closure", _random_path(rng, 1), rng.choice("+*"))
+        node = ("closure", _random_path(rng, 1), rng.choice("+*?"))
         path = _render_path(node, top=True)
         anchor = rng.choice(SUBJECTS)
         pairs = _naive_path(triples, node)
+        # a BOUND anchor always reaches itself on '*'/'?' (§18.4 lists
+        # {(x,x)} for the bound case), even when the term is not a node
+        # of the graph — the identity rows inside `pairs` only cover
+        # graph nodes, so add the anchor explicitly
+        zero = {anchor} if node[2] in ("*", "?") else set()
         got = sorted(r.x for r in sparql_select(
             df, f"SELECT ?x WHERE {{ <{anchor}> {path} ?x }}").collect())
-        assert got == sorted(b for a, b in pairs if a == anchor), \
+        assert got == sorted({b for a, b in pairs if a == anchor} | zero), \
             f"case {case}: fwd {path!r} from {anchor}"
         got_rev = sorted(r.x for r in sparql_select(
             df, f"SELECT ?x WHERE {{ ?x {path} <{anchor}> }}").collect())
-        assert got_rev == sorted(a for a, b in pairs if b == anchor), \
+        assert got_rev == sorted({a for a, b in pairs if b == anchor} | zero), \
             f"case {case}: rev {path!r} to {anchor}"
 
 
