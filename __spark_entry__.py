@@ -1169,6 +1169,62 @@ def q_anchor_priors(spark, sf_dir):
     return htmlops.anchor_link_priors(pages)
 
 
+def q_entity_disambiguation(spark, sf_dir):
+    """Context-coherence entity disambiguation
+    (extraction.disambiguate_mentions): every nation k gets one
+    unambiguous surface NATION_k → urn:nation:k (prior 0.9) and one
+    ambiguous surface AMB_k with a popular sense urn:ent:k:pop (0.6)
+    and a contextual sense urn:ent:k:ctx (0.35) related to the nation
+    entity.  Customers with c_custkey%5≠0 mention BOTH surfaces, so the
+    unambiguous nation context flips AMB_k to the low-prior :ctx sense
+    (0.35·ln2·(1+1) > 0.6·ln2); the %5=0 customers mention only AMB_k —
+    no context, the prior wins and :pop survives.  The oracle replays
+    the winner per branch closed-form (scores rounded to 6 dp: ln may
+    differ 1 ulp between engines, the rounding absorbs it — CLAUDE.md
+    reproducible-numerics pattern, floats injected via repr CAST)."""
+    from rdf_spark.extraction import disambiguate_mentions
+
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    nat_ent = F.concat(F.lit("urn:nation:"), F.col("n_nationkey"))
+    aliases = (
+        n.select(
+            F.concat(F.lit("NATION_"), F.col("n_nationkey")).alias("surface"),
+            nat_ent.alias("entity_iri"), F.lit(0.9).alias("prior"))
+        .unionByName(n.select(
+            F.concat(F.lit("AMB_"), F.col("n_nationkey")).alias("surface"),
+            F.concat(F.lit("urn:ent:"), F.col("n_nationkey"),
+                     F.lit(":pop")).alias("entity_iri"),
+            F.lit(0.6).alias("prior")))
+        .unionByName(n.select(
+            F.concat(F.lit("AMB_"), F.col("n_nationkey")).alias("surface"),
+            F.concat(F.lit("urn:ent:"), F.col("n_nationkey"),
+                     F.lit(":ctx")).alias("entity_iri"),
+            F.lit(0.35).alias("prior")))
+    )
+    rel = n.select(
+        F.concat(F.lit("urn:ent:"), F.col("n_nationkey"),
+                 F.lit(":ctx")).alias("entity_a"),
+        nat_ent.alias("entity_b"),
+    )
+    url = F.concat(F.lit("urn:doc:"), F.col("c_custkey"))
+    mentions = (
+        c.filter(F.col("c_custkey") % 5 != 0).select(
+            url.alias("url"),
+            F.concat(F.lit("NATION_"), F.col("c_nationkey")).alias("surface"),
+            (F.lit(1) + F.col("c_custkey") % 3).cast("long").alias("n_hits"))
+        .unionByName(c.select(
+            url.alias("url"),
+            F.concat(F.lit("AMB_"), F.col("c_nationkey")).alias("surface"),
+            F.lit(1).cast("long").alias("n_hits")))
+    )
+    out = disambiguate_mentions(mentions, aliases, rel, coherence_weight=1.0)
+    return out.select(
+        "url", "surface", "entity_iri", "n_hits", "prior", "coherence",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_html_microdata(spark, sf_dir):
     """Microdata → RDF (rdf_spark.microdata): every supplier page
     carries an itemscope/itemtype/itemid Organization with a text
@@ -1888,6 +1944,7 @@ _QUERIES = {
         "html_links": q_html_links,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
+        "entity_disambiguation": q_entity_disambiguation,
         "robots_gate": q_robots_gate,
         "html_rdfa": q_html_rdfa,
         "sitemap_parse": q_sitemap_parse,
@@ -3003,6 +3060,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE)
                      / SUM(n) OVER (PARTITION BY surface) AS prior
             FROM c
+        """,
+        # closed-form winner per branch: with nation context the AMB
+        # surface flips to the :ctx sense (coherence 1 doubles its
+        # score), without context the :pop prior wins; scores rounded
+        # to 6 dp so the ≤1-ulp ln() difference between engines is
+        # absorbed, float constants injected via repr CAST
+        "entity_disambiguation": """
+            WITH co AS (
+                SELECT c_custkey AS ck, c_nationkey AS nk FROM customer
+            )
+            SELECT 'urn:doc:' || ck AS url,
+                   'NATION_' || nk AS surface,
+                   'urn:nation:' || nk AS entity_iri,
+                   CAST(1 + ck % 3 AS BIGINT) AS n_hits,
+                   CAST('0.9' AS DOUBLE) AS prior,
+                   CAST(0 AS BIGINT) AS coherence,
+                   round(CAST('0.9' AS DOUBLE) * ln(2 + ck % 3), 6)
+                       AS score
+            FROM co WHERE ck % 5 <> 0
+            UNION ALL
+            SELECT 'urn:doc:' || ck, 'AMB_' || nk,
+                   'urn:ent:' || nk || ':ctx',
+                   CAST(1 AS BIGINT), CAST('0.35' AS DOUBLE),
+                   CAST(1 AS BIGINT),
+                   round(CAST('0.35' AS DOUBLE) * ln(2) * 2, 6)
+            FROM co WHERE ck % 5 <> 0
+            UNION ALL
+            SELECT 'urn:doc:' || ck, 'AMB_' || nk,
+                   'urn:ent:' || nk || ':pop',
+                   CAST(1 AS BIGINT), CAST('0.6' AS DOUBLE),
+                   CAST(0 AS BIGINT),
+                   round(CAST('0.6' AS DOUBLE) * ln(2), 6)
+            FROM co WHERE ck % 5 = 0
         """,
         # closed-form: the five microdata triples per supplier page —
         # type, stripped text, resolved href IRI, nested blank, and the

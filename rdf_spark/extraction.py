@@ -185,6 +185,96 @@ def link_entities(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     )
 
 
+def disambiguate_mentions(mentions: DataFrame, aliases: DataFrame,
+                          relatedness: DataFrame,
+                          coherence_weight: float = 1.0) -> DataFrame:
+    """Collective entity disambiguation: re-rank each mention's candidate
+    entities by document-context coherence, not prior popularity alone.
+
+    :func:`link_entities` scores ``prior * log1p(n_hits)`` — context-free,
+    so an ambiguous surface always resolves to its highest-prior sense in
+    every document.  This pass adds the standard coherence signal
+    (Milne-Witten style relatedness voting): candidates that are related
+    to entities the document UNAMBIGUOUSLY mentions elsewhere score
+    higher, flipping e.g. "Paris" to the Texan city on pages that also
+    mention unambiguous Texas entities.
+
+    Inputs
+      mentions:    (url, surface, n_hits) from :func:`detect_mentions`
+      aliases:     (surface, entity_iri, prior) candidate dictionary —
+                   e.g. :func:`rdf_spark.ops.html.anchor_link_priors`
+      relatedness: (entity_a, entity_b) undirected entity-relatedness
+                   edges (KG adjacency, anchor co-occurrence, …);
+                   symmetrized here, self-loops ignored
+
+    Scoring: ``score = prior * log1p(n_hits) * (1 + w * coherence)``
+    where ``coherence`` = number of DISTINCT context entities of the
+    same document related to the candidate, and a context entity is the
+    single sense of any surface that is unambiguous in ``aliases``.
+    Top-1 per (url, surface) with deterministic (score desc, entity_iri)
+    tie-break, like :func:`link_entities`.
+
+    Scale shape (100 TB crawl, 10^7-entity dictionary): ``aliases`` is
+    broadcast twice (candidate join + ambiguity split); the relatedness
+    join runs context-first — ``context ⋈ relatedness`` shuffles on
+    entity BEFORE any per-mention fan-out, then collapses to one
+    ``(url, entity, coherence)`` row per supported candidate, so the
+    wide (url × surface × candidate) table only ever joins per-url
+    aggregates, never raw edges.  All joins/aggs are plain Catalyst
+    ops — AQE handles hot-entity skew.
+    """
+    n_senses = aliases.groupBy("surface").agg(
+        F.count(F.lit(1)).alias("_n_senses")
+    )
+    alias_tagged = aliases.join(F.broadcast(n_senses), "surface")
+
+    cand = mentions.join(F.broadcast(alias_tagged), "surface")
+
+    # context = the unique sense of every unambiguous surface, per url
+    context = (
+        cand.filter(F.col("_n_senses") == 1)
+        .select("url", F.col("entity_iri").alias("_ctx"))
+        .distinct()
+    )
+
+    # symmetrize edges, drop self-loops, then count distinct supporting
+    # context entities per (url, candidate entity)
+    rel = (
+        relatedness.select(F.col("entity_a").alias("_e"),
+                           F.col("entity_b").alias("_nbr"))
+        .unionByName(relatedness.select(
+            F.col("entity_b").alias("_e"), F.col("entity_a").alias("_nbr")))
+        .filter(F.col("_e") != F.col("_nbr"))
+        .distinct()
+    )
+    support = (
+        context.join(rel, context["_ctx"] == rel["_nbr"])
+        .select("url", F.col("_e").alias("entity_iri"), "_ctx")
+        .groupBy("url", "entity_iri")
+        .agg(F.count_distinct("_ctx").alias("coherence"))
+    )
+
+    scored = (
+        cand.join(support, ["url", "entity_iri"], "left")
+        .withColumn("coherence",
+                    F.coalesce(F.col("coherence"), F.lit(0)))
+        .withColumn(
+            "score",
+            F.col("prior") * F.log1p(F.col("n_hits"))
+            * (F.lit(1.0) + F.lit(float(coherence_weight)) * F.col("coherence")),
+        )
+    )
+    w = Window.partitionBy("url", "surface").orderBy(
+        F.desc("score"), F.asc("entity_iri")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("url", "surface", "entity_iri", "n_hits", "prior",
+                "coherence", "score")
+    )
+
+
 MENTIONS_PREDICATE = "http://kg.example/vocab#mentions"
 
 

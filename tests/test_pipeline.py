@@ -212,6 +212,71 @@ def test_detect_mentions_engines_equivalent(spark):
         extraction.detect_mentions(docs, adf, engine="bogus")
 
 
+def _disambig_fixture(spark):
+    aliases = spark.createDataFrame(
+        [("paris", "urn:ParisFR", 0.8), ("paris", "urn:ParisTX", 0.2),
+         ("texas", "urn:Texas", 0.9), ("france", "urn:France", 0.9)],
+        "surface string, entity_iri string, prior double",
+    )
+    rel = spark.createDataFrame(
+        [("urn:ParisTX", "urn:Texas"), ("urn:France", "urn:ParisFR")],
+        "entity_a string, entity_b string",
+    )
+    mentions = spark.createDataFrame(
+        [("d1", "paris", 1), ("d1", "texas", 1),
+         ("d2", "paris", 1), ("d2", "france", 1),
+         ("d3", "paris", 2)],
+        "url string, surface string, n_hits long",
+    )
+    return mentions, aliases, rel
+
+
+def test_disambiguate_context_flips_prior(spark):
+    """Coherence voting: on the Texas page 'paris' resolves to the
+    low-prior Texan sense; with no context the prior wins."""
+    mentions, aliases, rel = _disambig_fixture(spark)
+    out = extraction.disambiguate_mentions(
+        mentions, aliases, rel, coherence_weight=5.0)
+    got = {(r.url, r.surface): (r.entity_iri, r.coherence)
+           for r in out.collect()}
+    assert got[("d1", "paris")] == ("urn:ParisTX", 1)  # context flip
+    assert got[("d2", "paris")] == ("urn:ParisFR", 1)  # context agrees
+    assert got[("d3", "paris")] == ("urn:ParisFR", 0)  # no context
+    # unambiguous surfaces keep their single sense, coherence included
+    assert got[("d1", "texas")][0] == "urn:Texas"
+    # one row per (url, surface)
+    assert out.count() == 5
+
+
+def test_disambiguate_weight_zero_matches_link_entities(spark):
+    """w=0 degenerates to the context-free prior*log1p(n_hits) ranking
+    of link_entities (same tie-break), whatever the relatedness edges."""
+    mentions, aliases, rel = _disambig_fixture(spark)
+    out = extraction.disambiguate_mentions(
+        mentions, aliases, rel, coherence_weight=0.0)
+    base = extraction.link_entities(mentions, aliases)
+    got = {(r.url, r.surface): r.entity_iri for r in out.collect()}
+    want = {(r.url, r.surface): r.entity_iri for r in base.collect()}
+    assert got == want
+
+
+def test_disambiguate_relatedness_symmetrized(spark):
+    """Edges count in either orientation and self-loops never support a
+    candidate (a context entity cannot vote for itself)."""
+    mentions, aliases, _ = _disambig_fixture(spark)
+    rel = spark.createDataFrame(
+        [("urn:Texas", "urn:ParisTX"),  # reversed orientation
+         ("urn:Texas", "urn:Texas")],   # self-loop, must be ignored
+        "entity_a string, entity_b string",
+    )
+    out = extraction.disambiguate_mentions(mentions, aliases, rel,
+                                           coherence_weight=5.0)
+    got = {(r.url, r.surface): (r.entity_iri, r.coherence)
+           for r in out.collect()}
+    assert got[("d1", "paris")] == ("urn:ParisTX", 1)
+    assert got[("d1", "texas")][1] == 0  # no self-support
+
+
 def test_aho_corasick_unit():
     from rdf_spark.automaton import AhoCorasick
 
