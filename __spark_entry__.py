@@ -668,6 +668,66 @@ def q_sparql_path_grouped(spark, sf_dir):
     """)
 
 
+def q_sparql_hash(spark, sf_dir):
+    """SPARQL hash builtins (round-5, §17.4.4): MD5/SHA256 of the UTF-8
+    lexical form, lowercase hex, composable — the MD5 feeds a
+    STRSTARTS filter (~1/8 selective at every scale) while both digests
+    project.  DuckDB's md5()/sha256() are byte-identical oracles;
+    SHA1/384/512 have no DuckDB twin and are unit-tested against
+    hashlib instead."""
+    from rdf_spark.sparql import sparql_select
+
+    c = _t(spark, sf_dir, "customer")
+    tri = c.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+        F.lit("urn:ex:name").alias("p"),
+        F.col("c_name").alias("o"),
+    )
+    return sparql_select(tri, """
+        SELECT ?c ?nm ?md ?sh WHERE {
+            ?c <urn:ex:name> ?nm .
+            BIND(MD5(?nm) AS ?md)
+            BIND(SHA256(?nm) AS ?sh)
+            FILTER(STRSTARTS(?md, "a") || STRSTARTS(?md, "b"))
+        }
+    """)
+
+
+def q_sparql_sameterm(spark, sf_dir):
+    """sameTerm (round-5, §17.4.1.8): exact RDF term identity over
+    lexical + kind + datatype + lang via the carried metadata columns.
+    Predicates urn:ex:a / urn:ex:b share every customer's name lexical,
+    but b is lang-tagged 'en' on custkey%3=0 — plain '=' would keep all
+    customers, sameTerm drops exactly the lang-mismatched third (the
+    oracle replays that arithmetic closed-form)."""
+    from rdf_spark.sparql import sparql_select
+    from rdf_spark.terms import KIND_IRI, KIND_LITERAL
+
+    c = _t(spark, sf_dir, "customer")
+    s = F.concat(F.lit("urn:cust:"), F.col("c_custkey"))
+    ik = F.lit(KIND_IRI).cast("tinyint")
+    lk = F.lit(KIND_LITERAL).cast("tinyint")
+    nstr = F.lit(None).cast("string")
+    a = c.select(
+        s.alias("s"), ik.alias("s_kind"), F.lit("urn:ex:a").alias("p"),
+        F.col("c_name").alias("o"), lk.alias("o_kind"),
+        nstr.alias("o_datatype"), nstr.alias("o_lang"),
+    )
+    b = c.select(
+        s.alias("s"), ik.alias("s_kind"), F.lit("urn:ex:b").alias("p"),
+        F.col("c_name").alias("o"), lk.alias("o_kind"),
+        nstr.alias("o_datatype"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("en"))
+        .otherwise(nstr).alias("o_lang"),
+    )
+    return sparql_select(a.unionByName(b), """
+        SELECT ?c ?v WHERE {
+            ?c <urn:ex:a> ?v . ?c <urn:ex:b> ?w .
+            FILTER(SAMETERM(?v, ?w))
+        }
+    """)
+
+
 def q_sparql_describe_var(spark, sf_dir):
     """DESCRIBE ?var WHERE (round-5): the variable's distinct bindings
     semi-join the triple table on subject and object — customer 1's
@@ -1927,6 +1987,8 @@ _QUERIES = {
         "sparql_path_zero_or_one": q_sparql_path_zero_or_one,
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
+        "sparql_hash": q_sparql_hash,
+        "sparql_sameterm": q_sparql_sameterm,
         "sparql_arith": q_sparql_arith,
         "sparql_builtins": q_sparql_builtins,
         "sparql_describe_var": q_sparql_describe_var,
@@ -2816,6 +2878,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS k
                 FROM customer GROUP BY c_nationkey
             ) t ON c.c_nationkey = t.c_nationkey
+        """,
+        "sparql_hash": """
+            SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm,
+                   md5(c_name) AS md, sha256(c_name) AS sh
+            FROM customer
+            WHERE md5(c_name) LIKE 'a%' OR md5(c_name) LIKE 'b%'
+        """,
+        # closed-form: sameTerm keeps exactly the customers whose 'b'
+        # name triple is NOT lang-tagged (custkey%3 != 0)
+        "sparql_sameterm": """
+            SELECT 'urn:cust:' || c_custkey AS c, c_name AS v
+            FROM customer WHERE c_custkey % 3 <> 0
         """,
         "sparql_arith": """
             SELECT 'urn:cust:' || c_custkey AS c,

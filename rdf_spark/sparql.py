@@ -94,7 +94,12 @@ comparisons ``= != < <= > >=``, ``regex(?v, "pattern")``, ``bound(?v)``,
 ``contains/strstarts/strends(x, y)``, ``langMatches(lang(?v), "en")``
 (basic RFC 4647 ranges incl. ``"*"``), ``?v IN (const, …)``, and the
 operand functions ``strlen/lcase/ucase/str/concat/substr/replace(x)``
-(REPLACE is regex-based; SUBSTR is 1-based), numeric arithmetic
+(REPLACE is regex-based; SUBSTR is 1-based), the hash functions
+``md5/sha1/sha256/sha384/sha512(x)`` (lowercase-hex digests of the
+UTF-8 lexical form, §17.4.4), ``encode_for_uri(x)`` (RFC 3986
+unreserved-set percent-encoding, uppercase hex), ``sameTerm(?a, ?b)``
+(exact term identity over lexical+kind+datatype+lang — needs the
+carried metadata columns, like the isIRI family), numeric arithmetic
 ``+ - * /`` with standard precedence and ``( )`` grouping (operands
 cast to double; ``/`` → try_divide so division by zero drops the
 solution like SPARQL's evaluation error), ``COALESCE(x, …)``,
@@ -857,6 +862,16 @@ class _Parser:
             if fn == "LANGMATCHES":
                 return ("langmatches", a, b)
             return ("strfn2", fn, a, b)
+        if self.at_word("SAMETERM"):
+            self.next()
+            self.eat_op("(")
+            a = self.operand()
+            self.eat_op(",")
+            b = self.operand()
+            self.eat_op(")")
+            if a[0] != "var" or b[0] != "var":
+                raise SparqlError("sameTerm(?a, ?b) expected")
+            return ("sameterm", a[1], b[1])
         if self.at_word("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC"):
             fn = self.next()[1].upper()
             self.eat_op("(")
@@ -920,7 +935,10 @@ class _Parser:
             return ("str", _unescape_string(v[1:-1]))
         if kind == "number":
             return ("num", float(v))
-        if kind == "word" and v.upper() in ("STRLEN", "LCASE", "UCASE", "STR"):
+        if kind == "word" and v.upper() in (
+            "STRLEN", "LCASE", "UCASE", "STR",
+            "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI",
+        ):
             fn = v.upper()
             self.eat_op("(")
             inner = self.operand()
@@ -1065,6 +1083,24 @@ def _operand_col(op, numeric: bool) -> Column:
             return F.length(c)  # numeric by nature — no lexical cast
         if fn == "STR":
             return c  # this dialect's bindings ARE lexical forms
+        if fn == "MD5":
+            return F.md5(c.cast("binary"))
+        if fn == "SHA1":
+            return F.sha1(c.cast("binary"))
+        if fn in ("SHA256", "SHA384", "SHA512"):
+            return F.sha2(c.cast("binary"), int(fn[3:]))
+        if fn == "ENCODE_FOR_URI":
+            # SPARQL §17.4.2.8 / XPath fn:encode-for-uri: percent-encode
+            # everything outside RFC 3986 unreserved [A-Za-z0-9._~-],
+            # UTF-8 bytes, UPPERCASE hex.  url_encode (java URLEncoder)
+            # differs on exactly three counts, each fixed up: ' '→'+'
+            # (must be %20), '*' kept (must be %2A), '~'→%7E (must stay
+            # bare).  An input literal "%7E" encodes to %257E, which the
+            # last replace cannot touch (no bare '%7E' substring).
+            enc = F.url_encode(c)
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+            return F.replace(enc, F.lit("%7E"), F.lit("~"))
         return F.lower(c) if fn == "LCASE" else F.upper(c)
     if kind == "numfn":
         _, fn, inner = op
@@ -1180,6 +1216,8 @@ def _expr_vars(e, meta_only: bool = False) -> set[str]:
         return set() if meta_only else {e[1]}
     if tag == "istest":
         return {e[2]}  # needs the carried kind (and dt) columns
+    if tag == "sameterm":
+        return {e[1], e[2]}  # full term identity needs kind/dt/lang
     if tag == "strfn2":
         return _operand_vars(e[2], meta_only) | _operand_vars(e[3], meta_only)
     if tag == "langmatches":
@@ -1226,6 +1264,21 @@ def _compile_expr(e) -> Column:
         return (kindc == str(KIND_LITERAL)) & F.coalesce(
             F.col(f"_meta_dt_{var}").isin(list(_XSD_NUMERIC)), F.lit(False)
         )
+    if tag == "sameterm":
+        # exact RDF term identity (SPARQL §17.4.1.8): lexical AND
+        # kind/datatype/lang must all agree.  Unbound args are an
+        # evaluation error → false (the solution drops), so the lexical
+        # compare uses plain equality; the meta columns are legitimately
+        # NULL for IRIs/plain literals, so those compare null-safely.
+        _, a, b = e
+        cond = F.col(a).isNotNull() & F.col(b).isNotNull() & (
+            F.col(a) == F.col(b)
+        )
+        for part in ("kind", "dt", "lang"):
+            cond = cond & F.col(f"_meta_{part}_{a}").eqNullSafe(
+                F.col(f"_meta_{part}_{b}")
+            )
+        return cond
     if tag == "strfn2":
         _, fn, a, b = e
         ca, cb = _operand_col(a, False), _operand_col(b, False)
@@ -1516,8 +1569,9 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         missing = [c for c in META_COLS if c not in triples.columns]
         if missing:
             raise SparqlError(
-                f"LANG()/DATATYPE() need term metadata columns {missing} "
-                "on the triple DataFrame (the canonical store schema)"
+                f"LANG()/DATATYPE()/sameTerm need term metadata columns "
+                f"{missing} on the triple DataFrame (the canonical store "
+                "schema)"
             )
     df = (
         bgp_match(triples, g.patterns, distinct=False, carry_meta=carry_meta)
@@ -1606,8 +1660,9 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         for mv in mvars:
             if f"_meta_kind_{mv}" not in df.columns:
                 raise SparqlError(
-                    f"LANG()/DATATYPE()/isIRI-family over ?{mv} needs it "
-                    "bound by a required triple pattern in the same group"
+                    f"LANG()/DATATYPE()/isIRI-family/sameTerm over ?{mv} "
+                    "needs it bound by a required triple pattern in the "
+                    "same group"
                 )
 
     for var, ex in g.binds:

@@ -581,6 +581,89 @@ def trim(spark):
     )
 
 
+def test_hash_functions_match_hashlib(tri):
+    import hashlib
+
+    for fn, h in (("MD5", hashlib.md5), ("SHA1", hashlib.sha1),
+                  ("SHA256", hashlib.sha256), ("SHA384", hashlib.sha384),
+                  ("SHA512", hashlib.sha512)):
+        got = dict(_run(tri, f"""
+            SELECT ?n ?h WHERE {{ ?c <urn:name> ?n . BIND({fn}(?n) AS ?h) }}
+        """))
+        assert got["Alice"] == h(b"Alice").hexdigest(), fn
+        assert got["Bob"] == h(b"Bob").hexdigest(), fn
+    # composable inside filters
+    import hashlib as hl
+    first = hl.md5(b"Ann").hexdigest()[0]
+    got = sorted(_run(tri, f"""
+        SELECT ?n WHERE {{ ?c <urn:name> ?n
+            FILTER(STRSTARTS(MD5(?n), "{first}")) }}
+    """))
+    assert ("Ann",) in got
+
+
+def test_encode_for_uri_matches_xpath(spark):
+    """ENCODE_FOR_URI == XPath fn:encode-for-uri: RFC 3986 unreserved
+    set kept bare, everything else UTF-8 percent-encoded uppercase-hex
+    (urllib.parse.quote with its default unreserved safe-set is the
+    reference implementation)."""
+    from urllib.parse import quote
+
+    vals = ["Les Misérables", "a~b*c+d", "100% legit", "~* %7E",
+            "plain-safe_.~chars", "déjà vu?&=/#"]
+    rows = [(f"u{i}", "urn:v", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = dict(_run(df, """
+        SELECT ?o ?e WHERE { ?s <urn:v> ?o . BIND(ENCODE_FOR_URI(?o) AS ?e) }
+    """))
+    for v in vals:
+        assert got[v] == quote(v, safe=""), v
+
+
+def test_sameterm_is_stricter_than_equality(spark):
+    from rdf_spark.terms import KIND_IRI, KIND_LITERAL
+
+    I, L = KIND_IRI, KIND_LITERAL
+    rows = [
+        ("urn:x1", I, "urn:p1", "v", L, None, None),
+        ("urn:x1", I, "urn:p2", "v", L, None, None),      # same term
+        ("urn:x2", I, "urn:p1", "v", L, None, "en"),
+        ("urn:x2", I, "urn:p2", "v", L, None, None),      # lang differs
+        ("urn:x3", I, "urn:p1", "urn:v", L, None, None),
+        ("urn:x3", I, "urn:p2", "urn:v", I, None, None),  # kind differs
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s string, s_kind tinyint, p string, o string, o_kind tinyint, "
+        "o_datatype string, o_lang string",
+    )
+    same = sorted(r.s for r in sparql_select(df, """
+        SELECT ?s WHERE { ?s <urn:p1> ?a . ?s <urn:p2> ?b .
+            FILTER(SAMETERM(?a, ?b)) }
+    """).collect())
+    assert same == ["urn:x1"]
+    # plain lexical equality also keeps the lang- and kind-mismatches
+    eq = sorted(r.s for r in sparql_select(df, """
+        SELECT ?s WHERE { ?s <urn:p1> ?a . ?s <urn:p2> ?b .
+            FILTER(?a = ?b) }
+    """).collect())
+    assert eq == ["urn:x1", "urn:x2", "urn:x3"]
+    # negation keeps the non-identical pairs
+    diff = sorted(r.s for r in sparql_select(df, """
+        SELECT ?s WHERE { ?s <urn:p1> ?a . ?s <urn:p2> ?b .
+            FILTER(!SAMETERM(?a, ?b)) }
+    """).collect())
+    assert diff == ["urn:x2", "urn:x3"]
+
+
+def test_sameterm_requires_metadata_columns(tri):
+    with pytest.raises(SparqlError, match="sameTerm"):
+        sparql_select(tri, """
+            SELECT ?a WHERE { ?c <urn:name> ?a . ?c <urn:name> ?b .
+                FILTER(SAMETERM(?a, ?b)) }
+        """).collect()
+
+
 def test_bind_computed_column(tri):
     got = sorted(_run(tri, """
         SELECT ?ln WHERE { ?c <urn:name> ?n . BIND(LCASE(?n) AS ?ln) }
