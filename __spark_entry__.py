@@ -728,6 +728,33 @@ def q_sparql_sameterm(spark, sf_dir):
     """)
 
 
+def q_sparql_datetime(spark, sf_dir):
+    """SPARQL date/time accessors (round-5, §17.4.5): xsd:dateTime
+    lexicals minted from the events stream (second-truncated — SECONDS
+    is integral here), all six components projected and MINUTES feeding
+    a ~25%-selective filter (hour-based filters are scale-fragile: at
+    sf0.1 the first 2000 events all land before 18:00).  Both engines
+    re-parse the SAME truncated lexical, so every component is integer-
+    exact — no rounding needed."""
+    from rdf_spark.sparql import sparql_select
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    tri = e.select(
+        F.concat(F.lit("urn:ev:"), F.col("event_id")).alias("s"),
+        F.lit("urn:ex:at").alias("p"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("o"),
+    )
+    return sparql_select(tri, """
+        SELECT ?e ?y ?mo ?d ?h ?mi ?sec WHERE {
+            ?e <urn:ex:at> ?t .
+            BIND(YEAR(?t) AS ?y)     BIND(MONTH(?t) AS ?mo)
+            BIND(DAY(?t) AS ?d)      BIND(HOURS(?t) AS ?h)
+            BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?sec)
+            FILTER(MINUTES(?t) >= 45)
+        }
+    """)
+
+
 def q_sparql_describe_var(spark, sf_dir):
     """DESCRIBE ?var WHERE (round-5): the variable's distinct bindings
     semi-join the triple table on subject and object — customer 1's
@@ -1989,6 +2016,7 @@ _QUERIES = {
         "sparql_subquery": q_sparql_subquery,
         "sparql_hash": q_sparql_hash,
         "sparql_sameterm": q_sparql_sameterm,
+        "sparql_datetime": q_sparql_datetime,
         "sparql_arith": q_sparql_arith,
         "sparql_builtins": q_sparql_builtins,
         "sparql_describe_var": q_sparql_describe_var,
@@ -2890,6 +2918,24 @@ def oracle_sql() -> dict[str, str]:
         "sparql_sameterm": """
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS v
             FROM customer WHERE c_custkey % 3 <> 0
+        """,
+        # both engines re-parse the SAME second-truncated lexical, so
+        # every component is integer-exact
+        "sparql_datetime": """
+            WITH ev AS (
+                SELECT event_id,
+                       CAST(strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                            AS TIMESTAMP) AS t
+                FROM events WHERE event_id < 2000
+            )
+            SELECT 'urn:ev:' || event_id AS e,
+                   CAST(year(t) AS BIGINT) AS y,
+                   CAST(month(t) AS BIGINT) AS mo,
+                   CAST(day(t) AS BIGINT) AS d,
+                   CAST(hour(t) AS BIGINT) AS h,
+                   CAST(minute(t) AS BIGINT) AS mi,
+                   CAST(second(t) AS BIGINT) AS sec
+            FROM ev WHERE minute(t) >= 45
         """,
         "sparql_arith": """
             SELECT 'urn:cust:' || c_custkey AS c,

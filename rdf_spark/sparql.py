@@ -99,7 +99,13 @@ operand functions ``strlen/lcase/ucase/str/concat/substr/replace(x)``
 UTF-8 lexical form, §17.4.4), ``encode_for_uri(x)`` (RFC 3986
 unreserved-set percent-encoding, uppercase hex), ``sameTerm(?a, ?b)``
 (exact term identity over lexical+kind+datatype+lang — needs the
-carried metadata columns, like the isIRI family), numeric arithmetic
+carried metadata columns, like the isIRI family), the date/time
+accessors ``year/month/day/hours/minutes/seconds(?v)`` (§17.4.5 over
+xsd:dateTime lexicals via try_to_timestamp — unparseable → solution
+drops; SECONDS is integral, this corpus is second-granular) and
+``tz(?v)`` (the lexical's own timezone suffix, "" when absent; NOW/
+RAND/UUID/STRUUID are deliberately absent — nondeterministic builtins
+would break replay/resume and oracle parity), numeric arithmetic
 ``+ - * /`` with standard precedence and ``( )`` grouping (operands
 cast to double; ``/`` → try_divide so division by zero drops the
 solution like SPARQL's evaluation error), ``COALESCE(x, …)``,
@@ -950,6 +956,14 @@ class _Parser:
             inner = self.operand()
             self.eat_op(")")
             return ("numfn", fn, inner)
+        if kind == "word" and v.upper() in (
+            "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+        ):
+            fn = v.upper()
+            self.eat_op("(")
+            inner = self.operand()
+            self.eat_op(")")
+            return ("dtfn", fn, inner)
         if kind == "word" and v.upper() in ("STRBEFORE", "STRAFTER"):
             fn = v.upper()
             self.eat_op("(")
@@ -1115,6 +1129,26 @@ def _operand_col(op, numeric: bool) -> Column:
         # and DuckDB's native round() tie away from zero (-3), so compile
         # to floor(x + 0.5) — identical in both engines AND spec-correct
         return F.floor(c + F.lit(0.5)).cast("double")
+    if kind == "dtfn":
+        # SPARQL §17.4.5 date/time accessors over xsd:dateTime lexicals.
+        # TZ is pure string surgery (the lexical's own timezone suffix,
+        # "" when absent, per spec); the component accessors parse via
+        # try_to_timestamp (Spark 4 ANSI: an unparseable lexical → NULL
+        # → the solution drops through any filter, matching SPARQL's
+        # evaluation-error semantics).  SECONDS returns the integral
+        # seconds as a long (spec says xsd:decimal with fraction; this
+        # dialect's corpus lexicals are second-granular — documented
+        # divergence).
+        _, fn, inner = op
+        c = _operand_col(inner, False)
+        if fn == "TZ":
+            return F.regexp_extract(c, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        t = F.try_to_timestamp(c)
+        part = {
+            "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+            "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
+        }[fn](t)
+        return part.cast("long")
     if kind == "strslice":
         _, fn, x, sep = op
         c = _operand_col(x, False)
@@ -1180,7 +1214,7 @@ def _operand_col(op, numeric: bool) -> Column:
 def _operand_vars(op, meta_only: bool = False) -> set[str]:
     if op[0] == "var":
         return set() if meta_only else {op[1]}
-    if op[0] in ("fn", "numfn"):
+    if op[0] in ("fn", "numfn", "dtfn"):
         return _operand_vars(op[2], meta_only)
     if op[0] == "strslice":
         return _operand_vars(op[2], meta_only)

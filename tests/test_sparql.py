@@ -656,6 +656,39 @@ def test_sameterm_is_stricter_than_equality(spark):
     assert diff == ["urn:x2", "urn:x3"]
 
 
+def test_datetime_accessors(spark):
+    rows = [
+        ("e1", "urn:at", "2024-03-05T10:11:12"),
+        ("e2", "urn:at", "1999-12-31T23:59:58Z"),
+        ("e3", "urn:at", "2024-03-05T10:11:12+05:30"),
+        ("e4", "urn:at", "not a date"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = {r.s: (r.y, r.mo, r.d, r.h, r.mi, r.sec) for r in sparql_select(df, """
+        SELECT ?s ?y ?mo ?d ?h ?mi ?sec WHERE {
+            ?s <urn:at> ?t .
+            BIND(YEAR(?t) AS ?y)    BIND(MONTH(?t) AS ?mo)
+            BIND(DAY(?t) AS ?d)     BIND(HOURS(?t) AS ?h)
+            BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?sec)
+        }
+    """).collect()}
+    assert got["e1"] == (2024, 3, 5, 10, 11, 12)
+    assert got["e2"] == (1999, 12, 31, 23, 59, 58)  # Z == UTC session tz
+    # unparseable lexical → NULL components (solution would drop through
+    # any filter — SPARQL evaluation-error semantics)
+    assert got["e4"] == (None,) * 6
+    # TZ: the lexical's own suffix, "" when absent
+    tz = {r.s: r.z for r in sparql_select(df, """
+        SELECT ?s ?z WHERE { ?s <urn:at> ?t . BIND(TZ(?t) AS ?z) }
+    """).collect()}
+    assert tz == {"e1": "", "e2": "Z", "e3": "+05:30", "e4": ""}
+    # components filter
+    late = sorted(r.s for r in sparql_select(df, """
+        SELECT ?s WHERE { ?s <urn:at> ?t . FILTER(HOURS(?t) >= 20) }
+    """).collect())
+    assert late == ["e2"]
+
+
 def test_sameterm_requires_metadata_columns(tri):
     with pytest.raises(SparqlError, match="sameTerm"):
         sparql_select(tri, """
