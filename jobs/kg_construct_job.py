@@ -46,6 +46,16 @@ def main(argv=None) -> int:
     ap.add_argument("--normalize-urls", action="store_true",
                     help="canonicalize page URLs (ops.url rules) before "
                     "sharding, so lookalike spellings co-locate and collapse")
+    ap.add_argument("--aliases",
+                    help="gazetteer parquet (surface, entity_iri, prior) — "
+                    "e.g. a previous run's --anchor-priors output; default "
+                    "is the built-in synthetic dictionary")
+    ap.add_argument("--relatedness",
+                    help="entity-relatedness edge parquet (entity_a, "
+                    "entity_b); switches linking to context-coherence "
+                    "disambiguation (extraction.disambiguate_mentions)")
+    ap.add_argument("--coherence-weight", type=float, default=1.0,
+                    help="coherence vote weight for --relatedness linking")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -72,12 +82,17 @@ def main(argv=None) -> int:
 
         pages = pages.withColumn("url", normalize_url_col(F.col("url")))
 
-    aliases = datagen.aliases(spark)
+    aliases = (spark.read.parquet(args.aliases) if args.aliases
+               else datagen.aliases(spark))
+    relatedness = (spark.read.parquet(args.relatedness)
+                   if args.relatedness else None)
     results = pipeline.run_pipeline(
         spark, pages, aliases, args.out,
         n_shards=args.shards, n_buckets=args.buckets,
         resume=not args.no_resume,
         extra_fmts=tuple(args.structured),
+        relatedness=relatedness,
+        coherence_weight=args.coherence_weight,
     )
     if args.link_graph:
         from rdf_spark.ops import html as htmlops

@@ -55,7 +55,9 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             html = pdf["html"].map(
-                lambda b: bytes(b).decode("utf-8", errors="replace") if b is not None else ""
+                lambda b: b if isinstance(b, str)
+                else bytes(b).decode("utf-8", errors="replace")
+                if b is not None else ""
             )
             no_script = html.str.replace(_SCRIPT_RE, " ", regex=True)
             no_style = no_script.str.replace(_STYLE_RE, " ", regex=True)
@@ -98,7 +100,8 @@ AHO_THRESHOLD = 10_000
 
 def detect_mentions(text_df: DataFrame, aliases: DataFrame,
                     text_col: str = "extracted_text",
-                    engine: str = "auto") -> DataFrame:
+                    engine: str = "auto",
+                    surfaces: list[str] | None = None) -> DataFrame:
     """Candidate mention detection: count occurrences of every gazetteer
     surface per document → (url, surface, n_hits).
 
@@ -118,8 +121,15 @@ def detect_mentions(text_df: DataFrame, aliases: DataFrame,
     ``engine="auto"`` picks regex below :data:`AHO_THRESHOLD` distinct
     surfaces and aho at or above it.  Equivalence between engines is
     asserted by tests on overlapping-surface gazetteers.
+
+    ``surfaces`` (optional) skips the dictionary collect when the caller
+    already holds the surface list — :func:`rdf_spark.pipeline.run_pipeline`
+    collects the gazetteer exactly once per run and reuses it here.
     """
-    surfaces = [r.surface for r in aliases.select("surface").distinct().collect()]
+    if surfaces is None:
+        surfaces = [r.surface for r in aliases.select("surface").distinct().collect()]
+    else:
+        surfaces = list(dict.fromkeys(surfaces))
     # longest-first alternation so overlapping surfaces prefer the longest match
     surfaces.sort(key=len, reverse=True)
     if engine not in ("auto", "regex", "aho"):

@@ -99,6 +99,8 @@ def run_pipeline(
     resume: bool = True,
     store=None,
     extra_fmts: tuple[str, ...] = (),
+    relatedness: DataFrame | None = None,
+    coherence_weight: float = 1.0,
 ) -> list[ShardResult]:
     """Run the full pipeline shard-by-shard with manifest-based resume.
 
@@ -121,6 +123,17 @@ def run_pipeline(
     they can never collide with the turtle blocks' labels under the
     url-keyed skolemizer.  Each extra format is one additional narrow
     scan of the shard's pages — no new shuffle.
+
+    ``relatedness`` (optional, ``(entity_a, entity_b)`` edges) upgrades
+    entity linking from the fused stage's context-free per-surface
+    argmax to :func:`extraction.disambiguate_mentions` — coherence
+    voting against the document's unambiguous mentions, so ambiguous
+    surfaces can resolve differently per page.  The fused stage's link
+    rows are dropped and replaced; costs one extra extract+match scan
+    per shard (context-aware linking is inherently two-pass: candidate
+    scores depend on the WHOLE document's mention set) plus the
+    broadcast/aggregate joins of the disambiguator — no raw-edge
+    fan-out.  Triple/quarantine routes are unchanged.
     """
     if store is None:
         from rdf_spark.store import ParquetBucketStore
@@ -138,6 +151,8 @@ def run_pipeline(
     # per executor process, never on the driver.
     alias_rows = [(r.surface, r.entity_iri, r.prior) for r in aliases.collect()]
     alias_bc = spark.sparkContext.broadcast(alias_rows)
+    # reuse the one collect for the disambiguation pass's dictionary too
+    surface_list = sorted({s for s, _, _ in alias_rows})
     for k in range(n_shards):
         manifest_path = os.path.join(out_dir, MANIFEST_DIR, f"shard-{k}.json")
         if resume and os.path.exists(manifest_path):
@@ -149,6 +164,26 @@ def run_pipeline(
         t0 = time.time()
         shard_pages = pages.filter(F.col("_shard") == k).drop("_shard")
         tagged = extraction.fused_extract_parse_link(shard_pages, alias_bc)
+        if relatedness is not None:
+            # replace the fused context-free link rows with the
+            # coherence-aware decisions (p is NULL on quarantine rows —
+            # null-safe compare keeps them)
+            tagged = tagged.filter(
+                ~F.col("p").eqNullSafe(F.lit(extraction.MENTIONS_PREDICATE))
+            )
+            mentions = extraction.detect_mentions(
+                extraction.extract_stage(shard_pages), aliases,
+                surfaces=surface_list,
+            )
+            linked = extraction.disambiguate_mentions(
+                mentions, aliases, relatedness,
+                coherence_weight=coherence_weight,
+            )
+            tagged = tagged.unionByName(
+                extraction.emit_link_triples(linked).withColumn(
+                    "err", F.lit(None).cast("string")
+                )
+            )
         for fmt in extra_fmts:
             if fmt == "microdata":
                 from rdf_spark import microdata as _md

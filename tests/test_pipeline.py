@@ -511,6 +511,52 @@ def test_spark_submit_job_entrypoint(spark, tmp_path):
     assert summary2["triples"] == summary["triples"]
 
 
+def test_pipeline_relatedness_disambiguation(spark, tmp_path):
+    """run_pipeline(relatedness=...): the fused context-free link rows
+    are replaced by coherence-aware decisions — the same ambiguous
+    surface resolves differently per page, and the baseline (no
+    relatedness) keeps the prior sense everywhere."""
+    from rdf_spark.extraction import MENTIONS_PREDICATE
+
+    pages = spark.createDataFrame(
+        [("https://a.example/1", "<html><body>paris texas</body></html>"),
+         ("https://a.example/2", "<html><body>paris france</body></html>"),
+         ("https://a.example/3", "<html><body>paris alone</body></html>")],
+        "url string, html string",
+    )
+    aliases = spark.createDataFrame(
+        [("paris", "urn:ParisFR", 0.8), ("paris", "urn:ParisTX", 0.2),
+         ("texas", "urn:Texas", 0.9), ("france", "urn:France", 0.9)],
+        "surface string, entity_iri string, prior double",
+    )
+    rel = spark.createDataFrame(
+        [("urn:ParisTX", "urn:Texas"), ("urn:France", "urn:ParisFR")],
+        "entity_a string, entity_b string",
+    )
+    out1 = str(tmp_path / "ctx")
+    res = pipeline.run_pipeline(
+        spark, pages, aliases, out1, n_shards=1, n_buckets=2,
+        relatedness=rel, coherence_weight=5.0,
+    )
+    assert res[0].n_link_triples == 5  # 2 + 2 + 1 mentions
+    tri = pipeline.read_triple_store(spark, out1)
+    links = {(r.s, r.o)
+             for r in tri.filter(F.col("p") == MENTIONS_PREDICATE).collect()}
+    assert ("https://a.example/1", "urn:ParisTX") in links  # context flip
+    assert ("https://a.example/1", "urn:Texas") in links
+    assert ("https://a.example/2", "urn:ParisFR") in links
+    assert ("https://a.example/3", "urn:ParisFR") in links  # no context
+    # context-free baseline: prior wins on every page
+    out2 = str(tmp_path / "plain")
+    pipeline.run_pipeline(spark, pages, aliases, out2,
+                          n_shards=1, n_buckets=2)
+    links2 = {(r.s, r.o)
+              for r in pipeline.read_triple_store(spark, out2)
+              .filter(F.col("p") == MENTIONS_PREDICATE).collect()}
+    assert ("https://a.example/1", "urn:ParisFR") in links2
+    assert ("https://a.example/1", "urn:ParisTX") not in links2
+
+
 def test_run_pipeline_single_gazetteer_collect(spark, tmp_path):
     """VERDICT r4 item 3: the gazetteer must be collected ONCE per
     run_pipeline call (then sc.broadcast), not once per shard."""
@@ -709,3 +755,49 @@ def test_kg_construct_job_priors_and_normalize(spark, tmp_path):
     got = {(r.surface, r.entity_iri): (r.n, r.prior)
            for r in spark.read.parquet(priors).collect()}
     assert got == {("Ada Lovelace", "https://kg.example/e/ada"): (15, 1.0)}
+
+
+def test_kg_construct_job_aliases_and_relatedness(spark, tmp_path):
+    """--aliases swaps in a user gazetteer parquet and --relatedness
+    switches linking to context-coherence disambiguation."""
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    from rdf_spark.extraction import MENTIONS_PREDICATE
+
+    pages = spark.createDataFrame(
+        [("https://a.example/1", b"<html><body>paris texas</body></html>"),
+         ("https://a.example/2", b"<html><body>paris alone</body></html>")],
+        "url string, html binary",
+    )
+    aliases = spark.createDataFrame(
+        [("paris", "urn:ParisFR", 0.8), ("paris", "urn:ParisTX", 0.2),
+         ("texas", "urn:Texas", 0.9)],
+        "surface string, entity_iri string, prior double",
+    )
+    rel = spark.createDataFrame(
+        [("urn:ParisTX", "urn:Texas")], "entity_a string, entity_b string",
+    )
+    src, al, rl = (str(tmp_path / d) for d in ("pages_dis", "al", "rl"))
+    pages.write.parquet(src)
+    aliases.write.parquet(al)
+    rel.write.parquet(rl)
+    out = str(tmp_path / "job_dis")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--pages", src, "--out", out, "--shards", "1", "--buckets", "2",
+             "--aliases", al, "--relatedness", rl,
+             "--coherence-weight", "5.0"]
+        )
+    assert rc == 0
+    assert _json.loads(buf.getvalue().strip().splitlines()[-1])["pages"] == 2
+    links = {(r.s, r.o) for r in pipeline.read_triple_store(spark, out)
+             .filter(F.col("p") == MENTIONS_PREDICATE).collect()}
+    assert ("https://a.example/1", "urn:ParisTX") in links
+    assert ("https://a.example/2", "urn:ParisFR") in links
