@@ -1025,6 +1025,60 @@ def q_warc_parse(spark, sf_dir):
     )
 
 
+def q_wet_pipeline(spark, sf_dir):
+    """WET shard → KG links end-to-end (BASELINE.json's throughput metric
+    is defined over exactly this input): every document's text is
+    wrapped in a spec-exact WET ``conversion`` record (text/plain
+    payload, NO HTTP envelope), grouped into 8 warcinfo-led 'files',
+    then parse_warc(types=conversion) → pages_from_wet (html null, text
+    = payload verbatim) → the fused extract/parse/link stage, whose
+    WET route must use the provided text AS the extraction (no
+    re-squash, no invariant row).  Oracle is CLOSED-FORM: a doc links
+    to a surface's argmax-prior entity iff the surface occurs in the
+    raw text — any framing, type-filter, decode, or extraction-route
+    defect breaks the match."""
+    from rdf_spark import extraction, warc as warcmod
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:doc:"),
+        did,
+        F.lit(">\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+              "WARC-Target-URI: https://example.org/doc/"),
+        did,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(F.col("text")).cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    grouped = (
+        d.select(
+            (F.col("doc_id") % 8).alias("g"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+    winfo = F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: "
+                  "<urn:winfo:w>\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")
+    files = grouped.select(
+        F.concat(F.lit("mem://wet/"), F.col("g").cast("string")).alias("path"),
+        F.encode(
+            F.concat(winfo, F.array_join(F.transform("ss", lambda s: s["rec"]), "")),
+            "UTF-8",
+        ).alias("content"),
+    )
+    pages = warcmod.pages_from_wet(
+        warcmod.parse_warc(_spread(files), types=("conversion",))
+    )
+    tagged = extraction.fused_extract_parse_link(pages, ALIASES)
+    return tagged.filter(F.col("err").isNull()).select(
+        F.col("url"), F.col("o").alias("entity")
+    )
+
+
 def q_html_structured(spark, sf_dir):
     """HTML structured-data islands → triples (ops.html): every page
     carries TWO ``application/ld+json`` islands (mixed quote styles;
@@ -2030,6 +2084,7 @@ _QUERIES = {
         "url_normalize": q_url_normalize,
         "unicode_normalize": q_unicode_normalize,
         "warc_parse": q_warc_parse,
+        "wet_pipeline": q_wet_pipeline,
         "html_structured": q_html_structured,
         "html_links": q_html_links,
         "html_microdata": q_html_microdata,
@@ -3051,6 +3106,24 @@ def oracle_sql() -> dict[str, str]:
         # exactly the planted (doc_id, 200, text) rows
         "warc_parse": """
             SELECT doc_id, 200 AS http_status, text FROM documents
+        """,
+        # closed-form: link iff the surface occurs in the RAW doc text
+        # (WET text is the extraction verbatim); entity = argmax-prior
+        # sense, ties by min IRI — the fused stage's context-free rule
+        "wet_pipeline": f"""
+            WITH a(surface, entity_iri, prior) AS (VALUES {_ALIAS_VALUES}),
+            best AS (
+                SELECT surface, entity_iri FROM (
+                    SELECT surface, entity_iri,
+                           row_number() OVER (PARTITION BY surface
+                                              ORDER BY prior DESC,
+                                                       entity_iri) AS rk
+                    FROM a) WHERE rk = 1
+            )
+            SELECT 'https://example.org/doc/' || d.doc_id AS url,
+                   b.entity_iri AS entity
+            FROM documents d CROSS JOIN best b
+            WHERE length(regexp_extract_all(d.text, b.surface)) > 0
         """,
         # closed-form: the four triples each page's three islands carry
         "html_structured": """

@@ -26,6 +26,10 @@ def main(argv=None) -> int:
     ap.add_argument("--pages", help="input pages table (parquet path)")
     ap.add_argument("--warc", help="input crawl segments (.warc/.warc.gz "
                     "path/glob) instead of --pages")
+    ap.add_argument("--wet", help="input extracted-text segments "
+                    "(.wet/.wet.gz path/glob, WARC conversion records) "
+                    "instead of --pages; payloads feed the pipeline as "
+                    "pre-extracted text")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of reading --pages")
     ap.add_argument("--out", required=True)
@@ -70,10 +74,14 @@ def main(argv=None) -> int:
         from rdf_spark import warc
 
         pages = warc.pages_from_warc(warc.read_warc(spark, args.warc))
+    elif args.wet:
+        from rdf_spark import warc
+
+        pages = warc.pages_from_wet(warc.read_wet(spark, args.wet))
     elif args.pages:
         pages = spark.read.parquet(args.pages)
     else:
-        ap.error("one of --pages, --warc or --synthetic is required")
+        ap.error("one of --pages, --warc, --wet or --synthetic is required")
 
     if args.normalize_urls:
         from pyspark.sql import functions as F

@@ -49,12 +49,19 @@ def extract_stage(pages: DataFrame) -> DataFrame:
 
     Narrow stage (no shuffle); vectorized via pandas ``str`` ops over
     Arrow batches.
+
+    Pages with a null ``html`` but a non-null ``text`` column (WET
+    shards — Common Crawl's pre-extracted plain text, see
+    rdf_spark.warc.pages_from_wet) pass ``text`` through as the
+    extracted text verbatim: WET ships no markup, so the payload IS
+    the extraction and the byte-identical invariant holds trivially.
     """
     out_ddl = "url string, extracted_text string, rdf_text string"
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            html = pdf["html"].map(
+            raw = pdf["html"]
+            html = raw.map(
                 lambda b: b if isinstance(b, str)
                 else bytes(b).decode("utf-8", errors="replace")
                 if b is not None else ""
@@ -63,6 +70,10 @@ def extract_stage(pages: DataFrame) -> DataFrame:
             no_style = no_script.str.replace(_STYLE_RE, " ", regex=True)
             no_tags = no_style.str.replace(_TAG_RE, " ", regex=True)
             text = no_tags.str.replace(_WS_RE, " ", regex=True).str.strip()
+            if "text" in pdf.columns:
+                provided = raw.isna() & pdf["text"].notna()
+                if provided.any():
+                    text = text.mask(provided, pdf["text"])
             rdf = html.str.extractall(_TTL_BLOCK_RE)[0].groupby(level=0).agg("\n".join)
             yield pd.DataFrame(
                 {
@@ -448,9 +459,14 @@ def fused_extract_parse_link(
 
             parts: list[pa.Table] = []
 
-            # 1. extraction invariant rows
+            # 1. extraction invariant rows.  WET pages (null html,
+            #    non-null text — warc.pages_from_wet) use the provided
+            #    text AS the extraction: WET ships no markup, so the
+            #    payload is the extraction by definition and the
+            #    invariant below is trivially satisfied (text == ref).
             if "text" in names:
-                ref = tbl.column("text")
+                ref = pc.cast(tbl.column("text"), pa.string())
+                text = pc.if_else(html.is_valid(), text, ref)
                 bad_mask = pc.and_kleene(ref.is_valid(), pc.not_equal(text, ref))
                 bad_urls = pc.filter(tbl.column("url"), pc.fill_null(bad_mask, False))
                 nb = len(bad_urls)

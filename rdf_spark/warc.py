@@ -237,6 +237,39 @@ def read_warc(
     return parse_warc(files, types=types, errors=errors, want_text=want_text)
 
 
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Read WET file(s) — Common Crawl's extracted-text sidecar format:
+    a WARC stream whose content records are ``WARC-Type: conversion``
+    with a ``text/plain`` payload (the page text, no HTTP envelope, no
+    markup).  Same one-task-per-file narrow plan as :func:`read_warc`;
+    the type filter drops the leading warcinfo record inside the
+    parser.  BASELINE.json's throughput metric is defined over exactly
+    this input ("a Common-Crawl WET shard")."""
+    return read_warc(spark, path, types=("conversion",), errors=errors)
+
+
+def pages_from_wet(records: DataFrame) -> DataFrame:
+    """Adapt :func:`read_wet` output to the pipeline's ``pages(url,
+    warc_ts, html, text, lang)`` contract: WET payloads ARE the
+    extracted text, so ``text`` is filled and ``html`` is null — the
+    extraction stage (rdf_spark.extraction) passes such rows' ``text``
+    through verbatim and the byte-identical invariant holds trivially.
+    Narrow — no shuffle."""
+    return records.filter(
+        F.col("err").isNull() & F.col("target_uri").isNotNull()
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.try_to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def pages_from_warc(records: DataFrame) -> DataFrame:
     """Adapt :func:`parse_warc` / :func:`read_warc` output to the KG
     pipeline's ``pages(url, warc_ts, html, text, lang)`` contract

@@ -191,3 +191,90 @@ def test_kg_construct_job_warc_input(spark, tmp_path):
     assert summary["pages"] == 6
     assert summary["triples"] >= 6  # one embedded-Turtle triple per page
     assert summary["parse_errors"] == 0
+
+
+def _wet_rec(uri, text, rid="<urn:uuid:w1>"):
+    """A WET conversion record: text/plain payload, no HTTP envelope."""
+    return warc.encode_warc_record(
+        {
+            "WARC-Type": "conversion",
+            "WARC-Record-ID": rid,
+            "WARC-Date": "2026-02-02T03:04:05Z",
+            "WARC-Target-URI": uri,
+            "Content-Type": "text/plain",
+        },
+        text.encode("utf-8"),
+    )
+
+
+def test_read_wet_and_pages_from_wet(spark, tmp_path):
+    """WET shard → pages: payload text passes through VERBATIM as the
+    extraction (html null), warcinfo records are filtered, and the
+    fused pipeline stage links mentions without any invariant
+    violation rows."""
+    from rdf_spark import extraction
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    # odd spacing must survive: WET text is the reference extraction,
+    # never re-squashed by the HTML whitespace rules
+    t0 = "Ada Lovelace  wrote   notes"
+    t1 = "Alan Turing & Ada Lovelace"
+    data = (
+        _rec("warcinfo", None, b"software: wetgen\r\n")
+        + _wet_rec("https://x.org/p0", t0, rid="<urn:uuid:w0>")
+        + _wet_rec("https://x.org/p1", t1, rid="<urn:uuid:w1>")
+    )
+    (d / "seg.wet.gz").write_bytes(gzip.compress(data))
+    pages = warc.pages_from_wet(warc.read_wet(spark, str(d)))
+    rows = {r.url: r for r in pages.collect()}
+    assert set(rows) == {"https://x.org/p0", "https://x.org/p1"}
+    assert all(r.html is None for r in rows.values())
+    assert rows["https://x.org/p0"].text == t0
+    assert rows["https://x.org/p0"].warc_ts is not None
+    # extract_stage passes the text through byte-identically
+    ext = {r.url: r.extracted_text
+           for r in extraction.extract_stage(pages).collect()}
+    assert ext == {"https://x.org/p0": t0, "https://x.org/p1": t1}
+    # fused stage: mentions linked from provided text, zero quarantine
+    from rdf_spark import datagen
+
+    alias_rows = [(r.surface, r.entity_iri, r.prior)
+                  for r in datagen.aliases(spark).collect()]
+    tagged = extraction.fused_extract_parse_link(pages, alias_rows)
+    assert tagged.filter("err IS NOT NULL").count() == 0
+    links = {(r.s, r.o) for r in tagged.filter("err IS NULL").collect()}
+    assert ("https://x.org/p0",
+            "http://kg.example/entity/Ada_Lovelace") in links
+    assert ("https://x.org/p1",
+            "http://kg.example/entity/Alan_Turing") in links
+
+
+def test_kg_construct_job_wet_input(spark, tmp_path):
+    """--wet CLI path: extracted-text segments → pages → full pipeline."""
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    recs = [_wet_rec(f"https://x.org/doc/{i}",
+                     f"doc {i} mentions Grace Hopper today",
+                     rid=f"<urn:uuid:{i}>")
+            for i in range(4)]
+    (d / "seg0.wet").write_bytes(b"".join(recs[:2]))
+    (d / "seg1.wet.gz").write_bytes(gzip.compress(b"".join(recs[2:])))
+    out = str(tmp_path / "store")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--wet", str(d), "--out", out, "--shards", "2", "--buckets", "4"])
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["pages"] == 4
+    assert summary["triples"] == 4  # one Grace Hopper link per page
+    assert summary["parse_errors"] == 0
