@@ -620,6 +620,39 @@ def q_sparql_path_unanchored(spark, sf_dir):
     return sparql_select(tri, "SELECT ?a ?b WHERE { ?a <urn:child>+ ?b }")
 
 
+def q_sparql_path_in_blocks(spark, sf_dir):
+    """Property-path closures INSIDE OPTIONAL and MINUS blocks (round-5
+    late): the blocks compile through the same group compiler as the
+    main WHERE, so `OPTIONAL { ?c <urn:child>+ ?d }` left-joins the
+    closure pair table (NULL where a child has no descendants) and
+    `MINUS { ?x <urn:child>/<urn:child>+ ?p }` anti-joins the ≥2-step
+    reachability set (keeping only depth-0/1 parents).  Same
+    deterministic binary tree as `sparql_path_unanchored`; DuckDB
+    replays it with WITH RECURSIVE + LEFT JOIN + NOT IN."""
+    from rdf_spark.sparql import sparql_select
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tri = (
+        d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 1).alias("o"),
+        )
+        .unionByName(d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 2).alias("o"),
+        ))
+    )
+    return sparql_select(tri, """
+        SELECT ?p ?d WHERE {
+            ?p <urn:child> ?c .
+            OPTIONAL { ?c <urn:child>+ ?d }
+            MINUS { ?x <urn:child>/<urn:child>+ ?p }
+        }
+    """)
+
+
 def q_sparql_path_zero_or_one(spark, sf_dir):
     """SPARQL ZeroOrOnePath `?a <p>? ?b` (round-5, §18.4): the DIRECT
     edge pairs unioned with the zero-length identity over every graph
@@ -2065,6 +2098,7 @@ _QUERIES = {
         "sparql_lang": q_sparql_lang,
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_unanchored": q_sparql_path_unanchored,
+        "sparql_path_in_blocks": q_sparql_path_in_blocks,
         "sparql_path_zero_or_one": q_sparql_path_zero_or_one,
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
@@ -2931,6 +2965,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
             )
             SELECT src AS a, dst AS b FROM reach
+        """,
+        # closures inside OPTIONAL (left join on the closure pair set,
+        # NULL where no descendant) and MINUS (anti join on the ≥2-step
+        # reachability set): keeps only depth-0/1 parents
+        "sparql_path_in_blocks": """
+            WITH RECURSIVE edges AS (
+                SELECT 'urn:d' || doc_id AS src,
+                       'urn:d' || (doc_id * 2 + 1) AS dst
+                FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT 'urn:d' || doc_id, 'urn:d' || (doc_id * 2 + 2)
+                FROM documents WHERE doc_id < 200
+            ), reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT e.src AS p, r.dst AS d
+            FROM edges e LEFT JOIN reach r ON r.src = e.dst
+            WHERE e.src NOT IN (
+                SELECT r2.dst FROM edges e2 JOIN reach r2 ON r2.src = e2.dst
+            )
         """,
         "sparql_path_zero_or_one": """
             WITH edges AS (

@@ -52,7 +52,11 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                a negated set is not supported)
              FILTER( expr )          -- any number, anywhere in the group
              FILTER [NOT] EXISTS { patterns }  -- → left semi / anti join
-             OPTIONAL { patterns }   -- any number
+             OPTIONAL { patterns }   -- any number; patterns may use any
+                                        property path (closures included
+                                        — the block compiles through the
+                                        same group compiler as WHERE);
+                                        ditto EXISTS/MINUS below
              VALUES ?v { term … }    -- inline bindings (restricts a
                                         bound var, introduces an unbound)
              VALUES (?a ?b) { (t t) … }  -- multi-var rows: joins on the
@@ -247,7 +251,9 @@ def _unescape_string(raw: str) -> str:
 @dataclass
 class _Group:
     patterns: list[tuple[str, str, str]] = field(default_factory=list)
-    optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # OPTIONAL blocks: pattern-only _Groups (patterns + property paths,
+    # closures included) compiled through _compile_group and left-joined
+    optionals: list = field(default_factory=list)
     filters: list[tuple] = field(default_factory=list)
     # anchored single-predicate closures: (s_term, pred_iri, '+'|'*', o_term)
     paths: list[tuple[str, str, str, str]] = field(default_factory=list)
@@ -258,12 +264,10 @@ class _Group:
     values: list[tuple[list[str], list[tuple]]] = field(default_factory=list)
     # BIND(operand AS ?v): (var_name, operand expr)
     binds: list[tuple[str, tuple]] = field(default_factory=list)
-    # FILTER [NOT] EXISTS blocks: (positive, patterns)
-    exists: list[tuple[bool, list[tuple[str, str, str]]]] = field(
-        default_factory=list
-    )
-    # MINUS { patterns } blocks
-    minus: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # FILTER [NOT] EXISTS blocks: (positive, pattern-only _Group)
+    exists: list = field(default_factory=list)
+    # MINUS { ... } blocks: pattern-only _Groups
+    minus: list = field(default_factory=list)
     # { SELECT ... } subqueries: parsed _Ast, compiled independently and
     # joined on the shared projected variables
     subqueries: list = field(default_factory=list)
@@ -512,13 +516,17 @@ class _Parser:
         if not subquery and self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
 
-    def pattern_block(self, what: str) -> list[tuple[str, str, str]]:
-        """Triple patterns of an OPTIONAL/EXISTS/MINUS/GRAPH block.
-        Round-5: property paths are allowed wherever they compile to
-        plain patterns (atoms, inverses, negated sets, atom sequences
-        via fresh-var hops, uniform alternations); closures raise — the
-        block compilers consume pattern lists, not arbitrary binding
-        tables."""
+    def pattern_block(self, what: str) -> "_Group":
+        """Triple patterns of an OPTIONAL/EXISTS/MINUS/GRAPH block,
+        returned as a pattern-only ``_Group``.  Any property path is
+        allowed in OPTIONAL/EXISTS/MINUS — the blocks compile through
+        the same group compiler as the main WHERE, so closures get
+        their pair-table/BFS plans there too.  GRAPH blocks stay
+        pattern-shaped (atoms, inverses, negated sets, atom sequences,
+        uniform alternations): their patterns are rewritten to quads
+        against the graph term, and a closure scoped to one named
+        graph would need a graph-filtered edge set — unsupported,
+        raise rather than silently evaluate over the union graph."""
         self.eat_op("{")
         scratch = _Group()
         while self.peek() != ("op", "}"):
@@ -526,17 +534,17 @@ class _Parser:
             node = self.path_expr()
             o = self.term("o")
             self._plant_path(scratch, s, node, o)
-            if scratch.paths or scratch.generic_paths:
+            if what == "GRAPH" and (scratch.paths or scratch.generic_paths):
                 raise SparqlError(
                     "property-path closures are not supported inside "
-                    f"{what} blocks"
+                    "GRAPH blocks"
                 )
             if self.peek() == ("op", "."):
                 self.next()
         self.next()  # }
-        if not scratch.patterns:
+        if not (scratch.patterns or scratch.paths or scratch.generic_paths):
             raise SparqlError(f"empty {what} block")
-        return scratch.patterns
+        return scratch
 
     def group(self, g: _Group):
         while True:
@@ -583,7 +591,7 @@ class _Parser:
                     gterm = self.expand_pname(v2)
                 else:
                     raise SparqlError("GRAPH needs <iri> or ?var")
-                for s, p, o in self.pattern_block("GRAPH"):
+                for s, p, o in self.pattern_block("GRAPH").patterns:
                     g.patterns.append((s, p, o, gterm))
             elif self.at_word("BIND"):
                 self.next()
@@ -1647,7 +1655,7 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         else:
             df = df.crossJoin(part)  # introduce new bindings
     for block in g.optionals:
-        odf = bgp_match(triples, block, distinct=False)
+        odf = _compile_group(triples, block)
         shared = sorted(set(df.columns) & set(odf.columns))
         if not shared:
             raise SparqlError("OPTIONAL block shares no variable with the group")
@@ -1658,13 +1666,24 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
     # answering a different question.
     bind_vars = {var for var, _ in g.binds}
 
-    def _bind_clash(block, what: str):
-        clash = bind_vars & {
+    def _bind_clash(block: _Group, what: str):
+        block_vars = {
             t[1:]
-            for pat in block
+            for pat in block.patterns
             for t in pat
             if isinstance(t, str) and t.startswith("?")
+        } | {
+            t[1:]
+            for s, _p, _m, o in block.paths
+            for t in (s, o)
+            if t.startswith("?")
+        } | {
+            t[1:]
+            for s, _node, o in block.generic_paths
+            for t in (s, o)
+            if t.startswith("?")
         }
+        clash = bind_vars & block_vars
         if clash:
             raise SparqlError(
                 f"{what} block references BIND-defined variable(s) "
@@ -1674,7 +1693,7 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
 
     for positive, block in g.exists:
         _bind_clash(block, "FILTER EXISTS" if positive else "FILTER NOT EXISTS")
-        edf = bgp_match(triples, block, distinct=False)
+        edf = _compile_group(triples, block)
         shared = sorted(set(df.columns) & set(edf.columns))
         if not shared:
             raise SparqlError("EXISTS block shares no variable with the group")
@@ -1683,7 +1702,7 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         df = df.join(edf, on=shared, how="left_semi" if positive else "left_anti")
     for block in g.minus:
         _bind_clash(block, "MINUS")
-        mdf = bgp_match(triples, block, distinct=False)
+        mdf = _compile_group(triples, block)
         shared = sorted(set(df.columns) & set(mdf.columns))
         # SPARQL MINUS with disjoint domains removes nothing (unlike
         # NOT EXISTS, which this otherwise compiles identically to)

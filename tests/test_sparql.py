@@ -1495,10 +1495,29 @@ def test_paths_inside_optional_exists_minus(tri):
     """))
     # ?x ^knows ?c ≡ ?c knows ?x: c1 and c2 know someone → removed
     assert got3 == [("Ann",)]
+    # round-5 (late): closures evaluate inside the blocks too — the
+    # blocks compile through the same group compiler as the main WHERE
+    got4 = sorted(_run(tri, """
+        SELECT ?n ?kn WHERE { ?c <urn:name> ?n
+            OPTIONAL { ?c <urn:knows>+/<urn:name> ?kn } }
+    """), key=lambda t: (t[0], t[1] or ""))
+    assert got4 == [("Alice", "Ann"), ("Alice", "Bob"),
+                    ("Ann", None), ("Bob", "Ann")]
+    got5 = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            FILTER NOT EXISTS { ?x <urn:knows>+ ?c } }
+    """))
+    assert got5 == [("Alice",)]  # only c1 is transitively reached by nobody
+    got6 = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            MINUS { ?c <urn:knows>+ ?z . ?z <urn:name> "Ann" } }
+    """))
+    assert got6 == [("Ann",)]  # c1 and c2 reach Ann; c3 has no + path
+    # GRAPH blocks stay pattern-shaped: a graph-scoped closure would
+    # need a graph-filtered edge set
     with pytest.raises(SparqlError, match="closures are not supported"):
         sparql_select(tri, """
-            SELECT ?n WHERE { ?c <urn:name> ?n
-                OPTIONAL { ?c <urn:knows>+ ?k } }
+            SELECT ?n WHERE { GRAPH <urn:g> { ?c <urn:knows>+ ?n } }
         """).collect()
 
 

@@ -240,3 +240,46 @@ def test_cyclic_same_var_path(spark, rng):
             df, f"SELECT ?a WHERE {{ ?a (<{PREDS[0]}>|<{PREDS[1]}>)+ ?a }}"
         ).collect())
         assert got == sorted(a for a, b in pairs if a == b), f"case {case}"
+
+
+def test_paths_inside_blocks_match_naive(spark, rng):
+    """Round-5 late: arbitrary paths (closures included) inside
+    OPTIONAL / FILTER [NOT] EXISTS / MINUS vs naive semantics."""
+    for case in range(8):
+        triples = _random_graph(rng, rng.randint(8, 18))
+        df = spark.createDataFrame(triples, "s string, p string, o string")
+        node = _random_path(rng, 2)
+        path = _render_path(node, top=True)
+        pairs = _naive_path(triples, node)
+        base = [(s, o) for s, p, o in triples if p == PREDS[0]]
+        if not base:
+            continue
+
+        # OPTIONAL: left join on ?b; row per match, NULL when none
+        got = sorted(
+            ((r.a, r.c) for r in sparql_select(
+                df, f"SELECT ?a ?c WHERE {{ ?a <{PREDS[0]}> ?b "
+                    f"OPTIONAL {{ ?b {path} ?c }} }}").collect()),
+            key=lambda t: (t[0], t[1] or ""))
+        want = []
+        for a, b in base:
+            ms = [c for (x, c) in pairs if x == b]
+            want += [(a, c) for c in ms] if ms else [(a, None)]
+        want.sort(key=lambda t: (t[0], t[1] or ""))
+        assert got == want, f"case {case} OPTIONAL {path!r}"
+
+        # EXISTS / NOT EXISTS: semi/anti join on ?b
+        starts = {x for x, _ in pairs}
+        for kw, keep in (("EXISTS", True), ("NOT EXISTS", False)):
+            got2 = sorted((r.a, r.b) for r in sparql_select(
+                df, f"SELECT ?a ?b WHERE {{ ?a <{PREDS[0]}> ?b "
+                    f"FILTER {kw} {{ ?b {path} ?x }} }}").collect())
+            want2 = sorted(t for t in base if (t[1] in starts) == keep)
+            assert got2 == want2, f"case {case} {kw} {path!r}"
+
+        # MINUS on both shared vars: anti join against the pair set
+        got3 = sorted((r.a, r.b) for r in sparql_select(
+            df, f"SELECT ?a ?b WHERE {{ ?a <{PREDS[0]}> ?b "
+                f"MINUS {{ ?a {path} ?b }} }}").collect())
+        want3 = sorted(t for t in base if t not in set(pairs))
+        assert got3 == want3, f"case {case} MINUS {path!r}"
