@@ -27,6 +27,7 @@ def _force(df):
 # its BENCH_QUIET.json numbers stay comparable to this file's artifacts
 NT_FIXTURE_LINES = 12_000_000
 KG_FIXTURE_PAGES = 60_000
+WET_FIXTURE_PAGES = 60_000
 
 
 def nt_fixture(spark, cpus: int):
@@ -48,6 +49,52 @@ def kg_fixture(spark):
     from rdf_spark import datagen, pipeline
 
     pages = datagen.pages(spark, KG_FIXTURE_PAGES)
+    final, _ = pipeline.build_shard_triples(pages, datagen.aliases(spark))
+    return final
+
+
+def wet_fixture(spark, cpus: int):
+    """60k synthetic WET conversion records (real WARC bytes on the
+    wire: framing, Content-Length, warcinfo-free files) → parse →
+    pages_from_wet → the fused KG construction pipeline.
+    BASELINE.json's throughput metric ("triples/sec ... on a
+    Common-Crawl WET shard") is defined over exactly this input."""
+    from rdf_spark import datagen, pipeline, warc
+
+    surfaces = F.array(*[F.lit(s) for s, _, _ in datagen.ENTITIES])
+    n = F.col("id")
+    text = F.concat(
+        F.lit("Profile "), n, F.lit(": "),
+        F.element_at(surfaces, (F.pmod(n, F.lit(10)) + 1).cast("int")),
+        F.lit(" worked with "),
+        F.element_at(surfaces, (F.pmod(n + 3, F.lit(10)) + 1).cast("int")),
+        F.lit(" on item "), n, F.lit("."),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:w:"),
+        n,
+        F.lit(">\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+              "WARC-Target-URI: https://example.org/p/"),
+        n,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"), text, F.lit("\r\n\r\n"),
+    )
+    files = (
+        spark.range(WET_FIXTURE_PAGES)
+        .select(F.pmod(F.col("id"), F.lit(cpus * 4)).alias("g"),
+                F.struct("id", rec.alias("rec")).alias("s"))
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            F.concat(F.lit("mem://wet/"), F.col("g")).alias("path"),
+            F.encode(
+                F.array_join(F.transform("ss", lambda s: s["rec"]), ""),
+                "UTF-8",
+            ).alias("content"),
+        )
+    )
+    pages = warc.pages_from_wet(warc.parse_warc(files, types=("conversion",)))
     final, _ = pipeline.build_shard_triples(pages, datagen.aliases(spark))
     return final
 
@@ -111,6 +158,8 @@ def main() -> int:
         "sitemap_parse",
         "sparql_agg_expr",
         "host_cap",
+        "wet_pipeline",
+        "sparql_path_in_blocks",
     ]
 
     timings: dict[str, float] = {}
@@ -143,6 +192,15 @@ def main() -> int:
     kg_wall = time.time() - t0
     timings["kg_pipeline_60k"] = round(kg_wall, 3)
 
+    # WET shard → KG end-to-end throughput (pages/sec): the BASELINE.json
+    # metric input shape (real WARC conversion-record bytes parsed back)
+    wfinal = wet_fixture(spark, cpus)
+    _force(wfinal)  # warm
+    t0 = time.time()
+    _force(wfinal)
+    wet_wall = time.time() - t0
+    timings["wet_pipeline_60k"] = round(wet_wall, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -154,6 +212,7 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "nt_triples_per_sec": nt_tps,
                 "kg_pages_per_sec": round(n_pages / kg_wall, 1),
+                "wet_pages_per_sec": round(WET_FIXTURE_PAGES / wet_wall, 1),
                 "cpus": cpus,
             }
         )
