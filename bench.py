@@ -53,14 +53,17 @@ def kg_fixture(spark):
     return final
 
 
-def wet_fixture(spark, cpus: int):
-    """60k synthetic WET conversion records (real WARC bytes on the
+def wet_fixture(spark, cpus: int, n_pages: int | None = None):
+    """Synthetic WET conversion records (real WARC bytes on the
     wire: framing, Content-Length, warcinfo-free files) → parse →
     pages_from_wet → the fused KG construction pipeline.
     BASELINE.json's throughput metric ("triples/sec ... on a
-    Common-Crawl WET shard") is defined over exactly this input."""
+    Common-Crawl WET shard") is defined over exactly this input.
+    Shared with bench_scaling.py (which sizes n_pages up)."""
     from rdf_spark import datagen, pipeline, warc
 
+    if n_pages is None:
+        n_pages = WET_FIXTURE_PAGES
     surfaces = F.array(*[F.lit(s) for s, _, _ in datagen.ENTITIES])
     n = F.col("id")
     text = F.concat(
@@ -81,7 +84,7 @@ def wet_fixture(spark, cpus: int):
         F.lit("\r\n\r\n"), text, F.lit("\r\n\r\n"),
     )
     files = (
-        spark.range(WET_FIXTURE_PAGES)
+        spark.range(n_pages)
         .select(F.pmod(F.col("id"), F.lit(cpus * 4)).alias("g"),
                 F.struct("id", rec.alias("rec")).alias("s"))
         .groupBy("g")

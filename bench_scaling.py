@@ -65,8 +65,17 @@ final, _ = pipeline.build_shard_triples(pages, datagen.aliases(spark))
 force(final)  # warm
 kg_walls = walls_of(lambda: force(final), reps)
 
+# WET shard -> KG: the BASELINE.json metric input shape (real WARC
+# conversion-record bytes parsed back, then the fused pipeline)
+import bench
+N_WET = 240_000
+wet = bench.wet_fixture(spark, cores, N_WET)
+force(wet)  # warm
+wet_walls = walls_of(lambda: force(wet), reps)
+
 print(json.dumps({"cores": cores, "nt_lines": N_LINES, "nt_walls": nt_walls,
-                  "kg_pages": N_PAGES, "kg_walls": kg_walls}))
+                  "kg_pages": N_PAGES, "kg_walls": kg_walls,
+                  "wet_pages": N_WET, "wet_walls": wet_walls}))
 """
 
 
@@ -116,8 +125,8 @@ def main() -> int:
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", 2))
 
     obs: dict[int, dict[str, list[float]]] = {
-        lo: {"nt": [], "kg": [], "load": []},
-        hi: {"nt": [], "kg": [], "load": []},
+        lo: {"nt": [], "kg": [], "wet": [], "load": []},
+        hi: {"nt": [], "kg": [], "wet": [], "load": []},
     }
     meta: dict[int, dict] = {}
     for rnd in range(rounds):
@@ -127,14 +136,18 @@ def main() -> int:
             meta[cores] = r
             obs[cores]["nt"] += r["nt_walls"]
             obs[cores]["kg"] += r["kg_walls"]
+            obs[cores]["wet"] += r["wet_walls"]
             obs[cores]["load"].append(round(load, 2))
             print(f"round {rnd} local[{cores}] load={load:.2f} "
-                  f"nt={r['nt_walls']} kg={r['kg_walls']}", file=sys.stderr)
+                  f"nt={r['nt_walls']} kg={r['kg_walls']} "
+                  f"wet={r['wet_walls']}", file=sys.stderr)
 
     n_lines = meta[lo]["nt_lines"]
     n_pages = meta[lo]["kg_pages"]
+    n_wet = meta[lo]["wet_pages"]
     best = {
-        c: {"nt_wall_s": min(obs[c]["nt"]), "kg_wall_s": min(obs[c]["kg"])}
+        c: {"nt_wall_s": min(obs[c]["nt"]), "kg_wall_s": min(obs[c]["kg"]),
+            "wet_wall_s": min(obs[c]["wet"])}
         for c in (lo, hi)
     }
     levels = {
@@ -146,20 +159,26 @@ def main() -> int:
             "kg_pages": n_pages,
             "kg_wall_s": best[c]["kg_wall_s"],
             "kg_pps": round(n_pages / best[c]["kg_wall_s"], 1),
+            "wet_pages": n_wet,
+            "wet_wall_s": best[c]["wet_wall_s"],
+            "wet_pps": round(n_wet / best[c]["wet_wall_s"], 1),
             "all_nt_walls": obs[c]["nt"],
             "all_kg_walls": obs[c]["kg"],
+            "all_wet_walls": obs[c]["wet"],
             "loadavg_before_rounds": obs[c]["load"],
         }
         for name, c in (("N", lo), ("4N", hi))
     }
     eff_nt = (levels["4N"]["nt_lps"] / levels["N"]["nt_lps"]) / (hi / lo)
     eff_kg = (levels["4N"]["kg_pps"] / levels["N"]["kg_pps"]) / (hi / lo)
+    eff_wet = (levels["4N"]["wet_pps"] / levels["N"]["wet_pps"]) / (hi / lo)
     result = {
         "metric": "scaling_efficiency",
         "method": f"min wall over {rounds} interleaved load-gated rounds × {reps} reps",
         "levels": levels,
         "nt_parse_efficiency": round(eff_nt, 3),
         "kg_pipeline_efficiency": round(eff_kg, 3),
+        "wet_pipeline_efficiency": round(eff_wet, 3),
     }
     print(json.dumps(result))
     with open("BENCH_SCALING.json", "w") as f:
@@ -177,6 +196,7 @@ the least-interfered observation — all raw walls in BENCH_SCALING.json).
 |---|---|---|---|
 | NT parse ({n_lines:,} lines) | {levels['N']['nt_lps']:,.0f} lines/s | {levels['4N']['nt_lps']:,.0f} lines/s | {eff_nt:.2f} |
 | KG pipeline ({n_pages:,} pages) | {levels['N']['kg_pps']:,.0f} pages/s | {levels['4N']['kg_pps']:,.0f} pages/s | {eff_kg:.2f} |
+| WET shard → KG ({n_wet:,} pages) | {levels['N']['wet_pps']:,.0f} pages/s | {levels['4N']['wet_pps']:,.0f} pages/s | {eff_wet:.2f} |
 """
     marker = "## Measured scaling"
     with open("BASELINE.md") as f:
