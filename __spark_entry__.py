@@ -914,6 +914,35 @@ def q_sparql_funcs(spark, sf_dir):
     """)
 
 
+def q_sparql_term_ctors(spark, sf_dir):
+    """SPARQL term constructors (round-5 late, §17.4.2): IRI/STRDT/
+    STRLANG over a PLAIN (s,p,o) store — the BIND site synthesizes the
+    constructed term's kind/datatype/lang metadata, so STR/DATATYPE/
+    LANG/isIRI work on the constructed vars without store meta columns.
+    STRLEN filter keeps the 9-char nation names (selective-but-nonempty
+    at all scales: NATION_0..9 are 8 chars, NATION_10..24 are 9).
+    Oracle rebuilds all three constructed columns closed-form."""
+    from rdf_spark.sparql import sparql_select
+
+    n = _t(spark, sf_dir, "nation")
+    tri = n.select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit("urn:ex:name").alias("p"), F.col("n_name").alias("o"),
+    )
+    return sparql_select(tri, """
+        SELECT ?nm ?iri ?dt ?lg WHERE {
+            ?nt <urn:ex:name> ?nm .
+            BIND(IRI(CONCAT("urn:geo:", ?nm)) AS ?g)
+            BIND(STRDT(?nm, <urn:t:Name>) AS ?d)
+            BIND(STRLANG(?nm, "en-GB") AS ?s)
+            BIND(STR(?g) AS ?iri)
+            BIND(DATATYPE(?d) AS ?dt)
+            BIND(LANG(?s) AS ?lg)
+            FILTER(isIRI(?g) && STRLEN(?nm) >= 9)
+        }
+    """)
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Cross-corpus line-level boilerplate removal (ops.text.remove_
     boilerplate_lines, the CCNet/RefinedWeb cleaning step): a footer line
@@ -2111,6 +2140,7 @@ _QUERIES = {
         "sparql_minus": q_sparql_minus,
         "sparql_graph": q_sparql_graph,
         "sparql_funcs": q_sparql_funcs,
+        "sparql_term_ctors": q_sparql_term_ctors,
         "boilerplate_lines": q_boilerplate_lines,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -3095,6 +3125,13 @@ def oracle_sql() -> dict[str, str]:
         "sparql_graph": """
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm
             FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        # term constructors rebuilt closed-form: IRI lexical = concat,
+        # STRDT datatype = the constant tag, STRLANG lang = the constant
+        "sparql_term_ctors": """
+            SELECT n_name AS nm, 'urn:geo:' || n_name AS iri,
+                   'urn:t:Name' AS dt, 'en-GB' AS lg
+            FROM nation WHERE length(n_name) >= 9
         """,
         "sparql_funcs": """
             SELECT n.n_name AS nm,

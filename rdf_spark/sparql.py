@@ -113,7 +113,14 @@ would break replay/resume and oracle parity), numeric arithmetic
 ``+ - * /`` with standard precedence and ``( )`` grouping (operands
 cast to double; ``/`` → try_divide so division by zero drops the
 solution like SPARQL's evaluation error), ``COALESCE(x, …)``,
-``IF(cond, a, b)``, plus the accessors
+``IF(cond, a, b)``, the term constructors ``IRI/URI(x)``,
+``STRDT(x, <dt>)`` and ``STRLANG(x, "tag")`` (§17.4.2; the value is
+the lexical form, and a BIND of a constructed term synthesizes the
+var's kind/datatype/lang metadata so isIRI/DATATYPE/LANG/sameTerm
+work over it WITHOUT needing store metadata columns; BNODE() is
+deliberately absent — fresh-label minting is nondeterministic under
+replay, use skolem IRIs via IRI(CONCAT(...)) instead), plus the
+accessors
 ``lang(?v)`` / ``datatype(?v)`` (these need the canonical metadata
 columns ``s_kind o_kind o_datatype o_lang`` on the triple DataFrame,
 and ?v bound by a required triple pattern of the same group; LANG of a
@@ -992,6 +999,39 @@ class _Parser:
                 raise SparqlError(f"{fn}() takes a ?var")
             self.eat_op(")")
             return ("meta", fn, arg[1][1:])
+        if kind == "word" and v.upper() in ("IRI", "URI"):
+            # term constructor §17.4.2.{5,6}: the value is the lexical;
+            # the BIND compiler synthesizes kind metadata for the bound
+            # var so isIRI/DATATYPE/sameTerm work on it downstream
+            self.eat_op("(")
+            inner = self.operand()
+            self.eat_op(")")
+            return ("mkterm", "IRI", inner, None)
+        if kind == "word" and v.upper() == "STRDT":
+            self.eat_op("(")
+            inner = self.operand()
+            self.eat_op(",")
+            k2, v2 = self.next()
+            if k2 == "iri":
+                dt = v2[1:-1]
+            elif k2 == "pname":
+                dt = self.expand_pname(v2)
+            else:
+                raise SparqlError("STRDT datatype must be an IRI constant")
+            self.eat_op(")")
+            return ("mkterm", "STRDT", inner, dt)
+        if kind == "word" and v.upper() == "STRLANG":
+            self.eat_op("(")
+            inner = self.operand()
+            self.eat_op(",")
+            lt = self.next()
+            if lt[0] != "string":
+                raise SparqlError("STRLANG tag must be a string constant")
+            self.eat_op(")")
+            tag = _unescape_string(lt[1][1:-1])
+            if not re.fullmatch(r"[A-Za-z]+(-[A-Za-z0-9]+)*", tag):
+                raise SparqlError(f"STRLANG: malformed language tag {tag!r}")
+            return ("mkterm", "STRLANG", inner, tag)
         if kind == "word" and v.upper() == "CONCAT":
             self.eat_op("(")
             parts = [self.operand()]
@@ -1197,6 +1237,11 @@ def _operand_col(op, numeric: bool) -> Column:
         return F.when(_compile_expr(cond), _operand_col(then, numeric)).otherwise(
             _operand_col(other, numeric)
         )
+    if kind == "mkterm":
+        # the constructed term's VALUE is its lexical form (this
+        # dialect's bindings are lexicals); kind/dt/lang metadata is
+        # synthesized at the BIND site (_compile_group)
+        return _operand_col(op[2], False)
     if kind == "meta":
         _, fn, var = op
         kindc = F.col(f"_meta_kind_{var}")
@@ -1222,7 +1267,7 @@ def _operand_col(op, numeric: bool) -> Column:
 def _operand_vars(op, meta_only: bool = False) -> set[str]:
     if op[0] == "var":
         return set() if meta_only else {op[1]}
-    if op[0] in ("fn", "numfn", "dtfn"):
+    if op[0] in ("fn", "numfn", "dtfn", "mkterm"):
         return _operand_vars(op[2], meta_only)
     if op[0] == "strslice":
         return _operand_vars(op[2], meta_only)
@@ -1272,9 +1317,16 @@ def _expr_vars(e, meta_only: bool = False) -> set[str]:
 
 
 def _group_needs_meta(g: _Group) -> bool:
-    return any(_expr_vars(f, meta_only=True) for f in g.filters) or any(
-        _operand_vars(ex, meta_only=True) for _, ex in g.binds
-    )
+    # vars bound by a term constructor get SYNTHESIZED metadata at the
+    # BIND site — only meta usage over other vars needs the store's
+    # kind/dt/lang columns carried through bgp_match
+    made = {var for var, ex in g.binds if ex[0] == "mkterm"}
+    need: set[str] = set()
+    for f in g.filters:
+        need |= _expr_vars(f, meta_only=True)
+    for _, ex in g.binds:
+        need |= _operand_vars(ex, meta_only=True)
+    return bool(need - made)
 
 
 def _compile_expr(e) -> Column:
@@ -1723,6 +1775,25 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
             raise SparqlError(f"BIND would rebind already-bound ?{var}")
         _check_meta_bound(_operand_vars(ex, meta_only=True))
         df = df.withColumn(var, _operand_col(ex, False))
+        if ex[0] == "mkterm":
+            # a constructed term's kind/dt/lang is known statically —
+            # synthesize the metadata columns so LANG/DATATYPE/isIRI/
+            # sameTerm over the BIND var work in later binds and filters
+            fn, anc = ex[1], ex[3]
+            df = (
+                df.withColumn(
+                    f"_meta_kind_{var}",
+                    F.lit(str(KIND_IRI if fn == "IRI" else KIND_LITERAL)),
+                )
+                .withColumn(
+                    f"_meta_dt_{var}",
+                    F.lit(anc if fn == "STRDT" else None).cast("string"),
+                )
+                .withColumn(
+                    f"_meta_lang_{var}",
+                    F.lit(anc if fn == "STRLANG" else None).cast("string"),
+                )
+            )
     for f in g.filters:
         _check_meta_bound(_expr_vars(f, meta_only=True))
         df = df.filter(_compile_expr(f))

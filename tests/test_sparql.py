@@ -1722,3 +1722,50 @@ def test_aggregate_expression_projections(tri):
 def test_aggregate_expression_errors(tri, bad):
     with pytest.raises(SparqlError):
         sparql_select(tri, bad).collect()
+
+
+def test_term_constructors(tri):
+    # IRI/STRDT/STRLANG construct terms whose metadata is synthesized at
+    # the BIND site — LANG/DATATYPE/isIRI work on a PLAIN (s,p,o) store
+    got = dict(_run(tri, """
+        SELECT ?n ?i WHERE { ?c <urn:name> ?n
+            BIND(IRI(CONCAT("urn:person:", ?n)) AS ?x)
+            BIND(STR(?x) AS ?i) }
+    """))
+    assert got == {"Alice": "urn:person:Alice", "Bob": "urn:person:Bob",
+                   "Ann": "urn:person:Ann"}
+    # isIRI sees the synthesized kind; plain store has NO meta columns
+    got2 = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            BIND(URI(?n) AS ?x) FILTER(isIRI(?x)) }
+    """))
+    assert got2 == [("Alice",), ("Ann",), ("Bob",)]
+    # STRDT: DATATYPE returns the constructed tag
+    got3 = dict(_run(tri, """
+        PREFIX t: <urn:t:>
+        SELECT ?n ?dt WHERE { ?c <urn:name> ?n
+            BIND(STRDT(?n, t:Name) AS ?d)
+            BIND(DATATYPE(?d) AS ?dt) }
+    """))
+    assert got3 == {n: "urn:t:Name" for n in ("Alice", "Bob", "Ann")}
+    # STRLANG: LANG + langMatches over the constructed tag
+    got4 = sorted(_run(tri, """
+        SELECT ?n ?lg WHERE { ?c <urn:name> ?n
+            BIND(STRLANG(?n, "en-GB") AS ?l)
+            BIND(LANG(?l) AS ?lg) FILTER(langMatches(LANG(?l), "en")) }
+    """))
+    assert got4 == [("Alice", "en-GB"), ("Ann", "en-GB"), ("Bob", "en-GB")]
+    # a constructed literal is NOT an IRI; a constructed IRI has NULL
+    # datatype → the BIND var is NULL → comparison drops the row
+    assert _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n
+            BIND(STRLANG(?n, "en") AS ?l) FILTER(isIRI(?l)) }
+    """) == []
+    # parse errors
+    for bad in (
+        'SELECT ?x WHERE { ?c <urn:name> ?n BIND(STRDT(?n, "x") AS ?x) }',
+        'SELECT ?x WHERE { ?c <urn:name> ?n BIND(STRLANG(?n, ?n) AS ?x) }',
+        'SELECT ?x WHERE { ?c <urn:name> ?n BIND(STRLANG(?n, "9x!") AS ?x) }',
+    ):
+        with pytest.raises(SparqlError):
+            sparql_select(tri, bad)
