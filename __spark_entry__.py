@@ -943,6 +943,25 @@ def q_sparql_term_ctors(spark, sf_dir):
     """)
 
 
+def q_sparql_order_expr(spark, sf_dir):
+    """ORDER BY over expressions (round-5 late, §15.1 OrderCondition):
+    DESC(STRLEN(?nm)) with a plain-var tiebreak and LIMIT — the LIMIT
+    makes the sort load-bearing in the value hash (a wrong order is a
+    different top-5 SET, not just a different row order).  The 9-char
+    names (NATION_10..24) win the length sort at every scale."""
+    from rdf_spark.sparql import sparql_select
+
+    n = _t(spark, sf_dir, "nation")
+    tri = n.select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit("urn:ex:name").alias("p"), F.col("n_name").alias("o"),
+    )
+    return sparql_select(tri, """
+        SELECT ?nm WHERE { ?nt <urn:ex:name> ?nm }
+        ORDER BY DESC(STRLEN(?nm)) ?nm LIMIT 5
+    """)
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Cross-corpus line-level boilerplate removal (ops.text.remove_
     boilerplate_lines, the CCNet/RefinedWeb cleaning step): a footer line
@@ -2141,6 +2160,7 @@ _QUERIES = {
         "sparql_graph": q_sparql_graph,
         "sparql_funcs": q_sparql_funcs,
         "sparql_term_ctors": q_sparql_term_ctors,
+        "sparql_order_expr": q_sparql_order_expr,
         "boilerplate_lines": q_boilerplate_lines,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -3125,6 +3145,10 @@ def oracle_sql() -> dict[str, str]:
         "sparql_graph": """
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm
             FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "sparql_order_expr": """
+            SELECT n_name AS nm FROM nation
+            ORDER BY length(n_name) DESC, n_name LIMIT 5
         """,
         # term constructors rebuilt closed-form: IRI lexical = concat,
         # STRDT datatype = the constant tag, STRLANG lang = the constant

@@ -84,7 +84,9 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
              GRAPH (<g>|?g) { patterns }  -- match inside one named graph /
                                         bind the graph (needs a 'graph'
                                         column: an N-Quads/TriG store)
-    [GROUP BY ?v…] [HAVING( expr )] [ORDER BY (?v | ASC(?v) | DESC(?v))…]
+    [GROUP BY ?v…] [HAVING( expr )]
+    [ORDER BY (?v | ASC(expr) | DESC(expr))…]   -- expr: any operand over
+                                                   projected variables
     [LIMIT n] [OFFSET n]
 
 Terms: ``<iri>`` (matched against the lexical column), ``?var``, ``a``
@@ -1106,13 +1108,15 @@ class _Parser:
                     self.next()
                     ast.order.append((v[1:], True))
                 elif self.at_word("ASC", "DESC"):
+                    # full OrderCondition: ASC/DESC( expression ) — any
+                    # operand (STRLEN(?v), arithmetic, …), not just vars
                     asc = self.next()[1].upper() == "ASC"
                     self.eat_op("(")
-                    var = self.next()
-                    if var[0] != "var":
-                        raise SparqlError("ORDER BY ASC/DESC(?var)")
+                    key = self.operand()
                     self.eat_op(")")
-                    ast.order.append((var[1][1:], asc))
+                    ast.order.append(
+                        (key[1], asc) if key[0] == "var" else (key, asc)
+                    )
                 else:
                     break
             if not ast.order:
@@ -1858,11 +1862,32 @@ def _solutions(triples: DataFrame, ast: _Ast) -> DataFrame:
     return df
 
 
+def _order_keys(df: DataFrame, order) -> list[Column]:
+    """Sort keys for ORDER BY conditions: plain ?var names or ASC/DESC
+    (expression) operand ASTs, validated against the in-scope columns
+    (order applies after projection — sort vars must be projected)."""
+    keys = []
+    for v, asc in order:
+        if isinstance(v, str):
+            if v not in df.columns:
+                raise SparqlError(f"ORDER BY ?{v} is not in scope")
+            c = F.col(v)
+        else:
+            missing = _operand_vars(v) - set(df.columns)
+            if missing:
+                raise SparqlError(
+                    "ORDER BY expression references out-of-scope "
+                    f"variable(s) {sorted(missing)} (order applies after "
+                    "projection — project them)"
+                )
+            c = _operand_col(v, False)
+        keys.append(c.asc() if asc else c.desc())
+    return keys
+
+
 def _apply_row_modifiers(df: DataFrame, ast: _Ast) -> DataFrame:
     if ast.order:
-        df = df.orderBy(*[
-            F.col(v).asc() if asc else F.col(v).desc() for v, asc in ast.order
-        ])
+        df = df.orderBy(*_order_keys(df, ast.order))
     if ast.offset:
         df = df.offset(ast.offset)
     if ast.limit is not None:
@@ -1999,6 +2024,7 @@ def _select_df(triples: DataFrame, ast: _Ast) -> DataFrame:
     SELECT and ``{ SELECT ... }`` subqueries)."""
     df = _solutions(triples, ast)
     items = ast.select_items
+    order_done = False
     has_agg = items is not None and any(it[0] == "agg" for it in items)
     if ast.having is not None and not (has_agg or ast.group_by):
         raise SparqlError("HAVING needs GROUP BY or aggregates")
@@ -2104,14 +2130,21 @@ def _select_df(triples: DataFrame, ast: _Ast) -> DataFrame:
                 raise SparqlError(f"projection would rebind already-bound ?{alias}")
             df = df.withColumn(alias, _operand_col(e, False))
             names.append(alias)
+        # SPARQL §15.1: ORDER BY applies to the solution sequence BEFORE
+        # projection, so sort keys may use non-projected WHERE variables
+        # (Catalyst preserves the ordering through the projection).  With
+        # DISTINCT the sort defers to the projected set — Spark's
+        # distinct does not preserve order, and pre-distinct ordering
+        # over hidden vars is not well-defined across duplicates anyway.
+        if ast.order and not ast.distinct:
+            df = df.orderBy(*_order_keys(df, ast.order))
+            order_done = True
         df = df.select(*names)
 
     if ast.distinct:
         df = df.distinct()
-    if ast.order:
-        df = df.orderBy(*[
-            F.col(v).asc() if asc else F.col(v).desc() for v, asc in ast.order
-        ])
+    if ast.order and not order_done:
+        df = df.orderBy(*_order_keys(df, ast.order))
     if ast.offset:
         df = df.offset(ast.offset)
     if ast.limit is not None:

@@ -1769,3 +1769,35 @@ def test_term_constructors(tri):
     ):
         with pytest.raises(SparqlError):
             sparql_select(tri, bad)
+
+
+def test_order_by_expressions(tri):
+    # ASC/DESC over any operand expression, mixed with plain vars
+    got = _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n }
+        ORDER BY DESC(STRLEN(?n)) ?n LIMIT 2
+    """)
+    assert got == [("Alice",), ("Ann",)]  # 5 chars, then 3-char tie by ?n
+    got2 = _run(tri, """
+        SELECT ?n ?b WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b }
+        ORDER BY DESC(?b * 2) LIMIT 1
+    """)
+    assert got2 == [("Alice", "10.5")]
+    # §15.1: ORDER BY may use NON-projected WHERE variables (the sort
+    # applies to the solution sequence before projection)
+    got3 = _run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b }
+        ORDER BY DESC(?b * 1) LIMIT 1
+    """)
+    assert got3 == [("Alice",)]  # bal 10.5 > 3 numerically ("3" > "10.5" lex)
+    # ... but not with DISTINCT (sort defers to the projected set)
+    with pytest.raises(SparqlError, match="out-of-scope"):
+        sparql_select(tri, """
+            SELECT DISTINCT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b }
+            ORDER BY DESC(STRLEN(?b))
+        """).collect()
+    with pytest.raises(SparqlError, match="not in scope"):
+        sparql_select(tri, """
+            SELECT DISTINCT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b }
+            ORDER BY ?b
+        """).collect()
