@@ -1656,6 +1656,36 @@ def q_ngram_jaccard(spark, sf_dir):
     return j.select("a", "b", "jaccard")
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact substring (duplicate-SPAN) removal — ops.dedup.
+    remove_duplicate_spans, the Lee-et-al ExactSubstr step: a 5-token
+    passage planted into every doc_id%4==0 document must be removed
+    everywhere EXCEPT its globally-first occurrence (doc 0).  Filler
+    tokens are doc-unique, so any window touching filler cannot repeat
+    — the planted window is the ONLY duplicated gram and the oracle
+    reconstructs every output text closed-form.  Plan: posexplode +
+    per-doc sliding-window hash + keeper min-struct aggregate; no
+    Python, no driver state."""
+    from rdf_spark.ops.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+
+    def tok(p):
+        return F.concat(F.lit(p), did)
+
+    head = F.concat_ws(" ", tok("a"), tok("b"), tok("c"))
+    tail = F.concat_ws(" ", tok("d"), tok("e"), tok("f"), tok("g"), tok("h"))
+    text = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat_ws(" ", head, F.lit("P0 P1 P2 P3 P4"), tail),
+    ).otherwise(F.concat_ws(" ", head, tail))
+    corpus = d.select("doc_id", text.alias("text"))
+    return remove_duplicate_spans(corpus, ngram=5).select(
+        "doc_id", "dedup_text", "n_removed_tokens"
+    )
+
+
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash+LSH near-dup, self-verifying: exact-duplicate rows are
     planted (doc_id+1000000), and the query returns the planted pairs the
@@ -2116,6 +2146,7 @@ _QUERIES = {
         "lang_id_ngram": q_lang_id_ngram,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dup": q_minhash_near_dup,
+        "span_dedup": q_span_dedup,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "winnow_overlap": q_winnow_overlap,
@@ -2545,6 +2576,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, url, 1, 'http://kg.example/vocab#mentions',
                    b.entity, 1, NULL, NULL, TRUE
             FROM c JOIN best b USING (surface)
+        """,
+        # closed-form: the planted 5-gram is the only duplicated window
+        # (filler tokens are doc-unique); keeper = globally-first (doc 0)
+        "span_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       'a'||doc_id||' b'||doc_id||' c'||doc_id AS head,
+                       'd'||doc_id||' e'||doc_id||' f'||doc_id||' g'
+                         ||doc_id||' h'||doc_id AS tail
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 4 = 0 AND doc_id = 0
+                       THEN head||' P0 P1 P2 P3 P4 '||tail
+                     ELSE head||' '||tail
+                   END AS dedup_text,
+                   CAST(CASE WHEN doc_id % 4 = 0 AND doc_id != 0
+                             THEN 5 ELSE 0 END AS BIGINT) AS n_removed_tokens
+            FROM base
         """,
         "minhash_near_dup": """
             SELECT doc_id AS a, doc_id + 1000000 AS b,

@@ -163,6 +163,7 @@ def main() -> int:
         "host_cap",
         "wet_pipeline",
         "sparql_path_in_blocks",
+        "span_dedup",
     ]
 
     timings: dict[str, float] = {}

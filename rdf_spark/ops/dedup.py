@@ -586,3 +586,111 @@ def simhash_near_duplicates(
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("a", "b", "hamming")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 50,
+) -> DataFrame:
+    """Exact substring deduplication (tier 0.5 — between exact-doc and
+    near-dup): remove every token span of length ≥ ``ngram`` that also
+    occurs anywhere else in the corpus, keeping the globally FIRST
+    occurrence (min ``(doc, pos)``) of each duplicated gram — the
+    "dedup the span, not the document" step of Lee et al.,
+    *Deduplicating Training Data Makes Language Models Better* (their
+    suffix-array ExactSubstr, re-expressed as distributed hashing).
+
+    Semantics (the naive spec the property tests replay):
+
+    1. tokenize on single spaces;
+    2. every ``ngram``-token window is an occurrence keyed by content;
+    3. windows whose content occurs ≥2 times are duplicated; the
+       occurrence with the smallest ``(doc, pos)`` is the keeper;
+    4. a doc's removed-token set is the union of ``[pos, pos+ngram)``
+       over its non-keeper duplicated windows — overlapping windows
+       merge into maximal spans for free;
+    5. output text = remaining tokens joined in order (docs shorter
+       than ``ngram``, null texts, and gram-free docs pass through).
+
+    Spark plan, sized for 100 TB: posexplode tokens (one row per
+    token — never the O(len²) explode-while-carrying-the-array shape),
+    per-doc sliding window ``collect_list`` of per-token xxhash64 over
+    ROWS [0, ngram) hashed again per window (one shuffle, keyed by
+    doc), duplicated-gram keeper via ``min(struct(doc, pos))`` hash
+    aggregate (map-side partials; gram hashes are uniform by
+    construction so the shuffle cannot skew), marked spans exploded to
+    token indexes, and a final per-doc rebuild aggregate.  No
+    driver-side state, no Python in the hot path.
+
+    Returns ``df``'s id column + ``dedup_text`` + ``n_removed_tokens``.
+
+    64-bit collision caveat: two DIFFERENT grams may share an xxhash64
+    (p ≈ n²/2⁶⁴) and falsely mark a span; acceptable at the same rate
+    every hash-keyed dedup in this module accepts.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
+    )
+    wfull = Window.partitionBy("_d").orderBy("_pos").rowsBetween(0, ngram - 1)
+    grams = (
+        toks.withColumn("_th", F.xxhash64("_tok"))
+        .withColumn("_n", F.count(F.lit(1)).over(wfull))
+        .withColumn("_gh", F.xxhash64(F.collect_list("_th").over(wfull)))
+        .filter(F.col("_n") == ngram)  # full windows only
+        .select("_d", "_pos", "_gh")
+    )
+    keepers = (
+        grams.groupBy("_gh")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("_d", "_pos")).alias("_k"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .select("_gh", "_k")
+    )
+    marked = grams.join(keepers, "_gh").filter(
+        ~((F.col("_d") == F.col("_k._d")) & (F.col("_pos") == F.col("_k._pos")))
+    )
+    removed = (
+        marked.select(
+            "_d",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + (ngram - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    rebuilt = (
+        toks.join(removed, ["_d", "_pos"], "left")
+        .groupBy("_d")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("_pos", "_rm", "_tok"))
+                        ),
+                        lambda s: s["_rm"].isNull(),
+                    ),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+            F.sum(F.when(F.col("_rm"), 1).otherwise(0)).alias("n_removed_tokens"),
+        )
+    )
+    # null-text docs produce no token rows → restore them via the left
+    # join (dedup_text = the original null); everything else rebuilt
+    return (
+        df.select(id_col, F.col(text_col).alias("_orig"))
+        .join(rebuilt.withColumnRenamed("_d", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dedup_text", "_orig").alias("dedup_text"),
+            F.coalesce("n_removed_tokens", F.lit(0)).alias("n_removed_tokens"),
+        )
+    )

@@ -972,3 +972,83 @@ def test_unicode_normalize(spark):
     assert nfd[4] == "cafe" + chr(0x0301)
     with pytest.raises(ValueError, match="form"):
         textops.unicode_normalize(df, form="NFX")
+
+
+def _naive_span_dedup(rows, ngram):
+    """The documented remove_duplicate_spans spec, in plain Python."""
+    toks = {d: (t.split(" ") if t is not None else None) for d, t in rows}
+    occ = {}
+    for d in sorted(toks):
+        tt = toks[d]
+        if tt is None:
+            continue
+        for i in range(len(tt) - ngram + 1):
+            occ.setdefault(tuple(tt[i:i + ngram]), []).append((d, i))
+    removed = {d: set() for d in toks}
+    for gram, where in occ.items():
+        if len(where) < 2:
+            continue
+        keeper = min(where)
+        for d, i in where:
+            if (d, i) != keeper:
+                removed[d].update(range(i, i + ngram))
+    out = {}
+    for d, tt in toks.items():
+        if tt is None:
+            out[d] = (None, 0)
+        else:
+            kept = [t for i, t in enumerate(tt) if i not in removed[d]]
+            out[d] = (" ".join(kept), len(removed[d]))
+    return out
+
+
+def test_remove_duplicate_spans_basic(spark):
+    from rdf_spark.ops.dedup import remove_duplicate_spans
+
+    rows = [
+        (0, "a0 b0 c0 P0 P1 P2 P3 P4 d0 e0"),  # keeper (min doc, pos)
+        (1, "a1 b1 c1 d1 e1 f1"),               # untouched
+        (4, "a4 P0 P1 P2 P3 P4 b4 c4"),         # plant removed
+        (8, "P0 P1 P2 P3 P4"),                  # fully removed → ""
+        (9, None),                               # null passthrough
+        (10, "x y"),                             # shorter than ngram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.dedup_text, r.n_removed_tokens)
+           for r in remove_duplicate_spans(df, ngram=5).collect()}
+    assert got == _naive_span_dedup(rows, 5)
+    assert got[4] == ("a4 b4 c4", 5)
+    assert got[8] == ("", 5)
+    # overlapping duplicated windows merge into one maximal span:
+    # docs 2/3 share a 7-token run → three 5-grams each, 7 tokens removed
+    rows2 = [
+        (2, "s2 Q0 Q1 Q2 Q3 Q4 Q5 Q6 t2"),
+        (3, "s3 Q0 Q1 Q2 Q3 Q4 Q5 Q6 t3"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r.doc_id: (r.dedup_text, r.n_removed_tokens)
+            for r in remove_duplicate_spans(df2, ngram=5).collect()}
+    assert got2 == _naive_span_dedup(rows2, 5)
+    assert got2[3] == ("s3 t3", 7)
+
+
+def test_remove_duplicate_spans_matches_naive_random(spark):
+    """Random small-vocab corpora (organic repeats guaranteed) vs the
+    naive spec, including within-doc repeats and cross-doc keepers."""
+    import random
+
+    from rdf_spark.ops.dedup import remove_duplicate_spans
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(7)]
+    for case in range(6):
+        rows = [
+            (d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 30))))
+            for d in range(rng.randint(2, 10))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        n = rng.choice([2, 3, 4])
+        got = {r.doc_id: (r.dedup_text, r.n_removed_tokens)
+               for r in remove_duplicate_spans(df, ngram=n).collect()}
+        assert got == _naive_span_dedup(rows, n), f"case {case} ngram {n}"
