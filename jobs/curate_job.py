@@ -7,6 +7,7 @@ selection pipeline (rdf_spark.curate) as a batch job:
         [--text-col text] [--lang-col lang] [--key-col doc_id] \\
         [--strip-boilerplate N]   # stage 0: drop lines in >=N docs
         [--scrub-pii]             # redact emails/IPs/phones pre-flags
+        [--span-dedup-ngram N]    # remove >=N-token spans seen elsewhere
         [--near-dup-threshold J]  # MinHash near-dup stage at jaccard>=J
 
 Writes three outputs under --out:
@@ -38,6 +39,7 @@ def main(argv=None) -> int:
     ap.add_argument("--key-col", default="doc_id")
     ap.add_argument("--strip-boilerplate", type=int, default=None)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--span-dedup-ngram", type=int, default=None)
     ap.add_argument("--near-dup-threshold", type=float, default=None)
     ap.add_argument("--host-cap", default=None, metavar="COL:N",
                     help="final per-host quota: keep at most N rows per "
@@ -60,6 +62,7 @@ def main(argv=None) -> int:
         key_col=args.key_col,
         strip_boilerplate=args.strip_boilerplate,
         scrub_pii=args.scrub_pii,
+        span_dedup_ngram=args.span_dedup_ngram,
         near_dup=(
             dict(threshold=args.near_dup_threshold)
             if args.near_dup_threshold is not None else None

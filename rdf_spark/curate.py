@@ -91,6 +91,7 @@ def curate_report(
     key_col: str = "doc_id",
     strip_boilerplate: int | None = None,
     scrub_pii: bool = False,
+    span_dedup_ngram: int | None = None,
     near_dup: dict | None = None,
     host_cap: tuple[str, int] | None = None,
 ) -> DataFrame:
@@ -118,6 +119,16 @@ def curate_report(
     (two pages differing only in a contact email collapse) and the kept
     corpus never carries the raw identifiers.  Row-local JVM: free at
     any scale, and valid per micro-batch in a streaming setting.
+
+    ``span_dedup_ngram=N`` enables exact SUBSTRING dedup
+    (ops.dedup.remove_duplicate_spans, the Lee-et-al ExactSubstr step):
+    every ≥N-token span that occurs elsewhere in the corpus is removed
+    from all but its globally-first occurrence.  Runs AFTER the PII
+    scrub so spans differing only in redacted identifiers collapse,
+    and BEFORE the flags so de-spanned text drives quality/repetition/
+    fingerprints.  Corpus-wide shuffle (like boilerplate, no streaming
+    twin); duplicate keys merge into one document, as in any keyed
+    corpus-wide stage.
 
     ``host_cap=(col, N)`` enables a FINAL quota stage: among the rows
     every earlier stage kept, at most N per distinct value of ``col``
@@ -152,6 +163,22 @@ def curate_report(
         )
     if scrub_pii:
         df = df.withColumn(text_col, txt.redact_col(F.col(text_col)))
+    if span_dedup_ngram is not None:
+        from rdf_spark.ops.dedup import remove_duplicate_spans
+
+        # same null-safe join-back shape as the boilerplate stage
+        despanned = remove_duplicate_spans(
+            df, text_col=text_col, id_col=key_col, ngram=span_dedup_ngram
+        ).select(
+            F.col(key_col).alias("_sd_key"),
+            F.col("dedup_text").alias("_sd_text"),
+        )
+        df = (
+            df.drop(text_col)
+            .join(despanned, F.col(key_col).eqNullSafe(F.col("_sd_key")), "left")
+            .withColumn(text_col, F.coalesce(F.col("_sd_text"), F.lit("")))
+            .drop("_sd_key", "_sd_text")
+        )
     feat = curation_flags(df, text_col, lang_col, langs, min_quality)
     lang_ok = F.col("_lang_ok")
     qual_ok = F.col("_qual_ok")

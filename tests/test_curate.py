@@ -434,3 +434,68 @@ def test_curate_job_host_cap_flag(spark, tmp_path, documents):
     import pytest
     with pytest.raises(SystemExit):
         curate_job.main(["--in", src, "--out", out, "--host-cap", "nope"])
+
+
+def test_span_dedup_stage(spark):
+    """span_dedup_ngram=N: a passage repeated across docs is removed
+    from all but its globally-first occurrence BEFORE the flags, so
+    despanned text drives fingerprints; runs after the PII scrub so
+    spans differing only in redacted identifiers collapse."""
+    from rdf_spark.curate import curate_corpus, curate_report
+
+    passage = "this exact promotional passage repeats across many pages verbatim"
+    rows = [
+        (0, "en", "alpha body zero keeps going " + passage),
+        (1, "en", "beta body one rolls onward " + passage),
+        (2, "en", "gamma entirely different genuine words here throughout"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = {r.doc_id: r.text for r in curate_corpus(
+        df, min_quality=0.0, span_dedup_ngram=9
+    ).collect()}
+    assert passage in kept[0]          # globally-first occurrence kept
+    assert passage not in kept[1]      # removed from the later doc
+    assert kept[1] == "beta body one rolls onward"
+    assert kept[2] == rows[2][2]       # untouched
+    # composes with scrub_pii: the span differs only in an email, which
+    # the (earlier) PII stage normalizes — so it still collapses
+    rowsp = [
+        (0, "en", "alpha intro words " + passage + " mail alice@example.org"),
+        (1, "en", "beta intro words " + passage + " mail bob@example.net"),
+    ]
+    dfp = spark.createDataFrame(rowsp, "doc_id long, lang string, text string")
+    keptp = {r.doc_id: r.text for r in curate_corpus(
+        dfp, min_quality=0.0, scrub_pii=True, span_dedup_ngram=9
+    ).collect()}
+    assert passage in keptp[0] and "<EMAIL>" in keptp[0]
+    assert passage not in keptp[1]
+
+
+def test_curate_job_span_dedup_flag(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    passage = "the shared campaign paragraph spreads over every mirror site"
+    rows = [
+        (0, "en", "origin page body text " + passage),
+        (1, "en", "mirror page body text " + passage),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "cur")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main(["--in", src, "--out", out,
+                              "--min-quality", "0.0",
+                              "--span-dedup-ngram", "9"])
+    assert rc == 0
+    texts = {r.doc_id: r.text
+             for r in spark.read.parquet(out + "/kept").collect()}
+    assert passage in texts[0] and passage not in texts[1]
