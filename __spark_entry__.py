@@ -653,6 +653,36 @@ def q_sparql_path_in_blocks(spark, sf_dir):
     """)
 
 
+def q_sparql_path_graph(spark, sf_dir):
+    """Closure inside a GRAPH <iri> block (round-5 late): the binary
+    tree's edges are split across two named graphs (even parents →
+    urn:gA, odd → urn:gB) and the closure must run over urn:gA's edges
+    ONLY — a closure evaluated over the union graph (the natural bug)
+    reaches through odd-parent hops and produces extra pairs the
+    DuckDB WITH RECURSIVE oracle (filtered edge CTE) rejects."""
+    from rdf_spark.sparql import sparql_select
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    graph = F.when(F.col("doc_id") % 2 == 0, "urn:gA").otherwise("urn:gB")
+    quads = (
+        d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 1).alias("o"),
+            graph.alias("graph"),
+        )
+        .unionByName(d.select(
+            F.concat(F.lit("urn:d"), F.col("doc_id")).alias("s"),
+            F.lit("urn:child").alias("p"),
+            F.concat(F.lit("urn:d"), F.col("doc_id") * 2 + 2).alias("o"),
+            graph.alias("graph"),
+        ))
+    )
+    return sparql_select(quads, """
+        SELECT ?a ?b WHERE { GRAPH <urn:gA> { ?a <urn:child>+ ?b } }
+    """)
+
+
 def q_sparql_path_zero_or_one(spark, sf_dir):
     """SPARQL ZeroOrOnePath `?a <p>? ?b` (round-5, §18.4): the DIRECT
     edge pairs unioned with the zero-length identity over every graph
@@ -2178,6 +2208,7 @@ _QUERIES = {
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_unanchored": q_sparql_path_unanchored,
         "sparql_path_in_blocks": q_sparql_path_in_blocks,
+        "sparql_path_graph": q_sparql_path_graph,
         "sparql_path_zero_or_one": q_sparql_path_zero_or_one,
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
@@ -3060,6 +3091,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'urn:d' || doc_id, 'urn:d' || (doc_id * 2 + 2)
                 FROM documents WHERE doc_id < 200
+            ), reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS a, dst AS b FROM reach
+        """,
+        # the closure must see ONLY gA's edges (even parents)
+        "sparql_path_graph": """
+            WITH RECURSIVE edges AS (
+                SELECT 'urn:d' || doc_id AS src,
+                       'urn:d' || (doc_id * 2 + 1) AS dst
+                FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+                UNION ALL
+                SELECT 'urn:d' || doc_id, 'urn:d' || (doc_id * 2 + 2)
+                FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
             ), reach AS (
                 SELECT src, dst FROM edges
                 UNION

@@ -83,7 +83,12 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                                         the top level of a WHERE body)
              GRAPH (<g>|?g) { patterns }  -- match inside one named graph /
                                         bind the graph (needs a 'graph'
-                                        column: an N-Quads/TriG store)
+                                        column: an N-Quads/TriG store);
+                                        GRAPH <g> blocks may use any
+                                        property path — closures run over
+                                        the graph-FILTERED edge set
+                                        (GRAPH ?g + closure raises: one
+                                        closure per binding)
     [GROUP BY ?v…] [HAVING( expr )]
     [ORDER BY (?v | ASC(expr) | DESC(expr))…]   -- expr: any operand over
                                                    projected variables
@@ -277,6 +282,11 @@ class _Group:
     exists: list = field(default_factory=list)
     # MINUS { ... } blocks: pattern-only _Groups
     minus: list = field(default_factory=list)
+    # GRAPH <iri> { ... } blocks containing property paths that need
+    # pair evaluation (closures, grouped mixes): (graph_iri, _Group),
+    # compiled against the graph-FILTERED triple set.  Pattern-only
+    # GRAPH blocks never land here — they rewrite to quad patterns.
+    graph_groups: list = field(default_factory=list)
     # { SELECT ... } subqueries: parsed _Ast, compiled independently and
     # joined on the shared projected variables
     subqueries: list = field(default_factory=list)
@@ -530,12 +540,11 @@ class _Parser:
         returned as a pattern-only ``_Group``.  Any property path is
         allowed in OPTIONAL/EXISTS/MINUS — the blocks compile through
         the same group compiler as the main WHERE, so closures get
-        their pair-table/BFS plans there too.  GRAPH blocks stay
-        pattern-shaped (atoms, inverses, negated sets, atom sequences,
-        uniform alternations): their patterns are rewritten to quads
-        against the graph term, and a closure scoped to one named
-        graph would need a graph-filtered edge set — unsupported,
-        raise rather than silently evaluate over the union graph."""
+        their pair-table/BFS plans there too.  Pattern-shaped GRAPH
+        blocks rewrite to quads against the graph term; a GRAPH <iri>
+        block with closures compiles against the graph-FILTERED triple
+        set instead (g.graph_groups).  GRAPH ?var with closures raises:
+        the closure would have to run once per graph binding."""
         self.eat_op("{")
         scratch = _Group()
         while self.peek() != ("op", "}"):
@@ -543,11 +552,6 @@ class _Parser:
             node = self.path_expr()
             o = self.term("o")
             self._plant_path(scratch, s, node, o)
-            if what == "GRAPH" and (scratch.paths or scratch.generic_paths):
-                raise SparqlError(
-                    "property-path closures are not supported inside "
-                    "GRAPH blocks"
-                )
             if self.peek() == ("op", "."):
                 self.next()
         self.next()  # }
@@ -600,8 +604,20 @@ class _Parser:
                     gterm = self.expand_pname(v2)
                 else:
                     raise SparqlError("GRAPH needs <iri> or ?var")
-                for s, p, o in self.pattern_block("GRAPH").patterns:
-                    g.patterns.append((s, p, o, gterm))
+                blk = self.pattern_block("GRAPH")
+                if blk.paths or blk.generic_paths:
+                    if kind2 == "var":
+                        raise SparqlError(
+                            "property-path closures are not supported "
+                            "inside GRAPH ?var blocks (the closure would "
+                            "run once per graph binding) — name the graph"
+                        )
+                    # the whole block (plain patterns included) compiles
+                    # against the graph-filtered triple set
+                    g.graph_groups.append((gterm, blk))
+                else:
+                    for s, p, o in blk.patterns:
+                        g.patterns.append((s, p, o, gterm))
             elif self.at_word("BIND"):
                 self.next()
                 self.eat_op("(")
@@ -1655,9 +1671,10 @@ def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
 
 def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
     if not (g.patterns or g.paths or g.generic_paths or g.values
-            or g.subqueries or g.nested):
+            or g.subqueries or g.nested or g.graph_groups):
         raise SparqlError("each group needs at least one non-OPTIONAL pattern")
-    if any(len(p) == 4 for p in g.patterns) and "graph" not in triples.columns:
+    if (any(len(p) == 4 for p in g.patterns) or g.graph_groups) \
+            and "graph" not in triples.columns:
         raise SparqlError(
             "GRAPH blocks need a 'graph' column on the triple DataFrame "
             "(an N-Quads/TriG store)"
@@ -1688,6 +1705,11 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         _select_df(triples, sub) for sub in g.subqueries
     ] + [
         _compile_group(triples, ng) for ng in g.nested
+    ] + [
+        # GRAPH <iri> blocks with paths: the same group compiler over
+        # the graph-filtered edge set (scan-pushable constant filter)
+        _compile_group(triples.filter(F.col("graph") == giri), blk)
+        for giri, blk in g.graph_groups
     ]
     for part in path_parts:
         if df is None:

@@ -914,6 +914,35 @@ def test_graph_variable_binds(quads):
     assert got2 == [("Bob", "10")]
 
 
+def test_graph_constant_closure(spark):
+    """GRAPH <iri> { ... <p>+ ... } evaluates the closure over the
+    graph-FILTERED edge set: an edge in another graph must not extend
+    the reachability."""
+    rows = [
+        ("urn:a", "urn:knows", "urn:b", "urn:g1"),
+        ("urn:b", "urn:knows", "urn:c", "urn:g1"),
+        ("urn:c", "urn:knows", "urn:d", "urn:g2"),  # other graph
+        ("urn:a", "urn:name", "A", "urn:g1"),
+    ]
+    quads = spark.createDataFrame(
+        rows, "s string, p string, o string, graph string")
+    got = sorted(_run(quads, """
+        SELECT ?x WHERE { GRAPH <urn:g1> { <urn:a> <urn:knows>+ ?x } }
+    """))
+    assert got == [("urn:b",), ("urn:c",)]  # urn:d unreachable inside g1
+    # mixed block: plain pattern + closure, both scoped to g1
+    got2 = sorted(_run(quads, """
+        SELECT ?n ?x WHERE {
+            GRAPH <urn:g1> { ?a <urn:name> ?n . ?a <urn:knows>+ ?x } }
+    """))
+    assert got2 == [("A", "urn:b"), ("A", "urn:c")]
+    # union-graph evaluation (no GRAPH) still sees the g2 edge
+    got3 = sorted(_run(quads, """
+        SELECT ?x WHERE { <urn:a> <urn:knows>+ ?x }
+    """))
+    assert got3 == [("urn:b",), ("urn:c",), ("urn:d",)]
+
+
 def test_graph_needs_graph_column(tri):
     with pytest.raises(SparqlError, match="'graph' column"):
         sparql_select(tri, """
@@ -1513,11 +1542,10 @@ def test_paths_inside_optional_exists_minus(tri):
             MINUS { ?c <urn:knows>+ ?z . ?z <urn:name> "Ann" } }
     """))
     assert got6 == [("Ann",)]  # c1 and c2 reach Ann; c3 has no + path
-    # GRAPH blocks stay pattern-shaped: a graph-scoped closure would
-    # need a graph-filtered edge set
-    with pytest.raises(SparqlError, match="closures are not supported"):
+    # GRAPH ?var with closures still raises (one closure per binding)
+    with pytest.raises(SparqlError, match="GRAPH \\?var"):
         sparql_select(tri, """
-            SELECT ?n WHERE { GRAPH <urn:g> { ?c <urn:knows>+ ?n } }
+            SELECT ?n WHERE { GRAPH ?g { ?c <urn:knows>+ ?n } }
         """).collect()
 
 
