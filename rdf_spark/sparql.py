@@ -61,7 +61,8 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                                         bound var, introduces an unbound)
              VALUES (?a ?b) { (t t) … }  -- multi-var rows: joins on the
                                         already-bound subset, carries the
-                                        rest along (no UNDEF cells)
+                                        rest along; UNDEF cells (§10.2)
+                                        match any binding / stay unbound
              BIND( operand AS ?v )   -- computed column (applied after
                                         the group's joins, before FILTERs;
                                         a MINUS/EXISTS block referencing a
@@ -429,6 +430,12 @@ class _Parser:
         if self.at_word("DISTINCT"):
             self.next()
             ast.distinct = True
+        elif self.at_word("REDUCED"):
+            # §18.2.5.3 permits (does not require) duplicate elimination
+            # under REDUCED; eliminating is the deterministic legal
+            # choice, so REDUCED compiles exactly like DISTINCT
+            self.next()
+            ast.distinct = True
         kind, v = self.peek()
         if kind == "op" and v == "*":
             self.next()
@@ -642,7 +649,7 @@ class _Parser:
                     rows = []
                     while self.peek() == ("op", "("):
                         self.next()
-                        row = tuple(self.term("o") for _ in vars_)
+                        row = tuple(self._values_cell() for _ in vars_)
                         self.eat_op(")")
                         rows.append(row)
                     if self.peek() != ("op", "}"):
@@ -660,7 +667,7 @@ class _Parser:
                     self.eat_op("{")
                     vals = []
                     while self.peek() != ("op", "}"):
-                        vals.append(self.term("o"))
+                        vals.append(self._values_cell())
                     self.next()  # }
                     if not vals:
                         raise SparqlError("empty VALUES block")
@@ -829,6 +836,14 @@ class _Parser:
         if kind == "number" and position == "o":
             return v
         raise SparqlError(f"bad {position}-term {v!r}")
+
+    def _values_cell(self) -> str | None:
+        """One VALUES row cell: a term, or UNDEF (§10.2) → None — the
+        variable stays unbound for that row."""
+        if self.peek()[0] == "word" and self.peek()[1].upper() == "UNDEF":
+            self.next()
+            return None
+        return self.term("o")
 
     def triple(self) -> tuple[str, str, str]:
         return (self.term("s"), self.term("p"), self.term("o"))
@@ -1727,11 +1742,32 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
             df = part
             continue
         shared = [v for v in vars_ if v in df.columns]
-        if shared:
+        undef_shared = any(
+            row[vars_.index(v)] is None for row in rows for v in shared
+        )
+        if not shared:
+            df = df.crossJoin(part)  # introduce new bindings
+        elif not undef_shared:
             # restrict on the already-bound vars, carry the new ones along
             df = df.join(part, on=shared)
         else:
-            df = df.crossJoin(part)  # introduce new bindings
+            # §10.2 compatibility join: an UNDEF cell (NULL) matches any
+            # binding of that variable in that row.  Row-dependent match
+            # condition → broadcast nested-loop join; VALUES tables are
+            # inline constants, so the broadcast side is always tiny.
+            renamed = part
+            for v in vars_:
+                renamed = renamed.withColumnRenamed(v, f"_val_{v}")
+            cond = None
+            for v in shared:
+                c = F.col(f"_val_{v}").isNull() | (F.col(f"_val_{v}") == df[v])
+                cond = c if cond is None else (cond & c)
+            df = df.join(F.broadcast(renamed), cond)
+            for v in vars_:
+                if v in shared:
+                    df = df.drop(f"_val_{v}")
+                else:
+                    df = df.withColumnRenamed(f"_val_{v}", v)
     for block in g.optionals:
         odf = _compile_group(triples, block)
         shared = sorted(set(df.columns) & set(odf.columns))

@@ -1829,3 +1829,29 @@ def test_order_by_expressions(tri):
             SELECT DISTINCT ?n WHERE { ?c <urn:name> ?n . ?c <urn:bal> ?b }
             ORDER BY ?b
         """).collect()
+
+
+def test_values_undef_and_reduced(tri):
+    # UNDEF in a shared column matches ANY binding of that row (§10.2)
+    got = sorted(_run(tri, """
+        SELECT ?n ?tag WHERE { ?c <urn:name> ?n
+            VALUES (?n ?tag) { ("Alice" "seen") (UNDEF "any") } }
+    """))
+    assert got == [("Alice", "any"), ("Alice", "seen"),
+                   ("Ann", "any"), ("Bob", "any")]
+    # UNDEF in a carried (new) column → unbound (NULL) for that row
+    got2 = sorted(_run(tri, """
+        SELECT ?n ?tag WHERE { ?c <urn:name> ?n
+            VALUES (?n ?tag) { ("Alice" UNDEF) ("Bob" "b") } }
+    """), key=lambda t: (t[0], t[1] or ""))
+    assert got2 == [("Alice", None), ("Bob", "b")]
+    # single-var UNDEF row restricts nothing
+    got3 = sorted(_run(tri, """
+        SELECT ?n WHERE { ?c <urn:name> ?n VALUES ?n { UNDEF } }
+    """))
+    assert got3 == [("Alice",), ("Ann",), ("Bob",)]
+    # REDUCED permits duplicate elimination — compiled like DISTINCT
+    got4 = sorted(_run(tri, """
+        SELECT REDUCED ?t WHERE { ?c a ?t }
+    """))
+    assert got4 == [("urn:Customer",)]
