@@ -888,6 +888,25 @@ def q_sparql_subquery(spark, sf_dir):
     """)
 
 
+def q_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 Update subset (round-5): a ';'-chained request —
+    DELETE DATA removes nation 0's name, then a DELETE/INSERT modify
+    renames the NATION_1* name triples to urn:ex:label (delete anti-join
+    + insert union-dedup, both from the pre-operation solutions).
+    Returns the surviving name/label triples; oracled closed-form from
+    the nation table."""
+    from rdf_spark.sparql import sparql_update
+
+    updated = sparql_update(_customer_triples(spark, sf_dir), """
+        DELETE DATA { <urn:nation:0> <urn:ex:name> "NATION_0" } ;
+        DELETE { ?n <urn:ex:name> ?nm } INSERT { ?n <urn:ex:label> ?nm }
+        WHERE { ?n <urn:ex:name> ?nm FILTER(strstarts(?nm, "NATION_1")) }
+    """)
+    return updated.filter(
+        F.col("p").isin("urn:ex:name", "urn:ex:label")
+    ).select("s", "p", "o")
+
+
 def q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS (round-4): anti join on the shared variable —
     customers not in nation 0.  Distinguished from NOT EXISTS by the
@@ -2212,6 +2231,7 @@ _QUERIES = {
         "sparql_path_zero_or_one": q_sparql_path_zero_or_one,
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
+        "sparql_update": q_sparql_update,
         "sparql_hash": q_sparql_hash,
         "sparql_sameterm": q_sparql_sameterm,
         "sparql_datetime": q_sparql_datetime,
@@ -3165,6 +3185,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS k
                 FROM customer GROUP BY c_nationkey
             ) t ON c.c_nationkey = t.c_nationkey
+        """,
+        # closed-form update semantics: nation 0's name triple deleted,
+        # NATION_1* names renamed to urn:ex:label, the rest untouched
+        "sparql_update": """
+            SELECT 'urn:nation:' || n_nationkey AS s,
+                   CASE WHEN starts_with(n_name, 'NATION_1')
+                        THEN 'urn:ex:label' ELSE 'urn:ex:name' END AS p,
+                   n_name AS o
+            FROM nation WHERE n_nationkey <> 0
         """,
         "sparql_hash": """
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm,

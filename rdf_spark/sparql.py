@@ -21,6 +21,10 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
                                       -- → subject/object-touching triples
                                          (?v forms semi-join the var's
                                          distinct bindings — no collect)
+    INSERT DATA {…} | DELETE DATA {…} | DELETE WHERE {…}
+      | [DELETE {t}] [INSERT {t}] WHERE { group }   -- update forms
+                                      -- (sparql_update: pure, returns
+                                         the new store; ';'-chainable)
     WHERE { group }  |  WHERE { { group } UNION { group } … }
       group: triple patterns '.'-separated
              property paths with full SPARQL 1.1 precedence — '^'
@@ -309,6 +313,15 @@ class _Ast:
     offset: int | None = None
 
 
+@dataclass
+class _UpdateOp:
+    """One update operation: ground data (ast None) or a templated
+    modify (delete/insert instantiated per WHERE solution)."""
+    delete: list[tuple[str, str, str]] | None = None
+    insert: list[tuple[str, str, str]] | None = None
+    ast: "_Ast | None" = None
+
+
 class _Parser:
     def __init__(self, q: str):
         self.toks = _tokenize(q)
@@ -419,6 +432,88 @@ class _Parser:
     def query(self) -> _Ast:
         self.prologue()
         return self.select_core()
+
+    def update_request(self) -> list[_UpdateOp]:
+        """SPARQL 1.1 Update subset: prologue + one or more ';'-separated
+        operations — INSERT DATA / DELETE DATA / DELETE WHERE /
+        [DELETE {t}] [INSERT {t}] WHERE { group }."""
+        self.prologue()
+        ops = [self._update_op()]
+        while self.peek() == ("op", ";"):
+            self.next()
+            if self.peek()[0] == "eof":
+                break  # trailing ';' is legal (UPDATE grammar)
+            ops.append(self._update_op())
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return ops
+
+    def _update_op(self) -> _UpdateOp:
+        w = self.eat_word("INSERT", "DELETE")
+        if w == "INSERT":
+            if self.at_word("DATA"):
+                self.next()
+                return _UpdateOp(insert=self._update_template(ground=True))
+            ins = self._update_template()
+            ast = _Ast()
+            self._update_where(ast)
+            return _UpdateOp(insert=ins, ast=ast)
+        if self.at_word("DATA"):
+            self.next()
+            return _UpdateOp(delete=self._update_template(ground=True))
+        if self.at_word("WHERE"):
+            # DELETE WHERE { patterns }: the pattern doubles as the
+            # delete template (§3.1.3.2) — plain triples only, by grammar
+            self.next()
+            tpl = self._update_template()
+            ast = _Ast()
+            g = _Group()
+            g.patterns.extend(tpl)
+            ast.branches.append(g)
+            return _UpdateOp(delete=tpl, ast=ast)
+        dele = self._update_template()
+        ins = None
+        if self.at_word("INSERT"):
+            self.next()
+            ins = self._update_template()
+        ast = _Ast()
+        self._update_where(ast)
+        return _UpdateOp(delete=dele, insert=ins, ast=ast)
+
+    def _update_template(self, ground: bool = False) -> list:
+        """``{ triple ('.' triple)* }`` — plain triples (the update
+        grammar has no property paths in templates).  With ``ground``
+        (the DATA forms) variables are rejected.  Blank nodes are
+        rejected everywhere by :meth:`term` already — fresh-label
+        minting is replay-hostile (see the BNODE() note), use skolem
+        IRIs instead."""
+        self.eat_op("{")
+        tpl = []
+        while self.peek() != ("op", "}"):
+            t = self.triple()
+            if ground and any(x.startswith("?") for x in t):
+                raise SparqlError(
+                    "INSERT/DELETE DATA takes ground triples only"
+                )
+            tpl.append(t)
+            if self.peek() == ("op", "."):
+                self.next()
+        self.next()  # }
+        if not tpl:
+            raise SparqlError("empty update template")
+        return tpl
+
+    def _update_where(self, ast: _Ast):
+        """WHERE { group } of a modify operation: the full SELECT group
+        grammar, but no solution modifiers (not in the update grammar)."""
+        if not self.at_word("WHERE"):
+            raise SparqlError(f"expected WHERE, got {self.peek()[1]!r}")
+        self._where_and_modifiers(ast, subquery=True)
+        if (ast.group_by or ast.having is not None or ast.order
+                or ast.limit is not None or ast.offset):
+            raise SparqlError(
+                "solution modifiers are not allowed in an update WHERE"
+            )
 
     def select_core(self, subquery: bool = False) -> _Ast:
         """SELECT clause + WHERE + modifiers.  With ``subquery`` the
@@ -1963,19 +2058,26 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     if ast.group_by or ast.having is not None:
         raise SparqlError("GROUP BY/HAVING are only supported in SELECT")
     df = _apply_row_modifiers(_solutions(triples, ast), ast)
+    return _instantiate_template(df, template)
+
+
+def _instantiate_template(sols: DataFrame, template) -> DataFrame:
+    """Instantiate a triple template per solution row → distinct
+    ``(s, p, o)``; triples touching an unbound (NULL) variable are
+    dropped, per SPARQL.  Shared by CONSTRUCT and the update forms."""
     parts = []
     for ts, tp, to in template:
         cols = []
         for pos, t in (("s", ts), ("p", tp), ("o", to)):
             if t.startswith("?"):
                 v = t[1:]
-                if v not in df.columns:
+                if v not in sols.columns:
                     raise SparqlError(f"template variable ?{v} is unbound")
                 cols.append(F.col(v).alias(pos))
             else:
                 cols.append(F.lit(t).alias(pos))
         parts.append(
-            df.select(*cols).filter(
+            sols.select(*cols).filter(
                 F.col("s").isNotNull()
                 & F.col("p").isNotNull()
                 & F.col("o").isNotNull()
@@ -2028,6 +2130,54 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
         out = out.unionByName(p)
     # a triple can match several described terms / both positions
     return out.dropDuplicates() if len(parts) > 1 else out
+
+
+def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+    """SPARQL 1.1 Update subset over the lexical triple columns
+    ``(s, p, o)``: ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
+    ``[DELETE {t}] [INSERT {t}] WHERE { group }``, with ``;``-chained
+    operations applied in sequence (each sees the previous result, per
+    §3).  Pure — the store is immutable: returns the NEW triple
+    DataFrame; materialize it via :mod:`rdf_spark.store`.
+
+    Semantics per §3.1.3: within one operation the WHERE solutions are
+    computed against the pre-operation graph, the delete template's
+    instantiation is removed first, then the insert template's is added;
+    template triples touching an unbound variable are skipped.  Graph
+    stores are sets, so an operation that inserts returns a distinct
+    result.
+
+    Spark shapes: a delete is a ``left_anti`` join on the full (s,p,o)
+    key (Catalyst broadcasts the instantiated delete set when small;
+    AQE picks SMJ otherwise — never forced), an insert is
+    union + set-dedup — ONE shuffle on the triple key, the same cost
+    class as ``dedup_triples``.  Blank nodes in templates/data are
+    rejected (fresh-label minting is replay-hostile — use skolem IRIs
+    via ``IRI(CONCAT(...))``); the WHERE supports the full SELECT group
+    grammar including property paths.
+    """
+    ops = _Parser(update).update_request()
+    spark = triples.sparkSession
+    cur = triples.select("s", "p", "o")
+    for op in ops:
+        if op.ast is not None:
+            sols = _solutions(cur, op.ast)
+            dele = (_instantiate_template(sols, op.delete)
+                    if op.delete else None)
+            ins = (_instantiate_template(sols, op.insert)
+                   if op.insert else None)
+        else:
+            dele = (spark.createDataFrame(
+                op.delete, "s string, p string, o string")
+                if op.delete else None)
+            ins = (spark.createDataFrame(
+                op.insert, "s string, p string, o string")
+                if op.insert else None)
+        if dele is not None:
+            cur = cur.join(dele, ["s", "p", "o"], "left_anti")
+        if ins is not None:
+            cur = cur.unionByName(ins).dropDuplicates()
+    return cur
 
 
 def sniff_form(query: str) -> str:

@@ -1855,3 +1855,80 @@ def test_values_undef_and_reduced(tri):
         SELECT REDUCED ?t WHERE { ?c a ?t }
     """))
     assert got4 == [("urn:Customer",)]
+
+
+# ---------------------------------------------------------------- update
+
+def _upd(tri, u):
+    from rdf_spark.sparql import sparql_update
+    return sorted(tuple(r) for r in sparql_update(tri, u).collect())
+
+
+def test_update_insert_delete_data(tri):
+    base = _upd(tri, 'INSERT DATA { <urn:c9> <urn:name> "Zoe" }')
+    assert ("urn:c9", "urn:name", "Zoe") in base
+    assert len(base) == tri.count() + 1
+    # inserting an existing triple is a no-op (set semantics)
+    again = _upd(tri, 'INSERT DATA { <urn:c1> <urn:name> "Alice" }')
+    assert len(again) == tri.count()
+    gone = _upd(tri, 'DELETE DATA { <urn:c1> <urn:name> "Alice" }')
+    assert ("urn:c1", "urn:name", "Alice") not in gone
+    assert len(gone) == tri.count() - 1
+    # deleting an absent triple is a no-op
+    assert len(_upd(tri, 'DELETE DATA { <urn:x> <urn:y> "z" }')) == tri.count()
+
+
+def test_update_delete_where(tri):
+    got = _upd(tri, "DELETE WHERE { ?c <urn:knows> ?o }")
+    assert all(p != "urn:knows" for _, p, _ in got)
+    assert len(got) == tri.count() - 2
+
+
+def test_update_modify(tri):
+    # rename a predicate: DELETE+INSERT from the same solutions
+    got = _upd(tri, """
+        DELETE { ?c <urn:name> ?n } INSERT { ?c <urn:label> ?n }
+        WHERE { ?c <urn:name> ?n }
+    """)
+    assert all(p != "urn:name" for _, p, _ in got)
+    assert ("urn:c1", "urn:label", "Alice") in got
+    assert len(got) == tri.count()
+    # insert-only with a FILTERed WHERE
+    got2 = _upd(tri, """
+        INSERT { ?c a <urn:Friendly> } WHERE { ?c <urn:knows> ?o }
+    """)
+    assert ("urn:c1", RDF_TYPE, "urn:Friendly") in got2
+    assert ("urn:c2", RDF_TYPE, "urn:Friendly") in got2
+    assert len(got2) == tri.count() + 2
+    # unbound OPTIONAL var in the template → that row's triple skipped
+    got3 = _upd(tri, """
+        INSERT { ?c <urn:bal2> ?b } WHERE {
+            ?c <urn:name> ?n OPTIONAL { ?c <urn:bal> ?b } }
+    """)
+    assert len(got3) == tri.count() + 2  # c1, c2 have bal; c3 skipped
+
+
+def test_update_sequence_and_prefixes(tri):
+    got = _upd(tri, """
+        PREFIX u: <urn:>
+        DELETE DATA { u:c1 u:name "Alice" } ;
+        INSERT { ?c u:renamed "yes" } WHERE { ?c u:name ?n } ;
+    """)
+    # second op sees the first's result: c1's name is gone
+    assert ("urn:c1", "urn:renamed", "yes") not in got
+    assert ("urn:c2", "urn:renamed", "yes") in got
+    assert ("urn:c3", "urn:renamed", "yes") in got
+
+
+def test_update_parse_errors(tri):
+    from rdf_spark.sparql import sparql_update
+    for bad in [
+        'INSERT DATA { ?v <urn:p> "x" }',        # var in ground data
+        'INSERT DATA { }',                        # empty template
+        'DELETE { ?c <urn:p> ?o }',               # modify without WHERE
+        'INSERT { ?c <urn:p> 1 } WHERE { ?c <urn:name> ?n } LIMIT 2',
+        'INSERT DATA { <urn:s> <urn:p> "x" } garbage',
+        'INSERT { ?c <urn:p> ?z } WHERE { ?c <urn:name> ?n }',  # unbound ?z
+    ]:
+        with pytest.raises(SparqlError):
+            sparql_update(tri, bad).collect()
