@@ -8,9 +8,12 @@ store (the query-side companion of kg_construct_job.py):
 
 All four query forms are supported (rdf_spark.sparql subset): SELECT and
 CONSTRUCT write/print a result table; ASK prints a JSON boolean;
-DESCRIBE writes/prints the touching triples.  The store just needs
-lexical ``s p o`` columns — exactly what pipeline.materialize/store
-writers produce.
+DESCRIBE writes/prints the touching triples.  Update requests
+(INSERT/DELETE DATA, DELETE WHERE, DELETE/INSERT…WHERE) run through
+sparql_update and write the NEW store to --out (required — the input
+store is never modified in place).  The store just needs lexical
+``s p o`` columns — exactly what pipeline.materialize/store writers
+produce.
 """
 
 from __future__ import annotations
@@ -46,6 +49,15 @@ def main(argv=None) -> int:
 
     if form == "ASK":
         print(json.dumps({"ask": sparql.sparql_ask(triples, q)}))
+        return 0
+    if form == "UPDATE":
+        if not args.out:
+            ap.error("update requests require --out (the input store "
+                     "is never modified in place)")
+        updated = sparql.sparql_update(triples, q)
+        updated.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                          "out": args.out}))
         return 0
     if form == "SELECT":
         df = sparql.sparql_select(triples, q)

@@ -2190,8 +2190,15 @@ def sniff_form(query: str) -> str:
     s = re.sub(r"<[^>]*>", " ", query)
     s = re.sub(r'"(?:[^"\\]|\\.)*"', " ", s)
     s = re.sub(r"[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*", " ", s)
-    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE)\b", s, re.I)
-    return m.group(1).upper() if m else ""
+    # FIRST keyword wins: an update WHERE may contain a { SELECT }
+    # subquery, but INSERT/DELETE always textually precedes it; a query
+    # form cannot contain INSERT/DELETE keywords at all
+    m = re.search(r"\b(SELECT|CONSTRUCT|ASK|DESCRIBE|INSERT|DELETE)\b",
+                  s, re.I)
+    if not m:
+        return ""
+    kw = m.group(1).upper()
+    return "UPDATE" if kw in ("INSERT", "DELETE") else kw
 
 
 def sparql_explain(triples: DataFrame, query: str) -> str:

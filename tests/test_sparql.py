@@ -1932,3 +1932,44 @@ def test_update_parse_errors(tri):
     ]:
         with pytest.raises(SparqlError):
             sparql_update(tri, bad).collect()
+
+
+def test_sparql_job_update_route(spark, tri, tmp_path):
+    """Update requests route through sparql_update and write a NEW store."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import sparql_job
+    from rdf_spark.sparql import sniff_form
+
+    assert sniff_form('INSERT DATA { <urn:s> <urn:p> "x" }') == "UPDATE"
+    assert sniff_form("""DELETE { ?c <urn:p> ?n } INSERT { ?c <urn:q> ?n }
+        WHERE { ?c <urn:p> ?n { SELECT ?c WHERE { ?c a <urn:T> } } }
+    """) == "UPDATE"
+    # a "DELETE" inside an IRI/literal cannot shadow a query form
+    assert sniff_form('SELECT ?x WHERE { ?x <urn:DELETE> "INSERT" }') == "SELECT"
+
+    store = str(tmp_path / "store")
+    tri.write.mode("overwrite").parquet(store)
+    out = str(tmp_path / "updated")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = sparql_job.main([
+            "--store", store, "--out", out,
+            "--query", "DELETE WHERE { ?c <urn:knows> ?o }",
+        ])
+    assert rc == 0
+    n = tri.count()
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["rows"] == n - 2
+    assert spark.read.parquet(out).filter("p = 'urn:knows'").count() == 0
+
+    # update without --out is refused (store is never modified in place)
+    with pytest.raises(SystemExit):
+        sparql_job.main([
+            "--store", store,
+            "--query", "DELETE WHERE { ?c <urn:knows> ?o }",
+        ])
