@@ -1275,6 +1275,36 @@ def q_html_links(spark, sf_dir):
     return htmlops.host_link_graph(pages)
 
 
+def q_html_charset(spark, sf_dir):
+    """Charset-sniffing HTML decode (ops.html.decode_html): each
+    document becomes a binary page in one of four encodings — utf-8
+    with meta, iso-8859-1 meta whose bytes carry the cp1252-only €
+    (the WHATWG latin-1→windows-1252 upgrade is load-bearing), a
+    UTF-16LE BOM page (BOM must be consumed, not emitted), and a bare
+    utf-8 default.  The oracle replays the expected decoded strings
+    closed-form from the source text.  One Arrow-batched pandas_udf
+    projection, zero shuffle."""
+    from rdf_spark.ops import html as htmlops
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    body = F.substring(F.col("text"), 1, 40)
+    html = (
+        F.when(m == 0, F.encode(F.concat(
+            F.lit('<meta charset="utf-8"><p>'), body, F.lit(" café</p>")), "UTF-8"))
+        .when(m == 1, F.encode(F.concat(
+            F.lit('<meta charset="iso-8859-1"><p>'), body,
+            F.lit(" \u0080é</p>")), "ISO-8859-1"))
+        .when(m == 2, F.encode(F.concat(
+            F.lit("\ufeff<p>"), body, F.lit(" ☃</p>")), "UTF-16LE"))
+        .otherwise(F.encode(F.concat(
+            F.lit("<p>"), body, F.lit(" ✓</p>")), "UTF-8"))
+    )
+    pages = _spread(d.select("doc_id", html.alias("html")))
+    return htmlops.decode_html(pages).select(
+        "doc_id", F.col("html_text").alias("decoded"))
+
+
 def q_host_cap(spark, sf_dir):
     """Per-key quota cap (ops.sample.cap_per_key): at most 4 documents
     per synthetic host bucket, survivor set decided by the md5 rank so
@@ -2253,6 +2283,7 @@ _QUERIES = {
         "wet_pipeline": q_wet_pipeline,
         "html_structured": q_html_structured,
         "html_links": q_html_links,
+        "html_charset": q_html_charset,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "entity_disambiguation": q_entity_disambiguation,
@@ -3568,6 +3599,22 @@ def oracle_sql() -> dict[str, str]:
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the
         # same-host self anchor is filtered and must NOT appear
+        # closed-form replay of the four charset shapes: what the bytes
+        # SHOULD decode to, built from the same source text (the € case
+        # fails under a blind latin-1/utf-8 decode, the BOM case fails
+        # if the BOM leaks into content)
+        "html_charset": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN '<meta charset="utf-8"><p>'
+                                 || substr(text, 1, 40) || ' café</p>'
+                     WHEN 1 THEN '<meta charset="iso-8859-1"><p>'
+                                 || substr(text, 1, 40) || ' €é</p>'
+                     WHEN 2 THEN '<p>' || substr(text, 1, 40) || ' ☃</p>'
+                     ELSE '<p>' || substr(text, 1, 40) || ' ✓</p>'
+                   END AS decoded
+            FROM documents
+        """,
         "html_links": """
             WITH o AS (
               SELECT 's' || (o_custkey % 7) || '.shop.example' AS src,

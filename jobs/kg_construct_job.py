@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                     help="also write the anchor-text link-prior dictionary "
                     "(surface, entity_iri, n, prior) to this parquet path — "
                     "gazetteer-shaped, reusable as the next run's aliases")
+    ap.add_argument("--sniff-charset", action="store_true",
+                    help="decode a binary html column with charset "
+                         "sniffing (BOM > meta prescan > utf-8-replace) "
+                         "before any extraction (ops.html.decode_html)")
     ap.add_argument("--normalize-urls", action="store_true",
                     help="canonicalize page URLs (ops.url rules) before "
                     "sharding, so lookalike spellings co-locate and collapse")
@@ -82,6 +86,13 @@ def main(argv=None) -> int:
         pages = spark.read.parquet(args.pages)
     else:
         ap.error("one of --pages, --warc, --wet or --synthetic is required")
+
+    if args.sniff_charset:
+        from rdf_spark.ops.html import decode_html
+
+        pages = (decode_html(pages, out_col="_decoded")
+                 .drop("html")
+                 .withColumnRenamed("_decoded", "html"))
 
     if args.normalize_urls:
         from pyspark.sql import functions as F

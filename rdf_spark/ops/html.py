@@ -323,3 +323,94 @@ def host_link_graph(
     if not keep_self:
         edges = edges.filter(F.col("src") != F.col("dst"))
     return edges.groupBy("src", "dst").agg(F.count("*").alias("n_links"))
+
+
+# --------------------------------------------------------------- charset
+
+# WHATWG Encoding Standard label fixups (the ones that matter on real
+# crawls): HTML mandates that latin-1-family labels decode as
+# windows-1252 (0x80-0x9F are the smart-quote/€ block, not C1 controls)
+# and gb2312 as its gbk superset.  Everything else resolves through
+# Python's codec registry, unknown labels fall back to UTF-8.
+_CHARSET_ALIASES = {
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "us-ascii": "cp1252", "ascii": "cp1252",
+    "windows-1252": "cp1252", "gb2312": "gbk", "x-sjis": "shift_jis",
+}
+
+# the WHATWG meta prescan, regex-simplified: <meta charset=...> or the
+# http-equiv Content-Type form, within the first scan window
+_META_CHARSET_PAT = None  # compiled lazily per worker
+
+
+def _sniff_charset(head: bytes) -> str:
+    """BOM > meta prescan > UTF-8.  ``head`` is the first window of the
+    page bytes (1024 per the WHATWG prescan)."""
+    import re as _re
+
+    global _META_CHARSET_PAT
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        # the 'utf-16' codec reads endianness from the BOM and strips it
+        # (per WHATWG, the BOM is not content)
+        return "utf-16"
+    if _META_CHARSET_PAT is None:
+        _META_CHARSET_PAT = _re.compile(
+            rb"""(?is)<meta[^>]+charset\s*=\s*["']?\s*([a-z0-9_\-]+)"""
+        )
+    m = _META_CHARSET_PAT.search(head)
+    if not m:
+        return "utf-8"
+    label = m.group(1).decode("ascii", "replace").lower()
+    label = _CHARSET_ALIASES.get(label, label)
+    import codecs
+
+    try:
+        codecs.lookup(label)
+    except LookupError:
+        return "utf-8"
+    # a UTF-16 meta label on byte content is self-contradicting (the
+    # prescan itself read ASCII-compatible bytes): WHATWG says use UTF-8
+    if label.replace("_", "-").startswith("utf-16"):
+        return "utf-8"
+    return label
+
+
+def decode_html(
+    pages: DataFrame,
+    html_col: str = "html",
+    out_col: str = "html_text",
+    scan_bytes: int = 1024,
+) -> DataFrame:
+    """Decode a ``binary`` HTML column to a string column with charset
+    sniffing: BOM first, then a WHATWG-style ``<meta charset>`` /
+    ``http-equiv`` prescan over the first ``scan_bytes`` bytes, then
+    UTF-8; all decodes use replacement (never raise) so one mojibake
+    page cannot kill a 10^12-page job.  Normalizes an arbitrary-charset
+    crawl INTO the pages contract (utf-8 text) the rest of the pipeline
+    assumes — run it once at ingest, before parse_html_structured /
+    extract_links.
+
+    Scale shape: one Arrow-batched ``pandas_udf`` projection (the
+    per-row work is C-level ``bytes.decode``), zero shuffle, narrow —
+    partitioning and pushed filters pass straight through.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def _decode_fn(b):
+        def one(raw):
+            if raw is None:
+                return None
+            enc = _sniff_charset(bytes(raw[:scan_bytes]))
+            return bytes(raw).decode(enc, "replace")
+
+        return b.map(one)
+
+    _decode = pandas_udf(_decode_fn, StringType())
+
+    if dict(pages.dtypes).get(html_col) != "binary":
+        raise ValueError(f"decode_html needs a binary column, "
+                         f"{html_col!r} is {dict(pages.dtypes).get(html_col)}")
+    return pages.withColumn(out_col, _decode(F.col(html_col)))

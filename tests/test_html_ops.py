@@ -213,3 +213,36 @@ def test_empty_islands_do_not_poison_page(spark):
     out = H.parse_html_structured(pages, fmts=("jsonld",)).collect()
     # blank stubs are dropped, the real island still parses, no err rows
     assert [(r.url, r.s, r.err) for r in out] == [("u:e", "urn:k", None)]
+
+
+def test_decode_html_charset_sniffing(spark):
+    """BOM > meta prescan > utf-8; latin-1 label upgraded to cp1252."""
+    from rdf_spark.ops.html import decode_html
+
+    rows = [
+        ("u0", ('<meta charset="utf-8"><p>café</p>').encode("utf-8")),
+        # iso-8859-1 label must decode as cp1252: 0x80 is € there
+        ("u1", b'<meta charset="iso-8859-1"><p>\x80\xe9</p>'),
+        ("u2", "﻿<p>☃</p>".encode("utf-16-le")),  # LE BOM
+        ("u3", "﻿<p>☃</p>".encode("utf-16-be")),  # BE BOM
+        ("u4", "<p>pla✓in</p>".encode("utf-8")),            # no meta
+        ("u5", b'<meta charset="bogus"><p>x\xff</p>'),       # unknown label
+        ("u6", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = dict(
+        (r.url, r.html_text)
+        for r in decode_html(pages).select("url", "html_text").collect()
+    )
+    assert got["u0"] == '<meta charset="utf-8"><p>café</p>'
+    assert got["u1"] == '<meta charset="iso-8859-1"><p>€é</p>'
+    assert got["u2"] == "<p>☃</p>"  # BOM consumed, not content
+    assert got["u3"] == "<p>☃</p>"
+    assert got["u4"] == "<p>pla✓in</p>"
+    assert got["u5"] == '<meta charset="bogus"><p>x�</p>'  # replace
+    assert got["u6"] is None
+
+    # a string column is a contract violation, not a silent no-op
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_html(pages.withColumn("html", F.lit("x")))

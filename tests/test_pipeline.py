@@ -801,3 +801,44 @@ def test_kg_construct_job_aliases_and_relatedness(spark, tmp_path):
              .filter(F.col("p") == MENTIONS_PREDICATE).collect()}
     assert ("https://a.example/1", "urn:ParisTX") in links
     assert ("https://a.example/2", "urn:ParisFR") in links
+
+
+def test_kg_construct_job_sniff_charset(spark, tmp_path):
+    """--sniff-charset normalizes a cp1252/BOM crawl into the utf-8
+    pages contract before island extraction — the turtle island of a
+    latin-1-labeled page (bytes are cp1252) still parses, and the
+    decoded html column is a string downstream."""
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    html = ('<meta charset="iso-8859-1">'
+            '<script type="text/turtle">'
+            '<#café> <urn:p:x> "€" .'
+            "</script><p>About Ada Lovelace.</p>")
+    rows = [(f"https://c.example/p/{i}",
+             None,
+             html.encode("cp1252"),
+             None, "en") for i in range(8)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    src = str(tmp_path / "cp1252_pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "job_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--pages", src, "--out", out, "--shards", "1", "--buckets", "2",
+             "--sniff-charset"]
+        )
+    assert rc == 0
+    store = pipeline.read_triple_store(spark, out)
+    euro = store.filter(F.col("o") == "€")
+    # <#café> resolves against each page url → 8 distinct subjects
+    assert euro.count() == 8
+    assert euro.filter(F.col("s").endswith("#café")).count() == 8
