@@ -1305,6 +1305,38 @@ def q_html_charset(spark, sf_dir):
         "doc_id", F.col("html_text").alias("decoded"))
 
 
+def q_main_text(spark, sf_dir):
+    """Main-content extraction (ops.content.extract_main_text): every
+    document is wrapped in full page chrome — nav links, breadcrumb
+    div, hinted sidebar/comments copies of the SAME text (so a sloppy
+    extractor double-counts), a linky related-posts block, and a
+    footer.  Odd docs also carry a short headline that only survives
+    via the neighbour-promotion rule.  The oracle states the expected
+    main text closed-form from the source text.  One Arrow-batched
+    mapInPandas projection, zero shuffle."""
+    from rdf_spark.ops.content import extract_main_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(2))
+    head = F.when(
+        m == 1,
+        F.concat(F.lit("<h2>Doc "), F.col("doc_id"), F.lit("</h2>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+              '<div class="breadcrumb"><a href="/">Home</a> &gt; x</div>'),
+        head,
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<div class="sidebar"><p>'), F.col("text"),
+        F.lit('</p></div><div id="comments"><p>'), F.col("text"),
+        F.lit('</p></div><p><a href="/x">read</a> <a href="/y">more</a>'
+              '</p><footer><p>Copyright notice long enough to be a '
+              "block.</p></footer>"),
+    )
+    pages = _spread(d.select("doc_id", html.alias("html")))
+    return extract_main_text(pages).select("doc_id", "main_text")
+
+
 def q_host_cap(spark, sf_dir):
     """Per-key quota cap (ops.sample.cap_per_key): at most 4 documents
     per synthetic host bucket, survivor set decided by the md5 rank so
@@ -2284,6 +2316,7 @@ _QUERIES = {
         "html_structured": q_html_structured,
         "html_links": q_html_links,
         "html_charset": q_html_charset,
+        "main_text": q_main_text,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "entity_disambiguation": q_entity_disambiguation,
@@ -3599,6 +3632,17 @@ def oracle_sql() -> dict[str, str]:
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the
         # same-host self anchor is filtered and must NOT appear
+        # closed-form main-content expectation: the article paragraph
+        # (plus the promoted headline on odd docs); every boilerplate
+        # block — including the sidebar/comments COPIES of the text —
+        # must be absent, so any double-keep breaks the hash
+        "main_text": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN 'Doc ' || doc_id || chr(10) || text
+                        ELSE text END AS main_text
+            FROM documents
+        """,
         # closed-form replay of the four charset shapes: what the bytes
         # SHOULD decode to, built from the same source text (the € case
         # fails under a blind latin-1/utf-8 decode, the BOM case fails

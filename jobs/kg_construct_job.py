@@ -47,6 +47,11 @@ def main(argv=None) -> int:
                     help="also write the anchor-text link-prior dictionary "
                     "(surface, entity_iri, n, prior) to this parquet path — "
                     "gazetteer-shaped, reusable as the next run's aliases")
+    ap.add_argument("--main-text",
+                    help="also write (url, main_text) parquet: each "
+                         "page's extracted article text with nav/footer/"
+                         "sidebar chrome dropped (ops.content) — the "
+                         "corpus-side output of a crawl")
     ap.add_argument("--sniff-charset", action="store_true",
                     help="decode a binary html column with charset "
                          "sniffing (BOM > meta prescan > utf-8-replace) "
@@ -113,6 +118,12 @@ def main(argv=None) -> int:
         relatedness=relatedness,
         coherence_weight=args.coherence_weight,
     )
+    if args.main_text:
+        from rdf_spark.ops.content import extract_main_text
+
+        extract_main_text(pages).select("url", "main_text").write.mode(
+            "overwrite"
+        ).parquet(args.main_text)
     if args.link_graph:
         from rdf_spark.ops import html as htmlops
 

@@ -1,0 +1,208 @@
+"""Main-content extraction: the article text of an HTML page, with
+nav/footer/sidebar boilerplate dropped (boilerpipe/trafilatura-style
+block scoring, stdlib-only and fully deterministic).
+
+A crawl→corpus pipeline needs this between the raw page and every
+text-quality stage: quality scoring, dedup shingles, language ID and
+token counts are all meaningless over cookie banners and nav menus.
+The reference is a parser library with no extraction layer (SURVEY
+§2.5) — this is a beyond-parity webtext operator.
+
+Algorithm (two passes over block-level text segments):
+
+1. Walk the DOM with the same browser-loose ``html.parser`` state
+   machine the microdata/RDFa extractors use (never raises).  Subtrees
+   of non-content tags (``script style noscript template svg nav footer
+   aside header form iframe``) are skipped outright; every block-level
+   boundary (``p div li h1-h6 td …``) flushes the accumulated text into
+   a *block* carrying (text, link-chars, boilerplate-hinted).  A block
+   is *hinted* when an enclosing element's class/id matches the
+   boilerplate lexicon (menu, sidebar, comment, cookie, share, …).
+2. Score each block: KEEP iff not hinted, text length ≥ ``min_len``,
+   and link density (link-chars / chars) ≤ ``max_link_density`` — long
+   low-link prose is content, short linky runs are chrome.  A short
+   un-hinted low-link block immediately BEFORE a kept block is promoted
+   too (headings belong to their article; boilerpipe's neighbour rule).
+
+The result joins kept blocks with ``\\n`` (whitespace inside a block is
+collapsed to single spaces).  Pure function of the html string —
+partitioning-invariant and replayable, so it can sit inside a resumable
+pipeline.
+
+Scale shape: one Arrow-batched ``mapInPandas`` projection (the walk is
+O(page bytes) with an O(1) tag stack), zero shuffle, narrow.  Soundness
+policy matches ops.html: static HTML only — javascript-rendered content
+is out of scope by design.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+
+_SKIP_TAGS = frozenset(
+    "script style noscript template svg nav footer aside header form "
+    "iframe button select option".split()
+)
+_BLOCK_TAGS = frozenset(
+    "p div li h1 h2 h3 h4 h5 h6 td th tr table ul ol dl dt dd article "
+    "section main blockquote pre figure figcaption body br hr".split()
+)
+# class/id tokens that mark an element subtree as page chrome; matched
+# per hyphen/underscore-separated token so 'download' never hits 'ad'
+_BOILER_HINT = re.compile(
+    r"(?:^|[\s_-])(nav|menu|footer|header|sidebar|side-bar|comment|"
+    r"comments|share|sharing|social|cookie|banner|breadcrumb|breadcrumbs|"
+    r"related|widget|ad|ads|advert|advertisement|promo|popup|modal|"
+    r"subscribe|newsletter|pagination|pager|skip|masthead)(?:$|[\s_-])",
+    re.I,
+)
+_WS = re.compile(r"\s+")
+# void elements never get an end tag: do not push them on the tag stack
+_VOID = frozenset("br hr img input meta link area base col embed source "
+                  "track wbr".split())
+
+
+class _Blocks(HTMLParser):
+    """Collect (text, link_chars, hinted) block triples from a page."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, bool]] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._skip = 0     # depth inside non-content subtrees
+        self._a = 0        # depth inside <a>
+        self._hint = 0     # depth inside boilerplate-hinted subtrees
+        # parallel stack of (is_skip, is_hint) so end tags unwind exactly
+        self._stack: list[tuple[str, bool, bool]] = []
+
+    def _flush(self):
+        text = _WS.sub(" ", "".join(self._buf)).strip()
+        if text:
+            self.blocks.append((text, self._link_chars, self._hint > 0))
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID:
+            if tag in ("br", "hr"):
+                self._flush()
+            return
+        skip = tag in _SKIP_TAGS
+        hint = False
+        if not skip:
+            for k, v in attrs:
+                if k in ("class", "id") and v and _BOILER_HINT.search(v):
+                    hint = True
+                    break
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        self._stack.append((tag, skip, hint))
+        if skip:
+            self._skip += 1
+        if hint:
+            self._hint += 1
+        if tag == "a":
+            self._a += 1
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        # browser-loose recovery: unwind to the nearest matching open tag
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                if tag in _BLOCK_TAGS:
+                    self._flush()
+                for t, skip, hint in self._stack[i:]:
+                    if skip:
+                        self._skip -= 1
+                    if hint:
+                        self._hint -= 1
+                    if t == "a":
+                        self._a -= 1
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self._skip or not data:
+            return
+        self._buf.append(data)
+        if self._a:
+            self._link_chars += len(_WS.sub(" ", data).strip())
+
+
+def main_text(
+    html: str | None,
+    min_len: int = 25,
+    max_link_density: float = 0.33,
+) -> str | None:
+    """The page's main content text (see module docstring); None in,
+    None out; a page with no kept block yields ""."""
+    if html is None:
+        return None
+    p = _Blocks()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # html.parser is loose, but never let one page kill a job
+        pass
+    p._flush()
+    blocks = p.blocks
+    keep = [False] * len(blocks)
+    for i, (text, link_chars, hinted) in enumerate(blocks):
+        if hinted:
+            continue
+        if link_chars / max(len(text), 1) > max_link_density:
+            continue
+        keep[i] = len(text) >= min_len
+    # neighbour promotion: a short clean block right before a kept one
+    # (headings/bylines belong to their article)
+    for i in range(len(blocks) - 2, -1, -1):
+        text, link_chars, hinted = blocks[i]
+        if (not keep[i] and keep[i + 1] and not hinted and text
+                and len(text) < min_len
+                and link_chars / max(len(text), 1) <= max_link_density):
+            keep[i] = True
+    return "\n".join(b[0] for b, k in zip(blocks, keep) if k)
+
+
+def extract_main_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    out_col: str = "main_text",
+    min_len: int = 25,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """Add ``out_col`` with each page's extracted main content.
+
+    Arrow-batched ``mapInPandas`` (one narrow projection, zero shuffle);
+    a ``binary`` html column is decoded utf-8-replace first (run
+    :func:`rdf_spark.ops.html.decode_html` upstream when the crawl is
+    not known-utf-8).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    is_bin = dict(pages.dtypes).get(html_col) == "binary"
+    schema = StructType(
+        list(pages.schema.fields) + [StructField(out_col, StringType())]
+    )
+    cols = [f.name for f in pages.schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            src = pdf[html_col]
+            if is_bin:
+                src = src.map(
+                    lambda b: None if b is None
+                    else bytes(b).decode("utf-8", "replace")
+                )
+            pdf = pdf[cols].copy()
+            pdf[out_col] = src.map(
+                lambda h: main_text(h, min_len, max_link_density)
+            )
+            yield pdf
+
+    return pages.mapInPandas(run, schema=schema)
