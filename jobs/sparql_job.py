@@ -29,6 +29,12 @@ def main(argv=None) -> int:
     ap.add_argument("--query")
     ap.add_argument("--query-file")
     ap.add_argument("--out")
+    ap.add_argument("--out-format", default="parquet",
+                    choices=("parquet", "csv", "json"),
+                    help="result encoding for --out: parquet (default), "
+                         "csv (RFC 4180 quoting + header, the SPARQL "
+                         "results CSV profile — lexical forms only, "
+                         "type info is lost by design), or json lines")
     args = ap.parse_args(argv)
     if bool(args.query) == bool(args.query_file):
         ap.error("exactly one of --query / --query-file is required")
@@ -69,9 +75,18 @@ def main(argv=None) -> int:
         ap.error(f"unsupported query form {form!r}")
         return 2
     if args.out:
-        df.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"rows": spark.read.parquet(args.out).count(),
-                          "out": args.out}))
+        w = df.write.mode("overwrite")
+        if args.out_format == "csv":
+            w.option("header", True).csv(args.out)
+            n = spark.read.option("header", True).csv(args.out).count()
+        elif args.out_format == "json":
+            w.json(args.out)
+            n = spark.read.json(args.out).count()
+        else:
+            w.parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "out": args.out,
+                          "format": args.out_format}))
     else:
         df.show(100, truncate=False)
     return 0

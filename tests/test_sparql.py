@@ -1973,3 +1973,30 @@ def test_sparql_job_update_route(spark, tri, tmp_path):
             "--store", store,
             "--query", "DELETE WHERE { ?c <urn:knows> ?o }",
         ])
+
+
+def test_sparql_job_out_formats(spark, tri, tmp_path):
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import sparql_job
+
+    store = str(tmp_path / "store")
+    tri.write.mode("overwrite").parquet(store)
+    q = "SELECT ?n WHERE { ?c <urn:name> ?n }"
+    for fmt, reader in (
+        ("csv", lambda p: spark.read.option("header", True).csv(p)),
+        ("json", spark.read.json),
+    ):
+        out = str(tmp_path / f"res_{fmt}")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = sparql_job.main(["--store", store, "--out", out,
+                                  "--out-format", fmt, "--query", q])
+        assert rc == 0
+        info = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert info["rows"] == 3 and info["format"] == fmt
+        assert {r.n for r in reader(out).collect()} == {"Alice", "Bob", "Ann"}
