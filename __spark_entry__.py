@@ -1305,6 +1305,41 @@ def q_html_charset(spark, sf_dir):
         "doc_id", F.col("html_text").alias("decoded"))
 
 
+def q_page_meta(spark, sf_dir):
+    """Head-metadata extraction (ops.html.extract_page_meta): titles
+    with entities + fold whitespace, descriptions in BOTH meta attribute
+    orders (alternating by order key), canonical links only on every
+    third order (absent → NULL, and relative → resolved against the
+    page url).  Closed-form oracle from the orders table.  Pure JVM
+    projection — zero Python, zero shuffle."""
+    from rdf_spark.ops import html as htmlops
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://s"), F.col("o_custkey") % 7,
+        F.lit(".shop.example/ord/"), F.col("o_orderkey"),
+    )
+    desc = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit('<meta name="description" content="status '),
+                 F.col("o_orderstatus"), F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<meta content="status '), F.col("o_orderstatus"),
+                 F.lit('" name="description">')),
+    )
+    canon = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.concat(F.lit('<link rel="canonical" href="/canon/'),
+                 F.col("o_orderkey"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<title> Order &amp;\n "), F.col("o_orderkey"),
+        F.lit(" </title>"), desc, canon, F.lit("<p>body</p>"),
+    )
+    pages = _spread(o.select(url.alias("url"), html.alias("html")))
+    return htmlops.extract_page_meta(pages)
+
+
 def q_main_text(spark, sf_dir):
     """Main-content extraction (ops.content.extract_main_text): every
     document is wrapped in full page chrome — nav links, breadcrumb
@@ -2317,6 +2352,7 @@ _QUERIES = {
         "html_links": q_html_links,
         "html_charset": q_html_charset,
         "main_text": q_main_text,
+        "page_meta": q_page_meta,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "entity_disambiguation": q_entity_disambiguation,
@@ -3632,6 +3668,21 @@ def oracle_sql() -> dict[str, str]:
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the
         # same-host self anchor is filtered and must NOT appear
+        # closed-form head-metadata replay: entity-decoded folded title,
+        # description from either attribute order, canonical resolved
+        # against the page origin on o_orderkey%3=0 and NULL otherwise
+        "page_meta": """
+            SELECT 'https://s' || (o_custkey % 7)
+                       || '.shop.example/ord/' || o_orderkey AS url,
+                   'Order & ' || o_orderkey AS title,
+                   'status ' || o_orderstatus AS description,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN 'https://s' || (o_custkey % 7)
+                             || '.shop.example/canon/' || o_orderkey
+                        END AS canonical,
+                   CAST(NULL AS VARCHAR) AS og_title
+            FROM orders
+        """,
         # closed-form main-content expectation: the article paragraph
         # (plus the promoted headline on odd docs); every boilerplate
         # block — including the sidebar/comments COPIES of the text —

@@ -414,3 +414,79 @@ def decode_html(
         raise ValueError(f"decode_html needs a binary column, "
                          f"{html_col!r} is {dict(pages.dtypes).get(html_col)}")
     return pages.withColumn(out_col, _decode(F.col(html_col)))
+
+
+# ------------------------------------------------------------- page meta
+
+# attribute order varies in the wild (name before content and the
+# reverse), so each field gets both orders, coalesced
+_TITLE_PAT = r"(?is)<title[^>]*>(.*?)</title>"
+
+
+def _meta_pat(attr: str, value: str) -> tuple[str, str]:
+    v = value
+    return (
+        rf"""(?is)<meta\b[^>]*\b{attr}\s*=\s*["']{v}["'][^>]*\bcontent\s*=\s*["']([^"']*)["']""",
+        rf"""(?is)<meta\b[^>]*\bcontent\s*=\s*["']([^"']*)["'][^>]*\b{attr}\s*=\s*["']{v}["']""",
+    )
+
+
+_CANON_PATS = (
+    r"""(?is)<link\b[^>]*\brel\s*=\s*["']canonical["'][^>]*\bhref\s*=\s*["']([^"']*)["']""",
+    r"""(?is)<link\b[^>]*\bhref\s*=\s*["']([^"']*)["'][^>]*\brel\s*=\s*["']canonical["']""",
+)
+
+
+def _first_of(html: Column, pats: tuple[str, ...]) -> Column:
+    """First non-empty capture across the patterns ('' when none —
+    RE2/Java regexp_extract semantics)."""
+    cols = [F.regexp_extract(html, p, 1) for p in pats]
+    out = cols[0]
+    for c in cols[1:]:
+        out = F.when(out != "", out).otherwise(c)
+    return F.when(out != "", out)  # '' → NULL: absent field
+
+
+def _decode_basic_entities(c: Column) -> Column:
+    """The five XML entities plus numeric &#39; — the documented subset
+    (full HTML5 entity tables stay in the Python parsers)."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def extract_page_meta(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-page head metadata: ``(url, title, description, canonical,
+    og_title)`` — the fields a crawl-side KG wants as page-level triples
+    (dct:title, schema:description) and the canonical URL that
+    deduplicates mirrored pages BEFORE content hashing.
+
+    ``title`` is whitespace-collapsed with the basic XML entities
+    decoded; ``description``/``og_title`` come from either attribute
+    order of their <meta> tags; ``canonical`` is resolved against the
+    page URL (RFC-3986-lite, same resolver as extract_links).  Missing
+    fields are NULL, never ''.  Pure JVM projection — zero Python, zero
+    shuffle, whole-stage codegen end-to-end.
+    """
+    html = _html_str(pages, html_col)
+    title = F.regexp_extract(html, _TITLE_PAT, 1)
+    title = F.trim(F.regexp_replace(title, r"\s+", " "))
+    title = _decode_basic_entities(F.when(title != "", title))
+    desc = _first_of(html, _meta_pat("name", "description"))
+    og = _first_of(html, _meta_pat("property", "og:title"))
+    canon = _first_of(html, _CANON_PATS)
+    canon = F.when(
+        canon.isNotNull(), _resolve_href(F.col(url_col), canon)
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        title.alias("title"),
+        _decode_basic_entities(desc).alias("description"),
+        canon.alias("canonical"),
+        _decode_basic_entities(og).alias("og_title"),
+    )

@@ -246,3 +246,38 @@ def test_decode_html_charset_sniffing(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decode_html(pages.withColumn("html", F.lit("x")))
+
+
+def test_extract_page_meta(spark):
+    from rdf_spark.ops.html import extract_page_meta
+
+    rows = [
+        # both attribute orders, entities in title, relative canonical
+        ("https://e.example/a/b", """
+            <title> Caf&eacute;  &amp; &quot;Bar&quot;\n page </title>
+            <meta name="description" content="A &amp; B">
+            <meta content="OG &#39;T&#39;" property="og:title">
+            <link rel="canonical" href="/a/b?x=1">
+        """),
+        # reversed orders
+        ("https://e.example/c", """
+            <TITLE>plain</TITLE>
+            <meta content="rev desc" name="description">
+            <link href="https://other.example/c" rel="canonical">
+        """),
+        ("https://e.example/none", "<p>nothing here</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {r.url: r for r in extract_page_meta(pages).collect()}
+    a = got["https://e.example/a/b"]
+    # &eacute; is NOT in the documented basic-entity subset — kept raw
+    assert a.title == 'Caf&eacute; & "Bar" page'
+    assert a.description == "A & B"
+    assert a.og_title == "OG 'T'"
+    assert a.canonical == "https://e.example/a/b?x=1"
+    c = got["https://e.example/c"]
+    assert (c.title, c.description, c.canonical, c.og_title) == (
+        "plain", "rev desc", "https://other.example/c", None)
+    n = got["https://e.example/none"]
+    assert (n.title, n.description, n.canonical, n.og_title) == (
+        None, None, None, None)
