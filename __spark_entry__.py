@@ -907,6 +907,36 @@ def q_sparql_update(spark, sf_dir):
     ).select("s", "p", "o")
 
 
+def q_sparql_dataset(spark, sf_dir):
+    """SPARQL dataset clause (§13.2, round-5): the quad store keys
+    customer names by market-segment graph and carries default-graph
+    (NULL) nation rows as noise; FROM NAMED restricts GRAPH ?g to two
+    segments (the scan filter is a pushed IN list) and the default-graph
+    noise must stay invisible.  Counts per graph against a closed-form
+    GROUP BY oracle."""
+    from rdf_spark.sparql import sparql_select
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    quads = c.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+        F.lit("urn:ex:name").alias("p"),
+        F.col("c_name").alias("o"),
+        F.concat(F.lit("urn:seg:"), F.col("c_mktsegment")).alias("graph"),
+    ).unionByName(n.select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit("urn:ex:name").alias("p"),
+        F.col("n_name").alias("o"),
+        F.lit(None).cast("string").alias("graph"),
+    ))
+    return sparql_select(quads, """
+        SELECT ?g (COUNT(?c) AS ?n)
+        FROM NAMED <urn:seg:AUTOMOBILE> FROM NAMED <urn:seg:HOUSEHOLD>
+        WHERE { GRAPH ?g { ?c <urn:ex:name> ?nm } }
+        GROUP BY ?g
+    """)
+
+
 def q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS (round-4): anti join on the shared variable —
     customers not in nation 0.  Distinguished from NOT EXISTS by the
@@ -2329,6 +2359,7 @@ _QUERIES = {
         "sparql_path_grouped": q_sparql_path_grouped,
         "sparql_subquery": q_sparql_subquery,
         "sparql_update": q_sparql_update,
+        "sparql_dataset": q_sparql_dataset,
         "sparql_hash": q_sparql_hash,
         "sparql_sameterm": q_sparql_sameterm,
         "sparql_datetime": q_sparql_datetime,
@@ -3285,6 +3316,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS k
                 FROM customer GROUP BY c_nationkey
             ) t ON c.c_nationkey = t.c_nationkey
+        """,
+        # closed-form dataset-clause semantics: only the two FROM NAMED
+        # segment graphs are countable; BUILDING/FURNITURE/MACHINERY and
+        # the default-graph nation rows must be invisible
+        "sparql_dataset": """
+            SELECT 'urn:seg:' || c_mktsegment AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer
+            WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+            GROUP BY c_mktsegment
         """,
         # closed-form update semantics: nation 0's name triple deleted,
         # NATION_1* names renamed to urn:ex:label, the rest untouched

@@ -164,6 +164,10 @@ def main() -> int:
         "wet_pipeline",
         "sparql_path_in_blocks",
         "span_dedup",
+        "sparql_update",
+        "html_charset",
+        "main_text",
+        "page_meta",
     ]
 
     timings: dict[str, float] = {}

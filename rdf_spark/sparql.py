@@ -25,6 +25,16 @@ Supported subset (anything else raises ``SparqlError`` at parse time):
       | [DELETE {t}] [INSERT {t}] WHERE { group }   -- update forms
                                       -- (sparql_update: pure, returns
                                          the new store; ';'-chainable)
+    [FROM <g>]… [FROM NAMED <g>]…   -- dataset clause (§13.2; needs a
+                                       'graph' column): plain patterns/
+                                       paths see the RDF merge of the
+                                       FROM graphs, GRAPH matches only
+                                       the FROM NAMED graphs; either
+                                       list empty → that side matches
+                                       nothing; no clause → the whole
+                                       store (the union-default dialect
+                                       documented below); subqueries/
+                                       updates share the outer dataset
     WHERE { group }  |  WHERE { { group } UNION { group } … }
       group: triple patterns '.'-separated
              property paths with full SPARQL 1.1 precedence — '^'
@@ -311,6 +321,11 @@ class _Ast:
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
+    # dataset clause (§13.2): FROM graphs form the default graph, FROM
+    # NAMED graphs are the only ones GRAPH may match; empty lists when
+    # no dataset clause was given (→ the whole store, today's behavior)
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -611,8 +626,33 @@ class _Parser:
                     return nk == "word" and nv.upper() == "UNION"
         return False
 
+    def _dataset_clause(self, ast: _Ast, subquery: bool = False):
+        """``(FROM [NAMED] <iri>)*`` before WHERE (§13.2).  Subqueries
+        and update WHEREs share the outer dataset — a FROM there is a
+        grammar error."""
+        while self.at_word("FROM"):
+            if subquery:
+                raise SparqlError(
+                    "FROM is not allowed here — subqueries and update "
+                    "WHERE clauses share the outer dataset"
+                )
+            self.next()
+            named = False
+            if self.at_word("NAMED"):
+                self.next()
+                named = True
+            kind, v = self.next()
+            if kind == "iri":
+                iri = v[1:-1]
+            elif kind == "pname":
+                iri = self.expand_pname(v)
+            else:
+                raise SparqlError(f"FROM needs an <iri>, got {v!r}")
+            (ast.from_named if named else ast.from_graphs).append(iri)
+
     def _where_and_modifiers(self, ast: _Ast, where_optional: bool = False,
                              subquery: bool = False):
+        self._dataset_clause(ast, subquery)
         if self.at_word("WHERE"):
             self.next()
         elif not where_optional:
@@ -1779,12 +1819,16 @@ def _compile_path(triples: DataFrame, path, idx: int = 0) -> DataFrame:
     ).limit(1)
 
 
-def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
+def _compile_group(triples: DataFrame, g: _Group,
+                   named: DataFrame | None = None) -> DataFrame:
+    """``named`` is the dataset clause's FROM NAMED store (None → no
+    dataset clause: GRAPH matches the whole store, today's dialect)."""
+    named_df = named if named is not None else triples
     if not (g.patterns or g.paths or g.generic_paths or g.values
             or g.subqueries or g.nested or g.graph_groups):
         raise SparqlError("each group needs at least one non-OPTIONAL pattern")
     if (any(len(p) == 4 for p in g.patterns) or g.graph_groups) \
-            and "graph" not in triples.columns:
+            and "graph" not in named_df.columns:
         raise SparqlError(
             "GRAPH blocks need a 'graph' column on the triple DataFrame "
             "(an N-Quads/TriG store)"
@@ -1798,11 +1842,30 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
                 f"{missing} on the triple DataFrame (the canonical store "
                 "schema)"
             )
-    df = (
-        bgp_match(triples, g.patterns, distinct=False, carry_meta=carry_meta)
-        if g.patterns
-        else None
-    )
+    if named is None or not g.patterns:
+        df = (
+            bgp_match(triples, g.patterns, distinct=False,
+                      carry_meta=carry_meta)
+            if g.patterns
+            else None
+        )
+    else:
+        # dataset clause active: plain patterns match the default graph,
+        # quad patterns (GRAPH rewrites) match the FROM NAMED store —
+        # two bgp join trees merged on their shared variables (inner
+        # equi-joins are associative, so this equals the single-tree
+        # compilation)
+        plain = [p for p in g.patterns if len(p) == 3]
+        quads = [p for p in g.patterns if len(p) == 4]
+        sub_dfs = [
+            bgp_match(src, pats, distinct=False, carry_meta=carry_meta)
+            for src, pats in ((triples, plain), (named_df, quads))
+            if pats
+        ]
+        df = sub_dfs[0]
+        for part in sub_dfs[1:]:
+            shared = sorted(set(df.columns) & set(part.columns))
+            df = df.join(part, on=shared) if shared else df.crossJoin(part)
     path_parts = [
         _compile_path(triples, path, i) for i, path in enumerate(g.paths)
     ] + [
@@ -1812,13 +1875,14 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         # a subquery evaluates independently (its modifiers — GROUP BY,
         # ORDER/LIMIT — apply INSIDE), then joins the outer group on its
         # projected variables; a nested group is a plain group join
-        _select_df(triples, sub) for sub in g.subqueries
+        _select_df(triples, sub, named) for sub in g.subqueries
     ] + [
-        _compile_group(triples, ng) for ng in g.nested
+        _compile_group(triples, ng, named) for ng in g.nested
     ] + [
         # GRAPH <iri> blocks with paths: the same group compiler over
-        # the graph-filtered edge set (scan-pushable constant filter)
-        _compile_group(triples.filter(F.col("graph") == giri), blk)
+        # the graph-filtered edge set (scan-pushable constant filter) —
+        # of the FROM NAMED store when a dataset clause is active
+        _compile_group(named_df.filter(F.col("graph") == giri), blk)
         for giri, blk in g.graph_groups
     ]
     for part in path_parts:
@@ -1864,7 +1928,7 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
                 else:
                     df = df.withColumnRenamed(f"_val_{v}", v)
     for block in g.optionals:
-        odf = _compile_group(triples, block)
+        odf = _compile_group(triples, block, named)
         shared = sorted(set(df.columns) & set(odf.columns))
         if not shared:
             raise SparqlError("OPTIONAL block shares no variable with the group")
@@ -1902,7 +1966,7 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
 
     for positive, block in g.exists:
         _bind_clash(block, "FILTER EXISTS" if positive else "FILTER NOT EXISTS")
-        edf = _compile_group(triples, block)
+        edf = _compile_group(triples, block, named)
         shared = sorted(set(df.columns) & set(edf.columns))
         if not shared:
             raise SparqlError("EXISTS block shares no variable with the group")
@@ -1911,7 +1975,7 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         df = df.join(edf, on=shared, how="left_semi" if positive else "left_anti")
     for block in g.minus:
         _bind_clash(block, "MINUS")
-        mdf = _compile_group(triples, block)
+        mdf = _compile_group(triples, block, named)
         shared = sorted(set(df.columns) & set(mdf.columns))
         # SPARQL MINUS with disjoint domains removes nothing (unlike
         # NOT EXISTS, which this otherwise compiles identically to)
@@ -1993,11 +2057,30 @@ def _build_agg(fn: str, c: Column, opts: dict) -> Column:
     return _AGG_BUILDERS[fn](c)
 
 
-def _solutions(triples: DataFrame, ast: _Ast) -> DataFrame:
+def _solutions(triples: DataFrame, ast: _Ast,
+               named: DataFrame | None = None) -> DataFrame:
     """The WHERE clause's solution multiset: each branch's join tree,
     UNION branches aligned on the union of their variables (unbound →
-    NULL)."""
-    dfs = [_compile_group(triples, g) for g in ast.branches]
+    NULL).  A dataset clause (§13.2) splits the quad store first: the
+    default graph is the FROM rows with the graph column DROPPED (so
+    plain patterns, paths, and zero-length closure node sets see exactly
+    that RDF merge), the named store is the FROM NAMED rows (GRAPH can
+    match nothing else — both filters are scan-pushable IN lists).
+    ``named`` carries an outer query's dataset into subqueries."""
+    if ast.from_graphs or ast.from_named:
+        if "graph" not in triples.columns:
+            raise SparqlError(
+                "FROM/FROM NAMED need a 'graph' column on the triple "
+                "DataFrame (an N-Quads/TriG store)"
+            )
+        drop = [c for c in ("graph", "graph_kind") if c in triples.columns]
+        named = (triples.filter(F.col("graph").isin(ast.from_named))
+                 if ast.from_named else triples.filter(F.lit(False)))
+        triples = (
+            triples.filter(F.col("graph").isin(ast.from_graphs))
+            if ast.from_graphs else triples.filter(F.lit(False))
+        ).drop(*drop)
+    dfs = [_compile_group(triples, g, named) for g in ast.branches]
     if len(dfs) == 1:
         return dfs[0]
     all_vars = sorted({c for d in dfs for c in d.columns})
@@ -2234,10 +2317,12 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     return _select_df(triples, _Parser(query).query())
 
 
-def _select_df(triples: DataFrame, ast: _Ast) -> DataFrame:
+def _select_df(triples: DataFrame, ast: _Ast,
+               named: DataFrame | None = None) -> DataFrame:
     """Compile a parsed SELECT ast → DataFrame (shared by top-level
-    SELECT and ``{ SELECT ... }`` subqueries)."""
-    df = _solutions(triples, ast)
+    SELECT and ``{ SELECT ... }`` subqueries; ``named`` hands an outer
+    dataset clause's FROM NAMED store down to a subquery)."""
+    df = _solutions(triples, ast, named)
     items = ast.select_items
     order_done = False
     has_agg = items is not None and any(it[0] == "agg" for it in items)

@@ -2000,3 +2000,75 @@ def test_sparql_job_out_formats(spark, tri, tmp_path):
         info = json.loads(buf.getvalue().strip().splitlines()[-1])
         assert info["rows"] == 3 and info["format"] == fmt
         assert {r.n for r in reader(out).collect()} == {"Alice", "Bob", "Ann"}
+
+
+# ---------------------------------------------------------- dataset clause
+
+@pytest.fixture(scope="module")
+def quad(spark):
+    rows = [
+        # default-graph rows (graph NULL) must be INVISIBLE under FROM
+        ("urn:d1", "urn:p", "vd", None),
+        ("urn:a1", "urn:p", "v1", "urn:g1"),
+        ("urn:a2", "urn:p", "v2", "urn:g2"),
+        ("urn:a3", "urn:p", "v3", "urn:g3"),
+        ("urn:a1", "urn:child", "urn:a2", "urn:g1"),
+        ("urn:a2", "urn:child", "urn:a3", "urn:g1"),
+        ("urn:a2", "urn:child", "urn:a3", "urn:g2"),
+    ]
+    return spark.createDataFrame(
+        rows, "s string, p string, o string, graph string")
+
+
+def test_from_default_graph(quad):
+    got = sorted(_run(quad, """
+        SELECT ?s ?o FROM <urn:g1> WHERE { ?s <urn:p> ?o }
+    """))
+    assert got == [("urn:a1", "v1")]
+    got2 = sorted(_run(quad, """
+        SELECT ?o FROM <urn:g1> FROM <urn:g2> WHERE { ?s <urn:p> ?o }
+    """))
+    assert got2 == [("v1",), ("v2",)]
+    # closure runs over the FROM merge only: g1 has both child edges
+    got3 = sorted(_run(quad, """
+        SELECT ?x FROM <urn:g2> WHERE { <urn:a1> <urn:child>+ ?x }
+    """))
+    assert got3 == []  # g2 lacks the a1→a2 edge
+    got4 = sorted(_run(quad, """
+        SELECT ?x FROM <urn:g1> WHERE { <urn:a1> <urn:child>+ ?x }
+    """))
+    assert got4 == [("urn:a2",), ("urn:a3",)]
+
+
+def test_from_named_scopes_graph(quad):
+    got = sorted(_run(quad, """
+        SELECT ?g ?o FROM NAMED <urn:g2> WHERE { GRAPH ?g { ?s <urn:p> ?o } }
+    """))
+    assert got == [("urn:g2", "v2")]
+    # FROM NAMED only: the default graph is EMPTY
+    assert _run(quad, """
+        SELECT ?o FROM NAMED <urn:g2> WHERE { ?s <urn:p> ?o }
+    """) == []
+    # both clauses: plain patterns see g1, GRAPH sees only g2
+    got2 = sorted(_run(quad, """
+        SELECT ?o ?w FROM <urn:g1> FROM NAMED <urn:g2> WHERE {
+            ?s <urn:p> ?o . GRAPH ?g { ?t <urn:p> ?w } }
+    """))
+    assert got2 == [("v1", "v2")]
+    # GRAPH <iri> outside the FROM NAMED list matches nothing
+    assert _run(quad, """
+        SELECT ?o FROM <urn:g1> FROM NAMED <urn:g2> WHERE {
+            GRAPH <urn:g1> { ?s <urn:p> ?o } }
+    """) == []
+
+
+def test_dataset_clause_errors(tri, quad):
+    with pytest.raises(SparqlError, match="graph"):
+        _run(tri, "SELECT ?s FROM <urn:g1> WHERE { ?s <urn:p> ?o }")
+    with pytest.raises(SparqlError, match="outer dataset"):
+        _run(quad, """
+            SELECT ?o WHERE {
+                { SELECT ?o FROM <urn:g1> WHERE { ?s <urn:p> ?o } } }
+        """)
+    with pytest.raises(SparqlError, match="FROM needs"):
+        _run(quad, "SELECT ?o FROM ?g WHERE { ?s <urn:p> ?o }")
