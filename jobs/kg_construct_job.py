@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                     help="also write the anchor-text link-prior dictionary "
                     "(surface, entity_iri, n, prior) to this parquet path — "
                     "gazetteer-shaped, reusable as the next run's aliases")
+    ap.add_argument("--page-meta",
+                    help="also write (url, title, description, canonical,"
+                         " og_title) parquet head metadata (ops.html."
+                         "extract_page_meta)")
     ap.add_argument("--main-text",
                     help="also write (url, main_text) parquet: each "
                          "page's extracted article text with nav/footer/"
@@ -118,6 +122,12 @@ def main(argv=None) -> int:
         relatedness=relatedness,
         coherence_weight=args.coherence_weight,
     )
+    if args.page_meta:
+        from rdf_spark.ops.html import extract_page_meta
+
+        extract_page_meta(pages).write.mode("overwrite").parquet(
+            args.page_meta
+        )
     if args.main_text:
         from rdf_spark.ops.content import extract_main_text
 

@@ -91,11 +91,16 @@ def test_kg_construct_job_main_text(spark, tmp_path):
     pages.write.parquet(src)
     out = str(tmp_path / "out")
     mt = str(tmp_path / "main_text")
+    pm = str(tmp_path / "page_meta")
     with redirect_stdout(io.StringIO()):
         rc = kg_construct_job.main(
             ["--pages", src, "--out", out, "--shards", "1",
-             "--buckets", "2", "--main-text", mt])
+             "--buckets", "2", "--main-text", mt, "--page-meta", pm])
     assert rc == 0
+    meta = spark.read.parquet(pm)
+    assert meta.columns == ["url", "title", "description", "canonical",
+                            "og_title"]
+    assert meta.count() == 6
     got = spark.read.parquet(mt)
     assert got.columns == ["url", "main_text"]
     assert got.count() == 6
