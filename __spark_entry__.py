@@ -937,6 +937,39 @@ def q_sparql_dataset(spark, sf_dir):
     """)
 
 
+def q_sparql_describe_cbd(spark, sf_dir):
+    """DESCRIBE with Concise-Bounded-Description closure (round-5):
+    each customer anchors a bnode chain cust→_:m→(_:n→leaf on even
+    keys); odd customers' leaf rows exist but are UNREACHABLE, so the
+    closure — not the symmetric seed — decides inclusion.  Two fixpoint
+    rounds of left-semi joins with localCheckpoint truncation; oracle
+    replays the reachable set closed-form."""
+    from rdf_spark.sparql import sparql_describe
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    tri = (
+        c.select(
+            F.concat(F.lit("urn:cust:"), k).alias("s"),
+            F.lit("urn:ex:meta").alias("p"),
+            F.concat(F.lit("_:m"), k).alias("o"),
+        )
+        .unionByName(c.filter(k % 2 == 0).select(
+            F.concat(F.lit("_:m"), k).alias("s"),
+            F.lit("urn:ex:d2").alias("p"),
+            F.concat(F.lit("_:n"), k).alias("o"),
+        ))
+        .unionByName(c.select(  # planted for ALL keys; odd unreachable
+            F.concat(F.lit("_:n"), k).alias("s"),
+            F.lit("urn:ex:leaf").alias("p"),
+            F.concat(F.lit("v"), k).alias("o"),
+        ))
+    )
+    return sparql_describe(
+        tri, "DESCRIBE ?c WHERE { ?c <urn:ex:meta> ?m }", cbd=True
+    )
+
+
 def q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS (round-4): anti join on the shared variable —
     customers not in nation 0.  Distinguished from NOT EXISTS by the
@@ -2360,6 +2393,7 @@ _QUERIES = {
         "sparql_subquery": q_sparql_subquery,
         "sparql_update": q_sparql_update,
         "sparql_dataset": q_sparql_dataset,
+        "sparql_describe_cbd": q_sparql_describe_cbd,
         "sparql_hash": q_sparql_hash,
         "sparql_sameterm": q_sparql_sameterm,
         "sparql_datetime": q_sparql_datetime,
@@ -3316,6 +3350,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS k
                 FROM customer GROUP BY c_nationkey
             ) t ON c.c_nationkey = t.c_nationkey
+        """,
+        # closed-form CBD reachability: meta rows for every customer,
+        # d2 + leaf rows only where the even-key chain makes the leaf
+        # reachable — the planted odd-key leaves must be absent
+        "sparql_describe_cbd": """
+            SELECT 'urn:cust:' || c_custkey AS s, 'urn:ex:meta' AS p,
+                   '_:m' || c_custkey AS o
+            FROM customer
+            UNION ALL
+            SELECT '_:m' || c_custkey, 'urn:ex:d2', '_:n' || c_custkey
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT '_:n' || c_custkey, 'urn:ex:leaf', 'v' || c_custkey
+            FROM customer WHERE c_custkey % 2 = 0
         """,
         # closed-form dataset-clause semantics: only the two FROM NAMED
         # segment graphs are countable; BUILDING/FURNITURE/MACHINERY and

@@ -2181,14 +2181,23 @@ def sparql_ask(triples: DataFrame, query: str) -> bool:
     return _solutions(triples, ast).limit(1).count() > 0
 
 
-def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+def sparql_describe(triples: DataFrame, query: str,
+                    cbd: bool = False, max_depth: int = 16) -> DataFrame:
     """DESCRIBE <iri>… [?var… WHERE { group }]: every triple where a
     described term appears as subject or object (the simple symmetric-
     concise-bounded variant, matching ops.graph.describe).  Constant IRIs
     become two scan-pushable IN filters; ?var forms (round-5) evaluate
     the WHERE group, take the variable's distinct bindings, and LEFT SEMI
     join the triple table on subject and on object — never a collect, so
-    a million-binding DESCRIBE stays distributed."""
+    a million-binding DESCRIBE stays distributed.
+
+    With ``cbd=True`` the result is closed into a Concise Bounded
+    Description: blank-node objects of included triples are described
+    too, transitively (the standard CBD fixpoint; skolemized stores
+    never iterate — first frontier is empty).  Each round is one
+    left-semi join over the blank frontier with ``localCheckpoint``
+    lineage truncation, capped at ``max_depth`` (a deeper bnode chain
+    raises rather than silently truncating)."""
     iris, vars_, ast = _Parser(query).describe_query()
     parts = []
     if iris:
@@ -2212,7 +2221,30 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     # a triple can match several described terms / both positions
-    return out.dropDuplicates() if len(parts) > 1 else out
+    out = out.dropDuplicates() if len(parts) > 1 else out
+    if not cbd:
+        return out
+    # CBD closure: repeatedly pull the triples of blank-node OBJECTS
+    # already in the description ("_:" lexical prefix — the canonical
+    # store dialect).  Seen-set anti-join keeps each round's frontier
+    # strictly new, so the loop terminates in ≤ bnode-chain-depth rounds.
+    out = out.localCheckpoint()
+    seen = out.select("s").distinct().localCheckpoint()
+    for _ in range(max_depth):
+        frontier = (
+            out.filter(F.col("o").startswith("_:"))
+            .select(F.col("o").alias("s")).distinct()
+            .join(seen, "s", "left_anti")
+        )
+        add = triples.join(frontier, "s", "left_semi")
+        if add.limit(1).count() == 0:
+            return out
+        out = out.unionByName(add).dropDuplicates().localCheckpoint()
+        seen = seen.unionByName(frontier).localCheckpoint()
+    raise SparqlError(
+        f"CBD closure exceeded max_depth={max_depth} rounds "
+        "(raise max_depth for deeper blank-node chains)"
+    )
 
 
 def sparql_update(triples: DataFrame, update: str) -> DataFrame:

@@ -2072,3 +2072,30 @@ def test_dataset_clause_errors(tri, quad):
         """)
     with pytest.raises(SparqlError, match="FROM needs"):
         _run(quad, "SELECT ?o FROM ?g WHERE { ?s <urn:p> ?o }")
+
+
+def test_describe_cbd_closure(spark):
+    from rdf_spark.sparql import sparql_describe
+
+    rows = [
+        ("urn:it", "urn:p", "_:b1"),
+        ("_:b1", "urn:q", "_:b2"),
+        ("_:b2", "urn:r", "leaf"),
+        ("_:b2", "urn:r2", "urn:other"),   # IRI object: not followed
+        ("urn:other", "urn:s", "outside"),  # must stay out
+        ("_:b9", "urn:t", "unrelated"),
+    ]
+    tri = spark.createDataFrame(rows, "s string, p string, o string")
+    plain = sparql_describe(tri, "DESCRIBE <urn:it>")
+    assert {tuple(r) for r in plain.collect()} == {rows[0]}
+    got = {tuple(r) for r in
+           sparql_describe(tri, "DESCRIBE <urn:it>", cbd=True).collect()}
+    assert got == set(rows[:4])
+    # depth cap raises instead of silently truncating
+    with pytest.raises(SparqlError, match="max_depth"):
+        sparql_describe(tri, "DESCRIBE <urn:it>", cbd=True,
+                        max_depth=1).collect()
+    # skolemized store: no blank objects → zero closure rounds
+    sk = spark.createDataFrame(
+        [("urn:a", "urn:p", "urn:b")], "s string, p string, o string")
+    assert sparql_describe(sk, "DESCRIBE <urn:a>", cbd=True).count() == 1
