@@ -1403,6 +1403,27 @@ def q_page_meta(spark, sf_dir):
     return htmlops.extract_page_meta(pages)
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-URL mirror dedup (ops.url.dedup_by_canonical): orders
+    bucket into mirror groups of ~4 via their declared
+    <link rel=canonical>; the authoritative copy (url == canonical) wins
+    when the bucket contains it (sparse TPC-H order keys leave some
+    buckets headless → md5-rank fallback, replayed verbatim in SQL).
+    One shuffle on the canonical key into a map-side WindowGroupLimit."""
+    from rdf_spark.ops.url import dedup_by_canonical
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("https://d.example/o/"), F.col("o_orderkey"))
+    canon = F.concat(
+        F.lit("https://d.example/o/"),
+        F.col("o_orderkey") - F.col("o_orderkey") % 4,
+    )
+    html = F.concat(F.lit('<link rel="canonical" href="'), canon,
+                    F.lit('"><p>body</p>'))
+    pages = _spread(o.select(url.alias("url"), html.alias("html")))
+    return dedup_by_canonical(pages).select("url")
+
+
 def q_main_text(spark, sf_dir):
     """Main-content extraction (ops.content.extract_main_text): every
     document is wrapped in full page chrome — nav links, breadcrumb
@@ -2418,6 +2439,7 @@ _QUERIES = {
         "html_charset": q_html_charset,
         "main_text": q_main_text,
         "page_meta": q_page_meta,
+        "canonical_dedup": q_canonical_dedup,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "entity_disambiguation": q_entity_disambiguation,
@@ -3757,6 +3779,24 @@ def oracle_sql() -> dict[str, str]:
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the
         # same-host self anchor is filtered and must NOT appear
+        # closed-form mirror-dedup replay: same bucket key, same
+        # authoritative-first/(int,md5)-rank winner rule in plain SQL
+        "canonical_dedup": """
+            WITH p AS (
+                SELECT 'https://d.example/o/' || o_orderkey AS url,
+                       'https://d.example/o/'
+                           || (o_orderkey - o_orderkey % 4) AS ckey
+                FROM orders
+            ), r AS (
+                SELECT url,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY ckey
+                           ORDER BY CAST(url <> ckey AS INT), md5(url)
+                       ) AS rn
+                FROM p
+            )
+            SELECT url FROM r WHERE rn = 1
+        """,
         # closed-form head-metadata replay: entity-decoded folded title,
         # description from either attribute order, canonical resolved
         # against the page origin on o_orderkey%3=0 and NULL otherwise

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                     help="also write the anchor-text link-prior dictionary "
                     "(surface, entity_iri, n, prior) to this parquet path — "
                     "gazetteer-shaped, reusable as the next run's aliases")
+    ap.add_argument("--canonical-dedup", action="store_true",
+                    help="collapse mirrored/parameter-variant pages onto "
+                         "their <link rel=canonical> target before the "
+                         "pipeline (ops.url.dedup_by_canonical)")
     ap.add_argument("--page-meta",
                     help="also write (url, title, description, canonical,"
                          " og_title) parquet head metadata (ops.html."
@@ -109,6 +113,11 @@ def main(argv=None) -> int:
         from rdf_spark.ops.url import normalize_url_col
 
         pages = pages.withColumn("url", normalize_url_col(F.col("url")))
+
+    if args.canonical_dedup:
+        from rdf_spark.ops.url import dedup_by_canonical
+
+        pages = dedup_by_canonical(pages)
 
     aliases = (spark.read.parquet(args.aliases) if args.aliases
                else datagen.aliases(spark))

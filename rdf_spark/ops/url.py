@@ -103,3 +103,59 @@ def url_host(df: DataFrame, col: str = "url", out: str = "host") -> DataFrame:
     return df.withColumn(
         out, F.lower(F.regexp_extract(F.trim(F.col(col)), _HOSTPORT_RE, 1))
     )
+
+
+def dedup_by_canonical(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_params: tuple[str, ...] = DEFAULT_DROP_PARAMS,
+) -> DataFrame:
+    """Collapse mirrored/parameter-variant pages onto their declared
+    ``<link rel=canonical>`` target: pages sharing a canonical URL (or,
+    with none declared, the same normalized url) keep ONE survivor.
+
+    The winner is the page whose url IS the canonical target when the
+    group contains it (the authoritative copy), else the md5-rank
+    minimum (the ops.sample determinism convention: identical at any
+    parallelism, replayable in SQL).  Key rule:
+    ``coalesce(normalize(canonical), normalize(url))`` — canonical
+    extraction is the pure-JVM head scan of
+    :func:`rdf_spark.ops.html.extract_page_meta`.
+
+    Scale shape: one narrow projection + ONE shuffle on the canonical
+    key into a map-side WindowGroupLimit (``row_number() <= 1`` —
+    oversized mirror farms truncate before crossing the wire, the same
+    skew guard as the LSH bucket pre-cap).  Output keeps the input
+    columns.
+    """
+    from pyspark.sql import Window
+
+    from rdf_spark.ops.html import extract_page_meta
+
+    meta = extract_page_meta(
+        pages.select(F.col(url_col).alias("url"),
+                     F.col(html_col).alias("html"))
+    ).select("url", "canonical")
+    keyed = (
+        pages.join(meta.withColumnRenamed("url", url_col), url_col)
+        .withColumn(
+            "_ckey",
+            F.coalesce(
+                normalize_url_col(F.col("canonical"), drop_params),
+                normalize_url_col(F.col(url_col), drop_params),
+            ),
+        )
+    )
+    # authoritative-copy-first, then md5 rank: a (bool, hash) struct min
+    rank = F.struct(
+        (normalize_url_col(F.col(url_col), drop_params) != F.col("_ckey"))
+        .cast("int").alias("not_self"),
+        F.md5(F.col(url_col)).alias("h"),
+    )
+    w = Window.partitionBy("_ckey").orderBy(rank.asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_ckey", "canonical")
+    )

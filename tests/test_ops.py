@@ -1052,3 +1052,66 @@ def test_remove_duplicate_spans_matches_naive_random(spark):
         got = {r.doc_id: (r.dedup_text, r.n_removed_tokens)
                for r in remove_duplicate_spans(df, ngram=n).collect()}
         assert got == _naive_span_dedup(rows, n), f"case {case} ngram {n}"
+
+
+def test_dedup_by_canonical(spark):
+    from rdf_spark.ops.url import dedup_by_canonical
+
+    mk = lambda canon: (f'<link rel="canonical" href="{canon}">' if canon
+                        else "<p>x</p>")
+    rows = [
+        # mirror farm: three spellings declaring one canonical — the
+        # AUTHORITATIVE copy (url == canonical) must win, not md5 luck
+        ("https://E.example:443/a?utm_x=1", mk("https://e.example/a")),
+        ("https://e.example/a?ref=tw", mk("https://e.example/a")),
+        ("https://e.example/a", mk("https://e.example/a")),
+        # no canonical: normalized-url grouping collapses the pair
+        ("https://f.example/b?utm_y=2", None),
+        ("https://F.example/b", None),
+        # singleton passes through
+        ("https://g.example/c", mk("https://g.example/c")),
+    ]
+    pages = spark.createDataFrame(
+        [(u, h if h else "<p>x</p>") for u, h in rows],
+        "url string, html string")
+    got = sorted(r.url for r in dedup_by_canonical(pages).collect())
+    assert got[0] == "https://e.example/a"          # authoritative
+    assert got[2] == "https://g.example/c"
+    assert len(got) == 3
+    assert got[1] in ("https://f.example/b?utm_y=2", "https://F.example/b")
+    # determinism: same survivor at a different parallelism
+    again = sorted(
+        r.url for r in dedup_by_canonical(pages.repartition(7)).collect())
+    assert again == got
+    # output schema is the input schema
+    assert dedup_by_canonical(pages).columns == ["url", "html"]
+
+
+def test_kg_construct_job_canonical_dedup(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    html = ('<link rel="canonical" href="https://cd.example/one">'
+            "<p>About Ada Lovelace.</p>")
+    rows = [(f"https://cd.example/one?v={i}", None, html.encode(),
+             None, "en") for i in range(5)]
+    rows.append(("https://cd.example/one", None, html.encode(), None, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--pages", src, "--out", out, "--shards", "1",
+             "--buckets", "2", "--canonical-dedup"])
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["pages"] == 1  # six mirrors → one authoritative page
