@@ -907,6 +907,20 @@ def q_sparql_update(spark, sf_dir):
     ).select("s", "p", "o")
 
 
+def q_sparql_group_expr(spark, sf_dir):
+    """GROUP BY (expr AS ?v) group condition (§19.8, round-5): customers
+    grouped by the 8-char nation-name prefix — 'NATION_1' pools nation 1
+    WITH nations 10-19, so the expression key is semantically
+    load-bearing, not a rename.  Same partial+final hash aggregate."""
+    from rdf_spark.sparql import sparql_select
+
+    return sparql_select(_customer_triples(spark, sf_dir), """
+        SELECT ?init (COUNT(?c) AS ?n) WHERE {
+            ?c <urn:ex:inNation> ?nn . ?nn <urn:ex:name> ?nm
+        } GROUP BY (SUBSTR(?nm, 1, 8) AS ?init)
+    """)
+
+
 def q_sparql_dataset(spark, sf_dir):
     """SPARQL dataset clause (§13.2, round-5): the quad store keys
     customer names by market-segment graph and carries default-graph
@@ -2415,6 +2429,7 @@ _QUERIES = {
         "sparql_update": q_sparql_update,
         "sparql_dataset": q_sparql_dataset,
         "sparql_describe_cbd": q_sparql_describe_cbd,
+        "sparql_group_expr": q_sparql_group_expr,
         "sparql_hash": q_sparql_hash,
         "sparql_sameterm": q_sparql_sameterm,
         "sparql_datetime": q_sparql_datetime,
@@ -3372,6 +3387,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS k
                 FROM customer GROUP BY c_nationkey
             ) t ON c.c_nationkey = t.c_nationkey
+        """,
+        # the 8-char prefix pools NATION_1 with NATION_10..19 (ditto
+        # NATION_2/20..24) — a rename-style key would mismatch
+        "sparql_group_expr": """
+            SELECT substr(n.n_name, 1, 8) AS init,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY substr(n.n_name, 1, 8)
         """,
         # closed-form CBD reachability: meta rows for every customer,
         # d2 + leaf rows only where the even-key chain makes the leaf

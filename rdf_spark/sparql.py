@@ -317,6 +317,9 @@ class _Ast:
     select_items: list[tuple] | None = None  # None = *
     branches: list[_Group] = field(default_factory=list)  # >1 = UNION
     group_by: list[str] = field(default_factory=list)
+    # GROUP BY (expr AS ?v) conditions: (v, operand) computed on the
+    # solution rows pre-aggregation; v is ALSO appended to group_by
+    group_exprs: list[tuple[str, tuple]] = field(default_factory=list)
     having: tuple | None = None  # boolean expr over agg aliases / group keys
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
@@ -1256,8 +1259,27 @@ class _Parser:
         if self.at_word("GROUP"):
             self.next()
             self.eat_word("BY")
-            while self.peek()[0] == "var":
-                ast.group_by.append(self.next()[1][1:])
+            while True:
+                kind, v = self.peek()
+                if kind == "var":
+                    self.next()
+                    ast.group_by.append(v[1:])
+                elif self.peek() == ("op", "("):
+                    # GroupCondition '(' Expression AS Var ')' (§19.8):
+                    # the key expression, computed pre-aggregation
+                    self.next()
+                    e = self.operand()
+                    self.eat_word("AS")
+                    kind2, v2 = self.next()
+                    if kind2 != "var":
+                        raise SparqlError(
+                            "GROUP BY (expr AS ?var) needs a variable"
+                        )
+                    self.eat_op(")")
+                    ast.group_exprs.append((v2[1:], e))
+                    ast.group_by.append(v2[1:])
+                else:
+                    break
             if not ast.group_by:
                 raise SparqlError("empty GROUP BY")
         if self.at_word("HAVING"):
@@ -2398,6 +2420,23 @@ def _select_df(triples: DataFrame, ast: _Ast,
                         "expression aliases are in scope after grouping"
                     )
                 seen_expr.add(it[2])
+        for v, e in ast.group_exprs:
+            if v in df.columns:
+                raise SparqlError(
+                    f"GROUP BY expression would rebind already-bound ?{v}"
+                )
+            for mv in _operand_vars(e, meta_only=True):
+                if f"_meta_kind_{mv}" not in df.columns:
+                    raise SparqlError(
+                        f"LANG()/DATATYPE() over ?{mv} in GROUP BY needs it "
+                        "bound by a required triple pattern"
+                    )
+            bad = _operand_vars(e) - set(df.columns)
+            if bad:
+                raise SparqlError(
+                    f"GROUP BY expression references unbound {sorted(bad)}"
+                )
+            df = df.withColumn(v, _operand_col(e, False))
         missing = [v for v in ast.group_by if v not in df.columns]
         if missing:
             raise SparqlError(f"GROUP BY of unbound variable(s) {missing}")

@@ -100,6 +100,7 @@ def test_jsonld_never_crashes(text):
 _sparqlish = st.lists(
     st.sampled_from([
         "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "WHERE", "DISTINCT",
+        "INSERT", "DELETE", "DATA", "FROM", "NAMED", "UNDEF", "REDUCED",
         "PREFIX", "ns:", "<urn:p>", "?x", "?y", "*", "{", "}", "(", ")",
         "FILTER", "OPTIONAL", "UNION", "MINUS", "GRAPH", "VALUES", "BIND",
         "AS", "NOT", "EXISTS", "GROUP", "BY", "HAVING", "ORDER", "ASC",
@@ -123,6 +124,7 @@ def test_sparql_parser_never_crashes(query):
         lambda q: sq._Parser(q).construct_query(),
         lambda q: sq._Parser(q).ask_query(),
         lambda q: sq._Parser(q).describe_query(),
+        lambda q: sq._Parser(q).update_request(),
     ):
         try:
             entry(query)

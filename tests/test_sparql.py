@@ -2099,3 +2099,30 @@ def test_describe_cbd_closure(spark):
     sk = spark.createDataFrame(
         [("urn:a", "urn:p", "urn:b")], "s string, p string, o string")
     assert sparql_describe(sk, "DESCRIBE <urn:a>", cbd=True).count() == 1
+
+
+def test_group_by_expression(tri):
+    got = sorted(_run(tri, """
+        SELECT ?init (COUNT(?c) AS ?n) WHERE { ?c <urn:name> ?nm }
+        GROUP BY (SUBSTR(?nm, 1, 1) AS ?init)
+    """))
+    assert got == [("A", 2), ("B", 1)]
+    # mixed: plain key + expression key
+    got2 = sorted(_run(tri, """
+        SELECT ?nm ?l (COUNT(?c) AS ?n) WHERE { ?c <urn:name> ?nm }
+        GROUP BY ?nm (STRLEN(?nm) AS ?l)
+    """))
+    assert got2 == [("Alice", 5, 1), ("Ann", 3, 1), ("Bob", 3, 1)]
+    for bad in [
+        # rebinding a bound var
+        """SELECT ?nm (COUNT(?c) AS ?n) WHERE { ?c <urn:name> ?nm }
+           GROUP BY (STRLEN(?nm) AS ?nm)""",
+        # unbound var in the key expression
+        """SELECT ?k (COUNT(?c) AS ?n) WHERE { ?c <urn:name> ?nm }
+           GROUP BY (STRLEN(?zzz) AS ?k)""",
+        # missing AS var
+        """SELECT ?k (COUNT(?c) AS ?n) WHERE { ?c <urn:name> ?nm }
+           GROUP BY (STRLEN(?nm))""",
+    ]:
+        with pytest.raises(SparqlError):
+            _run(tri, bad)
