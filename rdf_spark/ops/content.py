@@ -44,8 +44,12 @@ from pyspark.sql import DataFrame
 
 _SKIP_TAGS = frozenset(
     "script style noscript template svg nav footer aside header form "
-    "iframe button select option".split()
+    "iframe button select option title".split()
 )
+# NOT in the skip set: <head> — sloppy real-world pages leave it
+# unclosed and html.parser does not auto-close at <body> the way
+# browsers do, so skipping it would swallow the whole page; its only
+# text-bearing child is <title>, which IS skipped.
 _BLOCK_TAGS = frozenset(
     "p div li h1 h2 h3 h4 h5 h6 td th tr table ul ol dl dt dd article "
     "section main blockquote pre figure figcaption body br hr".split()

@@ -105,3 +105,11 @@ def test_kg_construct_job_main_text(spark, tmp_path):
     assert got.columns == ["url", "main_text"]
     assert got.count() == 6
     assert {r.main_text for r in got.collect()} == {f"{LONG} About Ada Lovelace."}
+
+
+def test_title_skipped_unclosed_head_survives():
+    # <title> text must not leak into content (it's metadata), and an
+    # UNCLOSED <head> must not swallow the body (html.parser does not
+    # auto-close head like browsers do)
+    page = f"<head><title>Site Name</title><p>{LONG}</p>"
+    assert main_text(page) == LONG

@@ -243,3 +243,45 @@ def test_global_dedup_stream_rocksdb(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_crawl_ops_compose_with_streams(spark, tmp_path):
+    """decode_html / extract_main_text / extract_page_meta are stateless
+    projections, so the crawl-ingest chain runs unchanged on a
+    readStream source (micro-batch per parquet file)."""
+    from pyspark.sql import functions as F
+
+    from rdf_spark.ops.content import extract_main_text
+    from rdf_spark.ops.html import decode_html, extract_page_meta
+
+    long = "A body paragraph easily long enough to be kept as content."
+    html = ('<meta charset="iso-8859-1"><title>T</title>'
+            f"<p>{long} café</p>").encode("cp1252")
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(f"https://st.example/{i}", html) for i in range(4)],
+        "url string, html binary",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("url string, html binary").parquet(src)
+    decoded = decode_html(stream, out_col="page")
+    chain = extract_main_text(decoded, html_col="page")
+    q = (chain.writeStream.outputMode("append").format("memory")
+         .queryName("crawl_chain").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from crawl_chain").collect()
+    assert len(got) == 4
+    assert all(r.main_text == f"{long} café" for r in got)
+
+    meta = extract_page_meta(decoded, html_col="page")
+    q2 = (meta.writeStream.outputMode("append").format("memory")
+          .queryName("crawl_meta").start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert {r.title for r in spark.sql(
+        "select * from crawl_meta").collect()} == {"T"}
