@@ -47,6 +47,12 @@ def main(argv=None) -> int:
                     help="also write the anchor-text link-prior dictionary "
                     "(surface, entity_iri, n, prior) to this parquet path — "
                     "gazetteer-shaped, reusable as the next run's aliases")
+    ap.add_argument("--robots",
+                    help="(host, body) robots.txt parquet: drop pages "
+                         "the RFC 9309 rules deny before the pipeline "
+                         "(ops.robots.robots_filter)")
+    ap.add_argument("--robots-agent", default="*",
+                    help="user-agent token for --robots group selection")
     ap.add_argument("--canonical-dedup", action="store_true",
                     help="collapse mirrored/parameter-variant pages onto "
                          "their <link rel=canonical> target before the "
@@ -118,6 +124,14 @@ def main(argv=None) -> int:
         from rdf_spark.ops.url import dedup_by_canonical
 
         pages = dedup_by_canonical(pages)
+
+    if args.robots:
+        from rdf_spark.ops.robots import robots_filter
+
+        pages = robots_filter(
+            pages, spark.read.parquet(args.robots),
+            agent=args.robots_agent, keep_denied=False,
+        )
 
     aliases = (spark.read.parquet(args.aliases) if args.aliases
                else datagen.aliases(spark))

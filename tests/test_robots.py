@@ -127,3 +127,38 @@ Crawl-delay: 10
         ("ex.com", "https://ex.com/sitemap.xml"),
         ("ex.com", "https://ex.com/news.xml"),
     }
+
+
+def test_kg_construct_job_robots_gate(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    html = "<p>About Ada Lovelace.</p>".encode()
+    rows = [(f"https://r.example/keep/{i}", None, html, None, "en")
+            for i in range(3)]
+    rows += [(f"https://r.example/private/{i}", None, html, None, "en")
+             for i in range(2)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    robots = spark.createDataFrame(
+        [("r.example", "User-agent: *\nDisallow: /private/")],
+        "host string, body string")
+    src = str(tmp_path / "pages")
+    rb = str(tmp_path / "robots")
+    pages.write.parquet(src)
+    robots.write.parquet(rb)
+    out = str(tmp_path / "out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main(
+            ["--pages", src, "--out", out, "--shards", "1",
+             "--buckets", "2", "--robots", rb])
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["pages"] == 3  # the two /private/ pages are gated out
