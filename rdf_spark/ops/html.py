@@ -456,6 +456,17 @@ def _decode_basic_entities(c: Column) -> Column:
     return c
 
 
+def canonical_col(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> Column:
+    """The page's resolved ``<link rel=canonical>`` target as a Column
+    (NULL when undeclared) — a pure projection, so callers
+    (dedup_by_canonical) can use it without joining the meta table
+    back onto the pages."""
+    canon = _first_of(_html_str(pages, html_col), _CANON_PATS)
+    return F.when(canon.isNotNull(), _resolve_href(F.col(url_col), canon))
+
+
 def extract_page_meta(
     pages: DataFrame,
     html_col: str = "html",
@@ -479,10 +490,7 @@ def extract_page_meta(
     title = _decode_basic_entities(F.when(title != "", title))
     desc = _first_of(html, _meta_pat("name", "description"))
     og = _first_of(html, _meta_pat("property", "og:title"))
-    canon = _first_of(html, _CANON_PATS)
-    canon = F.when(
-        canon.isNotNull(), _resolve_href(F.col(url_col), canon)
-    )
+    canon = canonical_col(pages, html_col, url_col)
     return pages.select(
         F.col(url_col).alias("url"),
         title.alias("title"),

@@ -121,7 +121,8 @@ def dedup_by_canonical(
     parallelism, replayable in SQL).  Key rule:
     ``coalesce(normalize(canonical), normalize(url))`` — canonical
     extraction is the pure-JVM head scan of
-    :func:`rdf_spark.ops.html.extract_page_meta`.
+    :func:`rdf_spark.ops.html.canonical_col` (a projection, not a
+    join).
 
     Scale shape: one narrow projection + ONE shuffle on the canonical
     key into a map-side WindowGroupLimit (``row_number() <= 1`` —
@@ -131,21 +132,18 @@ def dedup_by_canonical(
     """
     from pyspark.sql import Window
 
-    from rdf_spark.ops.html import extract_page_meta
+    from rdf_spark.ops.html import canonical_col
 
-    meta = extract_page_meta(
-        pages.select(F.col(url_col).alias("url"),
-                     F.col(html_col).alias("html"))
-    ).select("url", "canonical")
-    keyed = (
-        pages.join(meta.withColumnRenamed("url", url_col), url_col)
-        .withColumn(
-            "_ckey",
-            F.coalesce(
-                normalize_url_col(F.col("canonical"), drop_params),
-                normalize_url_col(F.col(url_col), drop_params),
+    # canonical extraction is a pure projection (no meta-table join —
+    # duplicate input urls cannot blow up, and the stage stays narrow)
+    keyed = pages.withColumn(
+        "_ckey",
+        F.coalesce(
+            normalize_url_col(
+                canonical_col(pages, html_col, url_col), drop_params
             ),
-        )
+            normalize_url_col(F.col(url_col), drop_params),
+        ),
     )
     # authoritative-copy-first, then md5 rank: a (bool, hash) struct min
     rank = F.struct(
@@ -157,5 +155,5 @@ def dedup_by_canonical(
     return (
         keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_ckey", "canonical")
+        .drop("_rn", "_ckey")
     )

@@ -2079,6 +2079,27 @@ def _build_agg(fn: str, c: Column, opts: dict) -> Column:
     return _AGG_BUILDERS[fn](c)
 
 
+def _dataset_stores(
+    triples: DataFrame, ast: _Ast
+) -> tuple[DataFrame, DataFrame]:
+    """(default store, named store) of a dataset clause: the default
+    store is the FROM rows with the graph columns DROPPED, the named
+    store the FROM NAMED rows — both scan-pushable IN filters."""
+    if "graph" not in triples.columns:
+        raise SparqlError(
+            "FROM/FROM NAMED need a 'graph' column on the triple "
+            "DataFrame (an N-Quads/TriG store)"
+        )
+    drop = [c for c in ("graph", "graph_kind") if c in triples.columns]
+    named = (triples.filter(F.col("graph").isin(ast.from_named))
+             if ast.from_named else triples.filter(F.lit(False)))
+    default = (
+        triples.filter(F.col("graph").isin(ast.from_graphs))
+        if ast.from_graphs else triples.filter(F.lit(False))
+    ).drop(*drop)
+    return default, named
+
+
 def _solutions(triples: DataFrame, ast: _Ast,
                named: DataFrame | None = None) -> DataFrame:
     """The WHERE clause's solution multiset: each branch's join tree,
@@ -2090,18 +2111,7 @@ def _solutions(triples: DataFrame, ast: _Ast,
     match nothing else — both filters are scan-pushable IN lists).
     ``named`` carries an outer query's dataset into subqueries."""
     if ast.from_graphs or ast.from_named:
-        if "graph" not in triples.columns:
-            raise SparqlError(
-                "FROM/FROM NAMED need a 'graph' column on the triple "
-                "DataFrame (an N-Quads/TriG store)"
-            )
-        drop = [c for c in ("graph", "graph_kind") if c in triples.columns]
-        named = (triples.filter(F.col("graph").isin(ast.from_named))
-                 if ast.from_named else triples.filter(F.lit(False)))
-        triples = (
-            triples.filter(F.col("graph").isin(ast.from_graphs))
-            if ast.from_graphs else triples.filter(F.lit(False))
-        ).drop(*drop)
+        triples, named = _dataset_stores(triples, ast)
     dfs = [_compile_group(triples, g, named) for g in ast.branches]
     if len(dfs) == 1:
         return dfs[0]
@@ -2221,10 +2231,17 @@ def sparql_describe(triples: DataFrame, query: str,
     lineage truncation, capped at ``max_depth`` (a deeper bnode chain
     raises rather than silently truncating)."""
     iris, vars_, ast = _Parser(query).describe_query()
+    desc_src = triples
+    if ast is not None and (ast.from_graphs or ast.from_named):
+        # dataset clause: descriptions are drawn from the default graph
+        # (the same store the WHERE's plain patterns see), so the seed
+        # filters, semi-joins, and CBD closure below all use it;
+        # _solutions does its own split for the WHERE compile
+        desc_src, _ = _dataset_stores(triples, ast)
     parts = []
     if iris:
         parts.append(
-            triples.filter(F.col("s").isin(iris) | F.col("o").isin(iris))
+            desc_src.filter(F.col("s").isin(iris) | F.col("o").isin(iris))
         )
     if vars_:
         sols = _apply_row_modifiers(_solutions(triples, ast), ast)
@@ -2233,10 +2250,10 @@ def sparql_describe(triples: DataFrame, query: str,
             raise SparqlError(f"DESCRIBE of unbound variable(s) {missing}")
         for v in vars_:
             vals = sols.select(v).distinct()
-            parts.append(triples.join(
+            parts.append(desc_src.join(
                 vals.withColumnRenamed(v, "s"), "s", "left_semi"
             ))
-            parts.append(triples.join(
+            parts.append(desc_src.join(
                 vals.withColumnRenamed(v, "o"), "o", "left_semi"
             ))
     out = parts[0]
@@ -2258,7 +2275,7 @@ def sparql_describe(triples: DataFrame, query: str,
             .select(F.col("o").alias("s")).distinct()
             .join(seen, "s", "left_anti")
         )
-        add = triples.join(frontier, "s", "left_semi")
+        add = desc_src.join(frontier, "s", "left_semi")
         if add.limit(1).count() == 0:
             return out
         out = out.unionByName(add).dropDuplicates().localCheckpoint()

@@ -2126,3 +2126,20 @@ def test_group_by_expression(tri):
     ]:
         with pytest.raises(SparqlError):
             _run(tri, bad)
+
+
+def test_describe_respects_dataset_clause(spark):
+    from rdf_spark.sparql import sparql_describe
+
+    rows = [
+        ("urn:x", "urn:p", "in_g1", "urn:g1"),
+        ("urn:x", "urn:p", "in_g2", "urn:g2"),
+        ("urn:x", "urn:p", "default", None),
+    ]
+    quad = spark.createDataFrame(
+        rows, "s string, p string, o string, graph string")
+    got = {r.o for r in sparql_describe(quad, """
+        DESCRIBE ?v FROM <urn:g1> WHERE { ?v <urn:p> ?o }
+    """).collect()}
+    # description triples come from the dataset's default graph only
+    assert got == {"in_g1"}
