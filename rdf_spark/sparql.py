@@ -400,6 +400,20 @@ class _Parser:
         template triples plus the WHERE ast (select_items=None)."""
         self.prologue()
         self.eat_word("CONSTRUCT")
+        if self.at_word("WHERE") or self.at_word("FROM"):
+            # CONSTRUCT WHERE { … } shorthand (§10.2.3): the pattern
+            # doubles as the template — plain triples only, by grammar
+            ast = _Ast()
+            self._dataset_clause(ast)
+            self.eat_word("WHERE")
+            template = self._update_template()
+            g = _Group()
+            g.patterns.extend(template)
+            ast.branches.append(g)
+            self.modifiers(ast)
+            if self.peek()[0] != "eof":
+                raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+            return template, ast
         self.eat_op("{")
         template = []
         while self.peek() != ("op", "}"):
@@ -2368,6 +2382,8 @@ def sparql_explain(triples: DataFrame, query: str) -> str:
         df = _solutions(triples, _Parser(query).ask_query())
     elif form == "DESCRIBE":
         df = sparql_describe(triples, query)
+    elif form == "UPDATE":
+        df = sparql_update(triples, query)  # the new store's plan
     else:
         raise SparqlError(f"unsupported query form {form!r}")
     return df._sc._jvm.PythonSQLUtils.explainString(

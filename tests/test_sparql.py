@@ -2143,3 +2143,24 @@ def test_describe_respects_dataset_clause(spark):
     """).collect()}
     # description triples come from the dataset's default graph only
     assert got == {"in_g1"}
+
+
+def test_construct_where_shorthand(tri, spark):
+    from rdf_spark.sparql import sparql_construct, sparql_explain
+
+    got = {tuple(r) for r in sparql_construct(tri, """
+        CONSTRUCT WHERE { ?c <urn:knows> ?o }
+    """).collect()}
+    assert got == {("urn:c1", "urn:knows", "urn:c2"),
+                   ("urn:c2", "urn:knows", "urn:c3")}
+    # shorthand + dataset clause
+    quad = spark.createDataFrame(
+        [("urn:a", "urn:p", "x", "urn:g1"), ("urn:b", "urn:p", "y", "urn:g2")],
+        "s string, p string, o string, graph string")
+    got2 = {tuple(r) for r in sparql_construct(quad, """
+        CONSTRUCT FROM <urn:g1> WHERE { ?s <urn:p> ?o }
+    """).collect()}
+    assert got2 == {("urn:a", "urn:p", "x")}
+    # explain covers update requests now
+    plan = sparql_explain(tri, 'DELETE WHERE { ?c <urn:knows> ?o }')
+    assert "Join" in plan or "Exchange" in plan
