@@ -1417,6 +1417,25 @@ def q_page_meta(spark, sf_dir):
     return htmlops.extract_page_meta(pages)
 
 
+def q_weighted_repeat(spark, sf_dir):
+    """Training-mix fractional upsampling (ops.sample.weighted_repeat):
+    three synthetic domains at rates 2.25 / 0.5 / 1.0 (default) — two
+    full copies plus an md5-gated quarter, a coin-flip single, and a
+    pass-through.  The oracle replays the exact md5 thresholds and
+    expands copies via UNNEST(range(n)).  Row-local CASE + explode:
+    no shuffle, no Python."""
+    from rdf_spark.ops.sample import weighted_repeat
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(3)))
+        .alias("domain"),
+    )
+    out = weighted_repeat(d, {"d0": 2.25, "d1": 0.5}, strata_col="domain",
+                          default_rate=1.0)
+    return out.select("doc_id", F.col("copy").cast("int").alias("copy"))
+
+
 def q_canonical_dedup(spark, sf_dir):
     """Canonical-URL mirror dedup (ops.url.dedup_by_canonical): orders
     bucket into mirror groups of ~4 via their declared
@@ -2455,6 +2474,7 @@ _QUERIES = {
         "main_text": q_main_text,
         "page_meta": q_page_meta,
         "canonical_dedup": q_canonical_dedup,
+        "weighted_repeat": q_weighted_repeat,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "entity_disambiguation": q_entity_disambiguation,
@@ -3802,6 +3822,25 @@ def oracle_sql() -> dict[str, str]:
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the
         # same-host self anchor is filtered and must NOT appear
+        # exact replay of the upsampler: same md5 fractional gates
+        # (thresholds are ops.sample.md5_threshold(0.25)/(0.5) verbatim),
+        # copies expanded via UNNEST(range(n))
+        "weighted_repeat": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 0
+                            ELSE 1 END
+                       + CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+                                CASE doc_id % 3
+                                  WHEN 0 THEN '40000000000000000000000000000000'
+                                  WHEN 1 THEN '80000000000000000000000000000000'
+                                  ELSE '00000000000000000000000000000000' END
+                              THEN 1 ELSE 0 END AS n
+                FROM documents
+            )
+            SELECT doc_id, CAST(UNNEST(range(n)) AS INT) AS copy
+            FROM d WHERE n > 0
+        """,
         # closed-form mirror-dedup replay: same bucket key, same
         # authoritative-first/(int,md5)-rank winner rule in plain SQL
         "canonical_dedup": """

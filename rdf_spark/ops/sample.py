@@ -108,3 +108,62 @@ def cap_per_key(
         .filter(F.col("_cap_rn") <= max_per_key)
         .drop("_cap_rn")
     )
+
+
+def weighted_repeat(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic fractional repetition — the upsampling half of a
+    training-mix recipe ("3.5 epochs of wiki, 0.3 of crawl"): every row
+    of a stratum with rate ``r`` appears ``floor(r)`` times, plus one
+    more copy for the md5-selected ``r - floor(r)`` fraction (the same
+    digest convention as :func:`deterministic_sample`, so the kept set
+    is identical at any parallelism and replays verbatim in SQL).
+    Rows gain a 0-based ``copy`` ordinal — downstream shuffles/packing
+    treat copies as distinct documents.
+
+    Rates below 1 degenerate to plain stratified sampling (0 or 1
+    copies); rates must be finite and >= 0.
+
+    Scale shape: one row-local CASE + ``explode(sequence(...))`` —
+    no shuffle, no Python, output size is exactly the mixture's token
+    budget.  At 100 TB prefer repeating at the SAMPLER (here) over
+    materializing copies only when the sink needs them physically;
+    feeding this straight into pack_sequences never stores a copy
+    twice on disk.
+    """
+    import math
+
+    digest = F.md5(F.col(key_col).cast("string"))
+    for stratum, rate in rates.items():
+        if not (rate >= 0.0 and math.isfinite(rate)):
+            raise ValueError(f"rate for {stratum!r} must be finite >= 0")
+    if not (default_rate >= 0.0 and math.isfinite(default_rate)):
+        raise ValueError("default_rate must be finite >= 0")
+
+    def _parts(rate: float) -> tuple[int, str]:
+        n_full = int(rate)
+        return n_full, md5_threshold(rate - n_full)
+
+    dn, dthr = _parts(default_rate)
+    full: Column = F.lit(dn)
+    thr: Column = F.lit(dthr)
+    for stratum, rate in sorted(rates.items()):
+        n_full, frac_thr = _parts(rate)
+        cond = F.col(strata_col) == stratum
+        full = F.when(cond, F.lit(n_full)).otherwise(full)
+        thr = F.when(cond, F.lit(frac_thr)).otherwise(thr)
+    copies = full + (digest < thr).cast("int")
+    return (
+        df.withColumn("_n_copies", copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )

@@ -1115,3 +1115,37 @@ def test_kg_construct_job_canonical_dedup(spark, tmp_path):
     assert rc == 0
     summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert summary["pages"] == 1  # six mirrors → one authoritative page
+
+
+def test_weighted_repeat(spark):
+    from rdf_spark.ops.sample import md5_threshold, weighted_repeat
+
+    df = spark.createDataFrame(
+        [(i, "wiki" if i % 2 == 0 else "crawl") for i in range(200)],
+        "doc_id long, domain string")
+    out = weighted_repeat(
+        df, {"wiki": 2.5, "crawl": 0.3}, strata_col="domain")
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    # wiki docs appear 2 or 3 times with contiguous 0-based ordinals
+    wiki_counts = {len(v) for k, v in by_doc.items() if k % 2 == 0}
+    assert wiki_counts <= {2, 3} and 3 in wiki_counts and 2 in wiki_counts
+    for k, v in by_doc.items():
+        assert sorted(v) == list(range(len(v)))
+    # crawl docs appear 0 or 1 times, selected by the SAME md5 rule as
+    # deterministic_sample — replay the predicate exactly
+    thr = md5_threshold(0.3)
+    import hashlib
+    for i in range(1, 200, 2):
+        expect = 1 if hashlib.md5(str(i).encode()).hexdigest() < thr else 0
+        assert len(by_doc.get(i, [])) == expect
+    # parallelism invariance
+    again = sorted((r.doc_id, r.copy)
+                   for r in weighted_repeat(
+                       df.repartition(13), {"wiki": 2.5, "crawl": 0.3},
+                       strata_col="domain").collect())
+    assert again == sorted((r.doc_id, r.copy) for r in rows)
+    with pytest.raises(ValueError):
+        weighted_repeat(df, {"wiki": float("inf")}, strata_col="domain")
