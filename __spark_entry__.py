@@ -1417,6 +1417,33 @@ def q_page_meta(spark, sf_dir):
     return htmlops.extract_page_meta(pages)
 
 
+def q_embedding_decontaminate(spark, sf_dir):
+    """Semantic decontamination (ops.contamination.embedding_
+    decontaminate): 16-basis synthetic embeddings give exactly three
+    analytic cosines against the eval vector e0 — 0.894 (d=0, dropped
+    at threshold 0.8), 0.447 (d=15, kept), 0 (rest, kept) — with wide
+    float32 margins, so the survivor set is closed-form.  Eval matrix
+    broadcast once; corpus side is one numpy matmul per Arrow batch,
+    zero shuffle."""
+    from rdf_spark.ops.contamination import embedding_decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.pmod(F.col("doc_id"), F.lit(16))
+    vec = F.array(*[
+        F.when(d == k, (d + F.lit(2.0)))
+        .when(d == F.lit((k - 1) % 16), (d + F.lit(2.0)) / 2)
+        .otherwise(F.lit(0.0)).cast("float")
+        for k in range(16)
+    ])
+    corpus = _spread(docs.select("doc_id", vec.alias("embedding")))
+    e0 = [0.0] * 16
+    e0[0] = 3.0
+    eval_set = spark.createDataFrame(
+        [(0, e0)], "eval_id long, embedding array<float>")
+    return embedding_decontaminate(
+        corpus, eval_set, threshold=0.8).select("doc_id")
+
+
 def q_weighted_repeat(spark, sf_dir):
     """Training-mix fractional upsampling (ops.sample.weighted_repeat):
     three synthetic domains at rates 2.25 / 0.5 / 1.0 (default) — two
@@ -2475,6 +2502,7 @@ _QUERIES = {
         "page_meta": q_page_meta,
         "canonical_dedup": q_canonical_dedup,
         "weighted_repeat": q_weighted_repeat,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "entity_disambiguation": q_entity_disambiguation,
@@ -3822,6 +3850,11 @@ def oracle_sql() -> dict[str, str]:
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the
         # same-host self anchor is filtered and must NOT appear
+        # the analytic cosine against e0 is 0.894 only for d=0 rows —
+        # every other row clears threshold 0.8 by a wide float32 margin
+        "embedding_decontaminate": """
+            SELECT doc_id FROM documents WHERE doc_id % 16 <> 0
+        """,
         # exact replay of the upsampler: same md5 fractional gates
         # (thresholds are ops.sample.md5_threshold(0.25)/(0.5) verbatim),
         # copies expanded via UNNEST(range(n))

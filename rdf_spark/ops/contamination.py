@@ -66,3 +66,78 @@ def ngram_contamination(
     # join first, dedup after: hits are tiny compared to corpus n-grams
     hits = doc_grams.join(eval_grams, "_g").select(id_col, "_g").distinct()
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap"))
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    eval_vec_col: str | None = None,
+    max_eval: int = 2_000_000,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Semantic decontamination: drop corpus rows whose embedding has
+    cosine similarity >= ``threshold`` with ANY eval-set embedding —
+    the vector-space sibling of :func:`ngram_contamination`, catching
+    paraphrased/reformatted benchmark leakage that exact n-grams miss.
+
+    Scale shape (100 TB corpus vs a small eval set, same asymmetry as
+    the n-gram path): the eval matrix is collected once, L2-normalized,
+    and shipped via ``sc.broadcast``; each Arrow batch then does ONE
+    numpy matmul (batch × evalᵀ) — the corpus side is a narrow
+    mapInPandas scan with no shuffle at all.  ``max_eval`` guards the
+    driver collect (a 2M × 768-float32 eval matrix is ~6 GB — beyond
+    that, decontaminate per eval shard and union the drop sets).
+    With ``keep_contaminated=True`` rows are kept and flagged
+    ``contaminated`` instead of dropped (audit mode).
+    """
+    import numpy as np
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    evc = eval_vec_col or vec_col
+    n_eval = eval_set.count()
+    if n_eval > max_eval:
+        raise ValueError(
+            f"eval set has {n_eval} rows > max_eval={max_eval}; "
+            "decontaminate per eval shard and union the drop sets"
+        )
+    rows = eval_set.select(evc).collect()
+    em = np.asarray([r[0] for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(em, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    em = em / norms
+    bc = corpus.sparkSession.sparkContext.broadcast(em.T.copy())
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = corpus.schema
+    if keep_contaminated:
+        # build an independent StructType: .add() mutates in place and
+        # would corrupt the input DataFrame's cached schema
+        schema = StructType(
+            list(schema.fields) + [StructField("contaminated", BooleanType())]
+        )
+    cols = [f.name for f in corpus.schema.fields]
+
+    def run(batches):
+        et = bc.value  # (dim, n_eval), unit columns
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf if not keep_contaminated else pdf.assign(
+                    contaminated=np.array([], dtype=bool))
+                continue
+            m = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+            mn = np.linalg.norm(m, axis=1, keepdims=True)
+            mn[mn == 0.0] = 1.0
+            best = ((m / mn) @ et).max(axis=1)
+            hit = best >= threshold
+            out = pdf[cols]
+            if keep_contaminated:
+                out = out.assign(contaminated=hit)
+                yield out
+            else:
+                yield out[~hit]
+
+    return corpus.mapInPandas(run, schema=schema)
