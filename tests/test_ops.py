@@ -1149,3 +1149,40 @@ def test_weighted_repeat(spark):
     assert again == sorted((r.doc_id, r.copy) for r in rows)
     with pytest.raises(ValueError):
         weighted_repeat(df, {"wiki": float("inf")}, strata_col="domain")
+
+
+def test_decontaminate_job_embeddings_mode(spark, tmp_path):
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import decontaminate_job
+
+    def vec(hot):
+        v = [0.0] * 8
+        v[0 if hot else 3] = 1.0
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i % 5 == 0)) for i in range(20)],
+        "doc_id long, embedding array<float>")
+    eval_set = spark.createDataFrame(
+        [(0, vec(True))], "eval_id long, embedding array<float>")
+    cp, ep = str(tmp_path / "c"), str(tmp_path / "e")
+    corpus.write.parquet(cp)
+    eval_set.write.parquet(ep)
+    out = str(tmp_path / "out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = decontaminate_job.main(
+            ["--corpus", cp, "--eval", ep, "--out", out,
+             "--embeddings", "--threshold", "0.9", "--write-clean"])
+    assert rc == 0
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["mode"] == "embeddings"
+    assert res["contaminated"] == 4 and res["clean"] == 16
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{out}/contaminated").collect()} \
+        == {0, 5, 10, 15}
