@@ -2254,6 +2254,82 @@ def q_domain_stats(spark, sf_dir):
     )
 
 
+def _hits_sql(n_iter: int = 2) -> str:
+    """DuckDB replay of ops.graph.hits' exact numeric schedule over the
+    q_pagerank synthetic edge families: decimal-exact raw sums, exact
+    decimal L1 totals, one IEEE divide per score rounded to 12 dp."""
+    blocks = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, n_iter + 1):
+        a, h = f"a{i}", f"h{i}"
+        blocks.append(f"""
+            {a}_raw AS (
+                SELECT e.dst AS node,
+                       SUM(CAST(round(x.hub, 14) AS DECIMAL(38,14))) AS raw
+                FROM h_edges e JOIN {prev_h} x ON e.src = x.node
+                GROUP BY e.dst),
+            {a} AS (
+                SELECT n.node,
+                       round(CAST(COALESCE(s.raw, 0) AS DOUBLE)
+                             / CAST(t.tot AS DOUBLE), 12) AS authority
+                FROM h_nodes n
+                LEFT JOIN {a}_raw s ON n.node = s.node
+                CROSS JOIN (SELECT SUM(raw) AS tot FROM {a}_raw) t),
+            {h}_raw AS (
+                SELECT e.src AS node,
+                       SUM(CAST(round(x.authority, 14)
+                                AS DECIMAL(38,14))) AS raw
+                FROM h_edges e JOIN {a} x ON e.dst = x.node
+                GROUP BY e.src),
+            {h} AS (
+                SELECT n.node,
+                       round(CAST(COALESCE(s.raw, 0) AS DOUBLE)
+                             / CAST(t.tot AS DOUBLE), 12) AS hub
+                FROM h_nodes n
+                LEFT JOIN {h}_raw s ON n.node = s.node
+                CROSS JOIN (SELECT SUM(raw) AS tot FROM {h}_raw) t)""")
+        prev_h, prev_a = h, a
+    return f"""
+        WITH h_edges AS (
+            SELECT doc_id AS src, (doc_id*3+7) % 401 AS dst FROM documents
+            UNION ALL SELECT doc_id, (doc_id*7+11) % 403 FROM documents
+            UNION ALL SELECT doc_id, (doc_id*13+5) % 407 FROM documents
+        ),
+        h_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM h_edges
+                UNION ALL SELECT dst FROM h_edges)
+        ),
+        h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM h_nodes),
+        {",".join(blocks)}
+        SELECT n.node, h.hub, a.authority
+        FROM h_nodes n JOIN {prev_h} h ON n.node = h.node
+        JOIN {prev_a} a ON n.node = a.node
+    """
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (ops.graph.hits, round-5) over the same
+    synthetic affine-modular edge families as q_pagerank: 2 iterations
+    of the reproducible schedule (decimal-exact raw sums + exact L1
+    totals, one IEEE divide rounded to 12 dp) — the DuckDB oracle
+    replays it bit-for-bit."""
+    from rdf_spark.ops.graph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    fams = [(3, 7, 401), (7, 11, 403), (13, 5, 407)]
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % m).alias("dst"),
+        )
+        for a, b, m in fams
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return hits(edges, n_iter=2).select("node", "hub", "authority")
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank (ops.graph.pagerank) over a deterministic synthetic graph
     derived from doc ids (three affine-modular edge families — closed-form
@@ -2454,6 +2530,7 @@ _QUERIES = {
         "vocab_stats": q_vocab_stats,
         "label_centroids": q_label_centroids,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "bm25_search": q_bm25_search,
         "lm_score": q_lm_score,
         "quality_quantiles": q_quality_quantiles,
@@ -3242,6 +3319,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings GROUP BY label) n USING (label)
         """,
         "pagerank": _pagerank_sql(3),
+        "hits": _hits_sql(2),
         "bm25_search": _bm25_sql(),
         "lm_score": r"""
             WITH toks AS (

@@ -476,3 +476,79 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 12,
+) -> DataFrame:
+    """HITS hubs/authorities over an edge DataFrame → ``(node, hub,
+    authority)`` — pagerank's companion for link-graph analysis (a good
+    hub LINKS TO many authorities; a directory page and the pages it
+    curates get separated where pagerank conflates them).
+
+    Same DataFrame shape and reproducible numeric schedule as
+    :func:`pagerank`: per iteration one edge join + decimal-exact sum
+    per side, L1 normalization (the exact DECIMAL(38,14) total makes
+    the divisor partitioning-independent, unlike the classic L2 norm
+    whose sqrt-of-double-sum is order-dependent), each update a single
+    IEEE divide rounded to ``round_to`` — a SQL engine replaying the
+    schedule matches bit-for-bit.  Per-iteration ``localCheckpoint``
+    keeps the plan O(1); multi-edges contribute once per occurrence.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        # authority pass: a_raw(v) = Σ_{u→v} hub(u), exact decimal
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.round(F.col("hub"), 14)
+                       .cast("decimal(38,14)")).alias("raw"))
+        )
+        auth = _l1_normalized(nodes, a_raw, "authority", round_to)
+        auth = auth.localCheckpoint(eager=True)
+        # hub pass over the NEW authorities: h_raw(u) = Σ_{u→v} a(v)
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.round(F.col("authority"), 14)
+                       .cast("decimal(38,14)")).alias("raw"))
+        )
+        hub = _l1_normalized(nodes, h_raw, "hub", round_to)
+        hub = hub.localCheckpoint(eager=True)
+    return nodes.join(hub, "node").join(auth, "node").select(
+        "node", "hub", "authority"
+    )
+
+
+def _l1_normalized(
+    nodes: DataFrame, raw: DataFrame, out_col: str, round_to: int
+) -> DataFrame:
+    """``round(raw / Σraw, round_to)`` with the total in exact decimal
+    (order-independent) and the divide a single IEEE op; missing nodes
+    score 0.0."""
+    tot = raw.agg(F.sum("raw").alias("tot"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.round(
+                F.coalesce(F.col("raw"), F.lit(0)).cast("double")
+                / F.col("tot").cast("double"),
+                round_to,
+            ).alias(out_col),
+        )
+    )

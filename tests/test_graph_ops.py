@@ -336,3 +336,42 @@ def test_pagerank_partitioning_invariant(spark):
         for r in pagerank(edges.repartition(13), n_iter=4).collect()
     )
     assert a == b  # exact, thanks to the decimal-sum schedule
+
+
+def test_hits_fixed_point_and_l1_norm(spark):
+    from rdf_spark.ops.graph import hits
+
+    # d → p1..p3 → t: hand-computed fixed point — t is the sole top
+    # authority (0.5), d and the p's tie as hubs (0.25 each), d has no
+    # in-links (authority 0), t no out-links (hub 0)
+    edges = spark.createDataFrame(
+        [("d", "p1"), ("d", "p2"), ("d", "p3"),
+         ("p1", "t"), ("p2", "t"), ("p3", "t")],
+        "src string, dst string")
+    out = {r.node: (r.hub, r.authority)
+           for r in hits(edges, n_iter=3).collect()}
+    assert out["t"] == (0.0, 0.5)
+    assert out["d"] == (0.25, 0.0)
+    assert out["p1"] == (0.25, round(1 / 6, 12))
+    assert abs(sum(v[0] for v in out.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-9
+    # partitioning invariance (decimal sums + single-IEEE-op updates)
+    again = {r.node: (r.hub, r.authority)
+             for r in hits(edges.repartition(7), n_iter=3).collect()}
+    assert again == out
+
+
+def test_hits_separates_hub_from_authority(spark):
+    from rdf_spark.ops.graph import hits
+
+    # a directory that links to ALL authorities, which each link to one
+    # popular page the directory does not link to: hub and authority
+    # rankings must differ (pagerank would conflate them)
+    edges = [("dir", f"a{i}") for i in range(5)]
+    edges += [(f"a{i}", "pop") for i in range(5)]
+    edges += [("pop", "a0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: (r.hub, r.authority) for r in hits(df, n_iter=4).collect()}
+    top_hub = max(out, key=lambda k: out[k][0])
+    top_auth = max(out, key=lambda k: out[k][1])
+    assert top_auth == "pop" and top_hub != "pop"
