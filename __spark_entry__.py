@@ -1463,6 +1463,30 @@ def q_weighted_repeat(spark, sf_dir):
     return out.select("doc_id", F.col("copy").cast("int").alias("copy"))
 
 
+def q_html_tables(spark, sf_dir):
+    """HTML table mining (ops.content.extract_tables): every order page
+    carries a 2×2 header+data table plus a single-cell second table and
+    one STRAY td outside any table (must be dropped); cells replay
+    closed-form from the order row.  Arrow-batched walk, zero shuffle,
+    scalar-typed output (pivot-ready in plain SQL)."""
+    from rdf_spark.ops.content import extract_tables
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("https://t.example/o/"), F.col("o_orderkey"))
+    html = F.concat(
+        F.lit("<td>stray</td><table><tr><th>status</th><th>price</th></tr>"
+              "<tr><td>"),
+        F.col("o_orderstatus"),
+        F.lit("</td><td>"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.lit("</td></tr></table><table><tr><td>key "),
+        F.col("o_orderkey"),
+        F.lit("</td></tr></table>"),
+    )
+    pages = _spread(o.select(url.alias("url"), html.alias("html")))
+    return extract_tables(pages)
+
+
 def q_canonical_dedup(spark, sf_dir):
     """Canonical-URL mirror dedup (ops.url.dedup_by_canonical): orders
     bucket into mirror groups of ~4 via their declared
@@ -2580,6 +2604,7 @@ _QUERIES = {
         "canonical_dedup": q_canonical_dedup,
         "weighted_repeat": q_weighted_repeat,
         "embedding_decontaminate": q_embedding_decontaminate,
+        "html_tables": q_html_tables,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "entity_disambiguation": q_entity_disambiguation,
@@ -3928,6 +3953,24 @@ def oracle_sql() -> dict[str, str]:
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the
         # same-host self anchor is filtered and must NOT appear
+        # five cells per order page, replayed closed-form; the stray
+        # outside-table td must contribute nothing
+        "html_tables": """
+            WITH p AS (
+                SELECT 'https://t.example/o/' || o_orderkey AS url,
+                       o_orderstatus AS st,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS VARCHAR) AS pr,
+                       'key ' || o_orderkey AS k2
+                FROM orders
+            )
+            SELECT url, 0 AS "table", 0 AS row, 0 AS col, 'status' AS cell
+            FROM p
+            UNION ALL SELECT url, 0, 0, 1, 'price' FROM p
+            UNION ALL SELECT url, 0, 1, 0, st FROM p
+            UNION ALL SELECT url, 0, 1, 1, pr FROM p
+            UNION ALL SELECT url, 1, 0, 0, k2 FROM p
+        """,
         # the analytic cosine against e0 is 0.894 only for d=0 rows —
         # every other row clears threshold 0.8 by a wide float32 margin
         "embedding_decontaminate": """

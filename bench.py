@@ -168,6 +168,11 @@ def main() -> int:
         "html_charset",
         "main_text",
         "page_meta",
+        "canonical_dedup",
+        "weighted_repeat",
+        "embedding_decontaminate",
+        "hits",
+        "html_tables",
     ]
 
     timings: dict[str, float] = {}

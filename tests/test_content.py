@@ -113,3 +113,31 @@ def test_title_skipped_unclosed_head_survives():
     # auto-close head like browsers do)
     page = f"<head><title>Site Name</title><p>{LONG}</p>"
     assert main_text(page) == LONG
+
+
+def test_extract_tables(spark):
+    from rdf_spark.ops.content import extract_tables, page_tables
+
+    # pure-function recovery cases
+    assert page_tables("<td>stray cell, no table</td>") == []
+    assert page_tables(
+        "<table><tr><td>a<td>b</table>") == [(0, 0, 0, "a"), (0, 0, 1, "b")]
+
+    html = ("<table><tr><th>K</th><th>V</th></tr>"
+            "<tr><td>pop</td><td>12 &amp; 3</td></tr></table>"
+            "<table><tr><td>second</td></tr></table>")
+    pages = spark.createDataFrame(
+        [("u0", html), ("u1", None), ("u2", "<p>tableless</p>")],
+        "url string, html string")
+    got = sorted(tuple(r) for r in extract_tables(pages).collect())
+    assert got == [
+        ("u0", 0, 0, 0, "K"), ("u0", 0, 0, 1, "V"),
+        ("u0", 0, 1, 0, "pop"), ("u0", 0, 1, 1, "12 & 3"),
+        ("u0", 1, 0, 0, "second"),
+    ]
+    # binary html path
+    b = spark.createDataFrame(
+        [("b0", "<table><tr><td>café</td></tr></table>".encode())],
+        "url string, html binary")
+    assert [tuple(r) for r in extract_tables(b).collect()] == [
+        ("b0", 0, 0, 0, "café")]
