@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                     help="also write the anchor-text link-prior dictionary "
                     "(surface, entity_iri, n, prior) to this parquet path — "
                     "gazetteer-shaped, reusable as the next run's aliases")
+    ap.add_argument("--link-rank",
+                    help="also write host-level pagerank + HITS scores "
+                         "of the --link-graph edge set (ops.graph) — "
+                         "(host, rank, hub, authority) parquet")
     ap.add_argument("--robots",
                     help="(host, body) robots.txt parquet: drop pages "
                          "the RFC 9309 rules deny before the pipeline "
@@ -163,6 +167,16 @@ def main(argv=None) -> int:
         htmlops.host_link_graph(pages).write.mode("overwrite").parquet(
             args.link_graph
         )
+    if args.link_rank:
+        from rdf_spark.ops import html as htmlops
+        from rdf_spark.ops.graph import hits, pagerank
+
+        edges = htmlops.host_link_graph(pages)
+        pr = pagerank(edges)
+        hs = hits(edges)
+        pr.join(hs, "node").withColumnRenamed("node", "host").write.mode(
+            "overwrite"
+        ).parquet(args.link_rank)
     if args.anchor_priors:
         from rdf_spark.ops import html as htmlops
 

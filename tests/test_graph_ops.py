@@ -375,3 +375,36 @@ def test_hits_separates_hub_from_authority(spark):
     top_hub = max(out, key=lambda k: out[k][0])
     top_auth = max(out, key=lambda k: out[k][1])
     assert top_auth == "pop" and top_hub != "pop"
+
+
+def test_kg_construct_job_link_rank(spark, tmp_path):
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    html = ('<a href="https://hub.example/x">h</a>'
+            "<p>About Ada Lovelace.</p>")
+    rows = [(f"https://s{i % 3}.example/p/{i}", None, html.encode(),
+             None, "en") for i in range(9)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "out")
+    lr = str(tmp_path / "rank")
+    with redirect_stdout(io.StringIO()):
+        rc = kg_construct_job.main(
+            ["--pages", src, "--out", out, "--shards", "1",
+             "--buckets", "2", "--link-rank", lr])
+    assert rc == 0
+    scores = spark.read.parquet(lr)
+    assert set(scores.columns) == {"host", "rank", "hub", "authority"}
+    by_host = {r.host: r for r in scores.collect()}
+    # every source host links only to hub.example: it is the sole
+    # authority and the top-ranked node
+    assert by_host["hub.example"].authority == 1.0
+    assert by_host["hub.example"].rank == max(r.rank for r in by_host.values())
