@@ -1463,6 +1463,42 @@ def q_weighted_repeat(spark, sf_dir):
     return out.select("doc_id", F.col("copy").cast("int").alias("copy"))
 
 
+def q_feed_parse(spark, sf_dir):
+    """Feed parsing (rdf_spark.feeds): every order becomes an RSS item
+    or an Atom entry (alternating by key parity) — the Atom side plants
+    a rel=self plumbing link BEFORE the real alternate link, so link
+    selection is load-bearing; published/guid/summary replay closed-form
+    from the order row.  Arrow-batched per-feed documents, narrow."""
+    from rdf_spark.feeds import parse_feeds
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("https://f.example/feed/"), k)
+    link = F.concat(F.lit("https://f.example/o/"), k)
+    pub = F.col("o_orderdate").cast("string")
+    summ = F.concat(F.lit("status "), F.col("o_orderstatus"))
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><item><title>Order '), k,
+        F.lit("</title><link>"), link, F.lit("</link><pubDate>"), pub,
+        F.lit("</pubDate><guid>g"), k, F.lit("</guid><description>"),
+        summ, F.lit("</description></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+              "<title>Order "), k,
+        F.lit('</title><link rel="self" href="https://f.example/self"/>'
+              '<link href="'), link,
+        F.lit('"/><published>'), pub, F.lit("</published><id>a"), k,
+        F.lit("</id><summary>"), summ,
+        F.lit("</summary></entry></feed>"),
+    )
+    docs = _spread(o.select(
+        url.alias("url"), F.when(k % 2 == 0, rss).otherwise(atom).alias("xml")
+    ))
+    return parse_feeds(docs).select(
+        "url", "kind", "title", "link", "published", "entry_id", "summary")
+
+
 def q_html_tables(spark, sf_dir):
     """HTML table mining (ops.content.extract_tables): every order page
     carries a 2×2 header+data table plus a single-cell second table and
@@ -2605,6 +2641,7 @@ _QUERIES = {
         "weighted_repeat": q_weighted_repeat,
         "embedding_decontaminate": q_embedding_decontaminate,
         "html_tables": q_html_tables,
+        "feed_parse": q_feed_parse,
         "html_microdata": q_html_microdata,
         "anchor_priors": q_anchor_priors,
         "entity_disambiguation": q_entity_disambiguation,
@@ -3953,6 +3990,20 @@ def oracle_sql() -> dict[str, str]:
         # closed-form host pairs: absolute anchor → next customer-bucket
         # host (canonicalized), cdn anchor → orderkey-bucket host; the
         # same-host self anchor is filtered and must NOT appear
+        # one entry per order feed: rss on even keys, atom on odd (whose
+        # rel=self plumbing link must lose to the alternate link)
+        "feed_parse": """
+            SELECT 'https://f.example/feed/' || o_orderkey AS url,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS kind,
+                   'Order ' || o_orderkey AS title,
+                   'https://f.example/o/' || o_orderkey AS link,
+                   CAST(o_orderdate AS VARCHAR) AS published,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'g' ELSE 'a' END
+                       || o_orderkey AS entry_id,
+                   'status ' || o_orderstatus AS summary
+            FROM orders
+        """,
         # five cells per order page, replayed closed-form; the stray
         # outside-table td must contribute nothing
         "html_tables": """
