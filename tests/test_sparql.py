@@ -1263,8 +1263,11 @@ def test_sparql_explain(tri):
     assert "== Physical Plan ==" in plan and "Filter" in plan
     ask_plan = sparql_explain(tri, 'ASK { ?c <urn:name> "Alice" }')
     assert "== Physical Plan ==" in ask_plan
+    # update requests explain the new store's plan (round-5)
+    upd_plan = sparql_explain(tri, "DELETE WHERE { ?s ?p ?o }")
+    assert "== Physical Plan ==" in upd_plan
     with pytest.raises(SparqlError):
-        sparql_explain(tri, "DELETE WHERE { ?s ?p ?o }")
+        sparql_explain(tri, "no form keyword anywhere")
 
 
 # --- round-5 ADVICE fixes ---
