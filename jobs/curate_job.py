@@ -44,6 +44,12 @@ def main(argv=None) -> int:
     ap.add_argument("--host-cap", default=None, metavar="COL:N",
                     help="final per-host quota: keep at most N rows per "
                     "distinct COL value (drop_reason=host_capped)")
+    ap.add_argument("--repeat", default=None,
+                    metavar="COL:K=R[,K=R...][:DEFAULT]",
+                    help="write repeated/ (training-mix upsampling of "
+                         "kept/): per-stratum fractional epoch rates, "
+                         "e.g. lang:en=2.5,de=1.0:0.3 "
+                         "(ops.sample.weighted_repeat)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -86,7 +92,30 @@ def main(argv=None) -> int:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
     stats_df.write.mode("overwrite").parquet(f"{args.out_path}/stats")
     stats = {r.stage: r.n_docs for r in stats_df.collect()}
-    print(json.dumps({"out": args.out_path, "stages": stats}))
+    result = {"out": args.out_path, "stages": stats}
+    if args.repeat is not None:
+        from rdf_spark.ops.sample import weighted_repeat
+
+        try:
+            head, _, default_s = args.repeat.rpartition(":")
+            if "=" in default_s:  # no default given
+                head, default_s = args.repeat, "1.0"
+            col, _, pairs = head.partition(":")
+            rates = {}
+            for kv in pairs.split(","):
+                k, _, r = kv.partition("=")
+                rates[k] = float(r)
+            default_rate = float(default_s)
+        except ValueError:
+            ap.error("--repeat expects COL:K=R[,K=R...][:DEFAULT]")
+        kept = spark.read.parquet(f"{args.out_path}/kept")
+        rep = weighted_repeat(kept, rates, strata_col=col,
+                              key_col=args.key_col,
+                              default_rate=default_rate)
+        rep.write.mode("overwrite").parquet(f"{args.out_path}/repeated")
+        result["repeated"] = spark.read.parquet(
+            f"{args.out_path}/repeated").count()
+    print(json.dumps(result))
     return 0
 
 

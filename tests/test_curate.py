@@ -499,3 +499,36 @@ def test_curate_job_span_dedup_flag(spark, tmp_path):
     texts = {r.doc_id: r.text
              for r in spark.read.parquet(out + "/kept").collect()}
     assert passage in texts[0] and passage not in texts[1]
+
+
+def test_curate_job_repeat_output(spark, tmp_path):
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and "
+                "again with plenty of words " + str(i),
+             "en" if i % 2 == 0 else "de") for i in range(40)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+    out = str(tmp_path / "cur")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main([
+            "--in", src, "--out", out, "--langs", "en,de",
+            "--min-quality", "0.0", "--repeat", "lang:en=2.0,de=1.0",
+        ])
+    assert rc == 0
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    kept = spark.read.parquet(f"{out}/kept")
+    n_en = kept.filter("lang = 'en'").count()
+    n_de = kept.filter("lang = 'de'").count()
+    rep = spark.read.parquet(f"{out}/repeated")
+    assert res["repeated"] == rep.count() == 2 * n_en + n_de
+    assert "copy" in rep.columns
