@@ -2519,6 +2519,91 @@ def q_label_centroids(spark, sf_dir):
     return label_centroids(e, flat=True).select("label", "pos", "value", "n_vecs")
 
 
+def q_rdfs_closure(spark, sf_dir):
+    """ρdf RDFS materialization (ops.reasoning.rdfs_closure, round-5):
+    a subclass chain u:C0 ⊑ … ⊑ u:C24 built from nation keys, one
+    subPropertyOf edge with domain/range on the SUPER-property, and
+    customer instances.  Exercises every ρdf rule and their ordering —
+    rdfs2 fires only on an rdfs7-derived triple, rdfs9 only on an
+    rdfs3-derived type.  The schema side is closed by iterative squaring
+    and broadcast; the instance side is never shuffled until the final
+    dedup.  DuckDB replays the chain closure CLOSED-FORM (all i<j key
+    pairs) — an exact, recursion-free oracle."""
+    from rdf_spark.ops.reasoning import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASSOF,
+        RDFS_SUBPROPERTYOF,
+        rdfs_closure,
+    )
+    from rdf_spark.terms import RDF_TYPE
+
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sc_edges = nation.filter(F.col("n_nationkey") < 24).select(
+        F.concat(F.lit("u:C"), F.col("n_nationkey")).alias("s"),
+        F.lit(RDFS_SUBCLASSOF).alias("p"),
+        F.concat(F.lit("u:C"), F.col("n_nationkey") + 1).alias("o"),
+    )
+    fixed = spark.createDataFrame(
+        [
+            ("u:memberOf", RDFS_SUBPROPERTYOF, "u:affiliatedWith"),
+            ("u:affiliatedWith", RDFS_DOMAIN, "u:Buyer"),
+            ("u:affiliatedWith", RDFS_RANGE, "u:C0"),
+        ],
+        "s string, p string, o string",
+    )
+    inst = cust.select(
+        F.concat(F.lit("u:cust"), F.col("c_custkey")).alias("s"),
+        F.lit("u:memberOf").alias("p"),
+        F.concat(F.lit("u:nat"), F.col("c_nationkey")).alias("o"),
+    ).unionByName(
+        cust.select(
+            F.concat(F.lit("u:cust"), F.col("c_custkey")).alias("s"),
+            F.lit(RDF_TYPE).alias("p"),
+            F.concat(F.lit("u:C"), F.col("c_nationkey")).alias("o"),
+        )
+    )
+    return rdfs_closure(sc_edges.unionByName(fixed).unionByName(inst))
+
+
+def q_sameas_resolve(spark, sf_dir):
+    """owl:sameAs identity resolution (ops.reasoning.sameas_resolve,
+    round-5): every customer asserts sameAs to its nation's anchor IRI
+    and anchors chain across nations k → k+5, so components span BOTH a
+    star and a chain shape (the large-star/small-star CC must handle
+    each).  The representative is the component's min IRI, which is
+    closed-form here: anchor ids are ZERO-PADDED so lexicographic order
+    equals numeric order ('u:anchor12' < 'u:anchor2' otherwise!) →
+    rep(nationkey) = u:anchor0{nationkey%5}; order facts are rewritten
+    to it.  DuckDB replays the rewrite as one join — no recursion needed
+    because the component algebra is planted."""
+    from rdf_spark.ops.reasoning import OWL_SAMEAS, sameas_resolve
+
+    def anchor(k):
+        return F.concat(F.lit("u:anchor"), F.lpad(k.cast("string"), 2, "0"))
+
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    sa = cust.select(
+        F.concat(F.lit("u:cust"), F.col("c_custkey")).alias("s"),
+        F.lit(OWL_SAMEAS).alias("p"),
+        anchor(F.col("c_nationkey")).alias("o"),
+    )
+    chain = nation.filter(F.col("n_nationkey") < 20).select(
+        anchor(F.col("n_nationkey")).alias("s"),
+        F.lit(OWL_SAMEAS).alias("p"),
+        anchor(F.col("n_nationkey") + 5).alias("o"),
+    )
+    facts = orders.select(
+        F.concat(F.lit("u:cust"), F.col("o_custkey")).alias("s"),
+        F.lit("u:placed").alias("p"),
+        F.concat(F.lit("u:order"), F.col("o_orderkey")).alias("o"),
+    )
+    return sameas_resolve(sa.unionByName(chain).unionByName(facts))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2650,6 +2735,8 @@ _QUERIES = {
         "sitemap_parse": q_sitemap_parse,
         "sparql_agg_expr": q_sparql_agg_expr,
         "host_cap": q_host_cap,
+        "rdfs_closure": q_rdfs_closure,
+        "sameas_resolve": q_sameas_resolve,
     }
 
 
@@ -3483,6 +3570,69 @@ def oracle_sql() -> dict[str, str]:
                    n.n_name || '#' AS tag
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        # ρdf replay: the chain closure is ALL i<j nation-key pairs
+        # (closed form — no recursion), every rule's output enumerated.
+        # Overlaps between the arms (e.g. direct subclass edges vs the
+        # closure pairs) collapse under the final DISTINCT, exactly like
+        # the operator's dedup_triples key.
+        "rdfs_closure": """
+            WITH keys AS (SELECT n_nationkey AS k FROM nation),
+                 custs AS (SELECT c_custkey AS ck, c_nationkey AS nk
+                           FROM customer),
+                 nats AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+                 scp AS (SELECT a.k AS i, b.k AS j
+                         FROM keys a, keys b WHERE a.k < b.k)
+            SELECT DISTINCT s, p, o FROM (
+                SELECT 'u:C' || k,
+                       'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                       'u:C' || (k + 1)
+                FROM keys WHERE k < 24
+                UNION ALL SELECT 'u:memberOf',
+                       'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+                       'u:affiliatedWith'
+                UNION ALL SELECT 'u:affiliatedWith',
+                       'http://www.w3.org/2000/01/rdf-schema#domain',
+                       'u:Buyer'
+                UNION ALL SELECT 'u:affiliatedWith',
+                       'http://www.w3.org/2000/01/rdf-schema#range',
+                       'u:C0'
+                UNION ALL SELECT 'u:cust' || ck, 'u:memberOf', 'u:nat' || nk
+                FROM custs
+                UNION ALL SELECT 'u:cust' || ck,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'u:C' || nk
+                FROM custs
+                UNION ALL SELECT 'u:cust' || ck, 'u:affiliatedWith',
+                       'u:nat' || nk
+                FROM custs
+                UNION ALL SELECT 'u:cust' || ck,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'u:Buyer'
+                FROM custs
+                UNION ALL SELECT 'u:nat' || nk,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'u:C' || k
+                FROM nats CROSS JOIN keys
+                UNION ALL SELECT 'u:cust' || c.ck,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'u:C' || scp.j
+                FROM custs c JOIN scp ON scp.i = c.nk
+                UNION ALL SELECT 'u:C' || i,
+                       'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                       'u:C' || j
+                FROM scp
+            ) t(s, p, o)
+        """,
+        # planted component algebra: star(custs→anchor_nk) + chain
+        # (anchor_k→anchor_{k+5}) merge to rep = u:anchor0{nk % 5}
+        # (zero-padded so lexicographic min == numeric min); only the
+        # rewritten order facts survive (sameAs edges are consumed)
+        "sameas_resolve": """
+            SELECT 'u:anchor0' || (c_nationkey % 5) AS s,
+                   'u:placed' AS p,
+                   'u:order' || o_orderkey AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "sparql_lang": f"""
             SELECT 'urn:cust:' || c_custkey AS c, c_name AS nm,

@@ -1,0 +1,268 @@
+"""RDFS / owl:sameAs materialization over triple DataFrames.
+
+EXCEEDS reference parity: /root/reference has no inference layer (its
+scope ends at parse/encode — rdf.go, encoder.go), but a KG-construction
+pipeline that extracts schema.org / custom-ontology triples needs the
+standard entailments materialized before query time, and an entity
+layer needs owl:sameAs identity resolution before dedup/stats make
+sense.  Both are built Spark-first:
+
+- the ontology (schema triples) is assumed SMALL relative to instance
+  data — the universal case at 100 TB (a few 10^3..10^5 schema triples
+  vs 10^11 instance triples) — so every schema-side closure is computed
+  on the tiny edge set and then joined BROADCAST against the instance
+  scan: the instance table is never shuffled by inference, only by the
+  final dedup (which the caller may skip with ``dedup=False`` when a
+  downstream stage dedups anyway).
+- sameAs components reuse the O(log n) large-star/small-star CC
+  (ops/graph.py:connected_components_star), so adversarial sameAs
+  chains (record-linkage output loves them) don't need O(diameter)
+  rounds.
+
+Semantics: the ρdf fragment of RDFS (Muñoz, Pérez, Gutierrez, "Simple
+and Efficient Minimal RDFS", JWS 2009) — subPropertyOf/subClassOf
+transitivity, property inheritance (rdfs7), type inheritance (rdfs9),
+domain/range typing (rdfs2/rdfs3).  ρdf is closed under the rule order
+used here (sp-closure → rdfs7 → rdfs2/3 → sc-closure → rdfs9), so ONE
+ordered pass materializes the full closure — no instance-side fixpoint.
+Reflexive (x sp x) and axiomatic (rdf:/rdfs: vocabulary) triples are
+NOT emitted, matching every production reasoner's default.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rdf_spark.terms import KIND_IRI, KIND_LITERAL, RDF_TYPE
+
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFS_SUBCLASSOF = RDFS_NS + "subClassOf"
+RDFS_SUBPROPERTYOF = RDFS_NS + "subPropertyOf"
+RDFS_DOMAIN = RDFS_NS + "domain"
+RDFS_RANGE = RDFS_NS + "range"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+_SCHEMA_MAX_ITER = 30
+
+
+def _schema_closure(edges: DataFrame, max_iter: int = _SCHEMA_MAX_ITER) -> DataFrame:
+    """Transitive closure of a small ``(sub, sup)`` schema edge set by
+    iterative squaring (R ← R ∪ R∘R, O(log diameter) rounds, per-round
+    localCheckpoint) — same scheme as sparql._closure_pairs but local to
+    ops (no private import).  The input is ontology-sized; each round is
+    a self-join of a table that fits in a broadcast."""
+    result = edges.distinct().localCheckpoint(eager=True)
+    n = result.count()
+    for _ in range(max_iter):
+        if n == 0:
+            break
+        a, b = result.alias("a"), result.alias("b")
+        step = a.join(b, F.col("a.sup") == F.col("b.sub")).select(
+            F.col("a.sub").alias("sub"), F.col("b.sup").alias("sup")
+        )
+        nxt = result.unionByName(step).distinct().localCheckpoint(eager=True)
+        n2 = nxt.count()
+        if n2 == n:  # R ⊆ nxt always, so equal count ⇒ fixpoint
+            break
+        result, n = nxt, n2
+    else:
+        raise RuntimeError(
+            "schema closure did not converge in %d rounds" % max_iter
+        )
+    return result.filter(F.col("sub") != F.col("sup"))
+
+
+def _carry(df: DataFrame, template: DataFrame, **overrides: Column) -> DataFrame:
+    """Project ``df`` onto ``template``'s columns: pass through what
+    exists, apply ``overrides``, null-fill metadata the row can't know."""
+    cols = []
+    for c in template.columns:
+        if c in overrides:
+            cols.append(overrides[c].alias(c))
+        elif c in df.columns:
+            cols.append(F.col(c))
+        else:
+            cols.append(F.lit(None).cast(dict(template.dtypes)[c]).alias(c))
+    return df.select(*cols)
+
+
+def rdfs_closure(
+    triples: DataFrame,
+    schema: DataFrame | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Materialize the ρdf entailments of ``triples`` (schema: at least
+    ``s/p/o``; ``s_kind/o_kind/o_datatype/o_lang/graph`` carried when
+    present).
+
+    ``schema`` defaults to the schema triples found in ``triples``
+    itself; pass a separate ontology DataFrame to reason instance data
+    against an external vocabulary.  The schema side is closed first
+    (transitive subClassOf/subPropertyOf) and broadcast — instance
+    data is scanned, never shuffled, until the final dedup.
+
+    Rule order (complete for ρdf, §4.2 of the paper):
+      1. sp+  := subPropertyOf closure            (schema-only)
+      2. rdfs7: (p sp+ q), (s p o)     → (s q o)
+      3. rdfs2: (p dom c), (s p o)     → (s type c)   [after rdfs7]
+         rdfs3: (p rng c), (s p o), o∈IRI∪bnode → (o type c)
+      4. sc+  := subClassOf closure               (schema-only)
+      5. rdfs9: (c sc+ d), (s type c)  → (s type d)   [over ALL types]
+    """
+    src = schema if schema is not None else triples
+    sc_edges = src.filter(F.col("p") == RDFS_SUBCLASSOF).select(
+        F.col("s").alias("sub"), F.col("o").alias("sup")
+    )
+    sp_edges = src.filter(F.col("p") == RDFS_SUBPROPERTYOF).select(
+        F.col("s").alias("sub"), F.col("o").alias("sup")
+    )
+    dom = src.filter(F.col("p") == RDFS_DOMAIN).select(
+        F.col("s").alias("prop"), F.col("o").alias("cls")
+    )
+    rng = src.filter(F.col("p") == RDFS_RANGE).select(
+        F.col("s").alias("prop"), F.col("o").alias("cls")
+    )
+
+    sp_plus = _schema_closure(sp_edges)
+    sc_plus = _schema_closure(sc_edges)
+
+    has_kind = "o_kind" in triples.columns
+    iri_kind = F.lit(KIND_IRI).cast(
+        dict(triples.dtypes).get("o_kind", "int")
+    )
+
+    # 2. rdfs7 — property inheritance; metadata (kinds/datatype/lang/
+    # graph) rides along unchanged: only the predicate is rewritten.
+    r7 = _carry(
+        triples.join(F.broadcast(sp_plus), triples["p"] == sp_plus["sub"]),
+        triples,
+        p=F.col("sup"),
+    )
+    inst = triples.unionByName(r7)
+
+    # 3. rdfs2/rdfs3 — typing.  The subject keeps its kind; the object
+    # of the new triple is a class IRI.  rdfs3 only fires for non-
+    # literal objects (a literal can't be typed with rdf:type).
+    def _type_triple(base: DataFrame, node: str, node_kind: str | None) -> DataFrame:
+        over = dict(
+            p=F.lit(RDF_TYPE),
+            o=F.col("cls"),
+        )
+        if has_kind:
+            over["o_kind"] = iri_kind
+        if "o_datatype" in triples.columns:
+            over["o_datatype"] = F.lit(None).cast(
+                dict(triples.dtypes)["o_datatype"]
+            )
+        if "o_lang" in triples.columns:
+            over["o_lang"] = F.lit(None).cast(dict(triples.dtypes)["o_lang"])
+        over["s"] = F.col(node)
+        if "s_kind" in triples.columns:
+            over["s_kind"] = (
+                F.col(node_kind) if node_kind else F.col("s_kind")
+            )
+        return _carry(base, triples, **over)
+
+    r2 = _type_triple(
+        inst.join(F.broadcast(dom), inst["p"] == dom["prop"]), "s",
+        "s_kind" if "s_kind" in triples.columns else None,
+    )
+    r3_base = inst.join(F.broadcast(rng), inst["p"] == rng["prop"])
+    if has_kind:
+        r3_base = r3_base.filter(F.col("o_kind") != KIND_LITERAL)
+    r3 = _type_triple(r3_base, "o", "o_kind" if has_kind else None)
+
+    # schema closures are themselves entailed triples
+    def _schema_triple(pairs: DataFrame, pred: str) -> DataFrame:
+        over = dict(s=F.col("sub"), p=F.lit(pred), o=F.col("sup"))
+        if "s_kind" in triples.columns:
+            over["s_kind"] = F.lit(KIND_IRI).cast(dict(triples.dtypes)["s_kind"])
+        if has_kind:
+            over["o_kind"] = iri_kind
+        return _carry(pairs, triples, **over)
+
+    typed = inst.unionByName(r2).unionByName(r3)
+
+    # 5. rdfs9 — type inheritance over every type triple derived so far
+    types = typed.filter(F.col("p") == RDF_TYPE)
+    r9 = _carry(
+        types.join(F.broadcast(sc_plus), types["o"] == sc_plus["sub"]),
+        triples,
+        o=F.col("sup"),
+    )
+
+    out = (
+        typed.unionByName(r9)
+        .unionByName(_schema_triple(sp_plus, RDFS_SUBPROPERTYOF))
+        .unionByName(_schema_triple(sc_plus, RDFS_SUBCLASSOF))
+    )
+    if dedup:
+        from rdf_spark.canonical import dedup_key
+
+        out = out.dropDuplicates(dedup_key(out.columns))
+    return out
+
+
+def sameas_resolve(
+    triples: DataFrame,
+    keep_links: bool = False,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve owl:sameAs identity: every IRI in a sameAs component is
+    rewritten to the component's MIN IRI (deterministic representative),
+    in both subject and object position; the sameAs triples themselves
+    are consumed (they become reflexive after rewriting).
+
+    ``keep_links=True`` appends provenance triples
+    ``(rep, owl:sameAs, member)`` for every non-representative member,
+    so the original identifiers stay queryable.
+
+    Components come from the O(log n) large-star/small-star CC — sameAs
+    chains produced by pairwise record linkage are exactly the deep-
+    chain shape that breaks O(diameter) label propagation.  The rewrite
+    is two joins against the (node → rep) map; at real scale that map is
+    a small fraction of the corpus (only entities that HAVE a sameAs
+    edge appear in it) and the joins stay skew-free on IRI keys.
+    """
+    from rdf_spark.ops.graph import connected_components_star
+
+    sa = triples.filter(F.col("p") == OWL_SAMEAS)
+    if "o_kind" in triples.columns:
+        sa = sa.filter(F.col("o_kind") == KIND_IRI)
+    edges = sa.select(F.col("s").alias("a"), F.col("o").alias("b"))
+    comp = connected_components_star(edges, max_iter=max_iter)
+    rep = comp.select(F.col("node"), F.col("comp").alias("rep"))
+
+    rest = triples.filter(F.col("p") != OWL_SAMEAS)
+    s_map = rep.withColumnRenamed("node", "s").withColumnRenamed("rep", "_s_rep")
+    o_map = rep.withColumnRenamed("node", "o").withColumnRenamed("rep", "_o_rep")
+    rewritten = rest.join(s_map, "s", "left")
+    rewritten = rewritten.withColumn(
+        "s", F.coalesce(F.col("_s_rep"), F.col("s"))
+    ).drop("_s_rep")
+    o_cond = ["o"]
+    rewritten = rewritten.join(o_map, o_cond, "left")
+    new_o = F.coalesce(F.col("_o_rep"), F.col("o"))
+    if "o_kind" in triples.columns:
+        # literals never joinable to an IRI map by accident of lexical
+        # equality: only rewrite IRI objects
+        new_o = F.when(F.col("o_kind") == KIND_IRI, new_o).otherwise(F.col("o"))
+    # joining on "o"/"s" column names reorders columns — restore
+    rewritten = rewritten.withColumn("o", new_o).drop("_o_rep").select(
+        *triples.columns
+    )
+
+    out = rewritten
+    if keep_links:
+        links = comp.filter(F.col("node") != F.col("comp"))
+        over = dict(
+            s=F.col("comp"), p=F.lit(OWL_SAMEAS), o=F.col("node")
+        )
+        if "s_kind" in triples.columns:
+            over["s_kind"] = F.lit(KIND_IRI).cast(dict(triples.dtypes)["s_kind"])
+        if "o_kind" in triples.columns:
+            over["o_kind"] = F.lit(KIND_IRI).cast(dict(triples.dtypes)["o_kind"])
+        out = out.unionByName(_carry(links, triples, **over))
+
+    from rdf_spark.canonical import dedup_key
+
+    return out.dropDuplicates(dedup_key(out.columns))
