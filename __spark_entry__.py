@@ -2567,6 +2567,31 @@ def q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(sc_edges.unionByName(fixed).unionByName(inst))
 
 
+def q_entity_resolve(spark, sf_dir):
+    """Blocked-levenshtein entity resolution (ops.resolve, round-5):
+    every part name gets a planted deletion typo (4th char dropped) and
+    must resolve back through block → length-band prune → edit
+    similarity → deterministic top-1.  The oracle replays the ENTIRE
+    computation (DuckDB has the same `levenshtein`), so duplicate part
+    names, tie-breaks and band-pruned candidates are all covered — not
+    a modeled expectation."""
+    from rdf_spark.ops.resolve import resolve_entities
+
+    part = _t(spark, sf_dir, "part")
+    surfaces = part.select(
+        F.concat(
+            F.substring("p_name", 1, 3), F.expr("substring(p_name, 5)")
+        ).alias("surface")
+    )
+    catalog = part.select(
+        F.concat(F.lit("u:part"), F.col("p_partkey")).alias("entity_iri"),
+        F.col("p_name").alias("name"),
+    )
+    return resolve_entities(
+        surfaces, catalog, threshold=0.75, block_len=2, topk=1
+    )
+
+
 def q_sameas_resolve(spark, sf_dir):
     """owl:sameAs identity resolution (ops.reasoning.sameas_resolve,
     round-5): every customer asserts sameAs to its nation's anchor IRI
@@ -2737,6 +2762,7 @@ _QUERIES = {
         "host_cap": q_host_cap,
         "rdfs_closure": q_rdfs_closure,
         "sameas_resolve": q_sameas_resolve,
+        "entity_resolve": q_entity_resolve,
     }
 
 
@@ -3623,6 +3649,47 @@ def oracle_sql() -> dict[str, str]:
                        'u:C' || j
                 FROM scp
             ) t(s, p, o)
+        """,
+        # full replay of the blocked resolver: same blocking key, same
+        # length-band prune, same levenshtein similarity (CAST the
+        # division — DuckDB '/' on integers truncates), same
+        # (sim DESC, id ASC) deterministic top-1
+        "entity_resolve": """
+            WITH s AS (
+                SELECT DISTINCT
+                       substr(p_name, 1, 3) || substr(p_name, 5) AS surface
+                FROM part
+                WHERE p_name IS NOT NULL AND p_name <> ''
+            ),
+            sk AS (
+                SELECT surface, lower(surface) AS slc,
+                       substr(lower(surface), 1, 2) AS sblk,
+                       length(surface) AS slen
+                FROM s WHERE surface <> ''
+            ),
+            c AS (
+                SELECT 'u:part' || p_partkey AS entity_iri,
+                       p_name AS matched_name, lower(p_name) AS clc,
+                       substr(lower(p_name), 1, 2) AS cblk,
+                       length(p_name) AS clen
+                FROM part WHERE p_name IS NOT NULL AND p_name <> ''
+            ),
+            scored AS (
+                SELECT surface, entity_iri, matched_name,
+                       round(1.0 - CAST(levenshtein(slc, clc) AS DOUBLE)
+                                   / greatest(slen, clen), 6) AS sim
+                FROM sk JOIN c ON sblk = cblk
+                    AND abs(slen - clen) <= 0.25 * greatest(slen, clen)
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY surface
+                           ORDER BY sim DESC, entity_iri ASC) AS rank
+                FROM scored WHERE sim >= 0.75
+            )
+            SELECT surface, entity_iri, matched_name, sim,
+                   CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 1
         """,
         # planted component algebra: star(custs→anchor_nk) + chain
         # (anchor_k→anchor_{k+5}) merge to rep = u:anchor0{nk % 5}
