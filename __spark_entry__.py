@@ -2567,6 +2567,34 @@ def q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(sc_edges.unionByName(fixed).unionByName(inst))
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (ops.graph.triangle_count, round-5):
+    degree-ordered wedge counting — orientation bounds out-degree by
+    O(√m), so hubs produce no wedges.  Input: a ladder of consecutive
+    (i,i+1)/(i,i+2) links with planted reversed duplicates that the
+    canonicalization must fold.  The DuckDB oracle replays the whole
+    triangle enumeration with id-ordered joins — counts are
+    orientation-invariant, so the two strategies must agree exactly."""
+    from rdf_spark.ops.graph import triangle_count
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    n = lambda c: F.concat(F.lit("u:n"), c)  # noqa: E731
+    edges = (
+        d.select(n(F.col("doc_id")).alias("a"), n(F.col("doc_id") + 1).alias("b"))
+        .unionByName(
+            d.select(
+                n(F.col("doc_id")).alias("a"), n(F.col("doc_id") + 2).alias("b")
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                n(F.col("doc_id") + 1).alias("a"), n(F.col("doc_id")).alias("b")
+            )
+        )
+    )
+    return triangle_count(edges, "a", "b")
+
+
 def q_entity_resolve(spark, sf_dir):
     """Blocked-levenshtein entity resolution (ops.resolve, round-5):
     every part name gets a planted deletion typo (4th char dropped) and
@@ -2763,6 +2791,7 @@ _QUERIES = {
         "rdfs_closure": q_rdfs_closure,
         "sameas_resolve": q_sameas_resolve,
         "entity_resolve": q_entity_resolve,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -3649,6 +3678,45 @@ def oracle_sql() -> dict[str, str]:
                        'u:C' || j
                 FROM scp
             ) t(s, p, o)
+        """,
+        # id-ordered triangle enumeration: every triangle {a<b<c} appears
+        # exactly once as (a,b),(b,c),(a,c) in the canonical edge set —
+        # counts are orientation-invariant vs the degree-ordered operator
+        "triangle_count": """
+            WITH raw AS (
+                SELECT 'u:n' || doc_id AS a, 'u:n' || (doc_id + 1) AS b
+                FROM documents WHERE doc_id < 500
+                UNION ALL
+                SELECT 'u:n' || doc_id, 'u:n' || (doc_id + 2)
+                FROM documents WHERE doc_id < 500
+                UNION ALL
+                SELECT 'u:n' || (doc_id + 1), 'u:n' || doc_id
+                FROM documents WHERE doc_id < 500 AND doc_id % 3 = 0
+            ),
+            und AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ),
+            nodes AS (
+                SELECT u AS node FROM und UNION SELECT v FROM und
+            ),
+            tri AS (
+                SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM und e1
+                JOIN und e2 ON e2.u = e1.v
+                JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            cnt AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+                FROM corners GROUP BY node
+            )
+            SELECT n.node AS node, COALESCE(c.n, 0) AS triangles
+            FROM nodes n LEFT JOIN cnt c ON c.node = n.node
         """,
         # full replay of the blocked resolver: same blocking key, same
         # length-band prune, same levenshtein similarity (CAST the

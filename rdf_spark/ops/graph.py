@@ -552,3 +552,72 @@ def _l1_normalized(
             ).alias(out_col),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph →
+    ``(node, triangles)`` (every node of the edge set appears; 0 when
+    triangle-free).
+
+    Degree-ordered wedge counting (Cohen, "Graph Twiddling in a
+    MapReduce World", CiSE 2009): orient every edge from the lower
+    (degree, id) endpoint to the higher, enumerate wedges only between
+    a node's OUT-edges, close them against the oriented edge set.  The
+    orientation bounds every out-degree by O(√m), so the wedge join's
+    fanout is bounded by arboricity — a star hub with 10^7 neighbors
+    produces ZERO wedges at the hub (all its edges point in), which is
+    the difference between this and the naive two-hop join at web
+    scale.  Output is orientation-invariant: each triangle is counted
+    exactly once and credited to all three corners.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_rank = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("deg", "dv")
+        .withColumn("ru", F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+        .withColumn("rv", F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+    )
+    oriented = with_rank.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rhi"),
+    )
+    e1 = oriented.select("lo", F.col("hi").alias("x"), F.col("rhi").alias("rx"))
+    e2 = oriented.select("lo", F.col("hi").alias("y"), F.col("rhi").alias("ry"))
+    wedges = e1.join(e2, "lo").filter(F.col("rx") < F.col("ry")).select(
+        "lo", "x", "y"
+    )
+    # close the wedge: with rank(x) < rank(y) the (x,y) edge, if present,
+    # is oriented x→y — one equi-join, no symmetric view needed
+    closer = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tris = wedges.join(closer, ["x", "y"])
+    corners = (
+        tris.select(F.col("lo").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return nodes.join(corners, "node", "left").select(
+        "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+    )
