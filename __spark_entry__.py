@@ -2567,6 +2567,57 @@ def q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(sc_edges.unionByName(fixed).unionByName(inst))
 
 
+def q_surt_key(spark, sf_dir):
+    """SURT crawl-index keys (ops.url.surt_col, round-5): four planted
+    URL shapes — www+default-port+unsorted-query+fragment, non-default
+    port, empty path, and a relative URL (→ NULL).  The oracle states
+    each shape's expected key closed-form; the operator must get host
+    reversal, www/port dropping, query sorting and the NULL arm all
+    right to match."""
+    from rdf_spark.ops.url import surt_col
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), i % 50,
+            F.lit(".Example.COM:80/Page/"), i, F.lit("?b=2&a=1#frag"),
+        ))
+        .when(i % 4 == 1, F.concat(
+            F.lit("https://sub.domain"), i % 30, F.lit(".org:8443/x"),
+        ))
+        .when(i % 4 == 2, F.concat(F.lit("http://host"), i, F.lit(".net")))
+        .otherwise(F.concat(F.lit("relative/path"), i))
+    )
+    return d.select("doc_id", surt_col(url).alias("surt_key"))
+
+
+def q_cdxj_parse(spark, sf_dir):
+    """CDXJ crawl-index parsing (cdx.parse_cdxj, round-5): index lines
+    synthesized per document — one in ten gets a malformed timestamp and
+    must land in the quarantine ``err`` column with all data columns
+    null; absent JSON fields (mime/digest) surface as NULL; numeric
+    fields arrive as JSON strings and must try_cast.  Whole parse is
+    JVM regexp + get_json_object — the oracle rebuilds every column
+    closed-form from the same arithmetic."""
+    from rdf_spark.cdx import parse_cdxj
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ts = F.when(i % 10 == 0, F.lit("badts")).otherwise(
+        F.concat(F.lit("2024010112000"), i % 10)
+    )
+    line = F.concat(
+        F.lit("com,site"), i, F.lit(")/p "), ts,
+        F.lit(' {"url": "https://site'), i,
+        F.lit('.com/p", "status": "'), (i % 3) + 200,
+        F.lit('", "offset": "'), i * 7,
+        F.lit('", "length": "'), (i % 997) + 1,
+        F.lit('", "filename": "c.warc.gz"}'),
+    )
+    return parse_cdxj(d.select(line.alias("value")))
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-node triangle counts (ops.graph.triangle_count, round-5):
     degree-ordered wedge counting — orientation bounds out-degree by
@@ -2792,6 +2843,8 @@ _QUERIES = {
         "sameas_resolve": q_sameas_resolve,
         "entity_resolve": q_entity_resolve,
         "triangle_count": q_triangle_count,
+        "surt_key": q_surt_key,
+        "cdxj_parse": q_cdxj_parse,
     }
 
 
@@ -3678,6 +3731,51 @@ def oracle_sql() -> dict[str, str]:
                        'u:C' || j
                 FROM scp
             ) t(s, p, o)
+        """,
+        # closed-form expected SURT key per planted URL shape
+        "surt_key": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'com,example,site' || (doc_id % 50)
+                                   || ')/page/' || doc_id || '?a=1&b=2'
+                       WHEN 1 THEN 'org,domain' || (doc_id % 30)
+                                   || ',sub:8443)/x'
+                       WHEN 2 THEN 'net,host' || doc_id || ')/'
+                       ELSE NULL
+                   END AS surt_key
+            FROM documents
+        """,
+        # every parsed CDXJ column rebuilt from the same arithmetic;
+        # the doc_id % 10 = 0 arm reconstructs the malformed line
+        # verbatim into err with all data columns NULL
+        "cdxj_parse": """
+            SELECT
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE 'com,site' || doc_id || ')/p' END AS surt_key,
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE '2024010112000' || (doc_id % 10) END AS ts,
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE 'https://site' || doc_id || '.com/p' END AS url,
+                CAST(NULL AS VARCHAR) AS mime,
+                CAST(NULL AS VARCHAR) AS digest,
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE 'c.warc.gz' END AS filename,
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE CAST(doc_id % 3 + 200 AS VARCHAR) END AS status_raw,
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE CAST(doc_id % 3 + 200 AS INTEGER) END AS status,
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE CAST(doc_id * 7 AS BIGINT) END AS "offset",
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE CAST(doc_id % 997 + 1 AS BIGINT) END AS "length",
+                CASE WHEN doc_id % 10 = 0 THEN
+                     'com,site' || doc_id || ')/p badts {"url": "https://site'
+                     || doc_id || '.com/p", "status": "' || (doc_id % 3 + 200)
+                     || '", "offset": "' || (doc_id * 7)
+                     || '", "length": "' || (doc_id % 997 + 1)
+                     || '", "filename": "c.warc.gz"}'
+                     ELSE NULL END AS err
+            FROM documents
         """,
         # id-ordered triangle enumeration: every triangle {a<b<c} appears
         # exactly once as (a,b),(b,c),(a,c) in the canonical edge set —
