@@ -30,6 +30,20 @@ def main(argv=None) -> int:
     ap.add_argument("--out-format", required=True, choices=sorted(ENCODERS))
     ap.add_argument("--base", default="")
     ap.add_argument("--keep-blank-labels", action="store_true")
+    ap.add_argument("--infer", choices=["rdfs"],
+                    help="materialize the rdfs (rho-df) closure between "
+                         "decode and encode")
+    ap.add_argument("--schema",
+                    help="external ontology for --infer (defaults to the "
+                         "input data itself)")
+    ap.add_argument("--schema-format", default="turtle",
+                    choices=sorted(DECODERS))
+    ap.add_argument("--resolve-sameas", action="store_true",
+                    help="rewrite owl:sameAs components to their canonical "
+                         "representative before encoding")
+    ap.add_argument("--keep-sameas-links", action="store_true",
+                    help="with --resolve-sameas: keep (rep, sameAs, member) "
+                         "provenance triples")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,6 +60,11 @@ def main(argv=None) -> int:
         args.out_format,
         base=args.base,
         skolemize=not args.keep_blank_labels,
+        infer=args.infer,
+        schema_path=args.schema or "",
+        schema_format=args.schema_format,
+        resolve_sameas=args.resolve_sameas,
+        keep_sameas_links=args.keep_sameas_links,
     )
     print(json.dumps({"triples": n, "out": args.out_path,
                       "format": args.out_format}))

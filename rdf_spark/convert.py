@@ -73,8 +73,19 @@ def write_rdf(df: DataFrame, path: str, fmt: str) -> None:
 
 
 def convert(spark: SparkSession, in_path: str, in_fmt: str, out_path: str,
-            out_fmt: str, base: str = "", skolemize: bool = True) -> int:
+            out_fmt: str, base: str = "", skolemize: bool = True,
+            infer: str | None = None, schema_path: str = "",
+            schema_format: str = "turtle", resolve_sameas: bool = False,
+            keep_sameas_links: bool = False) -> int:
     """Convert between serializations; returns the triple count written.
+
+    ``infer="rdfs"`` materializes the ρdf closure between decode and
+    encode (ops/reasoning.py) — the distributed analogue of
+    ``riot --rdfs``; the ontology defaults to the input itself, or pass
+    ``schema_path``/``schema_format`` to reason against an external
+    vocabulary.  ``resolve_sameas=True`` rewrites owl:sameAs components
+    to their canonical representative first (``keep_sameas_links``
+    keeps the provenance triples).
 
     ``skolemize=True`` (default) rewrites blank labels to per-document
     skolem IRIs: blank labels are only unique within one input document
@@ -110,5 +121,20 @@ def convert(spark: SparkSession, in_path: str, in_fmt: str, out_path: str,
 
             good = canonical.skolemize(good)
         good = good.drop("url")
+    if resolve_sameas:
+        from rdf_spark.ops.reasoning import sameas_resolve
+
+        good = sameas_resolve(good, keep_links=keep_sameas_links)
+    if infer == "rdfs":
+        from rdf_spark.ops.reasoning import rdfs_closure
+
+        schema = None
+        if schema_path:
+            schema = read_rdf(spark, schema_path, schema_format).filter(
+                F.col("err").isNull()
+            ).drop("err")
+        good = rdfs_closure(good, schema=schema)
+    elif infer:
+        raise ValueError(f"unknown inference profile: {infer}")
     write_rdf(good, out_path, out_fmt)
     return good.count()

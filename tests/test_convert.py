@@ -102,3 +102,60 @@ def test_convert_nquads_documents_keep_graph(spark, tmp_path):
     back = sources.read_nquads(spark, out).filter(F.col("err").isNull()).collect()
     assert back[0].graph == "http://g1"
     assert back[0].s.startswith("urn:skolem:")
+
+
+def test_convert_with_rdfs_inference(spark, tmp_path):
+    """--infer rdfs: the ρdf closure is materialized between decode and
+    encode; external --schema reasons instance data against a separate
+    ontology file."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import rdf_convert_job
+
+    src = str(tmp_path / "inst.ttl")
+    with open(src, "w") as f:
+        f.write("<http://x/rex> a <http://x/Dog> .\n")
+    schema = str(tmp_path / "onto.ttl")
+    with open(schema, "w") as f:
+        f.write(
+            "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+            "<http://x/Dog> rdfs:subClassOf <http://x/Mammal> .\n"
+            "<http://x/Mammal> rdfs:subClassOf <http://x/Animal> .\n"
+        )
+    out = str(tmp_path / "out_nt")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = rdf_convert_job.main([
+            "--in", src, "--in-format", "turtle",
+            "--out", out, "--out-format", "ntriples",
+            "--infer", "rdfs", "--schema", schema,
+        ])
+    assert rc == 0
+    # 1 input + 2 inherited types + 3 subclass facts (2 direct entailed
+    # copies + 1 transitive)
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["triples"] == 6
+    back = convert.read_rdf(spark, out, "ntriples")
+    objs = {r.o for r in back.filter(
+        F.col("s") == "http://x/rex").collect()}
+    assert objs == {"http://x/Dog", "http://x/Mammal", "http://x/Animal"}
+
+
+def test_convert_with_sameas_resolution(spark, tmp_path):
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "d.nt").write_text(
+        "<http://x/a> <http://www.w3.org/2002/07/owl#sameAs> <http://x/b> .\n"
+        "<http://x/b> <http://x/p> \"v\" .\n"
+    )
+    out = str(tmp_path / "out_nt")
+    n = convert.convert(
+        spark, str(src_dir), "ntriples", out, "ntriples",
+        resolve_sameas=True,
+    )
+    assert n == 1
+    back = convert.read_rdf(spark, out, "ntriples").collect()
+    assert back[0].s == "http://x/a"
