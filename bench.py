@@ -173,6 +173,12 @@ def main() -> int:
         "embedding_decontaminate",
         "hits",
         "html_tables",
+        "rdfs_closure",
+        "sameas_resolve",
+        "entity_resolve",
+        "triangle_count",
+        "surt_key",
+        "cdxj_parse",
     ]
 
     timings: dict[str, float] = {}
