@@ -2567,6 +2567,30 @@ def q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(sc_edges.unionByName(fixed).unionByName(inst))
 
 
+def q_fetch_plan(spark, sf_dir):
+    """Politeness fetch scheduling (ops.fetchplan.plan_fetches,
+    round-5): 37 synthetic hosts, robots Crawl-delay known for the 25
+    nation-keyed ones (others take the default) — every URL gets a
+    deterministic per-host queue slot (md5 order, the repo's sampling
+    convention) and fetch_at_s = (slot−1)·delay.  DuckDB replays the
+    identical window + join."""
+    from rdf_spark.ops.fetchplan import plan_fetches
+
+    d = _t(spark, sf_dir, "documents")
+    nation = _t(spark, sf_dir, "nation")
+    frontier = d.select(
+        F.concat(
+            F.lit("https://host"), F.col("doc_id") % 37,
+            F.lit(".com/p/"), F.col("doc_id"),
+        ).alias("url")
+    )
+    delays = nation.select(
+        F.concat(F.lit("host"), F.col("n_nationkey"), F.lit(".com")).alias("host"),
+        (F.col("n_nationkey") % 5 + 1).cast("double").alias("crawl_delay"),
+    )
+    return plan_fetches(frontier, delays=delays, default_delay=1.0)
+
+
 def q_surt_key(spark, sf_dir):
     """SURT crawl-index keys (ops.url.surt_col, round-5): four planted
     URL shapes — www+default-port+unsorted-query+fragment, non-default
@@ -2845,6 +2869,7 @@ _QUERIES = {
         "triangle_count": q_triangle_count,
         "surt_key": q_surt_key,
         "cdxj_parse": q_cdxj_parse,
+        "fetch_plan": q_fetch_plan,
     }
 
 
@@ -3731,6 +3756,32 @@ def oracle_sql() -> dict[str, str]:
                        'u:C' || j
                 FROM scp
             ) t(s, p, o)
+        """,
+        # identical window + join replay: md5-ordered per-host queue,
+        # known delays for the 25 nation hosts, default 1.0 elsewhere
+        "fetch_plan": """
+            WITH f AS (
+                SELECT 'https://host' || (doc_id % 37) || '.com/p/' || doc_id
+                           AS url,
+                       'host' || (doc_id % 37) || '.com' AS host
+                FROM documents
+            ),
+            d AS (
+                SELECT 'host' || n_nationkey || '.com' AS host,
+                       CAST(n_nationkey % 5 + 1 AS DOUBLE) AS delay
+                FROM nation
+            ),
+            r AS (
+                SELECT f.url, f.host,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.host ORDER BY md5(f.url), f.url
+                       ) AS slot,
+                       COALESCE(d.delay, CAST(1.0 AS DOUBLE)) AS delay
+                FROM f LEFT JOIN d USING (host)
+            )
+            SELECT url, host, CAST(slot AS INTEGER) AS slot,
+                   (slot - 1) * delay AS fetch_at_s
+            FROM r
         """,
         # closed-form expected SURT key per planted URL shape
         "surt_key": """
