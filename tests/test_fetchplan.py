@@ -53,3 +53,68 @@ class TestPlanFetches:
         )
         out = plan_fetches(df).collect()[0]
         assert out.digest == "sha1:X"
+
+
+def test_crawl_plan_job_entrypoint(spark, tmp_path):
+    """CDXJ index → status/mime filters → digest dedup → robots gate +
+    Crawl-delay → per-host schedule, end-to-end through the CLI."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import crawl_plan_job
+
+    lines = []
+    for i in range(6):
+        lines.append(
+            f'com,a)/p{i} 20240101120000 '
+            f'{{"url": "https://a.com/p{i}", "status": "200", '
+            f'"mime": "text/html", "digest": "sha1:D{i % 3}"}}'
+        )
+    # non-200 and non-html records must be filtered out
+    lines.append(
+        'com,a)/gone 20240101120000 '
+        '{"url": "https://a.com/gone", "status": "404", "mime": "text/html"}'
+    )
+    lines.append(
+        'com,a)/img 20240101120000 '
+        '{"url": "https://a.com/img", "status": "200", "mime": "image/png"}'
+    )
+    # robots-blocked path
+    lines.append(
+        'com,b)/secret 20240101120000 '
+        '{"url": "https://b.com/secret/x", "status": "200", '
+        '"mime": "text/html", "digest": "sha1:Z"}'
+    )
+    cdx = tmp_path / "idx.cdxj"
+    cdx.write_text("\n".join(lines) + "\n")
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nAllow: /\nCrawl-delay: 5\n"),
+            ("b.com", "User-agent: *\nDisallow: /secret/\n"),
+        ],
+        "host string, body string",
+    )
+    robots_path = str(tmp_path / "robots")
+    robots.write.parquet(robots_path)
+    out = str(tmp_path / "plan")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = crawl_plan_job.main([
+            "--cdx", str(cdx), "--out", out,
+            "--robots", robots_path,
+            "--statuses", "200", "--mime", "text/html",
+            "--dedup-digest", "--surt",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # 6 html 200s → 3 after digest dedup; the b.com URL is robots-denied
+    assert summary == {"urls": 3, "hosts": 1, "index_errors": 0,
+                       "out": out}
+    plan = spark.read.parquet(out).collect()
+    assert {r.host for r in plan} == {"a.com"}
+    assert sorted(r.slot for r in plan) == [1, 2, 3]
+    assert sorted(r.fetch_at_s for r in plan) == [0.0, 5.0, 10.0]
+    assert all(r.surt_key.startswith("com,a)/") for r in plan)
