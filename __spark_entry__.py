@@ -2567,6 +2567,27 @@ def q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(sc_edges.unionByName(fixed).unionByName(inst))
 
 
+def q_recrawl_stats(spark, sf_dir):
+    """CDX change-rate statistics (cdx.recrawl_stats, round-5): capture
+    histories synthesized by folding doc_ids onto 211 URLs; digests
+    cycle mod 5 with a planted all-null arm (digest-less captures carry
+    no change evidence — n_versions clamps to ≥1, never 0).  One hash
+    aggregate; DuckDB replays the same GROUP BY with the same clamp and
+    rounding."""
+    from rdf_spark.cdx import recrawl_stats
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    caps = d.select(
+        F.concat(F.lit("https://s.com/p"), i % 211).alias("url"),
+        (i + F.lit(10000000000000)).cast("string").alias("ts"),
+        F.when(i % 7 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("sha1:"), i % 5)
+        ).alias("digest"),
+    )
+    return recrawl_stats(caps)
+
+
 def q_fetch_plan(spark, sf_dir):
     """Politeness fetch scheduling (ops.fetchplan.plan_fetches,
     round-5): 37 synthetic hosts, robots Crawl-delay known for the 25
@@ -2870,6 +2891,7 @@ _QUERIES = {
         "surt_key": q_surt_key,
         "cdxj_parse": q_cdxj_parse,
         "fetch_plan": q_fetch_plan,
+        "recrawl_stats": q_recrawl_stats,
     }
 
 
@@ -3756,6 +3778,28 @@ def oracle_sql() -> dict[str, str]:
                        'u:C' || j
                 FROM scp
             ) t(s, p, o)
+        """,
+        # same GROUP BY, same n_versions>=1 clamp, same rounding
+        "recrawl_stats": """
+            SELECT 'https://s.com/p' || (doc_id % 211) AS url,
+                   CAST(COUNT(*) AS BIGINT) AS n_captures,
+                   GREATEST(COUNT(DISTINCT CASE WHEN doc_id % 7 = 0
+                                THEN NULL
+                                ELSE 'sha1:' || (doc_id % 5) END),
+                            1) AS n_versions,
+                   CASE WHEN COUNT(*) > 1 THEN
+                        round(CAST(GREATEST(COUNT(DISTINCT
+                                  CASE WHEN doc_id % 7 = 0 THEN NULL
+                                       ELSE 'sha1:' || (doc_id % 5) END),
+                              1) - 1 AS DOUBLE)
+                              / (COUNT(*) - 1), 6)
+                   ELSE CAST(0.0 AS DOUBLE) END AS change_rate,
+                   MIN(CAST(doc_id + 10000000000000 AS VARCHAR))
+                       AS first_ts,
+                   MAX(CAST(doc_id + 10000000000000 AS VARCHAR))
+                       AS last_ts
+            FROM documents
+            GROUP BY 1
         """,
         # identical window + join replay: md5-ordered per-host queue,
         # known delays for the 25 nation hosts, default 1.0 elsewhere

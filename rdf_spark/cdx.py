@@ -89,3 +89,43 @@ def read_cdxj(
 ) -> DataFrame:
     """``spark.read.text`` (splittable, unlike WARC) → :func:`parse_cdxj`."""
     return parse_cdxj(spark.read.text(path), strict=strict)
+
+
+def recrawl_stats(records: DataFrame) -> DataFrame:
+    """Change-rate statistics per URL from CDX capture history →
+    ``(url, n_captures, n_versions, change_rate, first_ts, last_ts)``.
+
+    The index stores one row per CAPTURE; a recrawl scheduler wants to
+    know how often a page actually CHANGES (distinct payload digests)
+    relative to how often it was fetched: ``change_rate =
+    (n_versions − 1) / (n_captures − 1)`` (0.0 for single-capture URLs —
+    no evidence of change), rounded to 6 dp.  High change_rate → crawl
+    often; 0 → archive-stable, fetch rarely.
+
+    One hash aggregate over (url); count_distinct(digest) is exact —
+    per-URL capture counts are small (bounded by crawl frequency), so
+    the distinct state never skews the way corpus-wide vocabularies do
+    (ops/skew.py exists for THAT shape).
+    """
+    g = records.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        # digest-less captures carry no change evidence: count_distinct
+        # skips nulls, so clamp to ≥1 version (all-null ⇒ 1, not 0)
+        F.greatest(
+            F.count_distinct(F.col("digest")), F.lit(1).cast("bigint")
+        ).alias("n_versions"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    rate = F.when(
+        F.col("n_captures") > 1,
+        F.round(
+            (F.col("n_versions") - F.lit(1)).cast("double")
+            / (F.col("n_captures") - F.lit(1)).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "url", "n_captures", "n_versions",
+        rate.alias("change_rate"), "first_ts", "last_ts",
+    )

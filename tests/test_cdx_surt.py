@@ -103,3 +103,43 @@ class TestCdxj:
         )
         r = self._parse(spark, [line]).collect()[0]
         assert r.ts == "20240101120000123" and r.err is None
+
+
+class TestRecrawlStats:
+    def _stats(self, spark, rows):
+        from rdf_spark.cdx import recrawl_stats
+
+        df = spark.createDataFrame(
+            rows, "url string, ts string, digest string"
+        )
+        return {r.url: r for r in recrawl_stats(df).collect()}
+
+    def test_change_rate(self, spark):
+        got = self._stats(spark, [
+            ("u", "20240101000000", "A"),
+            ("u", "20240201000000", "A"),
+            ("u", "20240301000000", "B"),
+            ("v", "20240101000000", "A"),
+        ])
+        u = got["u"]
+        assert u.n_captures == 3 and u.n_versions == 2
+        assert u.change_rate == 0.5
+        assert u.first_ts == "20240101000000"
+        assert u.last_ts == "20240301000000"
+        # single capture: no change evidence
+        assert got["v"].change_rate == 0.0
+
+    def test_all_null_digests_clamp_to_one_version(self, spark):
+        got = self._stats(spark, [
+            ("u", "20240101000000", None),
+            ("u", "20240201000000", None),
+        ])
+        assert got["u"].n_versions == 1 and got["u"].change_rate == 0.0
+
+    def test_every_capture_changed(self, spark):
+        got = self._stats(spark, [
+            ("u", "20240101000000", "A"),
+            ("u", "20240201000000", "B"),
+            ("u", "20240301000000", "C"),
+        ])
+        assert got["u"].change_rate == 1.0
