@@ -2567,6 +2567,50 @@ def q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(sc_edges.unionByName(fixed).unionByName(inst))
 
 
+def q_k_core(spark, sf_dir):
+    """3-core peeling (ops.graph.k_core, round-5): 25 wheel graphs (hub
+    + 5-cycle — every wheel node has degree ≥3, the whole wheel IS its
+    3-core) with one depth-3 pendant chain per document hung off a hub.
+    The chains unravel in exactly 3 peel rounds at EVERY scale (peel
+    depth is structural, not data-sized), so the oracle can replay the
+    peeling round-by-round as 6 generated CTE rounds (the _pagerank_sql
+    pattern) — fixpoint by round 4, identical node set."""
+    from rdf_spark.ops.graph import k_core
+
+    nation = _t(spark, sf_dir, "nation")
+    d = _t(spark, sf_dir, "documents")
+    wheel = nation.select(
+        F.col("n_nationkey").alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("s"),
+    )
+    spokes = wheel.select(
+        F.concat(F.lit("h"), F.col("g")).alias("a"),
+        F.concat(F.lit("w"), F.col("g"), F.lit("_"), F.col("s")).alias("b"),
+    )
+    rims = wheel.select(
+        F.concat(F.lit("w"), F.col("g"), F.lit("_"), F.col("s")).alias("a"),
+        F.concat(
+            F.lit("w"), F.col("g"), F.lit("_"), (F.col("s") + 1) % 5
+        ).alias("b"),
+    )
+    i = F.col("doc_id")
+    chains = (
+        d.select(
+            F.concat(F.lit("h"), i % 25).alias("a"),
+            F.concat(F.lit("p"), i).alias("b"),
+        )
+        .unionByName(d.select(
+            F.concat(F.lit("p"), i).alias("a"),
+            F.concat(F.lit("q"), i).alias("b"),
+        ))
+        .unionByName(d.select(
+            F.concat(F.lit("q"), i).alias("a"),
+            F.concat(F.lit("r"), i).alias("b"),
+        ))
+    )
+    return k_core(spokes.unionByName(rims).unionByName(chains), k=3)
+
+
 def q_recrawl_stats(spark, sf_dir):
     """CDX change-rate statistics (cdx.recrawl_stats, round-5): capture
     histories synthesized by folding doc_ids onto 211 URLs; digests
@@ -2892,6 +2936,7 @@ _QUERIES = {
         "cdxj_parse": q_cdxj_parse,
         "fetch_plan": q_fetch_plan,
         "recrawl_stats": q_recrawl_stats,
+        "k_core": q_k_core,
     }
 
 
@@ -2946,6 +2991,51 @@ def _bm25_sql() -> str:
                round(CAST(SUM(CAST(ps AS DECIMAL(24,9))) AS DOUBLE), 6) AS bm25
         FROM scored GROUP BY doc_id
     """
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """DuckDB replay of ops.graph.k_core's peel schedule over the
+    q_k_core synthetic graph: each generated round recomputes degrees
+    over the surviving edge set and drops sub-k nodes — the planted
+    pendant chains have structural peel depth 3, so 6 rounds are past
+    the fixpoint at every scale."""
+    ctes = ["""w AS MATERIALIZED (
+        SELECT n_nationkey AS g, s
+        FROM nation CROSS JOIN (SELECT unnest(range(5)) AS s) t
+    ),
+    raw AS MATERIALIZED (
+        SELECT 'h' || g AS a, 'w' || g || '_' || s AS b FROM w
+        UNION ALL
+        SELECT 'w' || g || '_' || s, 'w' || g || '_' || ((s + 1) % 5)
+        FROM w
+        UNION ALL SELECT 'h' || (doc_id % 25), 'p' || doc_id FROM documents
+        UNION ALL SELECT 'p' || doc_id, 'q' || doc_id FROM documents
+        UNION ALL SELECT 'q' || doc_id, 'r' || doc_id FROM documents
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        FROM raw WHERE a <> b
+    )"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT u AS node FROM e{r - 1}
+            UNION ALL SELECT v FROM e{r - 1}
+        ) GROUP BY node HAVING COUNT(*) >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT u, v FROM e{r - 1}
+        WHERE u IN (SELECT node FROM n{r})
+          AND v IN (SELECT node FROM n{r})
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e{rounds}
+        UNION ALL SELECT v FROM e{rounds}
+    ) t"""
+    )
 
 
 def _pagerank_sql(n_iter: int = 3) -> str:
@@ -3779,6 +3869,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM scp
             ) t(s, p, o)
         """,
+        "k_core": _kcore_sql(),
         # same GROUP BY, same n_versions>=1 clamp, same rounding
         "recrawl_stats": """
             SELECT 'https://s.com/p' || (doc_id % 211) AS url,
