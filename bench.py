@@ -179,6 +179,9 @@ def main() -> int:
         "triangle_count",
         "surt_key",
         "cdxj_parse",
+        "fetch_plan",
+        "recrawl_stats",
+        "k_core",
     ]
 
     timings: dict[str, float] = {}
