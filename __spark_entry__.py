@@ -2567,6 +2567,24 @@ def q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(sc_edges.unionByName(fixed).unionByName(inst))
 
 
+def q_classifier_score(spark, sf_dir):
+    """Hashed linear classifier scoring (ops.text.hashed_classifier_score,
+    round-5): the fastText-style quality-filter shape with a 64-bucket
+    weight vector whose values are multiples of 1/64 (exact binary AND
+    exact decimal — both engines' casts are lossless) derived closed-form
+    from the bucket index, so the oracle needs no array literal.  The
+    md5-prefix bucket hash parses identically in DuckDB; the decimal
+    fold makes the sum token-order-independent; exp() ULP noise is
+    absorbed by round-6 (the lm_score convention)."""
+    from rdf_spark.ops.text import hashed_classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    weights = [(i % 13 - 6) / 64.0 for i in range(64)]
+    return hashed_classifier_score(
+        d.select("doc_id", "text"), weights, bias=0.25
+    ).select("doc_id", "clf_score")
+
+
 def q_k_core(spark, sf_dir):
     """3-core peeling (ops.graph.k_core, round-5): 25 wheel graphs (hub
     + 5-cycle — every wheel node has degree ≥3, the whole wheel IS its
@@ -2937,6 +2955,7 @@ _QUERIES = {
         "fetch_plan": q_fetch_plan,
         "recrawl_stats": q_recrawl_stats,
         "k_core": q_k_core,
+        "classifier_score": q_classifier_score,
     }
 
 
@@ -3870,6 +3889,33 @@ def oracle_sql() -> dict[str, str]:
             ) t(s, p, o)
         """,
         "k_core": _kcore_sql(),
+        # same bucket hash (md5 hex prefix → int), same closed-form
+        # weights (b%13-6)/64 (exact in binary and decimal), same
+        # decimal-fold → single-divide → sigmoid → round-6 schedule
+        "classifier_score": r"""
+            WITH toks AS (
+                SELECT doc_id, t
+                FROM documents,
+                     UNNEST(regexp_split_to_array(trim(text), '\s+'))
+                         AS u(t)
+                WHERE t <> ''
+            ),
+            sums AS (
+                SELECT doc_id,
+                       SUM(CAST(
+                           CAST((CAST(('0x' || substr(md5(t), 1, 15))
+                                      AS BIGINT) % 64) % 13 - 6 AS DOUBLE)
+                           / 64 AS DECIMAL(20,10))) AS s,
+                       COUNT(*) AS n
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(1.0 / (1.0 + exp(-(
+                       CASE WHEN s.n > 0
+                            THEN 0.25 + CAST(s.s AS DOUBLE) / s.n
+                            ELSE 0.25 END))), 6) AS clf_score
+            FROM documents d LEFT JOIN sums s USING (doc_id)
+        """,
         # same GROUP BY, same n_versions>=1 clamp, same rounding
         "recrawl_stats": """
             SELECT 'https://s.com/p' || (doc_id % 211) AS url,

@@ -385,3 +385,55 @@ def unicode_normalize(
     """Add ``out`` = the ``form``-normalized text (see
     :func:`unicode_normalize_col`).  Row-local, zero shuffle."""
     return df.withColumn(out, unicode_normalize_col(F.col(text_col), form))
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    out_col: str = "clf_score",
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style hashed linear classifier scoring —
+    ``sigmoid(bias + mean(weights[h(token) % D]))`` per document.
+
+    The production quality-filter shape (CCNet/DCLM-style fastText
+    models): a trained weight vector indexed by hashing-trick buckets,
+    applied corpus-wide.  Everything is row-local JVM (split → md5
+    bucket → weight lookup → fold) — zero shuffle, zero Python, the
+    whole 100 TB pass is a narrow projection over the text scan.
+
+    Reproducible-numerics contract: per-token weights are cast to
+    DECIMAL(20,10) and folded with exact decimal addition, so the sum
+    is token-order- and partitioning-independent; the mean and sigmoid
+    are then single IEEE ops rounded to 6 dp (the repo's standard
+    cross-engine pattern — supply weights with ≤10 decimal places, e.g.
+    multiples of 1/64, for bit-exact DuckDB replay).  The bucket hash
+    is the first 15 hex digits of md5 (fits a signed 64-bit int; both
+    engines parse hex identically), NOT xxhash64 — DuckDB has no
+    xxhash64, and determinism beats speed for an audit-replayable
+    score.  Empty/blank documents score ``sigmoid(bias)``.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    d = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+
+    def _contrib(t: Column) -> Column:
+        b = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % d
+        return F.element_at(warr, (b + 1).cast("int")).cast("decimal(20,10)")
+
+    zero = F.lit(0).cast("decimal(20,10)")
+    # decimal + decimal widens to (21,10); the fold must return the
+    # accumulator type — cast back each step (scale is preserved, and
+    # per-token weights keep any real sum far from 10^10 overflow)
+    ssum = F.aggregate(
+        toks, zero, lambda acc, t: (acc + _contrib(t)).cast("decimal(20,10)")
+    )
+    n = F.size(toks)
+    z = F.when(n > 0, F.lit(float(bias)) + ssum.cast("double") / n).otherwise(
+        F.lit(float(bias))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.withColumn(out_col, score)
