@@ -44,6 +44,14 @@ def main(argv=None) -> int:
     ap.add_argument("--host-cap", default=None, metavar="COL:N",
                     help="final per-host quota: keep at most N rows per "
                     "distinct COL value (drop_reason=host_capped)")
+    ap.add_argument("--clf-weights", default=None, metavar="JSON_FILE",
+                    help="model-based quality gate: JSON file with a "
+                         "weight list (hashed linear classifier, "
+                         "ops.text.hashed_classifier_score)")
+    ap.add_argument("--clf-min-score", type=float, default=0.5,
+                    help="with --clf-weights: drop docs scoring below "
+                         "this (drop_reason=classifier)")
+    ap.add_argument("--clf-bias", type=float, default=0.0)
     ap.add_argument("--repeat", default=None,
                     metavar="COL:K=R[,K=R...][:DEFAULT]",
                     help="write repeated/ (training-mix upsampling of "
@@ -74,6 +82,16 @@ def main(argv=None) -> int:
             if args.near_dup_threshold is not None else None
         ),
     )
+    if args.clf_weights is not None:
+        with open(args.clf_weights) as fh:
+            weights = json.load(fh)
+        if not isinstance(weights, list) or not weights:
+            ap.error("--clf-weights file must hold a non-empty JSON list")
+        kwargs["classifier"] = dict(
+            weights=[float(w) for w in weights],
+            min_score=args.clf_min_score,
+            bias=args.clf_bias,
+        )
     if args.host_cap is not None:
         col, _, n = args.host_cap.rpartition(":")
         if not col or not n.isdigit():

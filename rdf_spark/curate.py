@@ -57,12 +57,21 @@ def curation_flags(
     lang_col: str = "lang",
     langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.5,
+    classifier: dict | None = None,
 ) -> DataFrame:
     """Row-local stage flags: quality/repetition feature columns plus
     ``_fp`` (content fingerprint), ``_lang_ok``/``_qual_ok``/``_rep_ok``
-    and their conjunction ``_eligible``.  Pure JVM expressions — shared
-    by the batch cascade and the streaming variant (row-local ⇒
-    trivially valid per micro-batch)."""
+    (and ``_clf_ok`` when a classifier gate is configured) and their
+    conjunction ``_eligible``.  Pure JVM expressions — shared by the
+    batch cascade and the streaming variant (row-local ⇒ trivially
+    valid per micro-batch).
+
+    ``classifier=dict(weights=[...], min_score=s[, bias=b])`` adds a
+    model-based quality gate: ops.text.hashed_classifier_score (the
+    fastText-style hashed linear scorer) on the same text the heuristic
+    flags see; docs scoring below ``min_score`` gain reason
+    ``classifier``.
+    """
     feat = txt.repetition_features(txt.quality_features(df, text_col), text_col)
     feat = feat.withColumn(
         "_fp", txt.fingerprint_col(F.coalesce(F.col(text_col), F.lit("")))
@@ -73,12 +82,20 @@ def curation_flags(
     lang_ok = F.coalesce(F.col(lang_col).isin(*langs), F.lit(False))
     qual_ok = F.col("q_score") >= min_quality
     rep_ok = F.col("rep_keep")
-    return (
+    eligible = lang_ok & qual_ok & rep_ok
+    feat = (
         feat.withColumn("_lang_ok", lang_ok)
         .withColumn("_qual_ok", qual_ok)
         .withColumn("_rep_ok", rep_ok)
-        .withColumn("_eligible", lang_ok & qual_ok & rep_ok)
     )
+    if classifier is not None:
+        clf = dict(classifier)
+        min_score = clf.pop("min_score")
+        feat = txt.hashed_classifier_score(feat, text_col=text_col, **clf)
+        clf_ok = F.col("clf_score") >= min_score
+        feat = feat.withColumn("_clf_ok", clf_ok)
+        eligible = eligible & clf_ok
+    return feat.withColumn("_eligible", eligible)
 
 
 def curate_report(
@@ -94,8 +111,16 @@ def curate_report(
     span_dedup_ngram: int | None = None,
     near_dup: dict | None = None,
     host_cap: tuple[str, int] | None = None,
+    classifier: dict | None = None,
 ) -> DataFrame:
     """Audit view: every input row with ``drop_reason`` (null = kept).
+
+    ``classifier=dict(weights=[...], min_score=s[, bias=b])`` adds a
+    model-based quality gate (hashed linear scorer, see
+    :func:`curation_flags`) with reason ``classifier`` — evaluated
+    after the heuristic quality floor, before repetition.  Row-local
+    JVM like the other flags, so it is free at scale and valid in a
+    streaming micro-batch.
 
     ``near_dup={...}`` enables the optional MinHash near-duplicate stage
     (kwargs forwarded to :func:`rdf_spark.ops.dedup.near_dup_clusters`,
@@ -179,7 +204,9 @@ def curate_report(
             .withColumn(text_col, F.coalesce(F.col("_sd_text"), F.lit("")))
             .drop("_sd_key", "_sd_text")
         )
-    feat = curation_flags(df, text_col, lang_col, langs, min_quality)
+    feat = curation_flags(
+        df, text_col, lang_col, langs, min_quality, classifier=classifier
+    )
     lang_ok = F.col("_lang_ok")
     qual_ok = F.col("_qual_ok")
     rep_ok = F.col("_rep_ok")
@@ -211,11 +238,11 @@ def curate_report(
         # mirroring their fall-through in the duplicate stage
         out = out.join(nd, F.col(key_col) == F.col("_nd_id"), "left")
         nd_cols = ["_nd_id"]
-    reason = (
-        F.when(~lang_ok, "lang")
-        .when(~qual_ok, "quality")
-        .when(~rep_ok, "repetition")
-        .when(F.col(key_col) != F.col("_rep_id"), "duplicate")
+    reason = F.when(~lang_ok, "lang").when(~qual_ok, "quality")
+    if classifier is not None:
+        reason = reason.when(~F.col("_clf_ok"), "classifier")
+    reason = reason.when(~rep_ok, "repetition").when(
+        F.col(key_col) != F.col("_rep_id"), "duplicate"
     )
     if near_dup is not None:
         reason = reason.when(F.col("_nd_id").isNotNull(), "near_dup")
@@ -224,6 +251,7 @@ def curate_report(
     ).otherwise(F.lit(None).cast("string"))
     out = out.withColumn("drop_reason", reason).drop(
         "_fp", "_eligible", "_lang_ok", "_qual_ok", "_rep_ok", "_rep_id",
+        *(["_clf_ok"] if classifier is not None else []),
         *nd_cols
     )
     if host_cap is not None:

@@ -532,3 +532,60 @@ def test_curate_job_repeat_output(spark, tmp_path):
     rep = spark.read.parquet(f"{out}/repeated")
     assert res["repeated"] == rep.count() == 2 * n_en + n_de
     assert "copy" in rep.columns
+
+
+def test_curate_classifier_stage(spark):
+    """Model-based quality gate: all-negative weights force scores below
+    0.5 → reason 'classifier'; evaluated after the heuristic quality
+    floor and before repetition, and clf-dropped docs never become
+    dedup representatives."""
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog were friends in the park", "en"),
+         (2, "the cat and the dog were friends in the park", "en")],
+        "doc_id int, text string, lang string",
+    )
+    rep = curate.curate_report(
+        df, langs=("en",), min_quality=0.0, sample_rate=1.0,
+        classifier=dict(weights=[-1.0] * 16, min_score=0.5),
+    )
+    got = {r.doc_id: r.drop_reason for r in rep.collect()}
+    # sigmoid(mean of -1.0) < 0.5 for every doc → both drop as classifier
+    assert got == {1: "classifier", 2: "classifier"}
+    # positive weights keep everything; clf_score column is surfaced
+    rep2 = curate.curate_report(
+        df, langs=("en",), min_quality=0.0, sample_rate=1.0,
+        classifier=dict(weights=[1.0] * 16, min_score=0.5),
+    )
+    rows = rep2.collect()
+    assert {r.drop_reason for r in rows} == {None, "duplicate"}
+    assert all(r.clf_score > 0.5 for r in rows)
+
+
+def test_curate_classifier_job_cli(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog were friends in the park", "en"),
+         (2, "completely different words entirely here again", "en")],
+        "doc_id int, text string, lang string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    wfile = tmp_path / "w.json"
+    wfile.write_text(_json.dumps([-1.0] * 16))
+    out = str(tmp_path / "out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main([
+            "--in", src, "--out", out, "--min-quality", "0.0",
+            "--clf-weights", str(wfile), "--clf-min-score", "0.5",
+        ])
+    assert rc == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])["stages"]
+    assert stats.get("classifier") == 2
