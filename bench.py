@@ -182,6 +182,7 @@ def main() -> int:
         "fetch_plan",
         "recrawl_stats",
         "k_core",
+        "classifier_score",
     ]
 
     timings: dict[str, float] = {}
