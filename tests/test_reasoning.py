@@ -152,3 +152,22 @@ class TestSameAsResolve:
     def test_no_sameas_is_identity(self, spark):
         t = _bare(spark, [("u:a", "u:p", "u:b")])
         assert _triples(sameas_resolve(t)) == {("u:a", "u:p", "u:b")}
+
+
+def test_rdfs_closure_instance_side_never_shuffles(spark):
+    """Plan shape: every inference join must be a BroadcastHashJoin of
+    the (checkpointed, ontology-sized) schema closure against the
+    instance scan — with dedup=False the plan contains NO shuffle of
+    instance data (no SortMergeJoin, no join Exchange)."""
+    t = _bare(spark, [
+        ("u:hasPet", RDFS_SUBPROPERTYOF, "u:knows"),
+        ("u:knows", RDFS_DOMAIN, "u:Person"),
+        ("u:Dog", RDFS_SUBCLASSOF, "u:Animal"),
+        ("u:ann", "u:hasPet", "u:rex"),
+        ("u:rex", RDF_TYPE, "u:Dog"),
+    ])
+    out = rdfs_closure(t, dedup=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
