@@ -305,8 +305,12 @@ def curate_stream(
     key_col: str = "doc_id",
     n_key_buckets: int = 1024,
     state_timeout_minutes: int | None = None,
+    classifier: dict | None = None,
 ) -> DataFrame:
     """Streaming corpus curation over a docs readStream.
+
+    ``classifier`` is the same model-based quality gate as the batch
+    cascade (row-local JVM ⇒ trivially valid per micro-batch).
 
     The row-local stages (lang, quality, repetition, sample) are the SAME
     JVM expressions as the batch cascade, applied per micro-batch.
@@ -337,13 +341,17 @@ def curate_stream(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    flagged = curation_flags(docs_stream, text_col, lang_col, langs, min_quality)
+    flagged = curation_flags(
+        docs_stream, text_col, lang_col, langs, min_quality,
+        classifier=classifier,
+    )
     kept = flagged.filter(
         F.col("_eligible") & smp.sample_predicate(F.col(key_col), sample_rate)
     )
     out_cols = [
         c for c in kept.columns
-        if c not in ("_fp", "_eligible", "_lang_ok", "_qual_ok", "_rep_ok")
+        if c not in ("_fp", "_eligible", "_lang_ok", "_qual_ok", "_rep_ok",
+                     "_clf_ok")
     ]
     keyed = kept.withColumn(
         "_kb", F.pmod(F.xxhash64("_fp"), F.lit(n_key_buckets)).cast("int")

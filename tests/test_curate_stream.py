@@ -88,3 +88,25 @@ def test_curate_stream_rowlocal_matches_batch(spark, tmp_path):
     # schema: stream output keeps the original + signal columns
     cols = set(spark.sql("select * from curated2 limit 1").columns)
     assert {"doc_id", "text", "lang", "q_score", "rep_keep"} <= cols
+
+
+def test_curate_stream_classifier_gate(spark, tmp_path):
+    """The model-based gate is row-local, so it applies per micro-batch
+    exactly like the batch cascade: all-negative weights drop every doc
+    before the stateful dedup stage ever sees it."""
+    in_dir = str(tmp_path / "docs_clf")
+    _write(spark, [(1, GOOD, "en"), (2, GOOD2, "en")], in_dir, "overwrite")
+    stream = (spark.readStream.schema(DOCS_DDL)
+              .option("maxFilesPerTrigger", 8).parquet(in_dir))
+    out = curate.curate_stream(
+        stream, langs=("en",), min_quality=0.0, sample_rate=1.0,
+        n_key_buckets=4,
+        classifier=dict(weights=[-1.0] * 16, min_score=0.5),
+    )
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("curated_clf").start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from curated_clf").count() == 0
+    finally:
+        q.stop()
