@@ -2815,6 +2815,57 @@ def q_sameas_resolve(spark, sf_dir):
     return sameas_resolve(sa.unionByName(chain).unionByName(facts))
 
 
+def _void_triples(spark, sf_dir):
+    """Shared input for the VoID contracts: 3 N-Triples lines per
+    customer (an rdf:type triple, a name literal, a nation link) parsed
+    through the real decoder so the stats run over the canonical triple
+    schema, not a shortcut frame."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lines = c.select(
+        F.explode(F.array(
+            F.concat(F.lit("<urn:cust:"), k,
+                     F.lit("> <" + terms.RDF_TYPE + "> <urn:class:"),
+                     F.col("c_mktsegment"), F.lit("> .")),
+            F.concat(F.lit("<urn:cust:"), k, F.lit('> <urn:p:name> "'),
+                     F.col("c_name"), F.lit('" .')),
+            F.concat(F.lit("<urn:cust:"), k,
+                     F.lit("> <urn:p:nation> <urn:nation:"),
+                     F.col("c_nationkey"), F.lit("> .")),
+        )).alias("value")
+    )
+    return sources.parse_lines_df(lines, "ntriples").filter(F.col("err").isNull())
+
+
+def q_void_summary(spark, sf_dir):
+    """VoID dataset summary (ops.voidstats.void_summary, round-5): one
+    row of whole-dataset statistics — each distinct-count its own
+    scan-narrow two-phase HashAggregate, combined by 1-row cross joins
+    (never one Expand-multiplying multi-countDistinct).  Closed-form
+    oracle: customer keys/names are unique, segment and nation sets are
+    the class / linked-entity partitions."""
+    from rdf_spark.ops.voidstats import void_summary
+
+    return void_summary(_void_triples(spark, sf_dir))
+
+
+def q_void_property_partition(spark, sf_dir):
+    """void:propertyPartition (ops.voidstats.property_partition,
+    round-5): per-predicate triple counts and distinct subject/object
+    counts, pre-aggregated per key before the (predicate-sized) join."""
+    from rdf_spark.ops.voidstats import property_partition
+
+    return property_partition(_void_triples(spark, sf_dir))
+
+
+def q_void_class_partition(spark, sf_dir):
+    """void:classPartition (ops.voidstats.class_partition, round-5):
+    distinct typed entities per class IRI."""
+    from rdf_spark.ops.voidstats import class_partition
+
+    return class_partition(_void_triples(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2956,6 +3007,9 @@ _QUERIES = {
         "recrawl_stats": q_recrawl_stats,
         "k_core": q_k_core,
         "classifier_score": q_classifier_score,
+        "void_summary": q_void_summary,
+        "void_property_partition": q_void_property_partition,
+        "void_class_partition": q_void_class_partition,
     }
 
 
@@ -4827,5 +4881,50 @@ def oracle_sql() -> dict[str, str]:
                    round(qarr[i+1], 6) AS q_value,
                    n_docs
             FROM agg CROSS JOIN range(4) AS t(i)
+        """,
+        # closed-form over the synthesis: custkeys and names are unique
+        # per row, segments are the classes, nations the linked IRIs —
+        # the three object namespaces never collide
+        "void_summary": """
+            SELECT CAST(3 * COUNT(*) AS BIGINT) AS n_triples,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+                       AS distinct_subjects,
+                   CAST(3 AS BIGINT) AS properties,
+                   CAST(COUNT(DISTINCT c_mktsegment)
+                        + COUNT(DISTINCT c_name)
+                        + COUNT(DISTINCT c_nationkey) AS BIGINT)
+                       AS distinct_objects,
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS classes,
+                   CAST(COUNT(DISTINCT c_custkey)
+                        + COUNT(DISTINCT c_mktsegment)
+                        + COUNT(DISTINCT c_nationkey) AS BIGINT)
+                       AS entities,
+                   CAST(COUNT(*) AS BIGINT) AS literals
+            FROM customer
+        """,
+        "void_property_partition": """
+            SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   CAST(COUNT(*) AS BIGINT) AS triples,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+                       AS distinct_subjects,
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+                       AS distinct_objects
+            FROM customer
+            UNION ALL
+            SELECT 'urn:p:name', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT c_name) AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT 'urn:p:nation', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+            FROM customer
+        """,
+        "void_class_partition": """
+            SELECT 'urn:class:' || c_mktsegment AS class_iri,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS entities
+            FROM customer
+            GROUP BY c_mktsegment
         """,
     }

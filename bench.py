@@ -183,6 +183,7 @@ def main() -> int:
         "recrawl_stats",
         "k_core",
         "classifier_score",
+        "void_summary",
     ]
 
     timings: dict[str, float] = {}
