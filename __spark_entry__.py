@@ -2866,6 +2866,55 @@ def q_void_class_partition(spark, sf_dir):
     return class_partition(_void_triples(spark, sf_dir))
 
 
+def q_shacl_report(spark, sf_dir):
+    """SHACL-lite validation (ops.shacl.validate, round-5): an
+    OrderShape with planted violations per constraint family —
+    minCount (k%7: prio triple withheld), maxCount (k%11: duplicate
+    prio), sh:class (cust%5: customer left untyped), sh:datatype
+    (k%13: plain-string note instead of xsd:integer), sh:in (the rare
+    'P' order status).  Triples go through the real N-Triples decoder;
+    the oracle regenerates each violation row closed-form."""
+    from rdf_spark.ops.shacl import validate
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    order = F.concat(F.lit("<u:order:"), k, F.lit(">"))
+    prio = F.concat(order, F.lit(' <u:p:prio> "'),
+                    F.col("o_orderpriority"), F.lit('" .'))
+    lines = o.select(
+        F.explode(F.array_compact(F.array(
+            F.concat(order, F.lit(" <" + terms.RDF_TYPE + "> <u:Order> .")),
+            F.when(k % 7 != 0, prio),
+            F.when((k % 11 == 0) & (k % 7 != 0), prio),
+            F.concat(order, F.lit(" <u:p:cust> <u:cust:"), c, F.lit("> .")),
+            F.when(c % 5 != 0, F.concat(
+                F.lit("<u:cust:"), c,
+                F.lit("> <" + terms.RDF_TYPE + "> <u:Customer> ."))),
+            F.when(k % 13 == 0,
+                   F.concat(order, F.lit(' <u:p:note> "note" .')))
+            .otherwise(F.concat(
+                order, F.lit(' <u:p:note> "'), k,
+                F.lit('"^^<' + terms.XSD_INTEGER + "> ."))),
+            F.concat(order, F.lit(' <u:p:flag> "'),
+                     F.col("o_orderstatus"), F.lit('" .')),
+        ))).alias("value")
+    )
+    tri = sources.parse_lines_df(lines, "ntriples").filter(
+        F.col("err").isNull()
+    )
+    shapes = [{
+        "id": "u:OrderShape",
+        "target_class": "u:Order",
+        "properties": [
+            {"path": "u:p:prio", "min_count": 1, "max_count": 1},
+            {"path": "u:p:cust", "class": "u:Customer"},
+            {"path": "u:p:note", "datatype": terms.XSD_INTEGER},
+            {"path": "u:p:flag", "in": ["O", "F"]},
+        ],
+    }]
+    return validate(tri, shapes)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3010,6 +3059,7 @@ _QUERIES = {
         "void_summary": q_void_summary,
         "void_property_partition": q_void_property_partition,
         "void_class_partition": q_void_class_partition,
+        "shacl_report": q_shacl_report,
     }
 
 
@@ -4926,5 +4976,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS entities
             FROM customer
             GROUP BY c_mktsegment
+        """,
+        # each planted violation family regenerated closed-form
+        "shacl_report": f"""
+            SELECT 'u:order:' || o_orderkey AS focus,
+                   'u:OrderShape' AS shape_id, 'u:p:prio' AS path,
+                   'minCount' AS "constraint", '0' AS value,
+                   '1' AS expected
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT 'u:order:' || o_orderkey, 'u:OrderShape', 'u:p:prio',
+                   'maxCount', '2', '1'
+            FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT 'u:order:' || o_orderkey, 'u:OrderShape', 'u:p:cust',
+                   'class', 'u:cust:' || o_custkey, 'u:Customer'
+            FROM orders WHERE o_custkey % 5 = 0
+            UNION ALL
+            SELECT 'u:order:' || o_orderkey, 'u:OrderShape', 'u:p:note',
+                   'datatype', 'note', '{XSD_INTEGER}'
+            FROM orders WHERE o_orderkey % 13 = 0
+            UNION ALL
+            SELECT 'u:order:' || o_orderkey, 'u:OrderShape', 'u:p:flag',
+                   'in', o_orderstatus, '(O F)'
+            FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
         """,
     }

@@ -184,6 +184,7 @@ def main() -> int:
         "k_core",
         "classifier_score",
         "void_summary",
+        "shacl_report",
     ]
 
     timings: dict[str, float] = {}

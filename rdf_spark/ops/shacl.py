@@ -1,0 +1,254 @@
+"""SHACL-lite shape validation over the canonical triple schema.
+
+EXCEEDS reference parity: /root/reference stops at parse/serialize
+(rdf.go, encoder.go) — but a production KG pipeline validates the
+graph against shape constraints before publishing (W3C SHACL,
+https://www.w3.org/TR/shacl/).  This is the commonly-used core subset,
+compiled set-at-a-time to Catalyst plans: one pass per (shape,
+property-path), never per focus node.
+
+Shapes are a Python spec (the ontology side of a KG build is code/
+config, not data — same stance as the gazetteer): a list of dicts
+
+    {"id": "ex:PersonShape",
+     "target_class": "ex:Person",          # or "target_node": [iri, …]
+     "properties": [
+         {"path": "ex:name",               # predicate IRI
+          "inverse": False,                # sh:inversePath
+          "min_count": 1, "max_count": 1,  # sh:minCount / sh:maxCount
+          "datatype": XSD + "string",      # sh:datatype
+          "node_kind": "Literal",          # sh:nodeKind (IRI/Literal/
+                                           #   BlankNode)
+          "class": "ex:Org",               # sh:class (explicit rdf:type
+                                           #   only — materialize RDFS
+                                           #   first: ops.reasoning)
+          "pattern": "^...$",              # sh:pattern (Java regex)
+          "min_length": 1, "max_length": 9,
+          "in": ["a", "b"],                # sh:in
+         }, …]}
+
+``validate`` returns one row per violation:
+(focus, shape_id, path, constraint, value, expected) — sh:focusNode,
+the shape, sh:resultPath, sourceConstraintComponent, sh:value (the
+offending lexical; the observed count for cardinality), and the
+expected parameter rendered as a string.  ``conforms`` is the boolean
+summary; ``violation_stats`` the per-(shape, constraint) histogram.
+
+Scale notes (100 TB):
+
+- The spec itself is bounded (10^2..10^4 property shapes) and ships in
+  the PLAN as literals — no driver collect of data, no broadcast table.
+- Per (shape, path) the flow is: predicate-filtered scan (pushed
+  filter) → equi-join with the target set → row-local constraint
+  filters.  Cardinality adds one partial+final HashAggregate on focus;
+  min_count>0 needs the zero-value targets, which come from a LEFT
+  join of targets against the (already per-focus reduced) counts —
+  never an anti-join against raw values.
+- sh:class is a LEFT ANTI join of the (reduced, distinct) value set
+  against the class's typed-instance set — both sides are
+  predicate-filtered scans, and AQE is free to broadcast the smaller.
+- Violations union across shapes/constraints; each branch prunes to
+  its own predicate at the scan, so the union does not re-read the
+  full triple table per constraint.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rdf_spark.terms import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_TYPE,
+)
+
+_NODE_KINDS = {
+    "IRI": KIND_IRI,
+    "Literal": KIND_LITERAL,
+    "BlankNode": KIND_BLANK,
+}
+
+_REPORT_COLS = ("focus", "shape_id", "path", "constraint", "value", "expected")
+
+
+def _targets(triples: DataFrame, shape: dict) -> DataFrame:
+    """Distinct focus nodes of one shape (sh:targetClass / sh:targetNode)."""
+    parts = []
+    tc = shape.get("target_class")
+    if tc is not None:
+        parts.append(
+            triples.filter((F.col("p") == RDF_TYPE) & (F.col("o") == tc))
+            .select(F.col("s").alias("focus"))
+        )
+    tn = shape.get("target_node")
+    if tn:
+        parts.append(
+            triples.sparkSession.createDataFrame(
+                [(n,) for n in tn], "focus string"
+            )
+        )
+    if not parts:
+        raise ValueError(f"shape {shape.get('id')!r} has no target")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _values(triples: DataFrame, targets: DataFrame, prop: dict) -> DataFrame:
+    """(focus, value, value_kind, value_datatype) rows for one property
+    path restricted to the shape's targets."""
+    path = prop["path"]
+    t = triples.filter(F.col("p") == path)
+    if prop.get("inverse"):
+        vals = t.select(
+            F.col("o").alias("focus"),
+            F.col("s").alias("value"),
+            F.col("s_kind").alias("value_kind"),
+            F.lit(None).cast("string").alias("value_datatype"),
+            F.lit(None).cast("string").alias("value_lang"),
+        )
+    else:
+        vals = t.select(
+            F.col("s").alias("focus"),
+            F.col("o").alias("value"),
+            F.col("o_kind").alias("value_kind"),
+            F.col("o_datatype").alias("value_datatype"),
+            F.col("o_lang").alias("value_lang"),
+        )
+    return vals.join(targets, "focus")
+
+
+def _mk_report(df: DataFrame, shape_id: str, path: str, constraint: str,
+               value_col, expected: str) -> DataFrame:
+    return df.select(
+        F.col("focus"),
+        F.lit(shape_id).alias("shape_id"),
+        F.lit(path).alias("path"),
+        F.lit(constraint).alias("constraint"),
+        value_col.cast("string").alias("value"),
+        F.lit(expected).alias("expected"),
+    )
+
+
+def _prop_violations(triples, targets, shape_id, prop):
+    path = prop["path"]
+    vals = _values(triples, targets, prop)
+    out = []
+
+    min_c, max_c = prop.get("min_count"), prop.get("max_count")
+    if min_c is not None or max_c is not None:
+        counts = vals.groupBy("focus").agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        if min_c is not None:
+            # zero-value targets only exist on the target side
+            with_n = targets.join(counts, "focus", "left").select(
+                "focus", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+            )
+            out.append(_mk_report(
+                with_n.filter(F.col("_n") < min_c), shape_id, path,
+                "minCount", F.col("_n"), str(min_c),
+            ))
+        if max_c is not None:
+            out.append(_mk_report(
+                counts.filter(F.col("_n") > max_c), shape_id, path,
+                "maxCount", F.col("_n"), str(max_c),
+            ))
+
+    dt = prop.get("datatype")
+    if dt is not None:
+        bad = vals.filter(
+            (F.col("value_kind") != KIND_LITERAL)
+            | ~F.col("value_datatype").eqNullSafe(dt)
+        )
+        out.append(_mk_report(bad, shape_id, path, "datatype",
+                              F.col("value"), dt))
+
+    nk = prop.get("node_kind")
+    if nk is not None:
+        kind = _NODE_KINDS[nk]
+        out.append(_mk_report(
+            vals.filter(F.col("value_kind") != kind), shape_id, path,
+            "nodeKind", F.col("value"), nk,
+        ))
+
+    cls = prop.get("class")
+    if cls is not None:
+        typed = (
+            triples.filter((F.col("p") == RDF_TYPE) & (F.col("o") == cls))
+            .select(F.col("s").alias("value")).distinct()
+        )
+        # literals can never be instances; non-typed nodes fail too
+        bad = (
+            vals.select("focus", "value", "value_kind").distinct()
+            .join(typed, "value", "left_anti")
+        )
+        out.append(_mk_report(bad, shape_id, path, "class",
+                              F.col("value"), cls))
+
+    pat = prop.get("pattern")
+    if pat is not None:
+        out.append(_mk_report(
+            vals.filter(~F.col("value").rlike(pat)), shape_id, path,
+            "pattern", F.col("value"), pat,
+        ))
+
+    mn, mx = prop.get("min_length"), prop.get("max_length")
+    if mn is not None:
+        out.append(_mk_report(
+            vals.filter(F.length("value") < mn), shape_id, path,
+            "minLength", F.col("value"), str(mn),
+        ))
+    if mx is not None:
+        out.append(_mk_report(
+            vals.filter(F.length("value") > mx), shape_id, path,
+            "maxLength", F.col("value"), str(mx),
+        ))
+
+    allowed = prop.get("in")
+    if allowed is not None:
+        out.append(_mk_report(
+            vals.filter(~F.col("value").isin(list(allowed))), shape_id,
+            path, "in", F.col("value"),
+            "(" + " ".join(map(str, allowed)) + ")",
+        ))
+    return out
+
+
+def validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
+    """Validation report: one row per violation (empty ⇒ conforms).
+
+    ``triples``: canonical columns (s, s_kind, p, o, o_kind, o_datatype,
+    o_lang); filter ``err`` beforehand.
+    """
+    branches = []
+    for shape in shapes:
+        targets = _targets(triples, shape)
+        for prop in shape.get("properties", ()):
+            branches.extend(
+                _prop_violations(triples, targets, shape["id"], prop)
+            )
+    if not branches:
+        return triples.sparkSession.createDataFrame(
+            [], "focus string, shape_id string, path string, "
+                "constraint string, value string, expected string"
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def conforms(triples: DataFrame, shapes: list[dict]) -> bool:
+    return validate(triples, shapes).isEmpty()
+
+
+def violation_stats(triples: DataFrame, shapes: list[dict]) -> DataFrame:
+    """Per-(shape, path, constraint) violation counts — the audit
+    histogram a publish gate logs."""
+    return (
+        validate(triples, shapes)
+        .groupBy("shape_id", "path", "constraint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
