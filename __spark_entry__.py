@@ -2915,6 +2915,21 @@ def q_shacl_report(spark, sf_dir):
     return validate(tri, shapes)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (ops.dsir.dsir_weights, round-5): hashed
+    bigram log importance of every document against the doc_id%10<2
+    slice as the target corpus.  FULL replay oracle — identical gram
+    extraction, md5 bucket, add-α smoothing (α·B written as the same
+    IEEE product, never a decimal literal), ln rounded 9 dp (the only
+    non-IEEE-exact op), count×weight products rounded 9 dp and summed
+    as DECIMAL(38,9) (the retrieval.py reproducible-sum pattern)."""
+    from rdf_spark.ops.dsir import dsir_weights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 10 < 2)
+    return dsir_weights(d, target, n=2, n_buckets=4096, alpha=0.01)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3060,6 +3075,7 @@ _QUERIES = {
         "void_property_partition": q_void_property_partition,
         "void_class_partition": q_void_class_partition,
         "shacl_report": q_shacl_report,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -5000,5 +5016,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'u:order:' || o_orderkey, 'u:OrderShape', 'u:p:flag',
                    'in', o_orderstatus, '(O F)'
             FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+        """,
+        # FULL replay: same md5 bucket, same α smoothing (α·B as the
+        # runtime IEEE product — a 40.96 literal would differ at 1e-15),
+        # ln rounded 9 dp, count×weight rounded 9 dp, DECIMAL(38,9) sum
+        "dsir_weights": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+                FROM tk, UNNEST(range(1, len(t))) AS u(i)
+            ),
+            db AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                           % 4096 AS b,
+                       COUNT(*) AS cnt
+                FROM grams GROUP BY 1, 2
+            ),
+            rb AS (SELECT b, CAST(SUM(cnt) AS DOUBLE) AS cr
+                   FROM db GROUP BY b),
+            tb AS (SELECT b, CAST(SUM(cnt) AS DOUBLE) AS ct
+                   FROM db WHERE doc_id % 10 < 2 GROUP BY b),
+            nr AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM db),
+            nt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n
+                   FROM db WHERE doc_id % 10 < 2),
+            w AS (
+                SELECT COALESCE(tb.b, rb.b) AS b,
+                       round(
+                           ln((COALESCE(tb.ct, 0)
+                               + CAST('0.01' AS DOUBLE))
+                              / (nt.n + CAST('0.01' AS DOUBLE) * 4096))
+                         - ln((COALESCE(rb.cr, 0)
+                               + CAST('0.01' AS DOUBLE))
+                              / (nr.n + CAST('0.01' AS DOUBLE) * 4096)),
+                           9) AS w
+                FROM rb FULL JOIN tb ON rb.b = tb.b
+                CROSS JOIN nt CROSS JOIN nr
+            ),
+            s AS (
+                SELECT db.doc_id,
+                       SUM(CAST(round(db.cnt * w.w, 9)
+                                AS DECIMAL(38,9))) AS s,
+                       CAST(SUM(db.cnt) AS BIGINT) AS n_grams
+                FROM db JOIN w USING (b) GROUP BY db.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(round(CAST(s.s AS DOUBLE), 6), 0.0)
+                       AS dsir_logw,
+                   COALESCE(s.n_grams, 0) AS n_grams
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN s USING (doc_id)
         """,
     }

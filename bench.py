@@ -185,6 +185,7 @@ def main() -> int:
         "classifier_score",
         "void_summary",
         "shacl_report",
+        "dsir_weights",
     ]
 
     timings: dict[str, float] = {}
