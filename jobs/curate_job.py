@@ -52,6 +52,16 @@ def main(argv=None) -> int:
                     help="with --clf-weights: drop docs scoring below "
                          "this (drop_reason=classifier)")
     ap.add_argument("--clf-bias", type=float, default=0.0)
+    ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="DSIR importance gate: parquet of target-domain "
+                         "documents (same text/key columns); rows whose "
+                         "hashed-n-gram log importance weight falls "
+                         "below --dsir-min-logw drop (drop_reason=dsir)")
+    ap.add_argument("--dsir-min-logw", type=float, default=0.0,
+                    help="with --dsir-target: keep docs with "
+                         "dsir_logw >= this (default 0.0)")
+    ap.add_argument("--dsir-ngram", type=int, default=2)
+    ap.add_argument("--dsir-buckets", type=int, default=8192)
     ap.add_argument("--repeat", default=None,
                     metavar="COL:K=R[,K=R...][:DEFAULT]",
                     help="write repeated/ (training-mix upsampling of "
@@ -91,6 +101,13 @@ def main(argv=None) -> int:
             weights=[float(w) for w in weights],
             min_score=args.clf_min_score,
             bias=args.clf_bias,
+        )
+    if args.dsir_target is not None:
+        kwargs["dsir"] = dict(
+            target=spark.read.parquet(args.dsir_target),
+            min_logw=args.dsir_min_logw,
+            n=args.dsir_ngram,
+            n_buckets=args.dsir_buckets,
         )
     if args.host_cap is not None:
         col, _, n = args.host_cap.rpartition(":")

@@ -25,9 +25,16 @@ document left):
                      + verify join + iterative CC) and, like boilerplate
                      stripping, has no streaming twin (cross-batch
                      near-dup state is unbounded).
-6. ``sampled_out`` — deterministic md5-threshold sample (ops.sample):
+6. ``dsir``        — OPTIONAL (``dsir=dict(target=..., min_logw=...)``):
+                     DSIR importance gate (ops.dsir) — documents whose
+                     hashed-n-gram log importance weight against the
+                     target corpus falls below ``min_logw`` drop; the
+                     weight itself stays on the output (``dsir_logw``)
+                     as a downstream mixing signal.  Corpus-wide, no
+                     streaming twin.
+7. ``sampled_out`` — deterministic md5-threshold sample (ops.sample):
                      the reproducible training-mix knob.
-7. ``host_capped`` — OPTIONAL (``host_cap=(col, N)``): at most N kept
+8. ``host_capped`` — OPTIONAL (``host_cap=(col, N)``): at most N kept
                      rows per distinct ``col`` value (per-host/domain
                      quota — a hot domain must not dominate the mix);
                      survivors chosen by md5 rank of the key, so
@@ -112,8 +119,21 @@ def curate_report(
     near_dup: dict | None = None,
     host_cap: tuple[str, int] | None = None,
     classifier: dict | None = None,
+    dsir: dict | None = None,
 ) -> DataFrame:
     """Audit view: every input row with ``drop_reason`` (null = kept).
+
+    ``dsir=dict(target=<DataFrame>, min_logw=x[, n=, n_buckets=,
+    alpha=])`` adds a DSIR importance gate (ops.dsir.dsir_weights):
+    every document is scored against the target corpus's hashed n-gram
+    distribution (the raw distribution is THIS corpus, post
+    text-preprocessing) and rows below ``min_logw`` drop with reason
+    ``dsir`` — after ``near_dup``, before ``sampled_out``.  The
+    ``dsir_logw`` column is kept on the output as a mixing signal.
+    Corpus-wide (two bounded bucket aggregates), so like boilerplate /
+    span-dedup it has no streaming twin; documents with no n-grams
+    score 0.0; null-keyed rows fall through unscored (kept), mirroring
+    the dedup stages.
 
     ``classifier=dict(weights=[...], min_score=s[, bias=b])`` adds a
     model-based quality gate (hashed linear scorer, see
@@ -238,6 +258,21 @@ def curate_report(
         # mirroring their fall-through in the duplicate stage
         out = out.join(nd, F.col(key_col) == F.col("_nd_id"), "left")
         nd_cols = ["_nd_id"]
+    dsir_min_logw = None
+    if dsir is not None:
+        from rdf_spark.ops.dsir import dsir_weights
+
+        d = dict(dsir)
+        dsir_target = d.pop("target")
+        dsir_min_logw = d.pop("min_logw")
+        wts = dsir_weights(
+            out.select(key_col, text_col), dsir_target,
+            text_col=text_col, id_col=key_col, **d,
+        ).select(F.col(key_col).alias("_dw_key"), "dsir_logw")
+        # plain equi-join: null keys stay unscored and fall through
+        out = out.join(
+            wts, F.col(key_col) == F.col("_dw_key"), "left"
+        ).drop("_dw_key")
     reason = F.when(~lang_ok, "lang").when(~qual_ok, "quality")
     if classifier is not None:
         reason = reason.when(~F.col("_clf_ok"), "classifier")
@@ -246,6 +281,8 @@ def curate_report(
     )
     if near_dup is not None:
         reason = reason.when(F.col("_nd_id").isNotNull(), "near_dup")
+    if dsir is not None:
+        reason = reason.when(F.col("dsir_logw") < dsir_min_logw, "dsir")
     reason = reason.when(
         ~smp.sample_predicate(F.col(key_col), sample_rate), "sampled_out"
     ).otherwise(F.lit(None).cast("string"))

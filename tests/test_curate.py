@@ -589,3 +589,61 @@ def test_curate_classifier_job_cli(spark, tmp_path):
     assert rc == 0
     stats = _json.loads(buf.getvalue().strip().splitlines()[-1])["stages"]
     assert stats.get("classifier") == 2
+
+
+def test_curate_dsir_stage(spark):
+    """DSIR importance gate: off-target-vocabulary docs drop with
+    reason 'dsir', dsir_logw surfaces as a signal column, and the gate
+    runs after dedup (a duplicate stays 'duplicate', never 'dsir')."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat with the cat", "en"),
+         (2, "the cat sat on the mat with the cat", "en"),  # exact dup
+         (3, "zzz qqq vvv kkk jjj xxx www yyy uuu", "en")],
+        "doc_id int, text string, lang string",
+    )
+    target = spark.createDataFrame(
+        [(100, "the cat sat on a mat and the cat purred")],
+        "doc_id int, text string",
+    )
+    rep = curate.curate_report(
+        df, langs=("en",), min_quality=0.0, sample_rate=1.0,
+        dsir=dict(target=target, min_logw=-10.0, n=1, n_buckets=64),
+    )
+    got = {r.doc_id: r.drop_reason for r in rep.collect()}
+    assert got == {1: None, 2: "duplicate", 3: "dsir"}
+    logw = {r.doc_id: r.dsir_logw for r in rep.collect()}
+    assert logw[1] > -10.0 > logw[3]
+
+
+def test_curate_dsir_job_cli(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat with the cat", "en"),
+         (3, "zzz qqq vvv kkk jjj xxx www yyy uuu", "en")],
+        "doc_id int, text string, lang string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "the cat sat on a mat and the cat purred")],
+        "doc_id int, text string",
+    )
+    src, tpath = str(tmp_path / "docs"), str(tmp_path / "tgt")
+    docs.write.parquet(src)
+    tgt.write.parquet(tpath)
+    out = str(tmp_path / "out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main([
+            "--in", src, "--out", out, "--min-quality", "0.0",
+            "--dsir-target", tpath, "--dsir-min-logw", "-10.0",
+            "--dsir-ngram", "1", "--dsir-buckets", "64",
+        ])
+    assert rc == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])["stages"]
+    assert stats.get("dsir") == 1 and stats.get("kept") == 1

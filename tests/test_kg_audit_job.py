@@ -1,0 +1,74 @@
+"""kg_audit spark-submit CLI (jobs/kg_audit_job.py)."""
+import json
+import sys
+
+import pytest
+
+from rdf_spark import terms
+
+sys.path.insert(0, "jobs")
+import kg_audit_job  # noqa: E402
+
+KI, KL = terms.KIND_IRI, terms.KIND_LITERAL
+SCHEMA = (
+    "s string, s_kind tinyint, p string, o string, o_kind tinyint, "
+    "o_datatype string, o_lang string, err string"
+)
+
+
+def _store(spark, tmp_path):
+    rows = [
+        ("u:a", KI, terms.RDF_TYPE, "u:T", KI, None, None, None),
+        ("u:b", KI, terms.RDF_TYPE, "u:T", KI, None, None, None),
+        ("u:a", KI, "u:name", "A", KL, terms.XSD_STRING, None, None),
+        # u:b has no name → minCount violation
+        # quarantined row must be ignored by both audits
+        ("bad", KI, "u:name", "x", KL, terms.XSD_STRING, None, "boom"),
+    ]
+    path = str(tmp_path / "triples")
+    spark.createDataFrame(rows, SCHEMA).write.parquet(path)
+    return path
+
+
+def _shapes(tmp_path):
+    spec = [{
+        "id": "u:TShape",
+        "target_class": "u:T",
+        "properties": [{"path": "u:name", "min_count": 1}],
+    }]
+    p = tmp_path / "shapes.json"
+    p.write_text(json.dumps(spec))
+    return str(p)
+
+
+def test_void_and_shacl(spark, tmp_path, capsys):
+    tri = _store(spark, tmp_path)
+    out = str(tmp_path / "audit")
+    rc = kg_audit_job.main([
+        "--triples", tri, "--out", out, "--void",
+        "--shapes", _shapes(tmp_path),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["void"]["n_triples"] == 3  # err row excluded
+    assert summary["void"]["classes"] == 1
+    assert summary["violations"] == 1
+    assert summary["violations_by_constraint"] == {"minCount": 1}
+    assert not summary["conforms"]
+    rep = spark.read.parquet(out + "/shacl_report").collect()
+    assert [(r.focus, r.constraint) for r in rep] == [("u:b", "minCount")]
+
+
+def test_fail_on_violation_rc(spark, tmp_path, capsys):
+    tri = _store(spark, tmp_path)
+    out = str(tmp_path / "audit2")
+    rc = kg_audit_job.main([
+        "--triples", tri, "--out", out,
+        "--shapes", _shapes(tmp_path), "--fail-on-violation",
+    ])
+    assert rc == 1
+
+
+def test_requires_a_task(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        kg_audit_job.main(["--triples", "x", "--out", "y"])
