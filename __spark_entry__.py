@@ -2915,6 +2915,39 @@ def q_shacl_report(spark, sf_dir):
     return validate(tri, shapes)
 
 
+def q_store_diff(spark, sf_dir):
+    """Snapshot delta (store.snapshot_diff, round-5): old snapshot has
+    one status triple per order ('B' for k%7, else 'A'); the new
+    snapshot drops every k%4 order and normalizes every status to 'A'.
+    added = the k%7 survivors' new 'A' triples; removed = every k%4
+    order's triple plus the replaced 'B' rows — regenerated closed-form
+    by the oracle.  Null-safe set compare (o_lang is null throughout)."""
+    from rdf_spark.store import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def st(df, val):
+        return df.select(
+            F.concat(F.lit("u:o:"), F.col("o_orderkey")).alias("s"),
+            F.lit(1).cast("tinyint").alias("s_kind"),
+            F.lit("u:p:st").alias("p"),
+            val.alias("o"),
+            F.lit(2).cast("tinyint").alias("o_kind"),
+            F.lit(XSD_STRING).alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+
+    old = st(o, F.when(k % 7 == 0, "B").otherwise("A"))
+    new = st(o.filter(k % 4 != 0), F.lit("A"))
+    d = snapshot_diff(old, new)
+    return d.select(
+        "change", "s", F.col("s_kind").cast("int").alias("s_kind"), "p",
+        "o", F.col("o_kind").cast("int").alias("o_kind"),
+        "o_datatype", "o_lang",
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (ops.dsir.dsir_weights, round-5): hashed
     bigram log importance of every document against the doc_id%10<2
@@ -3076,6 +3109,7 @@ _QUERIES = {
         "void_class_partition": q_void_class_partition,
         "shacl_report": q_shacl_report,
         "dsir_weights": q_dsir_weights,
+        "store_diff": q_store_diff,
     }
 
 
@@ -5072,5 +5106,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_grams, 0) AS n_grams
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN s USING (doc_id)
+        """,
+        # each delta row regenerated closed-form from the plant rules
+        "store_diff": f"""
+            SELECT 'added' AS change, 'u:o:' || o_orderkey AS s,
+                   1 AS s_kind, 'u:p:st' AS p, 'A' AS o, 2 AS o_kind,
+                   '{XSD_STRING}' AS o_datatype,
+                   CAST(NULL AS VARCHAR) AS o_lang
+            FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+            UNION ALL
+            SELECT 'removed', 'u:o:' || o_orderkey, 1, 'u:p:st',
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'B' ELSE 'A' END,
+                   2, '{XSD_STRING}', NULL
+            FROM orders WHERE o_orderkey % 4 = 0
+            UNION ALL
+            SELECT 'removed', 'u:o:' || o_orderkey, 1, 'u:p:st', 'B',
+                   2, '{XSD_STRING}', NULL
+            FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
         """,
     }

@@ -186,6 +186,7 @@ def main() -> int:
         "void_summary",
         "shacl_report",
         "dsir_weights",
+        "store_diff",
     ]
 
     timings: dict[str, float] = {}

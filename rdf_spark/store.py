@@ -226,3 +226,45 @@ class IcebergTripleStore:
                 F.sum((F.col("p") == _LINK_PRED).cast("long")).alias("links"),
             )
         )
+
+
+TRIPLE_KEY_COLS = ("s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    graph_col: str | None = None,
+) -> DataFrame:
+    """Set difference between two store snapshots: one row per triple
+    that was ``added`` (in new, not old) or ``removed`` (in old, not
+    new), with a leading ``change`` column — the incremental-publish
+    delta (what a downstream index must apply to go from old to new).
+
+    Both inputs are projected to the canonical identity columns
+    (:data:`TRIPLE_KEY_COLS`, plus ``graph_col`` when given) and
+    compared with SET semantics via ``EXCEPT`` — Spark compiles it to a
+    null-safe left-anti join after partial-aggregate dedup, which is
+    exactly the hand-written plan (an explicit anti-join would need an
+    eqNullSafe conjunction over every nullable column).  Scale: two
+    shuffles on the full key; at extreme snapshot sizes pre-bucket both
+    stores by subject hash (ParquetBucketStore's layout) so the compare
+    is bucket-local.
+    """
+    cols = list(TRIPLE_KEY_COLS) + ([graph_col] if graph_col else [])
+    o = old.select(*cols)
+    n = new.select(*cols)
+    added = n.subtract(o).select(F.lit("added").alias("change"), *cols)
+    removed = o.subtract(n).select(F.lit("removed").alias("change"), *cols)
+    return added.unionByName(removed)
+
+
+def diff_stats(old: DataFrame, new: DataFrame,
+               graph_col: str | None = None) -> DataFrame:
+    """Per-(change, predicate) counts of :func:`snapshot_diff` — the
+    audit line an incremental publish logs."""
+    return (
+        snapshot_diff(old, new, graph_col)
+        .groupBy("change", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
