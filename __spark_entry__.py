@@ -2585,16 +2585,11 @@ def q_classifier_score(spark, sf_dir):
     ).select("doc_id", "clf_score")
 
 
-def q_k_core(spark, sf_dir):
-    """3-core peeling (ops.graph.k_core, round-5): 25 wheel graphs (hub
-    + 5-cycle — every wheel node has degree ≥3, the whole wheel IS its
-    3-core) with one depth-3 pendant chain per document hung off a hub.
-    The chains unravel in exactly 3 peel rounds at EVERY scale (peel
-    depth is structural, not data-sized), so the oracle can replay the
-    peeling round-by-round as 6 generated CTE rounds (the _pagerank_sql
-    pattern) — fixpoint by round 4, identical node set."""
-    from rdf_spark.ops.graph import k_core
-
+def _wheel_chain_edges(spark, sf_dir):
+    """Shared synthetic graph for the iterative-graph contracts: 25
+    wheels (hub + 5-cycle) with one depth-3 pendant chain per document
+    hung off a hub — the same construction the k_core / LPA oracles
+    regenerate in SQL."""
     nation = _t(spark, sf_dir, "nation")
     d = _t(spark, sf_dir, "documents")
     wheel = nation.select(
@@ -2626,7 +2621,31 @@ def q_k_core(spark, sf_dir):
             F.concat(F.lit("r"), i).alias("b"),
         ))
     )
-    return k_core(spokes.unionByName(rims).unionByName(chains), k=3)
+    return spokes.unionByName(rims).unionByName(chains)
+
+
+def q_k_core(spark, sf_dir):
+    """3-core peeling (ops.graph.k_core, round-5): 25 wheel graphs (hub
+    + 5-cycle — every wheel node has degree ≥3, the whole wheel IS its
+    3-core) with one depth-3 pendant chain per document hung off a hub.
+    The chains unravel in exactly 3 peel rounds at EVERY scale (peel
+    depth is structural, not data-sized), so the oracle can replay the
+    peeling round-by-round as 6 generated CTE rounds (the _pagerank_sql
+    pattern) — fixpoint by round 4, identical node set."""
+    from rdf_spark.ops.graph import k_core
+
+    return k_core(_wheel_chain_edges(spark, sf_dir), k=3)
+
+
+def q_label_propagation(spark, sf_dir):
+    """Community detection (ops.graph.label_propagation, round-5): 3
+    synchronous vote rounds (neighbor labels + one self-vote, ties to
+    the smallest label) over the shared wheel+chain graph — the oracle
+    replays the identical schedule as generated MATERIALIZED CTE
+    rounds (the k_core pattern)."""
+    from rdf_spark.ops.graph import label_propagation
+
+    return label_propagation(_wheel_chain_edges(spark, sf_dir), n_iter=3)
 
 
 def q_recrawl_stats(spark, sf_dir):
@@ -3110,6 +3129,7 @@ _QUERIES = {
         "shacl_report": q_shacl_report,
         "dsir_weights": q_dsir_weights,
         "store_diff": q_store_diff,
+        "label_propagation": q_label_propagation,
     }
 
 
@@ -3164,6 +3184,58 @@ def _bm25_sql() -> str:
                round(CAST(SUM(CAST(ps AS DECIMAL(24,9))) AS DOUBLE), 6) AS bm25
         FROM scored GROUP BY doc_id
     """
+
+
+_WHEEL_CHAIN_SQL = """w AS MATERIALIZED (
+        SELECT n_nationkey AS g, s
+        FROM nation CROSS JOIN (SELECT unnest(range(5)) AS s) t
+    ),
+    raw AS MATERIALIZED (
+        SELECT 'h' || g AS a, 'w' || g || '_' || s AS b FROM w
+        UNION ALL
+        SELECT 'w' || g || '_' || s, 'w' || g || '_' || ((s + 1) % 5)
+        FROM w
+        UNION ALL SELECT 'h' || (doc_id % 25), 'p' || doc_id FROM documents
+        UNION ALL SELECT 'p' || doc_id, 'q' || doc_id FROM documents
+        UNION ALL SELECT 'q' || doc_id, 'r' || doc_id FROM documents
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        FROM raw WHERE a <> b
+    )"""
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    """DuckDB replay of ops.graph.label_propagation's exact schedule
+    over the shared wheel+chain graph: per round, neighbor-label votes
+    + one self-vote, top-1 by (count DESC, label ASC)."""
+    ctes = [_WHEEL_CHAIN_SQL, """adj AS MATERIALIZED (
+        SELECT u AS node, v AS nbr FROM e0
+        UNION ALL SELECT v, u FROM e0
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT node, node AS label FROM adj
+    )"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""t{r} AS MATERIALIZED (
+        SELECT node, label, COUNT(*) AS c FROM (
+            SELECT a.node, l.label
+            FROM adj a JOIN l{r - 1} l ON a.nbr = l.node
+            UNION ALL SELECT node, label FROM l{r - 1}
+        ) GROUP BY node, label
+    ),
+    l{r} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM t{r}
+        ) WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, label FROM l{rounds}"
+    )
 
 
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
@@ -4043,6 +4115,7 @@ def oracle_sql() -> dict[str, str]:
             ) t(s, p, o)
         """,
         "k_core": _kcore_sql(),
+        "label_propagation": _lpa_sql(),
         # same bucket hash (md5 hex prefix → int), same closed-form
         # weights (b%13-6)/64 (exact in binary and decimal), same
         # decimal-fold → single-divide → sigmoid → round-6 schedule

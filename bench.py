@@ -187,6 +187,7 @@ def main() -> int:
         "shacl_report",
         "dsir_weights",
         "store_diff",
+        "label_propagation",
     ]
 
     timings: dict[str, float] = {}

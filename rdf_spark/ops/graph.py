@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rdf_spark.terms import RDF_TYPE
 
@@ -687,3 +688,69 @@ def k_core(
         .unionByName(und.select(F.col("v").alias("node")))
         .distinct()
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Community detection by synchronous label propagation →
+    ``(node, label)`` after exactly ``n_iter`` rounds.
+
+    Every node starts labeled with itself; each round it adopts the
+    label with the highest vote among its neighbors' current labels
+    PLUS one self-vote (the standard damping against 2-cycle
+    oscillation), ties broken by the smallest label — a fully
+    deterministic schedule (same reasoning as ``pagerank``'s fixed
+    iteration count: replayable round-by-round in plain SQL, which is
+    how the ``label_propagation`` oracle checks it; raw LPA's
+    convergence is famously order-dependent, this variant is not).
+
+    Scale shape: per round ONE equi-join of the (deduped, symmetric)
+    adjacency with the label table, one partial+final count aggregate
+    over (node, label), and a per-node top-1 window that Spark 4
+    compiles to a map-side WindowGroupLimit — a celebrity node's vote
+    rows reduce map-side, the window never buffers its neighbor list.
+    ``localCheckpoint`` per round truncates lineage (the k_core /
+    pagerank convention).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    adj = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .select("node", "label")
+            .unionByName(labels.select("node", "label"))  # self-vote
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
