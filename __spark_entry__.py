@@ -1113,7 +1113,12 @@ def q_decontaminate(spark, sf_dir):
     from rdf_spark.ops.contamination import ngram_contamination
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_contamination(d, d.filter(F.col("doc_id") < 5), n=8)
+    # single parquet file = ONE split: spread the corpus side before the
+    # heavy JVM gram chain (the html_links lesson); the tiny eval side
+    # stays unspread
+    return ngram_contamination(
+        _spread(d), d.filter(F.col("doc_id") < 5), n=8
+    )
 
 
 def q_url_normalize(spark, sf_dir):

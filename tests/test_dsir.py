@@ -116,3 +116,13 @@ class TestSelect:
                                      gumbel_key_col().alias("g")).collect()
         assert sorted(a) == sorted(b)
         assert len({round(r.g, 9) for r in a}) == 50  # all distinct
+
+
+class TestPlanShape:
+    def test_weight_join_is_broadcast(self, spark):
+        raw, tgt = _target_like(spark)
+        plan = dsir_weights(raw, tgt, n=1, n_buckets=B)._jdf.queryExecution(
+        ).executedPlan().toString()
+        # the n_buckets-row weight table must broadcast: raw gram rows
+        # never shuffle for the scoring join
+        assert "BroadcastHashJoin" in plan
