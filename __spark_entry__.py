@@ -2972,6 +2972,18 @@ def q_store_diff(spark, sf_dir):
     )
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Exact embedding covariance (ops.ann.embedding_covariance,
+    round-5): the PCA/whitening input for ANN preprocessing.  FULL
+    replay oracle — float32→double widening is exact in both engines,
+    the per-row products round at 12 dp into DECIMAL(38,12) sums, and
+    the final Sxy/n − (Sx/n)(Sy/n) combine is IEEE-identical."""
+    from rdf_spark.ops.ann import embedding_covariance
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(e, dim=64)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (ops.dsir.dsir_weights, round-5): hashed
     bigram log importance of every document against the doc_id%10<2
@@ -3135,6 +3147,7 @@ _QUERIES = {
         "dsir_weights": q_dsir_weights,
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -5201,5 +5214,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'removed', 'u:o:' || o_orderkey, 1, 'u:p:st', 'B',
                    2, '{XSD_STRING}', NULL
             FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0
+        """,
+        # FULL replay: exact f32→f64 widening, round-12 DECIMAL sums,
+        # IEEE final combine rounded 9 dp
+        "embedding_covariance": """
+            WITH e AS (
+                SELECT embedding AS v FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+            ),
+            cells AS (
+                SELECT t.i, u.j,
+                       CAST(round(CAST(v[t.i + 1] AS DOUBLE)
+                                  * CAST(v[u.j + 1] AS DOUBLE), 12)
+                            AS DECIMAL(38,12)) AS p
+                FROM e, UNNEST(range(64)) t(i), UNNEST(range(64)) u(j)
+                WHERE u.j >= t.i
+            ),
+            sxy AS (SELECT i, j, SUM(p) AS sxy FROM cells GROUP BY i, j),
+            sx AS (
+                SELECT t.i,
+                       SUM(CAST(round(CAST(v[t.i + 1] AS DOUBLE), 12)
+                                AS DECIMAL(38,12))) AS sx
+                FROM e, UNNEST(range(64)) t(i) GROUP BY t.i
+            ),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM e)
+            SELECT CAST(s.i AS INTEGER) AS i, CAST(s.j AS INTEGER) AS j,
+                   round(CAST(s.sxy AS DOUBLE) / n.c
+                         - (CAST(a.sx AS DOUBLE) / n.c)
+                         * (CAST(b.sx AS DOUBLE) / n.c), 9) AS cov
+            FROM sxy s JOIN sx a ON s.i = a.i JOIN sx b ON s.j = b.i
+            CROSS JOIN n
         """,
     }

@@ -528,3 +528,167 @@ def label_centroids(
         ).alias("centroid")
     )
     return n.join(cent, "label")
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact population covariance of an embedding column →
+    ``(i, j, cov)`` for the upper triangle (i ≤ j) — the input to PCA /
+    whitening before ANN indexing.
+
+    Reproducible-numerics contract: per-row coordinate products (and
+    coordinates, for the mean) are float32→double widened (exact),
+    IEEE-multiplied, rounded to 12 dp and summed as DECIMAL(38,12) —
+    partitioning/order can't change the sums; the final
+    ``Sxy/n − (Sx/n)(Sy/n)`` combine is three IEEE ops rounded to
+    ``round_to``, so DuckDB replays it bit-for-bit.
+
+    Scale shape: one scan explodes d(d+1)/2 product cells per row into
+    a partial+final HashAggregate over ≤ d² keys (bounded state; for
+    d=64 that is 2080 reducer keys regardless of corpus size).  At
+    extreme corpus×dim the documented swap is Arrow-batch partials
+    (numpy ``X.T @ X`` per batch, like the IVF trainer) — same plan
+    shape, float tolerance instead of exactness.
+    """
+    v = F.col(vec_col)
+    rows = embeddings.filter(v.isNotNull() & (F.size(v) == dim))
+
+    def el(i):
+        return F.element_at(v, (i + F.lit(1)).cast("int")).cast("double")
+
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    pairs = F.flatten(F.transform(idx, lambda i: F.transform(
+        F.sequence(i, F.lit(dim - 1)),
+        lambda j: F.struct(
+            i.cast("int").alias("i"),
+            j.cast("int").alias("j"),
+            F.round(el(i) * el(j), 12).cast("decimal(38,12)").alias("p"),
+        ),
+    )))
+    sxy = (
+        rows.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sxy"))
+    )
+    sx = (
+        rows.select(F.posexplode(v).alias("i", "x"))
+        .select(
+            "i",
+            F.round(F.col("x").cast("double"), 12)
+            .cast("decimal(38,12)").alias("x"),
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    n = rows.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    si = sx.select(F.col("i").alias("_ki"), F.col("sx").alias("sxi"))
+    sj = sx.select(F.col("i").alias("_kj"), F.col("sx").alias("sxj"))
+    return (
+        sxy.join(F.broadcast(si), sxy["i"] == si["_ki"])
+        .join(F.broadcast(sj), sxy["j"] == sj["_kj"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i", "j",
+            F.round(
+                F.col("sxy").cast("double") / F.col("_n")
+                - (F.col("sxi").cast("double") / F.col("_n"))
+                * (F.col("sxj").cast("double") / F.col("_n")),
+                round_to,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_model(
+    embeddings: DataFrame,
+    dim: int,
+    k: int,
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit a PCA model from the exact covariance: returns
+    ``{"mean": [d], "components": [k][d], "variances": [k]}`` with
+    components ordered by descending eigenvalue and sign-fixed (largest
+    |coordinate| positive) for determinism.
+
+    Driver-side work is one bounded collect of d(d+1)/2 covariance
+    cells + a d×d ``eigh`` — the same "train small, apply wide"
+    contract as the IVF/PQ trainers (ann.py k-means); the corpus-wide
+    pass is the distributed covariance aggregate.
+    """
+    if not 1 <= k <= dim:
+        raise ValueError("k must be in [1, dim]")
+    cov_rows = embedding_covariance(
+        embeddings, dim, vec_col, round_to=12
+    ).collect()
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r.i, r.j] = cov[r.j, r.i] = r.cov
+    sx = (
+        embeddings.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        )
+        .select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    mean = np.zeros(dim)
+    for r in sx:
+        mean[r.i] = r.m
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k × d
+    for c in comps:  # deterministic sign: largest-|coord| positive
+        amax = int(np.argmax(np.abs(c)))
+        if c[amax] < 0:
+            c *= -1.0
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "variances": [float(vals[o]) for o in order],
+    }
+
+
+def pca_project(
+    embeddings: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project embeddings onto a :func:`pca_model` → ``out_col`` as
+    ``array<double>`` of length k.  ``whiten=True`` scales each
+    component by 1/√variance (unit-variance output — the standard
+    prep before cosine/L2 ANN).
+
+    Arrow-batched pandas UDF doing one numpy matmul per batch; each
+    output row depends only on its input row, so results are
+    batch- and partitioning-exact.  The model ships in the closure
+    (k×d doubles — KBs)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(model["variances"], eps))
+        comps = comps * scale[:, None]
+
+    def project(s):
+        out = []
+        for vec in s:
+            if vec is None or len(vec) != mean.shape[0]:
+                out.append(None)
+                continue
+            x = np.asarray(vec, dtype=np.float64) - mean
+            out.append((comps @ x).tolist())
+        return pd.Series(out)
+
+    fn = pandas_udf(project, ArrayType(DoubleType()))
+    return embeddings.withColumn(out_col, fn(F.col(vec_col)))
