@@ -188,6 +188,7 @@ def main() -> int:
         "dsir_weights",
         "store_diff",
         "label_propagation",
+        "embedding_covariance",
     ]
 
     timings: dict[str, float] = {}
