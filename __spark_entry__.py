@@ -2642,6 +2642,47 @@ def q_k_core(spark, sf_dir):
     return k_core(_wheel_chain_edges(spark, sf_dir), k=3)
 
 
+def q_k_truss(spark, sf_dir):
+    """3-truss peeling (ops.graph.k_truss, round-5): wheels plus one
+    triangle fan (hub, p_i, q_i) and one pendant (q_i, r_i) per
+    document.  Every wheel and fan edge closes ≥1 triangle so the
+    3-truss is closed-form (pendants peel in round 1 and their removal
+    lowers no other edge's support — fixpoint in one round at every
+    scale)."""
+    from rdf_spark.ops.graph import k_truss
+
+    nation = _t(spark, sf_dir, "nation")
+    d = _t(spark, sf_dir, "documents")
+    wheel = nation.select(
+        F.col("n_nationkey").alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("s"),
+    )
+    spokes = wheel.select(
+        F.concat(F.lit("h"), F.col("g")).alias("a"),
+        F.concat(F.lit("w"), F.col("g"), F.lit("_"), F.col("s")).alias("b"),
+    )
+    rims = wheel.select(
+        F.concat(F.lit("w"), F.col("g"), F.lit("_"), F.col("s")).alias("a"),
+        F.concat(
+            F.lit("w"), F.col("g"), F.lit("_"), (F.col("s") + 1) % 5
+        ).alias("b"),
+    )
+    i = F.col("doc_id")
+    hub = F.concat(F.lit("h"), i % 25)
+    fans = (
+        d.select(hub.alias("a"), F.concat(F.lit("p"), i).alias("b"))
+        .unionByName(d.select(
+            F.concat(F.lit("p"), i).alias("a"),
+            F.concat(F.lit("q"), i).alias("b")))
+        .unionByName(d.select(
+            hub.alias("a"), F.concat(F.lit("q"), i).alias("b")))
+        .unionByName(d.select(
+            F.concat(F.lit("q"), i).alias("a"),
+            F.concat(F.lit("r"), i).alias("b")))
+    )
+    return k_truss(spokes.unionByName(rims).unionByName(fans), k=3)
+
+
 def q_label_propagation(spark, sf_dir):
     """Community detection (ops.graph.label_propagation, round-5): 3
     synchronous vote rounds (neighbor labels + one self-vote, ties to
@@ -3148,6 +3189,7 @@ _QUERIES = {
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
         "embedding_covariance": q_embedding_covariance,
+        "k_truss": q_k_truss,
     }
 
 
@@ -4134,6 +4176,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k_core": _kcore_sql(),
         "label_propagation": _lpa_sql(),
+        # closed-form: wheels + fan triangles survive, pendants peel
+        "k_truss": """
+            WITH w AS (
+                SELECT n_nationkey AS g, s
+                FROM nation CROSS JOIN (SELECT unnest(range(5)) AS s) t
+            )
+            SELECT 'h' || g AS u, 'w' || g || '_' || s AS v FROM w
+            UNION ALL
+            SELECT least('w' || g || '_' || s,
+                         'w' || g || '_' || ((s + 1) % 5)),
+                   greatest('w' || g || '_' || s,
+                            'w' || g || '_' || ((s + 1) % 5))
+            FROM w
+            UNION ALL
+            SELECT 'h' || (doc_id % 25), 'p' || doc_id FROM documents
+            UNION ALL
+            SELECT 'p' || doc_id, 'q' || doc_id FROM documents
+            UNION ALL
+            SELECT 'h' || (doc_id % 25), 'q' || doc_id FROM documents
+        """,
         # same bucket hash (md5 hex prefix → int), same closed-form
         # weights (b%13-6)/64 (exact in binary and decimal), same
         # decimal-fold → single-divide → sigmoid → round-6 schedule

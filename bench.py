@@ -189,6 +189,7 @@ def main() -> int:
         "store_diff",
         "label_propagation",
         "embedding_covariance",
+        "k_truss",
     ]
 
     timings: dict[str, float] = {}

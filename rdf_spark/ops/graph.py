@@ -584,6 +584,23 @@ def triangle_count(
         .unionByName(und.select(F.col("v").alias("node")))
         .distinct()
     )
+    tris = _enumerate_triangles(und)
+    corners = (
+        tris.select(F.col("lo").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return nodes.join(corners, "node", "left").select(
+        "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+    )
+
+
+def _enumerate_triangles(und: DataFrame) -> DataFrame:
+    """Each triangle of a deduped undirected ``(u, v)`` edge set exactly
+    once → ``(lo, x, y)`` (degree-ordered apex first) — the shared core
+    of :func:`triangle_count` and :func:`k_truss`."""
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -611,17 +628,82 @@ def triangle_count(
     # close the wedge: with rank(x) < rank(y) the (x,y) edge, if present,
     # is oriented x→y — one equi-join, no symmetric view needed
     closer = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    tris = wedges.join(closer, ["x", "y"])
-    corners = (
-        tris.select(F.col("lo").alias("node"))
-        .unionByName(tris.select(F.col("x").alias("node")))
-        .unionByName(tris.select(F.col("y").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
+    return wedges.join(closer, ["x", "y"]).select("lo", "x", "y")
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Edges of the k-truss (maximal subgraph where every edge closes
+    ≥ k−2 triangles) → ``(u, v)`` with u < v.
+
+    The edge-cohesion companion to :func:`k_core`: iterative support
+    peeling — enumerate triangles over the surviving edge set with the
+    degree-ordered wedge scheme (:func:`_enumerate_triangles` — a hub's
+    edges point in, so the wedge fanout stays bounded by arboricity at
+    every round), credit each triangle to its three edges in one
+    partial+final hash aggregate, drop edges below the support
+    threshold, repeat to fixpoint with per-round ``localCheckpoint``.
+    Trusses are the standard dense-community filter where k-core is too
+    loose (a star passes 1-core, no 3-truss keeps any tree edge).
+    Deterministic fixpoint, replayable round-by-round in SQL — exactly
+    how the ``k_truss`` oracle checks it.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
     )
-    return nodes.join(corners, "node", "left").select(
-        "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
-    )
+    thresh = k - 2
+    if thresh == 0:
+        return und
+    n_edges = und.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        tris = _enumerate_triangles(und)
+
+        def ue(a, b):
+            return F.struct(
+                F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+            )
+
+        support = (
+            tris.select(F.explode(F.array(
+                ue(F.col("lo"), F.col("x")),
+                ue(F.col("lo"), F.col("y")),
+                ue(F.col("x"), F.col("y")),
+            )).alias("e"))
+            .select("e.u", "e.v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("s"))
+        )
+        kept = (
+            und.join(
+                support.filter(F.col("s") >= thresh).select("u", "v"),
+                ["u", "v"],
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n2 = kept.count()
+        if n2 == n_edges:
+            break
+        und, n_edges = kept, n2
+    else:
+        raise RuntimeError(
+            "k_truss did not converge in %d peel rounds (raise max_iter)"
+            % max_iter
+        )
+    return und
 
 
 def k_core(
