@@ -2694,6 +2694,21 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(_wheel_chain_edges(spark, sf_dir), n_iter=3)
 
 
+def q_link_predict(spark, sf_dir):
+    """Neighborhood link prediction (ops.graph.link_predict, round-5)
+    over the shared wheel+chain graph with ``max_degree=8``: hubs
+    (degree ≥25 at every scale) are excluded as wedge centers, so the
+    candidates are closed-form — the 5 distance-2 rim pairs per wheel
+    (center ``w_g_s``, degree 3) and per document ``(h_g, q_i)`` /
+    ``(p_i, r_i)`` through the degree-2 chain nodes.  The oracle
+    replays the full wedge-enumeration + decimal Adamic-Adar schedule
+    in SQL (same round-9 pre-round, DECIMAL(24,9) sum, round-6
+    finish)."""
+    from rdf_spark.ops.graph import link_predict
+
+    return link_predict(_wheel_chain_edges(spark, sf_dir), max_degree=8)
+
+
 def q_recrawl_stats(spark, sf_dir):
     """CDX change-rate statistics (cdx.recrawl_stats, round-5): capture
     histories synthesized by folding doc_ids onto 211 URLs; digests
@@ -3021,7 +3036,7 @@ def q_embedding_covariance(spark, sf_dir):
     the final Sxy/n − (Sx/n)(Sy/n) combine is IEEE-identical."""
     from rdf_spark.ops.ann import embedding_covariance
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return embedding_covariance(e, dim=64)
 
 
@@ -3188,6 +3203,7 @@ _QUERIES = {
         "dsir_weights": q_dsir_weights,
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
+        "link_predict": q_link_predict,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -3296,6 +3312,49 @@ def _lpa_sql(rounds: int = 3) -> str:
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT node, label FROM l{rounds}"
     )
+
+
+def _link_predict_sql(max_degree: int = 8) -> str:
+    """DuckDB replay of ops.graph.link_predict's wedge enumeration over
+    the shared wheel+chain graph: same center-degree gate, same
+    pre-rounded DECIMAL(24,9) Adamic-Adar fold (1 ulp of ln() absorbed
+    by the 9-dp round), same cast-to-double Jaccard."""
+    return f"""WITH {_WHEEL_CHAIN_SQL},
+    adj AS MATERIALIZED (
+        SELECT u AS node, v AS nbr FROM e0
+        UNION ALL SELECT v, u FROM e0
+    ),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node
+    ),
+    centers AS (
+        SELECT a.node AS z, a.nbr, d.deg AS degz
+        FROM adj a JOIN deg d USING (node)
+        WHERE d.deg BETWEEN 2 AND {max_degree}
+    ),
+    pairs AS (
+        SELECT l.nbr AS a, r.nbr AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               round(CAST(SUM(CAST(round(
+                   1.0 / ln(CAST(l.degz AS DOUBLE)), 9)
+                   AS DECIMAL(24,9))) AS DOUBLE), 6) AS adamic_adar
+        FROM centers l JOIN centers r ON l.z = r.z AND l.nbr < r.nbr
+        GROUP BY l.nbr, r.nbr
+    ),
+    fresh AS (
+        SELECT p.* FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e0 WHERE e0.u = p.a AND e0.v = p.b
+        )
+    )
+    SELECT f.a, f.b, f.n_common,
+           round(f.n_common
+                 / CAST(da.deg + db.deg - f.n_common AS DOUBLE), 6)
+               AS jaccard,
+           f.adamic_adar
+    FROM fresh f
+    JOIN deg da ON da.node = f.a
+    JOIN deg db ON db.node = f.b"""
 
 
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
@@ -4176,6 +4235,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k_core": _kcore_sql(),
         "label_propagation": _lpa_sql(),
+        "link_predict": _link_predict_sql(),
         # closed-form: wheels + fan triangles survive, pendants peel
         "k_truss": """
             WITH w AS (

@@ -190,6 +190,7 @@ def main() -> int:
         "label_propagation",
         "embedding_covariance",
         "k_truss",
+        "link_predict",
     ]
 
     timings: dict[str, float] = {}

@@ -836,3 +836,89 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def link_predict(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_degree: int = 10_000,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood link prediction over an undirected graph →
+    ``(a, b, n_common, jaccard, adamic_adar)`` for every NON-adjacent
+    candidate pair sharing at least ``min_common`` common neighbors
+    (``a < b``).
+
+    Scores (Adamic & Adar 2003 / Liben-Nowell & Kleinberg 2007):
+    ``n_common = |N(a) ∩ N(b)|``, ``jaccard = n_common / |N(a) ∪ N(b)|``,
+    ``adamic_adar = Σ_z 1/ln(deg(z))`` over the shared neighbors ``z``.
+    The KG/crawl use: suggest missing ``sameAs``/related-host links from
+    the host link graph (:func:`rdf_spark.ops.html.host_link_graph`)
+    before an expensive pairwise resolver runs.
+
+    Scale shape: candidate pairs are enumerated ONLY through wedge
+    centers — one self-join of the symmetric adjacency on the center
+    node.  A center of degree d yields d(d-1)/2 pairs, so centers with
+    ``deg > max_degree`` are excluded from the wedge role (their
+    endpoints still score through other shared neighbors): the join
+    fanout is bounded by ``max_degree``·m instead of the square of the
+    hottest hub, and a celebrity host never materializes its quadratic
+    pair set.  This makes the operator sound-not-complete by design —
+    pairs whose ONLY shared neighbors are super-hubs are not reported
+    (their adamic_adar contribution, 1/ln(deg), is the smallest possible
+    anyway).  Per-center contributions are pre-rounded to 9 dp and
+    summed as DECIMAL(24,9) so a pair's score is independent of the
+    order its wedges reduce in (the bm25/pagerank exactness scheme).
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    centers = (
+        adj.join(deg, "node")
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= max_degree))
+        .select(F.col("node").alias("z"), "nbr", F.col("deg").alias("degz"))
+    )
+    left = centers.select("z", F.col("nbr").alias("a"), "degz")
+    right = centers.select("z", F.col("nbr").alias("b"))
+    contrib = F.round(F.lit(1.0) / F.log(F.col("degz").cast("double")), 9)
+    pairs = (
+        left.join(right, "z")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", contrib.cast("decimal(24,9)").alias("c"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum("c").cast("double"), 6).alias("adamic_adar"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    fresh = pairs.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    return (
+        fresh.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_da") + F.col("_db") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
