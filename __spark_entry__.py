@@ -2235,6 +2235,40 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Distributed as-of join (ops.temporal.asof_join, round-5): every
+    event attaches the latest same-user snapshot (events with
+    event_id % 7 == 0) at-or-before its timestamp — the sorted-merge
+    union+window shape (one shuffle on user_id, never a per-key range
+    explosion).  The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``
+    (inequality ``e.ts >= s.ts``, ties matched) — an independent
+    engine's implementation of the same semantics, not a replay.  Lag
+    emitted as exact integer microseconds (unix_micros/epoch_us) so no
+    float seam exists; ~8% of events precede their user's first
+    snapshot at every scale (non-vacuous null arm)."""
+    from rdf_spark.ops.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    snaps = e.filter(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("snap_id"),
+        F.col("value").alias("snap_value"),
+    )
+    joined = asof_join(e.select("event_id", "user_id", "ts"), snaps,
+                       on="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "snap_id",
+        "snap_value",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+
+
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style within-doc repetition signals (ops.text
     .repetition_features): duplicate-line/paragraph/token fractions +
@@ -3204,6 +3238,7 @@ _QUERIES = {
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
         "link_predict": q_link_predict,
+        "asof_join": q_asof_join,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4236,6 +4271,19 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _kcore_sql(),
         "label_propagation": _lpa_sql(),
         "link_predict": _link_predict_sql(),
+        # DuckDB's native ASOF LEFT JOIN — an independent implementation
+        # of the same semantics, not a schedule replay
+        "asof_join": """
+            WITH snaps AS (
+                SELECT user_id, ts, event_id AS snap_id,
+                       value AS snap_value
+                FROM events WHERE event_id % 7 = 0
+            )
+            SELECT e.event_id, e.user_id, s.snap_id, s.snap_value,
+                   epoch_us(e.ts) - epoch_us(s.ts) AS lag_us
+            FROM events e ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
         # closed-form: wheels + fan triangles survive, pendants peel
         "k_truss": """
             WITH w AS (

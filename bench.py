@@ -191,6 +191,7 @@ def main() -> int:
         "embedding_covariance",
         "k_truss",
         "link_predict",
+        "asof_join",
     ]
 
     timings: dict[str, float] = {}

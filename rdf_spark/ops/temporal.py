@@ -1,0 +1,130 @@
+"""Temporal joins: distributed as-of join.
+
+The reference engine has no temporal layer; this is the classic
+time-series primitive (pandas ``merge_asof``, DuckDB ``ASOF JOIN``,
+kdb+ ``aj``) re-expressed for Spark's shuffle model.  The naive Spark
+spelling — a range theta-join ``l.key = r.key AND r.ts <= l.ts`` plus a
+max-per-left window — materializes every (left row × earlier right row)
+pair before reducing, quadratic per key.  This implementation is the
+sorted-merge shape instead: union both sides with a tag and run ONE
+window over (key ORDER BY ts, tag) carrying ``last(snapshot,
+ignorenulls=True)`` — each key shuffles once, every row is touched once
+in sorted order, and nothing is ever wider than (left + right).  A hot
+key serializes inside its sort partition exactly as any merge-asof
+does; distinct keys spread across reducers and AQE rebalances skewed
+partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+_TS = "__asof_ts"
+_SNAP = "__asof_snap"
+_RTS = "__asof_rts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
+    allow_exact: bool = True,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the single right row with equal ``on``
+    keys whose ``right_ts`` is the latest at-or-before ``left_ts``
+    (``direction="backward"``) or the earliest at-or-after it
+    (``"forward"``).  Left rows keep all columns; unmatched rows get
+    nulls (left-join semantics, like ``pandas.merge_asof``).
+
+    ``tolerance`` (seconds, or plain units for numeric ts columns)
+    voids matches farther than the bound; ``allow_exact=False``
+    excludes ties (``merge_asof(allow_exact_matches=False)``).  Right
+    payload columns that collide with a left column name get
+    ``suffix``; the matched right timestamp is emitted as
+    ``right_ts + suffix``.
+
+    Duplicate right timestamps within a key resolve deterministically
+    to the MAX payload struct (field order = right column order): the
+    window is ordered (ts, tag, snapshot), so the running ``last()``
+    always lands on the greatest payload of a tie group — no dedup
+    pre-aggregate, no extra shuffle.  Null-ts rows on either side never
+    match (right dropped, left emitted unmatched).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"asof key {k!r} missing from a side")
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    if not payload:
+        raise ValueError("right side has no payload columns")
+
+    # carry the matched ts inside the snapshot struct so
+    # tolerance/output never re-join
+    snaps = right.filter(F.col(right_ts).isNotNull()).select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_TAG),
+        F.struct(
+            F.col(right_ts).alias(_RTS),
+            *[F.col(c) for c in payload],
+        ).alias(_SNAP),
+    )
+    snap_type = snaps.schema[_SNAP].dataType.simpleString()
+    lefts = left.select(
+        "*",
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_TAG),
+        F.lit(None).cast(snap_type).alias(_SNAP),
+    )
+    both = lefts.unionByName(snaps, allowMissingColumns=True)
+
+    asc = direction == "backward"
+    ts_ord = (
+        F.col(_TS).asc_nulls_first() if asc else F.col(_TS).desc_nulls_first()
+    )
+    # at equal ts the right row must sort before the left row for the
+    # match to be visible (allow_exact) and after it to be hidden
+    tag_ord = F.col(_TAG).asc() if allow_exact else F.col(_TAG).desc()
+    # third key: among duplicate right timestamps the running last()
+    # must land on the max payload; (ts, tag) tie groups are all-left
+    # or all-right, so left rows (null snap) are unaffected
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_ord, tag_ord, F.col(_SNAP).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.withColumn(_SNAP, F.last(_SNAP, ignorenulls=True).over(w))
+
+    out = matched.filter(F.col(_TAG) == 1)
+    if tolerance is not None:
+        gap = F.col(_TS).cast("double") - F.col(f"{_SNAP}.{_RTS}").cast(
+            "double"
+        )
+        if not asc:
+            gap = -gap
+        out = out.withColumn(
+            _SNAP, F.when(gap <= float(tolerance), F.col(_SNAP))
+        )
+    taken = set(left.columns)
+    cols = [F.col(c) for c in left.columns]
+    cols.append(
+        F.col(f"{_SNAP}.{_RTS}").alias(
+            right_ts + suffix if right_ts in taken else right_ts
+        )
+    )
+    for c in payload:
+        cols.append(
+            F.col(f"{_SNAP}.{c}").alias(c + suffix if c in taken else c)
+        )
+    return out.select(*cols)
