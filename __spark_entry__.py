@@ -2269,6 +2269,40 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Binned interval-containment join (ops.temporal.range_join,
+    round-5): events where event_id % 11 == 0 open a same-user window
+    of (event_id % 7 + 1) minutes; every event inside a window joins it.
+    Intervals explode over 10-minute bins, points map to ONE bin, and
+    the match is a plain equi-join on (user_id, bin) + residual filter —
+    never the BroadcastNestedLoop a raw BETWEEN theta-join plans.
+    Timestamps as exact integer micros on both sides (no float seam);
+    oracle is DuckDB's plain BETWEEN join (independent spelling, not a
+    replay).  92/914/9138 matches at the three scales."""
+    from rdf_spark.ops.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    pts = e.select("event_id", "user_id", us("ts").alias("x"))
+    iv = e.filter(F.col("event_id") % 11 == 0).select(
+        "user_id",
+        us("ts").alias("w_lo"),
+        (us("ts") + (F.col("event_id") % 7 + 1) * 60_000_000).alias("w_hi"),
+        F.col("event_id").alias("win_id"),
+    )
+    out = range_join(pts, iv, "x", "w_lo", "w_hi", on="user_id",
+                     bin_width=600e6)
+    return out.select(
+        "event_id",
+        "user_id",
+        "win_id",
+        (F.col("x") - F.col("w_lo")).alias("off_us"),
+    )
+
+
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style within-doc repetition signals (ops.text
     .repetition_features): duplicate-line/paragraph/token fractions +
@@ -3239,6 +3273,7 @@ _QUERIES = {
         "label_propagation": q_label_propagation,
         "link_predict": q_link_predict,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4283,6 +4318,24 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(e.ts) - epoch_us(s.ts) AS lag_us
             FROM events e ASOF LEFT JOIN snaps s
               ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        # independent spelling: plain BETWEEN theta-join (DuckDB plans
+        # its own IEJoin); ours is the binned equi-join
+        "range_join": """
+            WITH pts AS (
+                SELECT event_id, user_id, epoch_us(ts) AS x FROM events
+            ),
+            w AS (
+                SELECT user_id, epoch_us(ts) AS w_lo,
+                       epoch_us(ts) + (event_id % 7 + 1) * 60000000
+                           AS w_hi,
+                       event_id AS win_id
+                FROM events WHERE event_id % 11 = 0
+            )
+            SELECT p.event_id, p.user_id, w.win_id,
+                   p.x - w.w_lo AS off_us
+            FROM pts p JOIN w ON p.user_id = w.user_id
+                             AND p.x BETWEEN w.w_lo AND w.w_hi
         """,
         # closed-form: wheels + fan triangles survive, pendants peel
         "k_truss": """

@@ -192,6 +192,7 @@ def main() -> int:
         "k_truss",
         "link_predict",
         "asof_join",
+        "range_join",
     ]
 
     timings: dict[str, float] = {}

@@ -1,4 +1,4 @@
-"""Temporal joins: distributed as-of join.
+"""Temporal joins: distributed as-of join and binned range join.
 
 The reference engine has no temporal layer; this is the classic
 time-series primitive (pandas ``merge_asof``, DuckDB ``ASOF JOIN``,
@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG = "__asof_tag"
@@ -128,3 +128,72 @@ def asof_join(
             F.col(f"{_SNAP}.{c}").alias(c + suffix if c in taken else c)
         )
     return out.select(*cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    on: Union[str, Sequence[str], None] = None,
+    bin_width: float = 3600.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner-join each point row to every interval row with equal
+    ``on`` keys and ``start <= point <= end`` (closed bounds) — the
+    interval-containment join, without the quadratic per-key theta-join
+    Spark would otherwise plan (BroadcastNestedLoop / cartesian +
+    filter).
+
+    Shape: every interval is exploded over the fixed-width bins it
+    covers, every point maps to exactly ONE bin, and the join is a
+    plain equi-join on (keys, bin) plus a residual range filter.  A
+    (point, interval) pair can meet in at most one bin — the point's —
+    so no post-dedup is needed.  Shuffle volume is |points| +
+    |intervals| × (span/bin_width + 1): pick ``bin_width`` near the
+    typical interval length (seconds for timestamp columns, plain units
+    for numeric).  Null points / null bounds never match; intervals
+    with ``end < start`` are empty by construction.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive: {bin_width!r}")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    for k in keys:
+        if k not in points.columns or k not in intervals.columns:
+            raise ValueError(f"range key {k!r} missing from a side")
+
+    def _bin(c: Column) -> Column:
+        return F.floor(c.cast("double") / F.lit(float(bin_width)))
+
+    p = points.filter(F.col(point).isNotNull()).withColumn(
+        "__rj_bin", _bin(F.col(point))
+    )
+    iv = (
+        intervals.filter(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (F.col(start).cast("double") <= F.col(end).cast("double"))
+        )
+        .withColumn(
+            "__rj_bin",
+            F.explode(F.sequence(_bin(F.col(start)), _bin(F.col(end)))),
+        )
+    )
+    taken = set(points.columns)
+    iv = iv.select(
+        "__rj_bin",
+        *[F.col(k) for k in keys],
+        *[
+            F.col(c).alias(c + suffix if c in taken else c)
+            for c in intervals.columns
+            if c not in keys
+        ],
+    )
+    s_out = start + suffix if start in taken else start
+    e_out = end + suffix if end in taken else end
+    joined = p.join(iv, ["__rj_bin", *keys]).filter(
+        (F.col(point).cast("double") >= F.col(s_out).cast("double"))
+        & (F.col(point).cast("double") <= F.col(e_out).cast("double"))
+    )
+    return joined.drop("__rj_bin")
