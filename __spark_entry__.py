@@ -2510,6 +2510,20 @@ def q_lm_score(spark, sf_dir):
     return unigram_lm_nll(d).select("doc_id", "lm_nll", "n_tokens")
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM quality signal (ops.retrieval
+    .bigram_lm_nll, round-5): Jelinek-Mercer λ·ML-bigram +
+    (1−λ)·add-α-unigram over the corpus itself — the word-ORDER
+    sharpening of `lm_score` (shuffled text keeps its unigram profile
+    but not its transitions).  Bigrams built as a JVM filter→zip_with
+    array expression; λ=0.75 / α=0.5 exact binary; decimal-summed
+    per-doc so the oracle replays the identical schedule."""
+    from rdf_spark.ops.retrieval import bigram_lm_nll
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_nll(d).select("doc_id", "lm2_nll", "n_bigrams")
+
+
 def q_media_near_dup(spark, sf_dir):
     """Multimodal near-dup contract: exact-duplicate media payloads are
     planted (media_id+1000000 copies, kind forced to image so the planted
@@ -3274,6 +3288,7 @@ _QUERIES = {
         "link_predict": q_link_predict,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "bigram_lm": q_bigram_lm,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4178,6 +4193,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    round(CAST(SUM(c) AS DOUBLE) / SUM(tf), 6) AS lm_nll,
                    CAST(SUM(tf) AS BIGINT) AS n_tokens
+            FROM contrib GROUP BY doc_id
+        """,
+        # same interpolation arithmetic order, same 12/9-dp rounds,
+        # same DECIMAL(28,9) fold as the Spark side (lm_score pattern)
+        "bigram_lm": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS a
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id, a[i] AS v, a[i + 1] AS w
+                FROM docs, UNNEST(range(1, len(a))) AS r(i)
+            ),
+            tf AS (SELECT doc_id, v, w, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM big GROUP BY 1, 2, 3),
+            cvw AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cvw
+                    FROM big GROUP BY 1, 2),
+            cleft AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cl
+                      FROM cvw GROUP BY 1),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS term
+                FROM documents
+            ),
+            tok2 AS (SELECT * FROM toks WHERE term <> ''),
+            cstats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct
+                       FROM tok2 GROUP BY term),
+            totals AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_total,
+                              CAST(COUNT(*) AS BIGINT) AS v_size
+                       FROM cstats),
+            types AS (
+                SELECT c.v, c.w,
+                       round(-ln(0.75 * (CAST(c.cvw AS DOUBLE) / l.cl)
+                                 + 0.25 * ((s.ct + 0.5)
+                                           / (CAST(t.t_total AS DOUBLE)
+                                              + 0.5 * t.v_size))),
+                             12) AS nll
+                FROM cvw c JOIN cleft l USING (v)
+                JOIN cstats s ON s.term = c.w
+                CROSS JOIN totals t
+            ),
+            contrib AS (
+                SELECT f.doc_id,
+                       CAST(round(f.tf * y.nll, 9) AS DECIMAL(28,9)) AS c,
+                       f.tf
+                FROM tf f JOIN types y USING (v, w)
+            )
+            SELECT doc_id,
+                   round(CAST(SUM(c) AS DOUBLE) / SUM(tf), 6) AS lm2_nll,
+                   CAST(SUM(tf) AS BIGINT) AS n_bigrams
             FROM contrib GROUP BY doc_id
         """,
         "media_near_dup": """

@@ -193,6 +193,7 @@ def main() -> int:
         "link_predict",
         "asof_join",
         "range_join",
+        "bigram_lm",
     ]
 
     timings: dict[str, float] = {}

@@ -150,3 +150,87 @@ def unigram_lm_nll(
         F.round(F.sum("c").cast("double") / F.sum("tf"), round_to).alias("lm_nll"),
         F.sum("tf").alias("n_tokens"),
     )
+
+
+def bigram_lm_nll(
+    docs: DataFrame,
+    lam: float = 0.75,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood (nats/bigram position)
+    under the corpus's own INTERPOLATED bigram model → ``(id, lm2_nll,
+    n_bigrams)``; documents with fewer than 2 tokens are omitted.
+
+    ``P(w|v) = λ·c(v,w)/c_left(v) + (1−λ)·(c(w)+α)/(T+αV)`` — the
+    Jelinek-Mercer interpolation of the ML bigram with the
+    add-α-smoothed unigram (the :func:`unigram_lm_nll` model), so the
+    score sharpens the CCNet-style signal with local word ORDER:
+    shuffled or keyword-stuffed text keeps a plausible unigram profile
+    but improbable transitions.  λ=0.75 and α=0.5 are exact binary
+    fractions (reproducible across engines).
+
+    Scale shape: bigrams are built inside a JVM array expression
+    (filter → zip_with of two slices — zero Python, zero extra
+    shuffle), then everything is map-side-combinable aggregation: the
+    (v,w)-type table is the only large shuffle and is corpus-vocabulary
+    sized, not corpus sized.  Determinism: per-type nll rounded 12 dp,
+    per-doc contributions (tf × nll) rounded 9 dp and summed as
+    DECIMAL(28,9) — partitioning- and order-independent, SQL-replayable
+    (the unigram_lm_nll convention; ln() 1-ulp differences are absorbed
+    by the 12 dp round).
+    """
+    arr = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda t: t != "",
+    )
+    toks_arr = docs.select(F.col(id_col), arr.alias("a")).filter(
+        F.size("a") >= 2
+    )
+    big = toks_arr.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("a", F.lit(1), F.size("a") - 1),
+                F.slice("a", F.lit(2), F.size("a") - 1),
+                lambda x, y: F.struct(x.alias("v"), y.alias("w")),
+            )
+        ).alias("b"),
+    ).select(id_col, "b.v", "b.w")
+
+    tf = big.groupBy(id_col, "v", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cvw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    cleft = cvw.groupBy("v").agg(F.sum("cvw").alias("cl"))
+
+    toks = tokenize_lower(docs, text_col, id_col)
+    cstats = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    totals = cstats.agg(
+        F.sum("ct").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+
+    one_minus = 1.0 - lam  # computed once, shared verbatim with SQL
+    denom = F.col("t_total").cast("double") + F.lit(alpha) * F.col("v_size")
+    p = F.lit(lam) * (F.col("cvw").cast("double") / F.col("cl")) + F.lit(
+        one_minus
+    ) * ((F.col("ct") + F.lit(alpha)) / denom)
+    types = (
+        cvw.join(cleft, "v")
+        .join(cstats.withColumnRenamed("term", "w"), "w")
+        .crossJoin(F.broadcast(totals))
+        .select("v", "w", F.round(-F.log(p), 12).alias("nll"))
+    )
+    contrib = tf.join(types, ["v", "w"]).select(
+        F.col(id_col),
+        F.round(F.col("tf") * F.col("nll"), 9).cast("decimal(28,9)").alias("c"),
+        F.col("tf"),
+    )
+    return contrib.groupBy(id_col).agg(
+        F.round(F.sum("c").cast("double") / F.sum("tf"), round_to).alias(
+            "lm2_nll"
+        ),
+        F.sum("tf").alias("n_bigrams"),
+    )
