@@ -2524,6 +2524,51 @@ def q_bigram_lm(spark, sf_dir):
     return bigram_lm_nll(d).select("doc_id", "lm2_nll", "n_bigrams")
 
 
+def q_rdf_canonicalize(spark, sf_dir):
+    """RDFC-1.0 blank-node canonicalization (rdf_spark.canon, round-5):
+    per document, three blank nodes each anchored by a distinct literal
+    plus one blank-blank edge (_:0 <urn:q> _:1); input labels are
+    scrambled by doc_id so identity labeling would fail.  Every node's
+    first-degree hash is unique and CLOSED-FORM — the exact ``_:a``/
+    ``_:z`` substituted N-Quads lines the algorithm hashes — so the
+    oracle recomputes the same sha256 inputs in SQL and ranks them
+    (step 5 of the spec; the shared-hash n-degree path is covered by
+    the relabel-invariance property suite in test_canon)."""
+    from rdf_spark.canon import canonicalize_blank_nodes
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id")
+    j = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    )
+    label = F.concat(F.lit("_:in"), (F.col("j") + F.col("doc_id")) % 3)
+    null_s = F.lit(None).cast("string")
+    p_rows = j.select(
+        "doc_id",
+        label.alias("s"),
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.lit("urn:p").alias("p"),
+        F.concat(F.lit("d"), F.col("doc_id"), F.lit("_v"),
+                 F.col("j")).alias("o"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        null_s.alias("o_datatype"),
+        null_s.alias("o_lang"),
+    )
+    edge = d.select(
+        "doc_id",
+        F.concat(F.lit("_:in"), F.col("doc_id") % 3).alias("s"),
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.lit("urn:q").alias("p"),
+        F.concat(F.lit("_:in"), (F.col("doc_id") + 1) % 3).alias("o"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        null_s.alias("o_datatype"),
+        null_s.alias("o_lang"),
+    )
+    out = canonicalize_blank_nodes(p_rows.unionByName(edge), "doc_id")
+    return out.filter(F.col("p") == "urn:p").select(
+        "doc_id", F.col("o").alias("lit"), F.col("s").alias("label")
+    )
+
+
 def q_media_near_dup(spark, sf_dir):
     """Multimodal near-dup contract: exact-duplicate media payloads are
     planted (media_id+1000000 copies, kind forced to image so the planted
@@ -3289,6 +3334,7 @@ _QUERIES = {
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "bigram_lm": q_bigram_lm,
+        "rdf_canonicalize": q_rdf_canonicalize,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4194,6 +4240,33 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(c) AS DOUBLE) / SUM(tf), 6) AS lm_nll,
                    CAST(SUM(tf) AS BIGINT) AS n_tokens
             FROM contrib GROUP BY doc_id
+        """,
+        # recompute the exact RDFC-1.0 first-degree hash inputs (_:a/_:z
+        # substituted N-Quads, sorted, newline-terminated) and rank them
+        "rdf_canonicalize": """
+            WITH b AS (
+                SELECT doc_id, r.j, 'd' || doc_id || '_v' || r.j AS lit
+                FROM documents, UNNEST(range(3)) AS r(j)
+            ),
+            h AS (
+                SELECT doc_id, lit,
+                       CASE j
+                           WHEN 0 THEN sha256(
+                               '_:a <urn:p> "' || lit || '" .' || chr(10)
+                               || '_:a <urn:q> _:z .' || chr(10))
+                           WHEN 1 THEN sha256(
+                               '_:a <urn:p> "' || lit || '" .' || chr(10)
+                               || '_:z <urn:q> _:a .' || chr(10))
+                           ELSE sha256(
+                               '_:a <urn:p> "' || lit || '" .' || chr(10))
+                       END AS fdh
+                FROM b
+            )
+            SELECT doc_id, lit,
+                   '_:c14n' || CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY fdh) - 1 AS VARCHAR)
+                       AS label
+            FROM h
         """,
         # same interpolation arithmetic order, same 12/9-dp rounds,
         # same DECIMAL(28,9) fold as the Spark side (lm_score pattern)

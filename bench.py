@@ -194,6 +194,7 @@ def main() -> int:
         "asof_join",
         "range_join",
         "bigram_lm",
+        "rdf_canonicalize",
     ]
 
     timings: dict[str, float] = {}
