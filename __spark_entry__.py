@@ -2569,6 +2569,26 @@ def q_rdf_canonicalize(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (ops.bpe.train_bpe, round-5): 8 merge
+    rounds over the documents word-type vocabulary → the ordered merge
+    table (step, x, y).  Separator-framed sequences make each merge a
+    literal left-to-right ``replace`` with IDENTICAL greedy semantics
+    in the JVM and DuckDB, so the oracle replays the full schedule as
+    generated MATERIALIZED CTE rounds (pair-count → top-1 by
+    count DESC / pair ASC → replace) — the k_core/pagerank replay
+    pattern.  The corpus is ASCII (checked), so UTF-16 vs codepoint
+    char-splitting cannot diverge."""
+    from rdf_spark.ops.bpe import train_bpe
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    merges = train_bpe(d, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, x, y) for i, (x, y) in enumerate(merges)],
+        "step int, x string, y string",
+    )
+
+
 def q_media_near_dup(spark, sf_dir):
     """Multimodal near-dup contract: exact-duplicate media payloads are
     planted (media_id+1000000 copies, kind forced to image so the planted
@@ -3335,6 +3355,7 @@ _QUERIES = {
         "range_join": q_range_join,
         "bigram_lm": q_bigram_lm,
         "rdf_canonicalize": q_rdf_canonicalize,
+        "bpe_train": q_bpe_train,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -3486,6 +3507,52 @@ def _link_predict_sql(max_degree: int = 8) -> str:
     FROM fresh f
     JOIN deg da ON da.node = f.a
     JOIN deg db ON db.node = f.b"""
+
+
+def _bpe_sql(rounds: int = 8) -> str:
+    """DuckDB replay of ops.bpe.train_bpe's exact merge schedule:
+    per generated round, pair counts over the framed word-type
+    vocabulary, top-1 by (count DESC, x, y), literal replace — the
+    same greedy left-to-right semantics as the JVM replace."""
+    s2 = "chr(31) || chr(31)"
+    ctes = [f"""v0 AS MATERIALIZED (
+        SELECT {s2} || array_to_string(string_split(w, ''), {s2}) || {s2}
+                   AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents
+        )
+        WHERE w <> '' AND NOT contains(w, chr(31))
+        GROUP BY w
+    )"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS (
+        SELECT a[i] AS x, a[i + 1] AS y, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (
+            SELECT list_filter(string_split(seq, {s2}), t -> t <> '') AS a,
+                   n
+            FROM v{r - 1}
+        ) d, UNNEST(range(1, len(a))) AS u(i)
+        GROUP BY 1, 2
+    ),
+    t{r} AS MATERIALIZED (
+        SELECT {r} AS step, x, y FROM p{r}
+        ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+    ),
+    v{r} AS MATERIALIZED (
+        SELECT replace(seq,
+                       chr(31) || x || {s2} || y || chr(31),
+                       chr(31) || x || y || chr(31)) AS seq,
+               n
+        FROM v{r - 1} CROSS JOIN t{r}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(step AS INT) AS step, x, y FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
 
 
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
@@ -4448,6 +4515,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _kcore_sql(),
         "label_propagation": _lpa_sql(),
         "link_predict": _link_predict_sql(),
+        "bpe_train": _bpe_sql(),
         # DuckDB's native ASOF LEFT JOIN — an independent implementation
         # of the same semantics, not a schedule replay
         "asof_join": """

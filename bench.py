@@ -195,6 +195,7 @@ def main() -> int:
         "range_join",
         "bigram_lm",
         "rdf_canonicalize",
+        "bpe_train",
     ]
 
     timings: dict[str, float] = {}

@@ -1,0 +1,141 @@
+"""Byte-pair-encoding tokenizer training over a corpus.
+
+The training-data side of tokenization (Sennrich et al. 2016): learn
+the top-N most frequent symbol-pair merges from the corpus's own word
+distribution.  No end-of-word marker variant — merges never cross word
+boundaries and the learned table is the open-vocabulary artifact a
+downstream tokenizer consumes.
+
+Scale shape: the corpus is scanned ONCE into a word-type vocabulary
+(word → count; types, not tokens — orders of magnitude smaller than the
+corpus), and every merge round runs over that vocabulary only: one
+pair-count aggregate (map-side combinable) plus a single-row driver
+collect of the winning pair, then a JVM ``replace`` projection.  The
+per-round collect is one row — the same bounded-driver pattern as the
+IVF k-means sample.  At 100 TB you'd train on a deterministic document
+sample (ops.sample.md5_threshold) — the vocabulary pass is the only
+corpus-sized stage either way.
+
+Reproducibility: symbol sequences are stored separator-framed
+(``\\x1f\\x1f`` between symbols, framing both ends) so a merge is a
+plain left-to-right literal ``replace`` — the SAME greedy semantics in
+Java, Python, and DuckDB, making the whole merge schedule SQL-exact;
+ties break (count DESC, pair lexicographic ASC).  Words containing the
+U+001F separator are dropped from the vocabulary (documented; it is a
+C0 control char that whitespace tokenization never yields in practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf_spark.ops.retrieval import tokenize_lower
+
+SEP = "\x1f"
+SEP2 = SEP * 2
+
+
+def _frame(word_col):
+    """word → framed symbol sequence: ``␟␟c␟␟h␟␟a␟␟r␟␟`` (initial
+    symbols = single characters)."""
+    return F.concat(
+        F.lit(SEP2), F.array_join(F.split(word_col, ""), SEP2), F.lit(SEP2)
+    )
+
+
+def _symbols(seq_col):
+    return F.filter(F.split(seq_col, SEP2), lambda t: t != "")
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(seq, n): framed symbol sequence per word TYPE with its corpus
+    count — the working set every merge round re-scans."""
+    toks = tokenize_lower(docs, text_col, id_col)
+    return (
+        toks.filter(~F.col("term").contains(SEP))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(_frame(F.col("term")).alias("seq"), "n")
+    )
+
+
+def _merge_expr(seq_col, x: str, y: str):
+    return F.replace(
+        seq_col,
+        F.lit(f"{SEP}{x}{SEP2}{y}{SEP}"),
+        F.lit(f"{SEP}{x}{y}{SEP}"),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges → ordered ``[(x, y), …]``.  Stops
+    early only when no adjacent pair is left anywhere (degenerate
+    corpora); tie pairs resolve (count DESC, x ASC, y ASC), so the
+    schedule is deterministic and engine-replayable."""
+    vocab = word_vocab(docs, text_col, id_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        syms = _symbols(F.col("seq"))
+        pair = F.explode(
+            F.zip_with(
+                F.slice(syms, F.lit(1), F.size(syms) - 1),
+                F.slice(syms, F.lit(2), F.size(syms) - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        )
+        top = (
+            vocab.filter(F.size(syms) >= 2)
+            .select(pair.alias("p"), "n")
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y = top[0].x, top[0].y
+        merges.append((x, y))
+        vocab = vocab.withColumn(
+            "seq", _merge_expr(F.col("seq"), x, y)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a learned merge table → ``(id, pos,
+    token)`` rows in document order (exploded, driver-hashable).
+    Merges apply in learned order as ONE chained JVM ``replace``
+    expression inside an array ``transform`` — pure projection, zero
+    shuffle, zero Python."""
+
+    def enc(word):
+        seq = _frame(word)
+        for x, y in merges:
+            seq = _merge_expr(seq, x, y)
+        return _symbols(seq)
+
+    words = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda t: (t != "") & ~t.contains(SEP),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.flatten(F.transform(words, enc))).alias(
+            "pos", "token"
+        ),
+    ).select(id_col, "pos", "token")
