@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     ap.add_argument("--keep-sameas-links", action="store_true",
                     help="with --resolve-sameas: keep (rep, sameAs, member) "
                          "provenance triples")
+    ap.add_argument("--canonicalize-bnodes", action="store_true",
+                    help="relabel blank nodes to RDFC-1.0 _:c14nN ids per "
+                         "input document (implies --keep-blank-labels; for "
+                         "single-document conversions)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -59,7 +63,8 @@ def main(argv=None) -> int:
         args.out_path,
         args.out_format,
         base=args.base,
-        skolemize=not args.keep_blank_labels,
+        skolemize=not (args.keep_blank_labels or args.canonicalize_bnodes),
+        canonicalize=args.canonicalize_bnodes,
         infer=args.infer,
         schema_path=args.schema or "",
         schema_format=args.schema_format,

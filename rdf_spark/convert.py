@@ -76,7 +76,8 @@ def convert(spark: SparkSession, in_path: str, in_fmt: str, out_path: str,
             out_fmt: str, base: str = "", skolemize: bool = True,
             infer: str | None = None, schema_path: str = "",
             schema_format: str = "turtle", resolve_sameas: bool = False,
-            keep_sameas_links: bool = False) -> int:
+            keep_sameas_links: bool = False,
+            canonicalize: bool = False) -> int:
     """Convert between serializations; returns the triple count written.
 
     ``infer="rdfs"`` materializes the ρdf closure between decode and
@@ -87,6 +88,15 @@ def convert(spark: SparkSession, in_path: str, in_fmt: str, out_path: str,
     to their canonical representative first (``keep_sameas_links``
     keeps the provenance triples).
 
+    ``canonicalize=True`` (requires ``skolemize=False``) relabels blank
+    nodes to their RDFC-1.0 canonical ``_:c14nN`` ids per input
+    document (rdf_spark/canon.py) — the byte-reproducible variant of
+    label preservation: two conversions of isomorphic inputs emit
+    identical labels.  Like ``skolemize=False`` itself, it is meant for
+    single-document conversions (canonical labels are per-document and
+    would collide across merged documents; skolemization is the
+    merge-safe mode).
+
     ``skolemize=True`` (default) rewrites blank labels to per-document
     skolem IRIs: blank labels are only unique within one input document
     (rdf.go:497-508), so merging many files without skolemization would
@@ -96,7 +106,13 @@ def convert(spark: SparkSession, in_path: str, in_fmt: str, out_path: str,
     preserve labels (reference-rdf2rdf behavior; line formats then take
     the fully line-parallel fast path).
     """
-    if in_fmt in ("ntriples", "nquads") and not skolemize:
+    if canonicalize and skolemize:
+        raise ValueError(
+            "canonicalize rewrites blank labels in place — pass "
+            "skolemize=False (--keep-blank-labels)"
+        )
+    if in_fmt in ("ntriples", "nquads") and not skolemize \
+            and not canonicalize:
         # label-preserving fast path: fully line-parallel (the right mode
         # for single-document conversions, matching rdf2rdf)
         df = read_rdf(spark, in_path, in_fmt, base=base)
@@ -120,6 +136,10 @@ def convert(spark: SparkSession, in_path: str, in_fmt: str, out_path: str,
             from rdf_spark import canonical
 
             good = canonical.skolemize(good)
+        elif canonicalize:
+            from rdf_spark.canon import canonicalize_blank_nodes
+
+            good = canonicalize_blank_nodes(good, "url")
         good = good.drop("url")
     if resolve_sameas:
         from rdf_spark.ops.reasoning import sameas_resolve

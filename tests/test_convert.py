@@ -159,3 +159,64 @@ def test_convert_with_sameas_resolution(spark, tmp_path):
     assert n == 1
     back = convert.read_rdf(spark, out, "ntriples").collect()
     assert back[0].s == "http://x/a"
+
+
+def test_convert_canonicalize_bnodes(spark, tmp_path):
+    """--canonicalize-bnodes: isomorphic inputs with different blank
+    labels convert to byte-identical label sets; skolemize conflicts."""
+    import glob as _glob
+
+    import pytest
+
+    for name, a, b in (("v1", "_:x", "_:y"), ("v2", "_:q", "_:p")):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "doc.ttl").write_text(
+            "@prefix ex: <http://e/> .\n"
+            f"{a} ex:p {b} .\n{b} ex:v \"leaf\" .\n"
+        )
+    outs = []
+    for name in ("v1", "v2"):
+        out = str(tmp_path / f"out_{name}")
+        n = convert.convert(
+            spark, str(tmp_path / name), "turtle", out, "ntriples",
+            skolemize=False, canonicalize=True,
+        )
+        assert n == 2
+        lines = set()
+        for f in _glob.glob(out + "/part-*"):
+            lines |= {ln for ln in open(f).read().splitlines() if ln}
+        outs.append(lines)
+    assert outs[0] == outs[1]
+    assert any("_:c14n" in ln for ln in outs[0])
+
+    with pytest.raises(ValueError):
+        convert.convert(spark, str(tmp_path / "v1"), "turtle",
+                        str(tmp_path / "boom"), "ntriples",
+                        canonicalize=True)
+
+
+def test_rdf_convert_job_canonicalize_flag(spark, tmp_path):
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import rdf_convert_job
+
+    src = str(tmp_path / "in.ttl")
+    with open(src, "w") as f:
+        f.write('@prefix ex: <http://e/> .\n_:b ex:p "v" .\n')
+    out = str(tmp_path / "out_nt")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = rdf_convert_job.main([
+            "--in", src, "--in-format", "turtle",
+            "--out", out, "--out-format", "ntriples",
+            "--canonicalize-bnodes",
+        ])
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["triples"] == 1
+    text = "".join(open(f).read() for f in glob.glob(out + "/part-*"))
+    assert "_:c14n0" in text
