@@ -2569,6 +2569,21 @@ def q_rdf_canonicalize(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (ops.dedup.duplicate_spans,
+    round-5): every maximal token range whose 8-token windows repeat
+    corpus-wide — the Lee-et-al exact-substring signal, surfaced
+    organically by the datagen ' dup'-suffix near-duplicates (45/47/477
+    spans at the three scales).  Window-hash counting joins each
+    position to exactly ONE count row (no fanout on hot grams), spans
+    merge via gaps-and-islands; the oracle replays the identical
+    md5-keyed pipeline in SQL."""
+    from rdf_spark.ops.dedup import duplicate_spans
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return duplicate_spans(d, k=8)
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (ops.bpe.train_bpe, round-5): 8 merge
     rounds over the documents word-type vocabulary → the ordered merge
@@ -3356,6 +3371,7 @@ _QUERIES = {
         "bigram_lm": q_bigram_lm,
         "rdf_canonicalize": q_rdf_canonicalize,
         "bpe_train": q_bpe_train,
+        "duplicate_spans": q_duplicate_spans,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4516,6 +4532,41 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _lpa_sql(),
         "link_predict": _link_predict_sql(),
         "bpe_train": _bpe_sql(),
+        # identical md5-keyed window pipeline; pos 0-based both sides
+        "duplicate_spans": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS a
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(a[i : i + 7], ' ')) AS h
+                FROM docs, UNNEST(range(1, len(a) - 6)) AS r(i)
+            ),
+            counts AS (
+                SELECT h, CAST(COUNT(*) AS BIGINT) AS c
+                FROM grams GROUP BY h
+            ),
+            dup AS (
+                SELECT doc_id, pos FROM grams JOIN counts USING (h)
+                WHERE c >= 2
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dup
+            )
+            SELECT doc_id,
+                   MIN(pos) AS span_start,
+                   MAX(pos) + 7 AS span_end,
+                   MAX(pos) - MIN(pos) + 8 AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, grp
+        """,
         # DuckDB's native ASOF LEFT JOIN — an independent implementation
         # of the same semantics, not a schedule replay
         "asof_join": """

@@ -196,6 +196,7 @@ def main() -> int:
         "bigram_lm",
         "rdf_canonicalize",
         "bpe_train",
+        "duplicate_spans",
     ]
 
     timings: dict[str, float] = {}

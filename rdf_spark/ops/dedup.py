@@ -694,3 +694,67 @@ def remove_duplicate_spans(
             F.coalesce("n_removed_tokens", F.lit(0)).alias("n_removed_tokens"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the exact companion to
+    :func:`winnow_overlap_pairs`' sampled fingerprints): every maximal
+    token range whose k-token windows ALL occur at least ``min_df``
+    times corpus-wide → ``(id, span_start, span_end, n_tokens,
+    n_windows)``, 0-based inclusive token indices.  Feed the spans to a
+    cutter or drop the documents — memorization risk lives in exactly
+    these ranges.
+
+    Scale shape: a suffix array is the single-machine tool; distributed,
+    the same spans fall out of window HASHES — (doc, pos, md5(k-gram))
+    rows, one count aggregate per gram (map-side combinable), one
+    join BACK to positions (each position row matches exactly ONE count
+    row, so a corpus-hot boilerplate gram causes no fanout — counting
+    needs no max_df cap, unlike pair GENERATION), then per-doc
+    gaps-and-islands (pos − row_number) to merge adjacent duplicated
+    windows into maximal spans.  md5 is used for the window key so a
+    SQL engine reproduces the identical pipeline; it is 16 bytes where
+    xxhash64 is 8 — swap in xxhash64 when oracle parity is not needed.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    arr = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda t: t != "",
+    )
+    grams = df.select(F.col(id_col), arr.alias("a")).filter(
+        F.size("a") >= k
+    ).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("a", i, k), " ")),
+            )
+        ).alias("pos", "h"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        grams.join(counts, "h")
+        .filter(F.col("c") >= min_df)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return islands.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("grp")
