@@ -708,9 +708,14 @@ def duplicate_spans(
     :func:`winnow_overlap_pairs`' sampled fingerprints): every maximal
     token range whose k-token windows ALL occur at least ``min_df``
     times corpus-wide → ``(id, span_start, span_end, n_tokens,
-    n_windows)``, 0-based inclusive token indices.  Feed the spans to a
-    cutter or drop the documents — memorization risk lives in exactly
-    these ranges.
+    n_windows)``, 0-based inclusive token indices.  The AUDIT companion
+    to :func:`remove_duplicate_spans` (curate's ``span_dedup_ngram``
+    rewrite stage): that one rewrites text keeping the globally-first
+    occurrence; this one REPORTS every duplicated range in every doc
+    (keeper included) without touching the text — inspect before you
+    cut, rank docs by duplicated fraction, or drive a custom cutter —
+    and its md5-keyed schedule replays exactly in SQL (xxhash64-keyed
+    removal can't be oracled).
 
     Scale shape: a suffix array is the single-machine tool; distributed,
     the same spans fall out of window HASHES — (doc, pos, md5(k-gram))

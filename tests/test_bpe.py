@@ -106,3 +106,38 @@ class TestBpe:
     def test_degenerate_corpus_stops_early(self, spark):
         merges = train_bpe(_docs(spark, ["a b c", "a  b"]), n_merges=4)
         assert merges == []
+
+    def test_tokenize_job_entrypoint(self, spark, tmp_path):
+        import io
+        import json
+        import sys
+        from contextlib import redirect_stdout
+
+        sys.path.insert(0, "jobs")
+        import tokenize_job
+
+        src = str(tmp_path / "docs")
+        _docs(spark, ["aa ab aa ab", "aa aa"]).write.parquet(src)
+        out = str(tmp_path / "bpe")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = tokenize_job.main([
+                "--in", src, "--out", out, "--n-merges", "2"])
+        assert rc == 0
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert stats["merges"] == 2 and stats["tokens"] > 0
+        merges = {(r.step, r.x, r.y)
+                  for r in spark.read.parquet(out + "/merges").collect()}
+        assert (1, "a", "a") in merges
+        # reuse the trained table via --merges
+        out2 = str(tmp_path / "bpe2")
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            rc = tokenize_job.main([
+                "--in", src, "--out", out2, "--merges", out + "/merges"])
+        assert rc == 0
+        t1 = {tuple(r) for r in
+              spark.read.parquet(out + "/tokens").collect()}
+        t2 = {tuple(r) for r in
+              spark.read.parquet(out2 + "/tokens").collect()}
+        assert t1 == t2
