@@ -2569,6 +2569,26 @@ def q_rdf_canonicalize(spark, sf_dir):
     )
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line/page cleaning (ops.text.c4_clean, round-5): the corpus
+    has no newlines or punctuation, so lines are planted by a literal
+    replace (' the ' → '.\\n' + 'the ') plus a final '.' — both engines'
+    replace is the same greedy left-to-right.  Both keep arms and the
+    line-drop rule fire at every scale (201/156/1837 keeps).  Pure JVM
+    list expressions, zero shuffle; oracle replays the identical rules
+    with DuckDB list lambdas."""
+    from rdf_spark.ops.text import c4_clean
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" the "), F.lit(".\nthe ")),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return c4_clean(d)
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Exact duplicated-substring spans (ops.dedup.duplicate_spans,
     round-5): every maximal token range whose 8-token windows repeat
@@ -3372,6 +3392,7 @@ _QUERIES = {
         "rdf_canonicalize": q_rdf_canonicalize,
         "bpe_train": q_bpe_train,
         "duplicate_spans": q_duplicate_spans,
+        "c4_clean": q_c4_clean,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4532,6 +4553,39 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _lpa_sql(),
         "link_predict": _link_predict_sql(),
         "bpe_train": _bpe_sql(),
+        # identical line rules via DuckDB list lambdas; RE2 vs Java
+        # regex agree on the ASCII [.!?]"?$ anchor
+        "c4_clean": r"""
+            WITH prep AS (
+                SELECT doc_id,
+                       replace(text, ' the ', '.' || chr(10) || 'the ')
+                           || '.' AS t
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       list_filter(string_split(t, chr(10)),
+                           ln -> len(list_filter(
+                                     regexp_split_to_array(trim(ln),
+                                                           '\s+'),
+                                     w -> w <> '')) >= 5
+                                 AND regexp_matches(rtrim(ln),
+                                                    '[.!?]"?$')) AS kept,
+                       len(string_split(t, chr(10))) AS n_all,
+                       t
+                FROM prep
+            )
+            SELECT doc_id,
+                   -- DuckDB array_to_string([]) is NULL, Spark's is ''
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(n_all - len(kept) AS BIGINT) AS n_lines_dropped,
+                   len(kept) >= 3
+                       AND NOT contains(lower(t), 'lorem ipsum')
+                       AND NOT contains(t, '{') AS keep
+            FROM c
+        """,
         # identical md5-keyed window pipeline; pos 0-based both sides
         "duplicate_spans": r"""
             WITH docs AS (

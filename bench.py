@@ -197,6 +197,7 @@ def main() -> int:
         "rdf_canonicalize",
         "bpe_train",
         "duplicate_spans",
+        "c4_clean",
     ]
 
     timings: dict[str, float] = {}

@@ -437,3 +437,49 @@ def hashed_classifier_score(
     )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     return df.withColumn(out_col, score)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line and page cleaning (Raffel et al. 2020, §2.2) →
+    ``(id, clean_text, n_lines_kept, n_lines_dropped, keep)``.
+
+    Line rules (a line survives only if ALL hold):
+    * ends in terminal punctuation — ``.``, ``!``, ``?`` or a closing
+      double quote after one — after trailing-whitespace trim;
+    * has at least ``min_words_per_line`` whitespace words.
+
+    Page rules (``keep``): at least ``min_lines`` surviving lines, no
+    ``lorem ipsum``, and no ``{`` anywhere (code page heuristic) —
+    evaluated on the ORIGINAL text, as in C4.  ``clean_text`` is the
+    surviving lines re-joined in order.
+
+    Pure JVM array expressions (split → filter lambda → re-join): zero
+    shuffle, zero Python, streaming-microbatch safe — and every rule is
+    a list-function one-liner a SQL engine replays verbatim.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    line_ok = lambda ln: (  # noqa: E731
+        F.size(
+            F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")
+        ) >= min_words_per_line
+    ) & F.rtrim(ln).rlike('[.!?]"?$')
+    kept = F.filter(F.split(raw, "\n"), line_ok)
+    n_all = F.size(F.split(raw, "\n"))
+    page_ok = (
+        (F.size(kept) >= min_lines)
+        & ~F.lower(raw).contains("lorem ipsum")
+        & ~raw.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (n_all - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        page_ok.alias("keep"),
+    )
