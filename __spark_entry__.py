@@ -2706,6 +2706,49 @@ def q_label_centroids(spark, sf_dir):
     return label_centroids(e, flat=True).select("label", "pos", "value", "n_vecs")
 
 
+def q_owl_closure(spark, sf_dir):
+    """OWL property entailments (ops.reasoning.owl_property_closure,
+    round-5): per document a 4-node u:next chain with u:next
+    TransitiveProperty, u:prev its inverseOf, and one u:adj
+    SymmetricProperty edge.  The rewrite algebra is closed schema-side
+    ((pred, flip) orbit), the chain closure is closed-form — the oracle
+    generates all i<j pairs per doc plus their prev-inverses and both
+    adj directions, recursion-free (the rdfs_closure oracle pattern)."""
+    from rdf_spark.ops.reasoning import (
+        OWL_INVERSEOF,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        owl_property_closure,
+    )
+    from rdf_spark.terms import RDF_TYPE
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    node = lambda i: F.concat(  # noqa: E731
+        F.lit("d"), F.col("doc_id"), F.lit("_"), i
+    )
+    chain = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i")
+    ).select(
+        node(F.col("i")).alias("s"),
+        F.lit("u:next").alias("p"),
+        node(F.col("i") + 1).alias("o"),
+    )
+    adj = d.select(
+        node(F.lit(0)).alias("s"),
+        F.lit("u:adj").alias("p"),
+        node(F.lit(2)).alias("o"),
+    )
+    schema = spark.createDataFrame(
+        [
+            ("u:next", RDF_TYPE, OWL_TRANSITIVE),
+            ("u:prev", OWL_INVERSEOF, "u:next"),
+            ("u:adj", RDF_TYPE, OWL_SYMMETRIC),
+        ],
+        "s string, p string, o string",
+    )
+    return owl_property_closure(chain.unionByName(adj).unionByName(schema))
+
+
 def q_rdfs_closure(spark, sf_dir):
     """ρdf RDFS materialization (ops.reasoning.rdfs_closure, round-5):
     a subclass chain u:C0 ⊑ … ⊑ u:C24 built from nation keys, one
@@ -3393,6 +3436,7 @@ _QUERIES = {
         "bpe_train": q_bpe_train,
         "duplicate_spans": q_duplicate_spans,
         "c4_clean": q_c4_clean,
+        "owl_closure": q_owl_closure,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4501,6 +4545,39 @@ def oracle_sql() -> dict[str, str]:
         # Overlaps between the arms (e.g. direct subclass edges vs the
         # closure pairs) collapse under the final DISTINCT, exactly like
         # the operator's dedup_triples key.
+        # closed-form chain closure: all i<j pairs + inverses + both
+        # symmetric directions + pass-through schema rows
+        "owl_closure": """
+            WITH pairs AS (
+                SELECT doc_id, i.i AS i, j.j AS j
+                FROM documents,
+                     UNNEST(range(4)) AS i(i),
+                     UNNEST(range(4)) AS j(j)
+                WHERE i.i < j.j
+            )
+            SELECT 'd' || doc_id || '_' || i AS s, 'u:next' AS p,
+                   'd' || doc_id || '_' || j AS o
+            FROM pairs
+            UNION ALL
+            SELECT 'd' || doc_id || '_' || j, 'u:prev',
+                   'd' || doc_id || '_' || i
+            FROM pairs
+            UNION ALL
+            SELECT 'd' || doc_id || '_0', 'u:adj', 'd' || doc_id || '_2'
+            FROM documents
+            UNION ALL
+            SELECT 'd' || doc_id || '_2', 'u:adj', 'd' || doc_id || '_0'
+            FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+                ('u:next', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                 'http://www.w3.org/2002/07/owl#TransitiveProperty'),
+                ('u:prev', 'http://www.w3.org/2002/07/owl#inverseOf',
+                 'u:next'),
+                ('u:adj', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                 'http://www.w3.org/2002/07/owl#SymmetricProperty')
+            ) t(s, p, o)
+        """,
         "rdfs_closure": """
             WITH keys AS (SELECT n_nationkey AS k FROM nation),
                  custs AS (SELECT c_custkey AS ck, c_nationkey AS nk

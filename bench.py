@@ -198,6 +198,7 @@ def main() -> int:
         "bpe_train",
         "duplicate_spans",
         "c4_clean",
+        "owl_closure",
     ]
 
     timings: dict[str, float] = {}

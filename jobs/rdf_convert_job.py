@@ -30,9 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out-format", required=True, choices=sorted(ENCODERS))
     ap.add_argument("--base", default="")
     ap.add_argument("--keep-blank-labels", action="store_true")
-    ap.add_argument("--infer", choices=["rdfs"],
-                    help="materialize the rdfs (rho-df) closure between "
-                         "decode and encode")
+    ap.add_argument("--infer", choices=["rdfs", "owl", "rdfs+owl"],
+                    help="materialize entailments between decode and "
+                         "encode: rdfs = rho-df hierarchy closure, owl = "
+                         "inverseOf/Symmetric/Transitive property algebra, "
+                         "rdfs+owl = property algebra then hierarchy")
     ap.add_argument("--schema",
                     help="external ontology for --infer (defaults to the "
                          "input data itself)")

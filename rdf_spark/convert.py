@@ -145,15 +145,20 @@ def convert(spark: SparkSession, in_path: str, in_fmt: str, out_path: str,
         from rdf_spark.ops.reasoning import sameas_resolve
 
         good = sameas_resolve(good, keep_links=keep_sameas_links)
-    if infer == "rdfs":
-        from rdf_spark.ops.reasoning import rdfs_closure
+    if infer in ("rdfs", "owl", "rdfs+owl"):
+        from rdf_spark.ops.reasoning import owl_property_closure, rdfs_closure
 
         schema = None
         if schema_path:
             schema = read_rdf(spark, schema_path, schema_format).filter(
                 F.col("err").isNull()
             ).drop("err")
-        good = rdfs_closure(good, schema=schema)
+        # property algebra first: inverse/symmetric/transitive edges
+        # then feed rdfs7 inheritance and domain/range typing
+        if infer in ("owl", "rdfs+owl"):
+            good = owl_property_closure(good, schema=schema)
+        if infer in ("rdfs", "rdfs+owl"):
+            good = rdfs_closure(good, schema=schema)
     elif infer:
         raise ValueError(f"unknown inference profile: {infer}")
     write_rdf(good, out_path, out_fmt)

@@ -220,3 +220,24 @@ def test_rdf_convert_job_canonicalize_flag(spark, tmp_path):
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["triples"] == 1
     text = "".join(open(f).read() for f in glob.glob(out + "/part-*"))
     assert "_:c14n0" in text
+
+
+def test_convert_with_owl_inference(spark, tmp_path):
+    d = tmp_path / "in_owl"
+    d.mkdir()
+    (d / "doc.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "ex:part a owl:TransitiveProperty .\n"
+        "ex:contains owl:inverseOf ex:part .\n"
+        "ex:a ex:part ex:b . ex:b ex:part ex:c .\n"
+    )
+    out = str(tmp_path / "out_owl")
+    n = convert.convert(spark, str(d), "turtle", out, "ntriples",
+                        infer="rdfs+owl")
+    lines = set()
+    for f in glob.glob(out + "/part-*"):
+        lines |= {ln for ln in open(f).read().splitlines() if ln}
+    assert "<http://e/a> <http://e/part> <http://e/c> ." in lines
+    assert "<http://e/c> <http://e/contains> <http://e/a> ." in lines
+    assert n == len(lines)
