@@ -227,14 +227,13 @@ def canonical_nquads(triples: Iterable[Sequence]) -> str:
     )
 
 
-def _relabel_pdf(pdf, labels_fn):
-    import pandas as pd  # noqa: F401  (worker-side)
+_TRIPLE_COLS = ["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]
 
-    triples = list(
-        pdf[["s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"]]
-        .itertuples(index=False)
-    )
-    labels = labels_fn(triples)
+
+def _relabel_pdf(pdf, labels_fn):
+    """Relabel one document's frame in place (test/back-compat seam;
+    the Spark path batches many documents per frame instead)."""
+    labels = labels_fn(list(pdf[_TRIPLE_COLS].itertuples(index=False)))
     if labels:
         s_blank = pdf["s_kind"] == KIND_BLANK
         o_blank = pdf["o_kind"] == KIND_BLANK
@@ -248,25 +247,54 @@ def _relabel_pdf(pdf, labels_fn):
 
 
 def canonicalize_blank_nodes(
-    df: DataFrame, group_col: str = "doc"
+    df: DataFrame, group_col: str = "doc", n_buckets: int = 256
 ) -> DataFrame:
     """Replace every blank-node label with its RDFC-1.0 canonical
     ``_:c14nN`` id, independently per ``group_col`` graph.  Output
-    schema = input schema; one groupBy shuffle, then per-graph
-    pure-Python canonicalization in ``applyInPandas``."""
+    schema = input schema; one shuffle.
+
+    Documents are HASH-BUCKETED into ``n_buckets`` ``applyInPandas``
+    groups, labels computed per document inside the batch, and the
+    relabel applied as ONE vectorized pass over the whole bucket frame
+    keyed (doc, label) — one Arrow round trip per bucket instead of per
+    document and no per-document pandas slicing (grouping directly by
+    document measured 38 s for 5 000 tiny graphs at sf0.1; this shape
+    is ~2 s, dominated by the algorithm itself)."""
     schema = StructType(list(df.schema))
 
     def run(pdf):
-        return _relabel_pdf(pdf, canonical_labels)
+        # plain-python row bucketing: pandas per-group slicing costs
+        # ~3 ms per tiny graph (profiled) — 6× the algorithm itself
+        cols = [pdf[c] for c in (group_col, *_TRIPLE_COLS)]
+        per_doc: dict = {}
+        for row in zip(*cols):
+            per_doc.setdefault(row[0], []).append(row[1:])
+        sub: dict = {}
+        for key, trs in per_doc.items():
+            for a, b in canonical_labels(trs).items():
+                sub[(key, a)] = b
+        if sub:
+            for col, kind_col in (("s", "s_kind"), ("o", "o_kind")):
+                pdf[col] = [
+                    sub.get((d, v), v) if k == KIND_BLANK else v
+                    for d, v, k in zip(
+                        pdf[group_col], pdf[col], pdf[kind_col]
+                    )
+                ]
+        return pdf
 
-    return df.groupBy(group_col).applyInPandas(run, schema)
+    bucket = F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_buckets))
+    return df.groupBy(bucket.alias("_cb")).applyInPandas(run, schema)
 
 
-def graph_digest(df: DataFrame, group_col: str = "doc") -> DataFrame:
+def graph_digest(
+    df: DataFrame, group_col: str = "doc", n_buckets: int = 256
+) -> DataFrame:
     """Per-graph content address → ``(group_col, digest, n_triples)``:
     SHA-256 over the canonical N-Quads serialization, so isomorphic
     graphs (same triples, different blank labels / row order /
-    duplication) collide exactly — the graph-level dedup key."""
+    duplication) collide exactly — the graph-level dedup key.  Same
+    hash-bucketed batching as :func:`canonicalize_blank_nodes`."""
     from pyspark.sql.types import LongType, StringType, StructField
 
     schema = StructType(
@@ -277,19 +305,22 @@ def graph_digest(df: DataFrame, group_col: str = "doc") -> DataFrame:
         ]
     )
 
-    def run(key, pdf):
-        doc = canonical_nquads(
-            pdf[["s", "s_kind", "p", "o", "o_kind", "o_datatype",
-                 "o_lang"]].itertuples(index=False)
-        )
+    def run(pdf):
         import pandas as pd
 
+        cols = [pdf[c] for c in (group_col, *_TRIPLE_COLS)]
+        per_doc: dict = {}
+        for row in zip(*cols):
+            per_doc.setdefault(row[0], []).append(row[1:])
+        keys, digests, counts = [], [], []
+        for key, trs in per_doc.items():
+            doc = canonical_nquads(trs)
+            keys.append(key)
+            digests.append(_sha256(doc))
+            counts.append(doc.count("\n"))
         return pd.DataFrame(
-            {
-                group_col: [key[0]],
-                "digest": [_sha256(doc)],
-                "n_triples": [doc.count("\n")],
-            }
+            {group_col: keys, "digest": digests, "n_triples": counts}
         )
 
-    return df.groupBy(group_col).applyInPandas(run, schema)
+    bucket = F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_buckets))
+    return df.groupBy(bucket.alias("_cb")).applyInPandas(run, schema)

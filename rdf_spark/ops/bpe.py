@@ -35,6 +35,10 @@ from rdf_spark.ops.retrieval import tokenize_lower
 SEP = "\x1f"
 SEP2 = SEP * 2
 
+# beyond this, the chained-replace expression tree makes Catalyst
+# analysis itself the bottleneck — route through mapInPandas instead
+_CHAIN_MAX_MERGES = 48
+
 
 def _frame(word_col):
     """word → framed symbol sequence: ``␟␟c␟␟h␟␟a␟␟r␟␟`` (initial
@@ -117,25 +121,78 @@ def apply_bpe(
 ) -> DataFrame:
     """Tokenize documents with a learned merge table → ``(id, pos,
     token)`` rows in document order (exploded, driver-hashable).
-    Merges apply in learned order as ONE chained JVM ``replace``
-    expression inside an array ``transform`` — pure projection, zero
-    shuffle, zero Python."""
 
-    def enc(word):
-        seq = _frame(word)
-        for x, y in merges:
-            seq = _merge_expr(seq, x, y)
-        return _symbols(seq)
+    Small tables (≤ ``_CHAIN_MAX_MERGES``) apply as ONE chained JVM
+    ``replace`` expression inside an array ``transform`` — pure
+    projection, zero shuffle, zero Python.  Larger tables would make
+    Catalyst analyze an N-deep expression tree (measured ~26 s at
+    N=300), so they route through an Arrow-batched ``mapInPandas``
+    whose inner loop is the SAME left-to-right literal ``str.replace``
+    over the framed sequence — byte-identical semantics (a chained-vs-
+    python equivalence test enforces it) — memoized per DISTINCT word
+    within each batch (real text repeats words heavily).  The two
+    paths' whitespace tokenization differs only on non-ASCII
+    whitespace (Python ``str.split`` vs Java ``\\s+``)."""
+    if len(merges) <= _CHAIN_MAX_MERGES:
 
-    words = F.filter(
-        F.split(
-            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-        ),
-        lambda t: (t != "") & ~t.contains(SEP),
+        def enc(word):
+            seq = _frame(word)
+            for x, y in merges:
+                seq = _merge_expr(seq, x, y)
+            return _symbols(seq)
+
+        words = F.filter(
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            ),
+            lambda t: (t != "") & ~t.contains(SEP),
+        )
+        return docs.select(
+            F.col(id_col),
+            F.posexplode(F.flatten(F.transform(words, enc))).alias(
+                "pos", "token"
+            ),
+        ).select(id_col, "pos", "token")
+
+    from pyspark.sql.types import StructType
+
+    id_type = docs.schema[id_col].dataType
+    schema = StructType().add(id_col, id_type).add("pos", "integer").add(
+        "token", "string"
     )
-    return docs.select(
-        F.col(id_col),
-        F.posexplode(F.flatten(F.transform(words, enc))).alias(
-            "pos", "token"
-        ),
-    ).select(id_col, "pos", "token")
+    schema = StructType(list(schema))
+    merge_list = list(merges)
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def pieces(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is None:
+                seq = SEP2 + SEP2.join(word) + SEP2
+                for x, y in merge_list:
+                    seq = seq.replace(
+                        f"{SEP}{x}{SEP2}{y}{SEP}", f"{SEP}{x}{y}{SEP}"
+                    )
+                got = [t for t in seq.split(SEP2) if t]
+                cache[word] = got
+            return got
+
+        for pdf in batches:
+            ids, poss, toks = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                pos = 0
+                for w in (text or "").strip().lower().split():
+                    if SEP in w:
+                        continue
+                    for t in pieces(w):
+                        ids.append(did)
+                        poss.append(pos)
+                        toks.append(t)
+                        pos += 1
+            yield pd.DataFrame({id_col: ids, "pos": poss, "token": toks})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

@@ -141,3 +141,28 @@ class TestBpe:
         t2 = {tuple(r) for r in
               spark.read.parquet(out2 + "/tokens").collect()}
         assert t1 == t2
+
+    def test_apply_paths_equivalent(self, spark):
+        """Chained-JVM vs mapInPandas apply paths are byte-identical."""
+        import random
+
+        import rdf_spark.ops.bpe as bpe
+
+        rng = random.Random(77)
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randrange(1, 8)))
+                for _ in range(rng.randrange(2, 20)))
+            for _ in range(15)
+        ]
+        d = _docs(spark, texts)
+        merges = _naive_train(texts, 10)
+        assert len(merges) == 10
+        got_jvm = {tuple(r) for r in apply_bpe(d, merges).collect()}
+        orig = bpe._CHAIN_MAX_MERGES
+        try:
+            bpe._CHAIN_MAX_MERGES = 0  # force the mapInPandas path
+            got_py = {tuple(r) for r in apply_bpe(d, merges).collect()}
+        finally:
+            bpe._CHAIN_MAX_MERGES = orig
+        assert got_py != set() and got_py == got_jvm
