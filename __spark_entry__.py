@@ -2604,6 +2604,49 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(d, k=8)
 
 
+def q_graph_digest(spark, sf_dir):
+    """Isomorphism-stable graph digests (rdf_spark.canon.graph_digest,
+    round-5): the q_rdf_canonicalize structure but with literals keyed
+    by doc_id % 50, so every group's documents are isomorphic COPIES —
+    their canonical N-Quads and digests must collide exactly.  The
+    oracle CONSTRUCTS the canonical serialization in SQL (labels from
+    the first-degree-hash rank, lines sorted, newline-terminated) and
+    sha256-hashes it — an independent spelling of the whole digest
+    path, not a replay of the operator's code."""
+    from rdf_spark.canon import graph_digest
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id")
+    g = (F.col("doc_id") % 50)
+    j = d.select(
+        "doc_id", g.alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    )
+    label = F.concat(F.lit("_:in"), (F.col("j") + F.col("doc_id")) % 3)
+    null_s = F.lit(None).cast("string")
+    p_rows = j.select(
+        "doc_id",
+        label.alias("s"),
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.lit("urn:p").alias("p"),
+        F.concat(F.lit("g"), F.col("g"), F.lit("_v"),
+                 F.col("j")).alias("o"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        null_s.alias("o_datatype"),
+        null_s.alias("o_lang"),
+    )
+    edge = d.select(
+        "doc_id",
+        F.concat(F.lit("_:in"), F.col("doc_id") % 3).alias("s"),
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.lit("urn:q").alias("p"),
+        F.concat(F.lit("_:in"), (F.col("doc_id") + 1) % 3).alias("o"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        null_s.alias("o_datatype"),
+        null_s.alias("o_lang"),
+    )
+    return graph_digest(p_rows.unionByName(edge), "doc_id")
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (ops.bpe.train_bpe, round-5): 8 merge
     rounds over the documents word-type vocabulary → the ordered merge
@@ -3437,6 +3480,7 @@ _QUERIES = {
         "duplicate_spans": q_duplicate_spans,
         "c4_clean": q_c4_clean,
         "owl_closure": q_owl_closure,
+        "graph_digest": q_graph_digest,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4415,6 +4459,53 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY doc_id ORDER BY fdh) - 1 AS VARCHAR)
                        AS label
             FROM h
+        """,
+        # construct the canonical N-Quads doc in SQL (ranked labels,
+        # sorted newline-terminated lines) and sha256 it independently
+        "graph_digest": """
+            WITH b AS (
+                SELECT doc_id, r.j AS j,
+                       'g' || (doc_id % 50) || '_v' || r.j AS lit
+                FROM documents, UNNEST(range(3)) AS r(j)
+            ),
+            h AS (
+                SELECT doc_id, j, lit,
+                       CASE j
+                           WHEN 0 THEN sha256(
+                               '_:a <urn:p> "' || lit || '" .' || chr(10)
+                               || '_:a <urn:q> _:z .' || chr(10))
+                           WHEN 1 THEN sha256(
+                               '_:a <urn:p> "' || lit || '" .' || chr(10)
+                               || '_:z <urn:q> _:a .' || chr(10))
+                           ELSE sha256(
+                               '_:a <urn:p> "' || lit || '" .' || chr(10))
+                       END AS fdh
+                FROM b
+            ),
+            lab AS (
+                SELECT doc_id, j, lit,
+                       '_:c14n' || CAST(ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY fdh) - 1
+                           AS VARCHAR) AS label
+                FROM h
+            ),
+            lines AS (
+                SELECT doc_id,
+                       label || ' <urn:p> "' || lit || '" .' || chr(10)
+                           AS line
+                FROM lab
+                UNION ALL
+                SELECT a.doc_id,
+                       a.label || ' <urn:q> ' || b.label || ' .'
+                           || chr(10)
+                FROM lab a JOIN lab b
+                  ON a.doc_id = b.doc_id AND a.j = 0 AND b.j = 1
+            )
+            SELECT doc_id,
+                   sha256(array_to_string(list_sort(list(line)), ''))
+                       AS digest,
+                   CAST(4 AS BIGINT) AS n_triples
+            FROM lines GROUP BY doc_id
         """,
         # same interpolation arithmetic order, same 12/9-dp rounds,
         # same DECIMAL(28,9) fold as the Spark side (lm_score pattern)

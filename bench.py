@@ -199,6 +199,7 @@ def main() -> int:
         "duplicate_spans",
         "c4_clean",
         "owl_closure",
+        "graph_digest",
     ]
 
     timings: dict[str, float] = {}
