@@ -2604,6 +2604,21 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(d, k=8)
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Temperature mixing weights (ops.sample.mixture_weights,
+    round-5): α=0.5 over planted skewed domains (least(doc_id%10, 3):
+    10/10/10/70%), decimal-folded denominator, round-6 outputs; the
+    oracle replays the identical pow→round9→decimal-sum schedule."""
+    from rdf_spark.ops.sample import mixture_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("d"), F.least(F.col("doc_id") % 10, F.lit(3))
+        ).alias("dom")
+    )
+    return mixture_weights(d, "dom", alpha=0.5)
+
+
 def q_graph_digest(spark, sf_dir):
     """Isomorphism-stable graph digests (rdf_spark.canon.graph_digest,
     round-5): the q_rdf_canonicalize structure but with literals keyed
@@ -3481,6 +3496,7 @@ _QUERIES = {
         "c4_clean": q_c4_clean,
         "owl_closure": q_owl_closure,
         "graph_digest": q_graph_digest,
+        "mixture_weights": q_mixture_weights,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4459,6 +4475,28 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY doc_id ORDER BY fdh) - 1 AS VARCHAR)
                        AS label
             FROM h
+        """,
+        # same pow→round9→decimal-sum schedule, alpha literal 0.5 exact
+        "mixture_weights": """
+            WITH c AS (
+                SELECT 'd' || least(doc_id % 10, 3) AS dom,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT dom, n_docs,
+                       CAST(round(pow(CAST(n_docs AS DOUBLE), 0.5), 9)
+                            AS DECIMAL(28,9)) AS c
+                FROM c
+            ),
+            t AS (SELECT SUM(c) AS den, SUM(n_docs) AS n FROM w)
+            SELECT dom, n_docs,
+                   round(CAST(c AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                       AS weight,
+                   round(CAST(c AS DOUBLE) / CAST(den AS DOUBLE)
+                         * CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                       AS repeat_factor
+            FROM w CROSS JOIN t
         """,
         # construct the canonical N-Quads doc in SQL (ranked labels,
         # sorted newline-terminated lines) and sha256 it independently

@@ -200,6 +200,7 @@ def main() -> int:
         "c4_clean",
         "owl_closure",
         "graph_digest",
+        "mixture_weights",
     ]
 
     timings: dict[str, float] = {}

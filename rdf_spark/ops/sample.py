@@ -167,3 +167,46 @@ def weighted_repeat(
         )
         .drop("_n_copies")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-based domain mixing weights → ``(domain, n_docs,
+    weight, repeat_factor)``.
+
+    ``weight_i = n_i^α / Σ_j n_j^α`` — the multinomial temperature
+    reweighting used for multilingual/multi-source pretraining mixes
+    (α=1 keeps natural proportions, α→0 flattens to uniform; 0.3–0.7
+    are the published XLM-R/mT5 settings).  ``repeat_factor_i =
+    weight_i · N / n_i`` is the up/down-sampling rate that realizes the
+    mix at unchanged total size — feed it to :func:`weighted_repeat`.
+
+    One hash aggregate over domains; the Σ row broadcasts back.
+    Reproducible numerics (the bm25 scheme): per-domain ``n^α``
+    pre-rounded 9 dp and summed as DECIMAL(28,9) so the denominator is
+    domain-order independent; α is injected into the oracle verbatim.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    contrib = F.round(
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))), 9
+    )
+    with_c = counts.select(
+        domain_col, "n_docs", contrib.cast("decimal(28,9)").alias("_c")
+    )
+    totals = with_c.agg(
+        F.sum("_c").alias("_den"), F.sum("n_docs").alias("_n")
+    )
+    w = F.col("_c").cast("double") / F.col("_den").cast("double")
+    return with_c.crossJoin(F.broadcast(totals)).select(
+        domain_col,
+        "n_docs",
+        F.round(w, round_to).alias("weight"),
+        F.round(
+            w * F.col("_n").cast("double") / F.col("n_docs").cast("double"),
+            round_to,
+        ).alias("repeat_factor"),
+    )
