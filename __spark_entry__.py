@@ -2486,6 +2486,29 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=3).select("node", "rank")
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (ops.graph.personalized_pagerank, round-5):
+    the q_pagerank synthetic graph with teleport mass restricted to
+    seeds {0..4} — the oracle replays the identical schedule with a
+    CASE base (the damped constant written as the same IEEE
+    subtraction/division chain Python performs)."""
+    from rdf_spark.ops.graph import personalized_pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    fams = [(3, 7, 401), (7, 11, 403), (13, 5, 407)]
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % m).alias("dst"),
+        )
+        for a, b, m in fams
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return personalized_pagerank(
+        edges, [0, 1, 2, 3, 4], n_iter=3
+    ).select("node", "rank")
+
+
 def q_bm25_search(spark, sf_dir):
     """Okapi BM25 lexical retrieval (ops.retrieval.bm25_rank) for a fixed
     3-term query over the documents corpus — one tokenize-explode, then
@@ -3497,6 +3520,7 @@ _QUERIES = {
         "owl_closure": q_owl_closure,
         "graph_digest": q_graph_digest,
         "mixture_weights": q_mixture_weights,
+        "personalized_pagerank": q_personalized_pagerank,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -3648,6 +3672,60 @@ def _link_predict_sql(max_degree: int = 8) -> str:
     FROM fresh f
     JOIN deg da ON da.node = f.a
     JOIN deg db ON db.node = f.b"""
+
+
+def _ppr_sql(n_iter: int = 3) -> str:
+    """DuckDB replay of ops.graph.personalized_pagerank over the
+    q_pagerank synthetic graph with seeds {0..4}: CASE-gated restart
+    mass, otherwise the exact _pagerank_sql numeric schedule (the
+    damped constants written as the same IEEE op chain Python runs:
+    (1.0-0.85)/5 and 1.0/5)."""
+    seeds = "(0, 1, 2, 3, 4)"
+    base = ("(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 5")
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        cur = f"it{i}"
+        iters.append(f"""
+            {cur} AS (
+                SELECT n.node,
+                       round(CASE WHEN n.node IN {seeds}
+                                  THEN {base}
+                                  ELSE CAST(0.0 AS DOUBLE) END
+                             + CAST(0.85 AS DOUBLE)
+                               * CAST(COALESCE(s.m, 0) AS DOUBLE), 12)
+                           AS rank
+                FROM pr_nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           SUM(CAST(round(r.rank / d.od, 14)
+                                    AS DECIMAL(38,14))) AS m
+                    FROM pr_edges e
+                    JOIN {prev} r ON e.src = r.node
+                    JOIN pr_deg d ON e.src = d.node
+                    GROUP BY e.dst) s ON n.node = s.node
+            )""")
+        prev = cur
+    return f"""
+        WITH pr_edges AS (
+            SELECT doc_id AS src, (doc_id*3+7) % 401 AS dst FROM documents
+            UNION ALL SELECT doc_id, (doc_id*7+11) % 403 FROM documents
+            UNION ALL SELECT doc_id, (doc_id*13+5) % 407 FROM documents
+        ),
+        pr_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM pr_edges
+                UNION ALL SELECT dst FROM pr_edges)
+        ),
+        pr_deg AS (SELECT src AS node, COUNT(*) AS od
+                   FROM pr_edges GROUP BY src),
+        r0 AS (SELECT node,
+                      CASE WHEN node IN {seeds}
+                           THEN CAST(1.0 AS DOUBLE) / 5
+                           ELSE CAST(0.0 AS DOUBLE) END AS rank
+               FROM pr_nodes),
+        {",".join(iters)}
+        SELECT node, rank FROM {prev}
+    """
 
 
 def _bpe_sql(rounds: int = 8) -> str:
@@ -4759,6 +4837,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _lpa_sql(),
         "link_predict": _link_predict_sql(),
         "bpe_train": _bpe_sql(),
+        "personalized_pagerank": _ppr_sql(),
         # identical line rules via DuckDB list lambdas; RE2 vs Java
         # regex agree on the ASCII [.!?]"?$ anchor
         "c4_clean": r"""

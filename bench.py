@@ -201,6 +201,7 @@ def main() -> int:
         "owl_closure",
         "graph_digest",
         "mixture_weights",
+        "personalized_pagerank",
     ]
 
     timings: dict[str, float] = {}
