@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--lang-col", default="lang")
     ap.add_argument("--key-col", default="doc_id")
+    ap.add_argument("--c4", nargs="?", const="5:3", default=None,
+                    metavar="MINWORDS:MINLINES",
+                    help="first stage: C4 line/page rules (default "
+                         "5:3 = >=5 words + terminal punct per line, "
+                         ">=3 surviving lines per page)")
     ap.add_argument("--strip-boilerplate", type=int, default=None)
     ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument("--span-dedup-ngram", type=int, default=None)
@@ -86,6 +91,11 @@ def main(argv=None) -> int:
         key_col=args.key_col,
         strip_boilerplate=args.strip_boilerplate,
         scrub_pii=args.scrub_pii,
+        c4=(
+            dict(zip(("min_words_per_line", "min_lines"),
+                     (int(x) for x in args.c4.split(":"))))
+            if args.c4 is not None else None
+        ),
         span_dedup_ngram=args.span_dedup_ngram,
         near_dup=(
             dict(threshold=args.near_dup_threshold)

@@ -113,6 +113,7 @@ def curate_report(
     min_quality: float = 0.5,
     sample_rate: float = 1.0,
     key_col: str = "doc_id",
+    c4: dict | bool | None = None,
     strip_boilerplate: int | None = None,
     scrub_pii: bool = False,
     span_dedup_ngram: int | None = None,
@@ -148,6 +149,15 @@ def curate_report(
     exact-dedup survivors only, each keeps its minimum ``key_col``
     member, and the others drop with reason ``near_dup`` — after
     ``duplicate`` and before ``sampled_out`` in the cascade.
+
+    ``c4=True`` (or ``c4=dict(min_words_per_line=…, min_lines=…)``)
+    enables the C4 line/page rules (ops.text.c4_cols) as the FIRST
+    stage, before every other transform — Raffel et al.'s original
+    order: lines failing the word-count/terminal-punctuation rules are
+    removed from the text every later stage sees (so chrome lines stop
+    feeding fingerprints), and pages failing the page rules (too few
+    surviving lines, 'lorem ipsum', '{') drop with reason ``c4_page``.
+    Row-local JVM expressions — free at scale, micro-batch safe.
 
     ``strip_boilerplate=N`` enables an optional stage 0: cross-corpus
     line-level boilerplate removal (ops.text.remove_boilerplate_lines,
@@ -187,6 +197,13 @@ def curate_report(
     pure function of row content except dedup, whose keep-the-smallest-id
     rule is order-free.
     """
+    if c4:
+        from rdf_spark.ops.text import c4_cols
+
+        cols = c4_cols(F.col(text_col), **({} if c4 is True else dict(c4)))
+        df = df.withColumn("_c4_ok", cols["keep"]).withColumn(
+            text_col, cols["clean_text"]
+        )
     if strip_boilerplate is not None:
         # null-safe left join back: a null-keyed row must still appear in
         # the audit (plain equality would drop it — the round-2 gotcha);
@@ -227,6 +244,11 @@ def curate_report(
     feat = curation_flags(
         df, text_col, lang_col, langs, min_quality, classifier=classifier
     )
+    if c4:
+        # a c4-dropped page must not become a dedup representative
+        feat = feat.withColumn(
+            "_eligible", F.col("_eligible") & F.col("_c4_ok")
+        )
     lang_ok = F.col("_lang_ok")
     qual_ok = F.col("_qual_ok")
     rep_ok = F.col("_rep_ok")
@@ -273,7 +295,10 @@ def curate_report(
         out = out.join(
             wts, F.col(key_col) == F.col("_dw_key"), "left"
         ).drop("_dw_key")
-    reason = F.when(~lang_ok, "lang").when(~qual_ok, "quality")
+    reason = F.when(~lang_ok, "lang")
+    if c4:
+        reason = F.when(~F.col("_c4_ok"), "c4_page").when(~lang_ok, "lang")
+    reason = reason.when(~qual_ok, "quality")
     if classifier is not None:
         reason = reason.when(~F.col("_clf_ok"), "classifier")
     reason = reason.when(~rep_ok, "repetition").when(
@@ -289,6 +314,7 @@ def curate_report(
     out = out.withColumn("drop_reason", reason).drop(
         "_fp", "_eligible", "_lang_ok", "_qual_ok", "_rep_ok", "_rep_id",
         *(["_clf_ok"] if classifier is not None else []),
+        *(["_c4_ok"] if c4 else []),
         *nd_cols
     )
     if host_cap is not None:

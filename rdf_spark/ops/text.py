@@ -463,7 +463,23 @@ def c4_clean(
     shuffle, zero Python, streaming-microbatch safe — and every rule is
     a list-function one-liner a SQL engine replays verbatim.
     """
-    raw = F.coalesce(F.col(text_col), F.lit(""))
+    cols = c4_cols(F.col(text_col), min_words_per_line, min_lines)
+    return df.select(
+        F.col(id_col),
+        cols["clean_text"].alias("clean_text"),
+        cols["n_lines_kept"].alias("n_lines_kept"),
+        cols["n_lines_dropped"].alias("n_lines_dropped"),
+        cols["keep"].alias("keep"),
+    )
+
+
+def c4_cols(
+    text: Column, min_words_per_line: int = 5, min_lines: int = 3
+) -> dict[str, Column]:
+    """The :func:`c4_clean` rule expressions over an arbitrary text
+    column — row-local, so the curation cascade (and any streaming
+    micro-batch) can splice them in without a join-back."""
+    raw = F.coalesce(text, F.lit(""))
     line_ok = lambda ln: (  # noqa: E731
         F.size(
             F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")
@@ -476,10 +492,9 @@ def c4_clean(
         & ~F.lower(raw).contains("lorem ipsum")
         & ~raw.contains("{")
     )
-    return df.select(
-        F.col(id_col),
-        F.array_join(kept, "\n").alias("clean_text"),
-        F.size(kept).cast("long").alias("n_lines_kept"),
-        (n_all - F.size(kept)).cast("long").alias("n_lines_dropped"),
-        page_ok.alias("keep"),
-    )
+    return {
+        "clean_text": F.array_join(kept, "\n"),
+        "n_lines_kept": F.size(kept).cast("long"),
+        "n_lines_dropped": (n_all - F.size(kept)).cast("long"),
+        "keep": page_ok,
+    }

@@ -647,3 +647,60 @@ def test_curate_dsir_job_cli(spark, tmp_path):
     assert rc == 0
     stats = _json.loads(buf.getvalue().strip().splitlines()[-1])["stages"]
     assert stats.get("dsir") == 1 and stats.get("kept") == 1
+
+
+def test_curate_c4_stage(spark):
+    g1 = "the quick brown fox jumps over the lazy dog today."
+    g2 = "every good sentence carries at least five real words!"
+    g3 = "what does a terminal question mark look like here?"
+    junk = "click here"
+    df = spark.createDataFrame(
+        [
+            # enough surviving lines -> kept, junk line stripped
+            (1, "\n".join([g1, junk, g2, g3]), "en"),
+            # too few surviving lines -> c4_page
+            (2, "\n".join([g1, junk]), "en"),
+            # identical to doc 1 AFTER line cleaning -> duplicate
+            (3, "\n".join([g1, g2, g3, "buy now"]), "en"),
+            # page rule: brace -> c4_page even with enough lines
+            (4, "\n".join([g1 + " { x }", g1, g2, g3]), "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rep = curate.curate_report(df, langs=("en",), min_quality=0.0,
+                               sample_rate=1.0, c4=True)
+    got = {r.doc_id: r.drop_reason for r in rep.collect()}
+    assert got == {1: None, 2: "c4_page", 3: "duplicate", 4: "c4_page"}
+    texts = {r.doc_id: r.text for r in rep.collect()}
+    assert texts[1] == "\n".join([g1, g2, g3])
+    # the junk lines were stripped from BOTH duplicate-class members
+    assert texts[3] == texts[1]
+
+
+def test_curate_job_c4_flag(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import curate_job
+
+    g1 = "alpha beta gamma delta epsilon zeta."
+    g2 = "one two three four five six seven eight."
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "\n".join([g1, g2]), "en"), (2, g1, "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main([
+            "--in", src, "--out", out, "--min-quality", "0.0",
+            "--c4", "5:2",
+        ])
+    assert rc == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["stages"].get("c4_page") == 1
+    assert stats["stages"].get("kept") == 1
