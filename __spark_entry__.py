@@ -3015,6 +3015,33 @@ def q_link_predict(spark, sf_dir):
     return link_predict(_wheel_chain_edges(spark, sf_dir), max_degree=8)
 
 
+def q_scc(spark, sf_dir):
+    """Directed SCC (ops.graph.strongly_connected_components, round-5):
+    per document a 4-cycle (the planted spam ring) plus one DAG tail
+    hanging off it.  The peeling depth is STRUCTURAL — every cycle
+    resolves in phase 1 (tails are colored by the cycle min but can't
+    reach back), tails self-resolve in phase 2 — so the oracle is
+    closed-form: cycle members map to c<i>_0, tails to themselves."""
+    from rdf_spark.ops.graph import strongly_connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    j = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    )
+    node = lambda i: F.concat(  # noqa: E731
+        F.lit("c"), F.col("doc_id"), F.lit("_"), i
+    )
+    cyc = j.select(
+        node(F.col("j")).alias("src"),
+        node((F.col("j") + 1) % 4).alias("dst"),
+    )
+    tail = d.select(
+        node(F.lit(0)).alias("src"),
+        F.concat(F.lit("t"), F.col("doc_id")).alias("dst"),
+    )
+    return strongly_connected_components(cyc.unionByName(tail))
+
+
 def q_recrawl_stats(spark, sf_dir):
     """CDX change-rate statistics (cdx.recrawl_stats, round-5): capture
     histories synthesized by folding doc_ids onto 211 URLs; digests
@@ -3521,6 +3548,7 @@ _QUERIES = {
         "graph_digest": q_graph_digest,
         "mixture_weights": q_mixture_weights,
         "personalized_pagerank": q_personalized_pagerank,
+        "scc": q_scc,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4838,6 +4866,14 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _link_predict_sql(),
         "bpe_train": _bpe_sql(),
         "personalized_pagerank": _ppr_sql(),
+        # closed-form: cycle members → c<i>_0, tails → themselves
+        "scc": """
+            SELECT 'c' || doc_id || '_' || r.j AS node,
+                   'c' || doc_id || '_0' AS scc
+            FROM documents, UNNEST(range(4)) AS r(j)
+            UNION ALL
+            SELECT 't' || doc_id, 't' || doc_id FROM documents
+        """,
         # identical line rules via DuckDB list lambdas; RE2 vs Java
         # regex agree on the ASCII [.!?]"?$ anchor
         "c4_clean": r"""

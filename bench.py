@@ -202,6 +202,7 @@ def main() -> int:
         "graph_digest",
         "mixture_weights",
         "personalized_pagerank",
+        "scc",
     ]
 
     timings: dict[str, float] = {}
