@@ -369,11 +369,15 @@ def curate_stream(
     n_key_buckets: int = 1024,
     state_timeout_minutes: int | None = None,
     classifier: dict | None = None,
+    c4: dict | bool | None = None,
 ) -> DataFrame:
     """Streaming corpus curation over a docs readStream.
 
     ``classifier`` is the same model-based quality gate as the batch
-    cascade (row-local JVM ⇒ trivially valid per micro-batch).
+    cascade (row-local JVM ⇒ trivially valid per micro-batch), and
+    ``c4`` the same C4 line/page first stage (also row-local: failing
+    pages are filtered, surviving texts line-cleaned before any flag —
+    so dedup state keys the CLEANED fingerprints, exactly like batch).
 
     The row-local stages (lang, quality, repetition, sample) are the SAME
     JVM expressions as the batch cascade, applied per micro-batch.
@@ -404,6 +408,15 @@ def curate_stream(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if c4:
+        from rdf_spark.ops.text import c4_cols
+
+        cols = c4_cols(
+            F.col(text_col), **({} if c4 is True else dict(c4))
+        )
+        docs_stream = docs_stream.filter(cols["keep"]).withColumn(
+            text_col, cols["clean_text"]
+        )
     flagged = curation_flags(
         docs_stream, text_col, lang_col, langs, min_quality,
         classifier=classifier,

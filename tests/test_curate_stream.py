@@ -110,3 +110,31 @@ def test_curate_stream_classifier_gate(spark, tmp_path):
         assert spark.sql("select * from curated_clf").count() == 0
     finally:
         q.stop()
+
+
+def test_curate_stream_c4_stage(spark, tmp_path):
+    g1 = "the quick brown fox jumps over the lazy dog today."
+    g2 = "every good sentence carries at least five real words!"
+    g3 = "what does a terminal question mark look like here?"
+    in_dir = str(tmp_path / "docs_c4")
+    _write(spark, [
+        (1, "\n".join([g1, "click here", g2, g3]), "en"),   # kept, cleaned
+        (2, "\n".join([g1, "click here"]), "en"),           # c4 page drop
+        (3, "\n".join([g1, g2, g3, "buy now"]), "en"),      # dup of 1 cleaned
+    ], in_dir, "overwrite")
+    stream = (spark.readStream.schema(DOCS_DDL)
+              .option("maxFilesPerTrigger", 8).parquet(in_dir))
+    out = curate.curate_stream(
+        stream, langs=("en",), min_quality=0.0, sample_rate=1.0,
+        n_key_buckets=4, c4=True,
+    )
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("curated_c4").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select doc_id, text from curated_c4").collect()
+        got = {r.doc_id: r.text for r in rows}
+        assert set(got) == {1} or set(got) == {3}  # first-seen of the pair
+        assert next(iter(got.values())) == "\n".join([g1, g2, g3])
+    finally:
+        q.stop()
