@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                     help="also write the anchor-text link-prior dictionary "
                     "(surface, entity_iri, n, prior) to this parquet path — "
                     "gazetteer-shaped, reusable as the next run's aliases")
+    ap.add_argument("--link-scc",
+                    help="also write host-level strongly connected "
+                         "components (mutual-link rings; (host, scc) "
+                         "parquet dir)")
     ap.add_argument("--link-rank",
                     help="also write host-level pagerank + HITS scores "
                          "of the --link-graph edge set (ops.graph) — "
@@ -177,6 +181,14 @@ def main(argv=None) -> int:
         pr.join(hs, "node").withColumnRenamed("node", "host").write.mode(
             "overwrite"
         ).parquet(args.link_rank)
+    if args.link_scc:
+        from rdf_spark.ops import html as htmlops
+        from rdf_spark.ops.graph import strongly_connected_components
+
+        edges = htmlops.host_link_graph(pages)
+        strongly_connected_components(edges).withColumnRenamed(
+            "node", "host"
+        ).write.mode("overwrite").parquet(args.link_scc)
     if args.anchor_priors:
         from rdf_spark.ops import html as htmlops
 

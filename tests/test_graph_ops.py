@@ -408,3 +408,37 @@ def test_kg_construct_job_link_rank(spark, tmp_path):
     # authority and the top-ranked node
     assert by_host["hub.example"].authority == 1.0
     assert by_host["hub.example"].rank == max(r.rank for r in by_host.values())
+
+
+def test_kg_construct_job_link_scc(spark, tmp_path):
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    # a.example <-> b.example mutual ring; c.example only links in
+    def page(host, target):
+        html = (f'<a href="https://{target}/x">l</a>'
+                "<p>About Ada Lovelace.</p>")
+        return (f"https://{host}/p", None, html.encode(), None, "en")
+
+    pages = spark.createDataFrame(
+        [page("a.example", "b.example"),
+         page("b.example", "a.example"),
+         page("c.example", "a.example")],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string")
+    src = str(tmp_path / "pages_scc")
+    pages.write.parquet(src)
+    out = str(tmp_path / "out_scc")
+    scc_dir = str(tmp_path / "scc")
+    with redirect_stdout(io.StringIO()):
+        rc = kg_construct_job.main(
+            ["--pages", src, "--out", out, "--shards", "1",
+             "--buckets", "2", "--link-scc", scc_dir])
+    assert rc == 0
+    got = {r.host: r.scc for r in spark.read.parquet(scc_dir).collect()}
+    assert got == {"a.example": "a.example", "b.example": "a.example",
+                   "c.example": "c.example"}
