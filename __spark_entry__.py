@@ -2685,6 +2685,17 @@ def q_graph_digest(spark, sf_dir):
     return graph_digest(p_rows.unionByName(edge), "doc_id")
 
 
+def q_duplicated_fraction(spark, sf_dir):
+    """Per-doc memorization-risk score (ops.dedup.duplicated_fraction,
+    round-5): the fraction of each document's tokens covered by
+    duplicate_spans ranges — every doc emitted (span-free score 0.0),
+    the same md5-keyed span pipeline joined back to token counts."""
+    from rdf_spark.ops.dedup import duplicated_fraction
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return duplicated_fraction(d, k=8)
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (ops.bpe.train_bpe, round-5): 8 merge
     rounds over the documents word-type vocabulary → the ordered merge
@@ -3549,6 +3560,7 @@ _QUERIES = {
         "mixture_weights": q_mixture_weights,
         "personalized_pagerank": q_personalized_pagerank,
         "scc": q_scc,
+        "duplicated_fraction": q_duplicated_fraction,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
     }
@@ -4906,6 +4918,52 @@ def oracle_sql() -> dict[str, str]:
                        AND NOT contains(lower(t), 'lorem ipsum')
                        AND NOT contains(t, '{') AS keep
             FROM c
+        """,
+        # duplicate_spans pipeline + join back to per-doc token counts
+        "duplicated_fraction": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(
+                               coalesce(text, ''))), '\s+'),
+                           x -> x <> '') AS a
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(a[i : i + 7], ' ')) AS h
+                FROM docs, UNNEST(range(1, len(a) - 6)) AS r(i)
+            ),
+            counts AS (
+                SELECT h, CAST(COUNT(*) AS BIGINT) AS c
+                FROM grams GROUP BY h
+            ),
+            dup AS (
+                SELECT doc_id, pos FROM grams JOIN counts USING (h)
+                WHERE c >= 2
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dup
+            ),
+            spans AS (
+                SELECT doc_id, MAX(pos) - MIN(pos) + 8 AS n_tokens
+                FROM isl GROUP BY doc_id, grp
+            ),
+            per_doc AS (
+                SELECT doc_id, CAST(SUM(n_tokens) AS BIGINT) AS dup_tokens
+                FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.a) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CASE WHEN len(d.a) > 0
+                        THEN round(COALESCE(p.dup_tokens, 0)
+                                   / CAST(len(d.a) AS DOUBLE), 6)
+                        ELSE CAST(0.0 AS DOUBLE) END AS dup_fraction
+            FROM docs d LEFT JOIN per_doc p USING (doc_id)
         """,
         # identical md5-keyed window pipeline; pos 0-based both sides
         "duplicate_spans": r"""

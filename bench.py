@@ -203,6 +203,7 @@ def main() -> int:
         "mixture_weights",
         "personalized_pagerank",
         "scc",
+        "duplicated_fraction",
     ]
 
     timings: dict[str, float] = {}

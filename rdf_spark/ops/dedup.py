@@ -763,3 +763,51 @@ def duplicate_spans(
         (F.max("pos") - F.min("pos") + F.lit(k)).alias("n_tokens"),
         F.count(F.lit(1)).alias("n_windows"),
     ).drop("grp")
+
+
+def duplicated_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document memorization-risk score → ``(id, n_tokens,
+    dup_tokens, dup_fraction)``: the fraction of each document's tokens
+    covered by :func:`duplicate_spans` ranges (k-token windows repeating
+    ≥``min_df`` times corpus-wide).  The scalar to threshold or bucket
+    on when deciding between span-cutting (low fraction) and dropping
+    the document outright (mostly-duplicated pages).  Every input row
+    is emitted; span-free and shorter-than-k docs score 0.0."""
+    spans = duplicate_spans(df, text_col, id_col, k=k, min_df=min_df)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("n_tokens").alias("dup_tokens")
+    )
+    n_tok = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.lower(F.coalesce(F.col(text_col), F.lit("")))
+                    ),
+                    r"\s+",
+                ),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return n_tok.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                round_to,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+    )

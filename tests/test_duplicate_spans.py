@@ -94,3 +94,31 @@ class TestDuplicateSpans:
         got = _got(duplicate_spans(_docs(spark, texts), k=k,
                                    min_df=min_df))
         assert got == _naive(texts, k=k, min_df=min_df)
+
+
+class TestDuplicatedFraction:
+    def test_fraction_math(self, spark):
+        from rdf_spark.ops.dedup import duplicated_fraction
+
+        shared = "one two three four"
+        texts = {
+            1: f"alpha beta {shared} gamma",   # 4 of 7 tokens covered
+            2: f"{shared} delta epsilon zeta",  # 4 of 7
+            3: "entirely different words here now",  # 0 of 5
+            4: "ab",                            # shorter than k
+            5: None,
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_fraction)
+            for r in duplicated_fraction(df, k=4).collect()
+        }
+        assert got == {
+            1: (7, 4, round(4 / 7, 6)),
+            2: (7, 4, round(4 / 7, 6)),
+            3: (5, 0, 0.0),
+            4: (1, 0, 0.0),
+            5: (0, 0, 0.0),
+        }
