@@ -3339,6 +3339,91 @@ def q_shacl_report(spark, sf_dir):
     return validate(tri, shapes)
 
 
+_SHACL_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+<u:CustShape> a sh:NodeShape ; sh:targetClass <u:Customer> ;
+  sh:closed true ; sh:ignoredProperties ( <u:note> ) ;
+  sh:property [ sh:path <u:phone> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <u:name> ; sh:maxCount 1 ;
+                sh:pattern "^Customer" ; sh:maxLength 18 ] ;
+  sh:property [ sh:path <u:bal> ; sh:datatype xsd:decimal ;
+                sh:minInclusive 0 ] ;
+  sh:property [ sh:path <u:seg> ;
+                sh:in ("AUTOMOBILE" "BUILDING" "FURNITURE" "HOUSEHOLD") ] ;
+  sh:property [ sh:path <u:nat> ; sh:nodeKind sh:IRI ;
+                sh:class <u:Nation> ] ;
+  sh:property [ sh:path <u:tag> ; sh:hasValue "gold" ] .
+"""
+
+
+def q_shacl_shapes(spark, sf_dir):
+    """SHACL Turtle shapes-graph validation (rdf_spark.shacl, round-5):
+    a real shapes graph parsed by the repo's own Turtle parser and
+    compiled onto ops.shacl — one planted violation family per core
+    constraint component, incl. the ones the dict contract
+    (q_shacl_report) doesn't cover: closed shapes + ignoredProperties
+    (k%17 carries an undeclared u:extra; u:note is ignored), hasValue
+    (only k%3 customers are tagged "gold"), maxLength/pattern (k%5 gets
+    a second "alt …" name that breaks both plus maxCount),
+    minInclusive with the incomparable branch (k%13 balances are
+    string-typed → incomparable; negatives fail the compare), and
+    sh:class over a partially-typed nation set (keys ≥20 untyped;
+    k%11 customers hold a literal instead of an IRI → nodeKind too).
+    The oracle regenerates every violation row closed-form."""
+    from rdf_spark.shacl import shacl_validate
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    k, nk = F.col("c_custkey"), F.col("c_nationkey")
+    bal = F.col("c_acctbal").cast("decimal(12,2)").cast("string")
+    XS, XD = terms.XSD_STRING, terms.XSD_DECIMAL
+
+    def st(p, o, kind, dt):
+        return F.struct(
+            p.alias("p"), o.alias("o"),
+            F.lit(kind).cast("int").alias("o_kind"),
+            (dt if isinstance(dt, F.Column)
+             else F.lit(dt).cast("string")).alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+
+    cust = c.select(
+        F.concat(F.lit("u:c:"), k).alias("s"),
+        F.lit(1).cast("int").alias("s_kind"),
+        F.explode(F.array_compact(F.array(
+            st(F.lit(terms.RDF_TYPE), F.lit("u:Customer"), 1, None),
+            st(F.lit("u:name"), F.col("c_name"), 2, XS),
+            F.when(k % 5 == 0, st(
+                F.lit("u:name"),
+                F.concat(F.lit("alt "), F.col("c_name")), 2, XS)),
+            st(F.lit("u:bal"), bal, 2,
+               F.when(k % 13 == 0, XS).otherwise(XD)),
+            st(F.lit("u:seg"), F.col("c_mktsegment"), 2, XS),
+            F.when(k % 11 == 0, st(
+                F.lit("u:nat"), F.concat(F.lit("NATION_"), nk), 2, XS))
+            .otherwise(st(
+                F.lit("u:nat"), F.concat(F.lit("u:n:"), nk), 1, None)),
+            F.when(k % 7 != 0, st(
+                F.lit("u:phone"), F.concat(F.lit("PH-"), k), 2, XS)),
+            st(F.lit("u:note"), F.lit("ignored"), 2, XS),
+            F.when(k % 3 == 0, st(F.lit("u:tag"), F.lit("gold"), 2, XS)),
+            F.when(k % 17 == 0, st(
+                F.lit("u:extra"), F.concat(F.lit("x"), k), 2, XS)),
+        ))).alias("t"),
+    ).select("s", "s_kind", "t.*")
+    typed = n.filter(F.col("n_nationkey") < 20).select(
+        F.concat(F.lit("u:n:"), F.col("n_nationkey")).alias("s"),
+        F.lit(1).cast("int").alias("s_kind"),
+        F.lit(terms.RDF_TYPE).alias("p"),
+        F.lit("u:Nation").alias("o"),
+        F.lit(1).cast("int").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    return shacl_validate(cust.unionByName(typed), _SHACL_SHAPES_TTL)
+
+
 def q_store_diff(spark, sf_dir):
     """Snapshot delta (store.snapshot_diff, round-5): old snapshot has
     one status triple per order ('B' for k%7, else 'A'); the new
@@ -3544,6 +3629,7 @@ _QUERIES = {
         "void_property_partition": q_void_property_partition,
         "void_class_partition": q_void_class_partition,
         "shacl_report": q_shacl_report,
+        "shacl_shapes": q_shacl_shapes,
         "dsir_weights": q_dsir_weights,
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
@@ -6058,6 +6144,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'u:order:' || o_orderkey, 'u:OrderShape', 'u:p:flag',
                    'in', o_orderstatus, '(O F)'
             FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+        """,
+        # every planted violation family regenerated closed-form; the
+        # negative-balance test mirrors the engine exactly (compare the
+        # DECIMAL(12,2) lexical re-cast to DECIMAL(38,9), not the raw
+        # double, so a hypothetical -0.004 balance can't diverge)
+        "shacl_shapes": f"""
+            WITH c AS (
+                SELECT c_custkey AS k, c_name, c_nationkey AS nk,
+                       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                           AS bal,
+                       c_mktsegment AS seg
+                FROM customer
+            )
+            SELECT 'u:c:' || k AS focus, 'u:CustShape' AS shape_id,
+                   'u:phone' AS path, 'minCount' AS "constraint",
+                   '0' AS value, '1' AS expected
+            FROM c WHERE k % 7 = 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:name', 'maxCount',
+                   '2', '1'
+            FROM c WHERE k % 5 = 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:name', 'pattern',
+                   'alt ' || c_name, '^Customer'
+            FROM c WHERE k % 5 = 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:name', 'maxLength',
+                   'alt ' || c_name, '18'
+            FROM c WHERE k % 5 = 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:bal', 'datatype',
+                   bal, '{terms.XSD_DECIMAL}'
+            FROM c WHERE k % 13 = 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:bal', 'minInclusive',
+                   bal, '0'
+            FROM c WHERE k % 13 = 0
+               OR CAST(bal AS DECIMAL(38,9)) < 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:seg', 'in', seg,
+                   '(AUTOMOBILE BUILDING FURNITURE HOUSEHOLD)'
+            FROM c WHERE seg NOT IN
+                ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD')
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:nat', 'nodeKind',
+                   'NATION_' || nk, 'IRI'
+            FROM c WHERE k % 11 = 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:nat', 'class',
+                   CASE WHEN k % 11 = 0 THEN 'NATION_' || nk
+                        ELSE 'u:n:' || nk END, 'u:Nation'
+            FROM c WHERE k % 11 = 0 OR nk >= 20
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:tag', 'hasValue',
+                   CAST(NULL AS VARCHAR), 'gold'
+            FROM c WHERE k % 3 <> 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:CustShape', 'u:extra', 'closed',
+                   'x' || k, 'closed'
+            FROM c WHERE k % 17 = 0
         """,
         # FULL replay: same md5 bucket, same α smoothing (α·B as the
         # runtime IEEE product — a 40.96 literal would differ at 1e-15),

@@ -11,21 +11,33 @@ Shapes are a Python spec (the ontology side of a KG build is code/
 config, not data — same stance as the gazetteer): a list of dicts
 
     {"id": "ex:PersonShape",
-     "target_class": "ex:Person",          # or "target_node": [iri, …]
+     "target_class": "ex:Person",          # or list; or "target_node":
+                                           #   [iri, …] /
+                                           #   "target_subjects_of" /
+                                           #   "target_objects_of"
+     "closed": True,                       # sh:closed
+     "ignored_properties": ["ex:note"],    # sh:ignoredProperties
      "properties": [
          {"path": "ex:name",               # predicate IRI
           "inverse": False,                # sh:inversePath
           "min_count": 1, "max_count": 1,  # sh:minCount / sh:maxCount
           "datatype": XSD + "string",      # sh:datatype
           "node_kind": "Literal",          # sh:nodeKind (IRI/Literal/
-                                           #   BlankNode)
+                                           #   BlankNode + Or-combos)
           "class": "ex:Org",               # sh:class (explicit rdf:type
                                            #   only — materialize RDFS
                                            #   first: ops.reasoning)
           "pattern": "^...$",              # sh:pattern (Java regex)
+          "flags": "i",                    # sh:flags ('i' only)
           "min_length": 1, "max_length": 9,
-          "in": ["a", "b"],                # sh:in
+          "in": ["a", "b"],                # sh:in (lexical forms)
+          "min_inclusive": 0,              # sh:min/maxInclusive,
+          "max_exclusive": 10,             #   sh:min/maxExclusive
+          "has_value": "gold",             # sh:hasValue (lexical)
          }, …]}
+
+    The Turtle shapes-graph front end (:mod:`rdf_spark.shacl`) compiles
+    real ``sh:NodeShape`` declarations into this spec.
 
 ``validate`` returns one row per violation:
 (focus, shape_id, path, constraint, value, expected) — sh:focusNode,
@@ -63,10 +75,23 @@ from rdf_spark.terms import (
 )
 
 _NODE_KINDS = {
-    "IRI": KIND_IRI,
-    "Literal": KIND_LITERAL,
-    "BlankNode": KIND_BLANK,
+    "IRI": (KIND_IRI,),
+    "Literal": (KIND_LITERAL,),
+    "BlankNode": (KIND_BLANK,),
+    "BlankNodeOrIRI": (KIND_BLANK, KIND_IRI),
+    "BlankNodeOrLiteral": (KIND_BLANK, KIND_LITERAL),
+    "IRIOrLiteral": (KIND_IRI, KIND_LITERAL),
 }
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_DT = tuple(
+    _XSD + n for n in (
+        "decimal", "integer", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+        "nonPositiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte",
+    )
+)
 
 _REPORT_COLS = ("focus", "shape_id", "path", "constraint", "value", "expected")
 
@@ -76,8 +101,10 @@ def _targets(triples: DataFrame, shape: dict) -> DataFrame:
     parts = []
     tc = shape.get("target_class")
     if tc is not None:
+        classes = [tc] if isinstance(tc, str) else list(tc)
         parts.append(
-            triples.filter((F.col("p") == RDF_TYPE) & (F.col("o") == tc))
+            triples.filter((F.col("p") == RDF_TYPE)
+                           & F.col("o").isin(classes))
             .select(F.col("s").alias("focus"))
         )
     tn = shape.get("target_node")
@@ -86,6 +113,18 @@ def _targets(triples: DataFrame, shape: dict) -> DataFrame:
             triples.sparkSession.createDataFrame(
                 [(n,) for n in tn], "focus string"
             )
+        )
+    tso = shape.get("target_subjects_of")
+    if tso:
+        parts.append(
+            triples.filter(F.col("p").isin(list(tso)))
+            .select(F.col("s").alias("focus"))
+        )
+    too = shape.get("target_objects_of")
+    if too:
+        parts.append(
+            triples.filter(F.col("p").isin(list(too)))
+            .select(F.col("o").alias("focus"))
         )
     if not parts:
         raise ValueError(f"shape {shape.get('id')!r} has no target")
@@ -167,10 +206,10 @@ def _prop_violations(triples, targets, shape_id, prop):
 
     nk = prop.get("node_kind")
     if nk is not None:
-        kind = _NODE_KINDS[nk]
+        kinds = _NODE_KINDS[nk]
         out.append(_mk_report(
-            vals.filter(F.col("value_kind") != kind), shape_id, path,
-            "nodeKind", F.col("value"), nk,
+            vals.filter(~F.col("value_kind").isin(list(kinds))), shape_id,
+            path, "nodeKind", F.col("value"), nk,
         ))
 
     cls = prop.get("class")
@@ -189,8 +228,12 @@ def _prop_violations(triples, targets, shape_id, prop):
 
     pat = prop.get("pattern")
     if pat is not None:
+        flags = prop.get("flags")
+        if flags not in (None, "", "i"):
+            raise ValueError("only sh:flags 'i' is supported")
+        rx = ("(?i)" + pat) if flags == "i" else pat
         out.append(_mk_report(
-            vals.filter(~F.col("value").rlike(pat)), shape_id, path,
+            vals.filter(~F.col("value").rlike(rx)), shape_id, path,
             "pattern", F.col("value"), pat,
         ))
 
@@ -213,7 +256,63 @@ def _prop_violations(triples, targets, shape_id, prop):
             path, "in", F.col("value"),
             "(" + " ".join(map(str, allowed)) + ")",
         ))
+
+    # sh:minInclusive / sh:maxInclusive / sh:minExclusive /
+    # sh:maxExclusive — reproducible-numerics contract: lexical forms
+    # compared as exact DECIMAL(38,9); a non-literal value, a
+    # non-numeric datatype, or an unparseable lexical is *incomparable*
+    # and therefore a violation (SHACL §4.7).
+    num = F.col("value").try_cast("decimal(38,9)")
+    comparable = (
+        (F.col("value_kind") == KIND_LITERAL)
+        & F.col("value_datatype").isin(list(_NUMERIC_DT))
+        & num.isNotNull()
+    )
+    for key, name, mk_cmp in (
+            ("min_inclusive", "minInclusive", lambda b: num < b),
+            ("max_inclusive", "maxInclusive", lambda b: num > b),
+            ("min_exclusive", "minExclusive", lambda b: num <= b),
+            ("max_exclusive", "maxExclusive", lambda b: num >= b)):
+        bound = prop.get(key)
+        if bound is None:
+            continue
+        b = F.lit(str(bound)).cast("decimal(38,9)")
+        out.append(_mk_report(
+            vals.filter(~comparable | mk_cmp(b)), shape_id, path,
+            name, F.col("value"), str(bound),
+        ))
+
+    hv = prop.get("has_value")
+    if hv is not None:
+        have = vals.filter(F.col("value") == hv) \
+            .select("focus").distinct()
+        out.append(_mk_report(
+            targets.join(have, "focus", "left_anti"), shape_id, path,
+            "hasValue", F.lit(None).cast("string"), str(hv),
+        ))
     return out
+
+
+def _closed_violations(triples, targets, shape):
+    """sh:closed — every triple on a focus node whose predicate is not
+    declared by a (forward) property shape, sh:ignoredProperties, or
+    rdf:type is a violation (SHACL §4.8.1)."""
+    allowed = {p["path"] for p in shape.get("properties", ())
+               if not p.get("inverse")}
+    allowed.update(shape.get("ignored_properties", ()))
+    allowed.add(RDF_TYPE)
+    bad = (
+        triples.join(targets.withColumnRenamed("focus", "s"), "s")
+        .filter(~F.col("p").isin(sorted(allowed)))
+    )
+    return bad.select(
+        F.col("s").alias("focus"),
+        F.lit(shape["id"]).alias("shape_id"),
+        F.col("p").alias("path"),
+        F.lit("closed").alias("constraint"),
+        F.col("o").cast("string").alias("value"),
+        F.lit("closed").alias("expected"),
+    )
 
 
 def validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
@@ -229,6 +328,8 @@ def validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
             branches.extend(
                 _prop_violations(triples, targets, shape["id"], prop)
             )
+        if shape.get("closed"):
+            branches.append(_closed_violations(triples, targets, shape))
     if not branches:
         return triples.sparkSession.createDataFrame(
             [], "focus string, shape_id string, path string, "

@@ -1,0 +1,241 @@
+"""SHACL shapes-graph front end: Turtle shapes → validation report.
+
+Graft addition — no reference analogue (knakk/rdf stops at
+parse/serialize; the term model validated here is the one its
+rdf.go:56,136-140 kinds define).  Real SHACL users author shapes as a
+Turtle *shapes graph*, not Python dicts.  This module parses a shapes
+graph with the repo's own Turtle parser (dogfooding the conformance
+surface), compiles the W3C SHACL core constraint components into the
+set-at-a-time validation specs of :mod:`rdf_spark.ops.shacl` — the one
+Catalyst-compiled validator, used by both front ends — and returns its
+violations report.
+
+Supported (SHACL core):
+
+- targets: ``sh:targetClass`` (multiple allowed), ``sh:targetNode``,
+  ``sh:targetSubjectsOf``, ``sh:targetObjectsOf``
+- property shapes (``sh:path`` a predicate IRI or
+  ``[ sh:inversePath <p> ]``): ``sh:minCount``/``sh:maxCount``,
+  ``sh:datatype``, ``sh:class``, ``sh:nodeKind`` (all six values),
+  ``sh:pattern``+``sh:flags``, ``sh:minLength``/``sh:maxLength``,
+  ``sh:minInclusive``/``sh:maxInclusive``/``sh:minExclusive``/
+  ``sh:maxExclusive``, ``sh:in``, ``sh:hasValue``
+- node shapes: ``sh:closed`` + ``sh:ignoredProperties``
+
+Deliberate core-subset boundaries (raise :class:`ShaclError`, never
+silently half-validate): logical combinators (``sh:or``/``sh:and``/
+``sh:not``/``sh:xone``), complex paths (sequence/alternation/
+zeroOrMore), ``sh:node`` recursion, qualified value shapes, pair
+constraints (``sh:equals`` …), ``sh:uniqueLang``/``sh:languageIn``,
+and SPARQL-based constraints.  ``sh:class`` tests direct ``rdf:type``
+assertions only — run :func:`rdf_spark.ops.reasoning.rdfs_closure`
+first for subclass entailment; that composition is the idiomatic
+pipeline here.
+
+Scale shape: the shapes graph is parsed and compiled on the driver —
+shapes are human-authored and tiny (every production validator does
+this); the validation itself is ops.shacl's predicate-pruned scans +
+joins, nothing collected.
+"""
+from __future__ import annotations
+
+from rdf_spark.ops.shacl import conforms, validate, violation_stats
+from rdf_spark.terms import KIND_BLANK, KIND_IRI
+
+__all__ = [
+    "SH", "ShaclError", "parse_shapes", "shacl_validate", "shacl_conforms",
+    "shacl_stats",
+]
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+
+
+class ShaclError(ValueError):
+    """Unsupported or malformed shapes graph."""
+
+
+_UNSUPPORTED = (
+    "or", "and", "not", "xone", "node", "sparql", "qualifiedValueShape",
+    "lessThan", "lessThanOrEquals", "equals", "disjoint", "uniqueLang",
+    "languageIn",
+)
+
+_NODE_KIND_NAMES = {
+    SH + "IRI": "IRI",
+    SH + "Literal": "Literal",
+    SH + "BlankNode": "BlankNode",
+    SH + "BlankNodeOrIRI": "BlankNodeOrIRI",
+    SH + "BlankNodeOrLiteral": "BlankNodeOrLiteral",
+    SH + "IRIOrLiteral": "IRIOrLiteral",
+}
+
+
+def _index(rows):
+    """s → p → [(o, o_kind, o_datatype, o_lang)] over parsed tuples."""
+    idx: dict[str, dict[str, list[tuple]]] = {}
+    for s, _sk, p, o, ok, dt, lang in rows:
+        idx.setdefault(s, {}).setdefault(p, []).append((o, ok, dt, lang))
+    return idx
+
+
+def _rdf_list(idx, head):
+    """Walk an rdf:first/rdf:rest list; returns the lexical forms."""
+    out, seen = [], set()
+    node, kind = head
+    while not (kind == KIND_IRI and node == RDF_NIL):
+        if node in seen:
+            raise ShaclError("cyclic RDF list in shapes graph")
+        seen.add(node)
+        props = idx.get(node, {})
+        first, rest = props.get(RDF_FIRST), props.get(RDF_REST)
+        if not first or not rest:
+            raise ShaclError("malformed RDF list in shapes graph")
+        out.append(first[0][0])
+        node, kind = rest[0][0], rest[0][1]
+    return out
+
+
+def _one(props, pred):
+    vals = props.get(SH + pred)
+    if not vals:
+        return None
+    if len(vals) > 1:
+        raise ShaclError(f"multiple sh:{pred} values on one shape")
+    return vals[0]
+
+
+def _one_lex(props, pred):
+    v = _one(props, pred)
+    return None if v is None else v[0]
+
+
+def _one_int(props, pred):
+    v = _one_lex(props, pred)
+    return None if v is None else int(v)
+
+
+def _reject_unsupported(props, where):
+    for bad in _UNSUPPORTED:
+        if SH + bad in props:
+            raise ShaclError(
+                f"sh:{bad} on {where} is not supported (core subset)")
+
+
+def _compile_property(idx, node) -> dict:
+    pprops = idx.get(node)
+    if pprops is None:
+        raise ShaclError("sh:property target has no triples")
+    _reject_unsupported(pprops, "property shape")
+    path = _one(pprops, "path")
+    if path is None:
+        raise ShaclError("property shape without sh:path")
+    p_lex, p_kind = path[0], path[1]
+    spec: dict = {}
+    if p_kind == KIND_BLANK:
+        inv = _one(idx.get(p_lex, {}), "inversePath")
+        if inv is None or inv[1] != KIND_IRI:
+            raise ShaclError(
+                "only predicate IRIs and [ sh:inversePath <p> ] are "
+                "supported as sh:path (no sequence/alternation paths)")
+        p_lex, spec["inverse"] = inv[0], True
+    elif p_kind != KIND_IRI:
+        raise ShaclError("sh:path must be an IRI")
+    spec["path"] = p_lex
+    for key, getter in (
+            ("min_count", "minCount"), ("max_count", "maxCount"),
+            ("min_length", "minLength"), ("max_length", "maxLength")):
+        v = _one_int(pprops, getter)
+        if v is not None:
+            spec[key] = v
+    for key, getter in (
+            ("datatype", "datatype"), ("class", "class"),
+            ("pattern", "pattern"), ("flags", "flags"),
+            ("min_inclusive", "minInclusive"),
+            ("max_inclusive", "maxInclusive"),
+            ("min_exclusive", "minExclusive"),
+            ("max_exclusive", "maxExclusive"),
+            ("has_value", "hasValue")):
+        v = _one_lex(pprops, getter)
+        if v is not None:
+            spec[key] = v
+    nk = _one(pprops, "nodeKind")
+    if nk is not None:
+        name = _NODE_KIND_NAMES.get(nk[0])
+        if name is None:
+            raise ShaclError(f"unknown sh:nodeKind {nk[0]}")
+        spec["node_kind"] = name
+    inv = _one(pprops, "in")
+    if inv is not None:
+        spec["in"] = _rdf_list(idx, (inv[0], inv[1]))
+    return spec
+
+
+def parse_shapes(shapes_ttl: str) -> list[dict]:
+    """Parse a Turtle shapes graph into ops.shacl validation specs.
+
+    Driver-side by design (shapes graphs are tiny).  A subject is a
+    node shape iff it is typed ``sh:NodeShape`` or carries a target
+    declaration.  Returns specs sorted by shape IRI so the compiled
+    plan — and therefore the report — is deterministic.
+    """
+    from rdf_spark.parsing import parse_turtle
+
+    idx = _index(parse_turtle(shapes_ttl))
+    shapes = []
+    for s, props in idx.items():
+        types = [o for (o, ok, _dt, _lg) in props.get(RDF_TYPE, ())
+                 if ok == KIND_IRI]
+        targeted = any(SH + t in props for t in (
+            "targetClass", "targetNode", "targetSubjectsOf",
+            "targetObjectsOf"))
+        if (SH + "NodeShape") not in types and not targeted:
+            continue
+        _reject_unsupported(props, f"shape {s}")
+        spec: dict = {"id": s}
+        for key, pred in (
+                ("target_class", "targetClass"),
+                ("target_node", "targetNode"),
+                ("target_subjects_of", "targetSubjectsOf"),
+                ("target_objects_of", "targetObjectsOf")):
+            vals = [o for (o, _ok, _dt, _lg) in props.get(SH + pred, ())]
+            if vals:
+                spec[key] = sorted(vals)
+        if _one_lex(props, "closed") == "true":
+            spec["closed"] = True
+        ign = _one(props, "ignoredProperties")
+        if ign is not None:
+            spec["ignored_properties"] = _rdf_list(idx, (ign[0], ign[1]))
+        spec["properties"] = [
+            _compile_property(idx, o)
+            for (o, _ok, _dt, _lg) in props.get(SH + "property", ())
+        ]
+        spec["properties"].sort(key=lambda p: (p["path"],
+                                               p.get("inverse", False)))
+        shapes.append(spec)
+    shapes.sort(key=lambda sp: sp["id"])
+    if not shapes:
+        raise ShaclError("shapes graph declares no node shapes")
+    return shapes
+
+
+def shacl_validate(triples, shapes_ttl: str):
+    """Validate a triple DataFrame against a Turtle shapes graph.
+
+    Returns the ops.shacl report
+    ``(focus, shape_id, path, constraint, value, expected)`` — one row
+    per violation, empty ⇔ conformant.
+    """
+    return validate(triples, parse_shapes(shapes_ttl))
+
+
+def shacl_conforms(triples, shapes_ttl: str) -> bool:
+    return conforms(triples, parse_shapes(shapes_ttl))
+
+
+def shacl_stats(triples, shapes_ttl: str):
+    return violation_stats(triples, parse_shapes(shapes_ttl))

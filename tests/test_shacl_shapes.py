@@ -1,0 +1,233 @@
+"""SHACL Turtle shapes-graph front end (rdf_spark/shacl.py).
+
+Hand-built graphs with one planted violation per constraint component;
+expectations worked by hand against the W3C SHACL core semantics.  The
+validator itself is rdf_spark.ops.shacl (shared with the dict front
+end); these tests exercise the Turtle compilation path plus the
+constraint families added alongside it (targets, numeric ranges,
+hasValue, closed shapes, nodeKind combos, pattern flags).
+"""
+import pytest
+
+from rdf_spark.shacl import (
+    RDF_TYPE,
+    SH,
+    ShaclError,
+    parse_shapes,
+    shacl_conforms,
+    shacl_validate,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+EX = "urn:ex:"
+
+TRIPLE_DDL = (
+    "s string, s_kind int, p string, o string, o_kind int, "
+    "o_datatype string, o_lang string"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [r + (None,) * (7 - len(r)) for r in rows], TRIPLE_DDL)
+
+
+def _viol(df):
+    return sorted(
+        (r.focus, r.path, r.constraint, r.value) for r in df.collect())
+
+
+BASE = [
+    (EX + "p1", 1, RDF_TYPE, EX + "Person", 1, None),
+    (EX + "p2", 1, RDF_TYPE, EX + "Person", 1, None),
+    (EX + "p3", 1, RDF_TYPE, EX + "Person", 1, None),
+    # names: p1 ok, p2 has two, p3 none
+    (EX + "p1", 1, EX + "name", "Alice", 2, XSD + "string"),
+    (EX + "p2", 1, EX + "name", "Bob", 2, XSD + "string"),
+    (EX + "p2", 1, EX + "name", "Bobby", 2, XSD + "string"),
+    # ages: p1 ok int, p2 negative, p3 string-typed junk
+    (EX + "p1", 1, EX + "age", "30", 2, XSD + "integer"),
+    (EX + "p2", 1, EX + "age", "-4", 2, XSD + "integer"),
+    (EX + "p3", 1, EX + "age", "young", 2, XSD + "string"),
+    # knows: p1→p2 (IRI), p3→literal
+    (EX + "p1", 1, EX + "knows", EX + "p2", 1, None),
+    (EX + "p3", 1, EX + "knows", "somebody", 2, XSD + "string"),
+]
+
+
+SHAPES = f"""
+@prefix sh: <{SH}> .
+@prefix xsd: <{XSD}> .
+@prefix ex: <{EX}> .
+ex:PersonShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:pattern "^[A-Z]" ] ;
+  sh:property [ sh:path ex:age ; sh:datatype xsd:integer ;
+                sh:minInclusive 0 ] ;
+  sh:property [ sh:path ex:knows ; sh:nodeKind sh:IRI ;
+                sh:class ex:Person ] .
+"""
+
+
+def test_core_constraints(spark):
+    got = _viol(shacl_validate(_df(spark, BASE), SHAPES))
+    name, age, knows = EX + "name", EX + "age", EX + "knows"
+    assert (EX + "p3", name, "minCount", "0") in got
+    assert (EX + "p2", name, "maxCount", "2") in got
+    # all planted names start uppercase → no pattern violations
+    assert not [g for g in got if g[2] == "pattern"]
+    # datatype: p3's xsd:string age
+    assert (EX + "p3", age, "datatype", "young") in got
+    # minInclusive: p2 negative AND p3 incomparable
+    assert (EX + "p2", age, "minInclusive", "-4") in got
+    assert (EX + "p3", age, "minInclusive", "young") in got
+    # nodeKind + class both fire on p3's literal object
+    assert (EX + "p3", knows, "nodeKind", "somebody") in got
+    assert (EX + "p3", knows, "class", "somebody") in got
+    # class ok for p1→p2 (p2 is typed Person); p1's name is clean
+    assert (EX + "p1", knows, "class", EX + "p2") not in got
+    assert not [g for g in got if g[0] == EX + "p1" and g[1] == name]
+
+
+def test_conformant_graph(spark):
+    rows = [
+        (EX + "p1", 1, RDF_TYPE, EX + "Person", 1, None),
+        (EX + "p1", 1, EX + "name", "Alice", 2, XSD + "string"),
+        (EX + "p1", 1, EX + "age", "30", 2, XSD + "integer"),
+    ]
+    assert shacl_conforms(_df(spark, rows), SHAPES)
+
+
+def test_in_hasvalue_lengths_exclusive(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:seg ;
+      sh:property [ sh:path ex:seg ; sh:in ("A" "B") ;
+                    sh:minLength 1 ; sh:maxLength 1 ] ;
+      sh:property [ sh:path ex:tag ; sh:hasValue "gold" ] ;
+      sh:property [ sh:path ex:score ; sh:maxExclusive 10 ] .
+    """
+    rows = [
+        (EX + "s1", 1, EX + "seg", "A", 2, XSD + "string"),
+        (EX + "s2", 1, EX + "seg", "CC", 2, XSD + "string"),
+        (EX + "s1", 1, EX + "tag", "gold", 2, XSD + "string"),
+        (EX + "s1", 1, EX + "score", "10", 2, XSD + "integer"),
+        (EX + "s2", 1, EX + "score", "9.5", 2, XSD + "decimal"),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert (EX + "s2", EX + "seg", "in", "CC") in got
+    assert (EX + "s2", EX + "seg", "maxLength", "CC") in got
+    assert (EX + "s2", EX + "tag", "hasValue", None) in got
+    assert (EX + "s1", EX + "tag", "hasValue", None) not in got
+    # maxExclusive: 10 >= 10 violates, 9.5 conforms
+    assert (EX + "s1", EX + "score", "maxExclusive", "10") in got
+    assert (EX + "s2", EX + "score", "maxExclusive", "9.5") not in got
+
+
+def test_inverse_path_and_target_objects_of(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetObjectsOf ex:memberOf ;
+      sh:property [ sh:path [ sh:inversePath ex:memberOf ] ;
+                    sh:minCount 2 ] .
+    """
+    rows = [
+        (EX + "a", 1, EX + "memberOf", EX + "g1", 1, None),
+        (EX + "b", 1, EX + "memberOf", EX + "g1", 1, None),
+        (EX + "c", 1, EX + "memberOf", EX + "g2", 1, None),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [(EX + "g2", EX + "memberOf", "minCount", "1")]
+
+
+def test_closed_shape(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:Person ; sh:closed true ;
+      sh:ignoredProperties ( ex:note ) ;
+      sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    """
+    rows = [
+        (EX + "p1", 1, RDF_TYPE, EX + "Person", 1, None),
+        (EX + "p1", 1, EX + "name", "Alice", 2, XSD + "string"),
+        (EX + "p1", 1, EX + "note", "ok ignored", 2, XSD + "string"),
+        (EX + "p1", 1, EX + "extra", "boom", 2, XSD + "string"),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [(EX + "p1", EX + "extra", "closed", "boom")]
+
+
+def test_target_node_and_nodekind_combo(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetNode ex:root ;
+      sh:property [ sh:path ex:child ; sh:minCount 2 ;
+                    sh:nodeKind sh:BlankNodeOrIRI ] .
+    """
+    rows = [
+        (EX + "root", 1, EX + "child", EX + "c1", 1, None),
+        (EX + "root", 1, EX + "child", "a literal", 2, XSD + "string"),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [
+        (EX + "root", EX + "child", "nodeKind", "a literal")]
+
+
+def test_pattern_flags_i(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:name ;
+      sh:property [ sh:path ex:name ; sh:pattern "^alice$" ;
+                    sh:flags "i" ] .
+    """
+    rows = [
+        (EX + "s1", 1, EX + "name", "ALICE", 2, XSD + "string"),
+        (EX + "s2", 1, EX + "name", "Bob", 2, XSD + "string"),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [(EX + "s2", EX + "name", "pattern", "Bob")]
+
+
+def test_parse_shapes_spec_shape():
+    specs = parse_shapes(SHAPES)
+    assert len(specs) == 1
+    sp = specs[0]
+    assert sp["id"] == EX + "PersonShape"
+    assert sp["target_class"] == [EX + "Person"]
+    paths = [p["path"] for p in sp["properties"]]
+    assert paths == sorted(paths)
+    age = [p for p in sp["properties"] if p["path"] == EX + "age"][0]
+    assert age == {"path": EX + "age", "datatype": XSD + "integer",
+                   "min_inclusive": "0"}
+
+
+def test_unsupported_components_raise():
+    for frag in ("sh:or ()", "sh:not []",
+                 "sh:property [ sh:path ex:x ; sh:uniqueLang true ]",
+                 "sh:property [ sh:path ( ex:a ex:b ) ; sh:minCount 1 ]"):
+        shapes = f"""
+        @prefix sh: <{SH}> .
+        @prefix ex: <{EX}> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ; {frag} .
+        """
+        with pytest.raises(ShaclError):
+            parse_shapes(shapes)
+    with pytest.raises(ShaclError):
+        parse_shapes(f"@prefix ex: <{EX}> . ex:a ex:b ex:c .")
+
+
+def test_shape_without_target_raises(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ;
+      sh:property [ sh:path ex:x ; sh:minCount 1 ] .
+    """
+    with pytest.raises(ValueError):
+        shacl_validate(_df(spark, BASE), shapes)
