@@ -3339,6 +3339,19 @@ def q_shacl_report(spark, sf_dir):
     return validate(tri, shapes)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG chunking (ops.text.chunk_documents, round-5): 32-token
+    windows with 8-token overlap (stride 24) over documents — docs are
+    10..99 tokens at every scale, so the corpus mixes 1-chunk and
+    4-chunk docs.  Pure row-local JVM split/sequence/explode/slice,
+    zero shuffle; the oracle replays the identical integer window
+    arithmetic with DuckDB list slicing."""
+    from rdf_spark.ops.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
 _SHACL_SHAPES_TTL = """
 @prefix sh: <http://www.w3.org/ns/shacl#> .
 @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
@@ -3630,6 +3643,7 @@ _QUERIES = {
         "void_class_partition": q_void_class_partition,
         "shacl_report": q_shacl_report,
         "shacl_shapes": q_shacl_shapes,
+        "chunk_documents": q_chunk_documents,
         "dsir_weights": q_dsir_weights,
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
@@ -6204,6 +6218,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'u:c:' || k, 'u:CustShape', 'u:extra', 'closed',
                    'x' || k, 'closed'
             FROM c WHERE k % 17 = 0
+        """,
+        # identical integer window arithmetic: stride 24 = 32 − 8,
+        # n_chunks = 1 + (max(n−32,0) + 23) // 24, DuckDB list slices
+        # are 1-based inclusive and end-clamped like Spark's slice()
+        "chunk_documents": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, t, len(t) AS n,
+                       1 + (greatest(len(t) - 32, 0) + 23) // 24
+                           AS n_chunks
+                FROM tk WHERE len(t) > 0
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+                   CAST(i * 24 AS BIGINT) AS begin_token,
+                   CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
+                   array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ')
+                       AS chunk_text
+            FROM n, UNNEST(range(0, n_chunks)) AS u(i)
         """,
         # FULL replay: same md5 bucket, same α smoothing (α·B as the
         # runtime IEEE product — a 40.96 literal would differ at 1e-15),

@@ -224,6 +224,74 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window RAG chunking: fixed-size token windows with
+    overlap, stable per-document chunk ordinals.
+
+    Graft addition — no reference analogue.  The retrieval-indexing
+    twin of :func:`rdf_spark.ops.pack.pack_sequences`: packing
+    concatenates *across* documents for training; chunking windows
+    *within* a document for retrieval, so every chunk carries its
+    source identity.
+
+    Window ``i`` (0-based) covers tokens
+    ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the last window is the first
+    one that reaches the end of the document (it may be short).
+    Tokens are the whitespace tokens of :func:`tokens_col` and chunk
+    text re-joins them with single spaces — runs of whitespace do not
+    survive chunking (the standard RAG-chunker normalization; token
+    counts are what the retriever budget sees).  Documents with zero
+    tokens produce zero chunks.
+
+    Purely row-local JVM expressions (split / sequence / explode /
+    slice) — a narrow map over the corpus, zero shuffle at any scale;
+    chunk explosion multiplies rows ≈ n_tokens/stride per doc, the
+    same fan-out the downstream embedder pays anyway.
+
+    Returns the input row (minus ``text_col``) plus
+    ``chunk_ix, begin_token, n_tokens, chunk_text``.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.when(F.trim(t) == "", F.array().cast("array<string>")) \
+        .otherwise(tokens_col(t))
+    keep = [c for c in df.columns if c != text_col]
+    # n_chunks = 1 + ceil(max(n − chunk_tokens, 0) / stride), in exact
+    # integer arithmetic (floor((extra + stride − 1) / stride))
+    out = (
+        df.withColumn("_toks", toks)
+        .filter(F.size("_toks") > 0)
+        .withColumn(
+            "_n_chunks",
+            (F.lit(1) + F.floor(
+                (F.greatest(F.size("_toks") - chunk_tokens, F.lit(0))
+                 + F.lit(stride - 1)) / F.lit(stride))).cast("int"))
+        .withColumn("chunk_ix",
+                    F.explode(F.sequence(F.lit(0),
+                                         F.col("_n_chunks") - 1)))
+        .withColumn("begin_token",
+                    (F.col("chunk_ix").cast("long") * stride))
+        .withColumn("_slice",
+                    F.slice(F.col("_toks"),
+                            F.col("begin_token").cast("int") + 1,
+                            chunk_tokens))
+        .withColumn("n_tokens", F.size("_slice").cast("long"))
+        .withColumn("chunk_text", F.array_join("_slice", " "))
+    )
+    return out.select(
+        *keep, "chunk_ix", "begin_token", "n_tokens", "chunk_text")
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
