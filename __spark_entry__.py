@@ -3352,6 +3352,61 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(d, chunk_tokens=32, overlap=8)
 
 
+def q_rdf_lists(spark, sf_dir):
+    """rdf:List materialization (ops.rdflist.rdf_lists, round-5): one
+    first/rest chain per customer, length k%5+1, planted malformations
+    that must drop the WHOLE list — k%31 chains end in a dangling tail
+    instead of rdf:nil; k%37 chains (length ≥ 2) carry a second
+    rdf:first on cell 1.  Pointer-doubling spine closure (⌈log₂ 8⌉
+    rounds at max_len=8); the oracle regenerates surviving lists
+    closed-form."""
+    from rdf_spark.ops.rdflist import (
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+        rdf_lists,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ln = (k % 5 + 1).alias("ln")
+    j = F.col("j")
+    cell = F.concat(F.lit("u:cell:"), k, F.lit(":"), j)
+    nxt = F.when(
+        j < F.col("ln") - 1,
+        F.concat(F.lit("u:cell:"), k, F.lit(":"), j + 1),
+    ).otherwise(F.when(k % 31 == 0,
+                       F.concat(F.lit("u:dangle:"), k))
+                .otherwise(F.lit(RDF_NIL)))
+
+    def st(p, o, kind, dt):
+        return F.struct(
+            p.alias("p"), o.alias("o"),
+            F.lit(kind).cast("int").alias("o_kind"),
+            F.lit(dt).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+
+    tri = (
+        c.select(k, ln)
+        .select(k, "ln",
+                F.explode(F.sequence(F.lit(0), F.col("ln") - 1)).alias("j"))
+        .select(
+            cell.alias("s"),
+            F.explode(F.array_compact(F.array(
+                st(F.lit(RDF_FIRST),
+                   F.concat(F.lit("item "), k, F.lit(":"), j), 2,
+                   terms.XSD_STRING),
+                st(F.lit(RDF_REST), nxt, 1, None),
+                F.when((k % 37 == 0) & (j == 1),
+                       st(F.lit(RDF_FIRST), F.lit("dup"), 2,
+                          terms.XSD_STRING)),
+            ))).alias("t"))
+        .select("s", "t.*")
+    )
+    return rdf_lists(tri, max_len=8)
+
+
 _SHACL_SHAPES_TTL = """
 @prefix sh: <http://www.w3.org/ns/shacl#> .
 @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
@@ -3644,6 +3699,7 @@ _QUERIES = {
         "shacl_report": q_shacl_report,
         "shacl_shapes": q_shacl_shapes,
         "chunk_documents": q_chunk_documents,
+        "rdf_lists": q_rdf_lists,
         "dsir_weights": q_dsir_weights,
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
@@ -6242,6 +6298,20 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ')
                        AS chunk_text
             FROM n, UNNEST(range(0, n_chunks)) AS u(i)
+        """,
+        # surviving lists regenerated closed-form: k%31 (dangling tail)
+        # and k%37 with length ≥ 2 (duplicate rdf:first) are dropped
+        "rdf_lists": f"""
+            SELECT 'u:cell:' || k || ':0' AS head, CAST(j AS INT) AS ix,
+                   'item ' || k || ':' || j AS member,
+                   CAST(2 AS INT) AS member_kind,
+                   '{XSD_STRING}' AS member_datatype,
+                   CAST(NULL AS VARCHAR) AS member_lang
+            FROM (SELECT c_custkey AS k, c_custkey % 5 + 1 AS ln
+                  FROM customer
+                  WHERE c_custkey % 31 <> 0
+                    AND NOT (c_custkey % 37 = 0 AND c_custkey % 5 >= 1)),
+                 UNNEST(range(0, ln)) AS u(j)
         """,
         # FULL replay: same md5 bucket, same α smoothing (α·B as the
         # runtime IEEE product — a 40.96 literal would differ at 1e-15),
