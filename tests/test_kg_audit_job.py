@@ -72,3 +72,59 @@ def test_fail_on_violation_rc(spark, tmp_path, capsys):
 def test_requires_a_task(spark, tmp_path):
     with pytest.raises(SystemExit):
         kg_audit_job.main(["--triples", "x", "--out", "y"])
+
+
+def test_turtle_shapes_graph(spark, tmp_path, capsys):
+    tri = _store(spark, tmp_path)
+    out = str(tmp_path / "audit3")
+    ttl = tmp_path / "shapes.ttl"
+    ttl.write_text("""
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        <u:TShape> a sh:NodeShape ; sh:targetClass <u:T> ;
+          sh:property [ sh:path <u:name> ; sh:minCount 1 ] .
+    """)
+    rc = kg_audit_job.main([
+        "--triples", tri, "--out", out, "--shapes", str(ttl),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["violations_by_constraint"] == {"minCount": 1}
+    rep = spark.read.parquet(out + "/shacl_report").collect()
+    assert [(r.focus, r.shape_id) for r in rep] == [("u:b", "u:TShape")]
+
+
+def test_turtle_shapes_sniffed_without_extension(tmp_path):
+    p = tmp_path / "shapes.any"
+    p.write_text("""
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        <u:S> a sh:NodeShape ; sh:targetClass <u:T> ;
+          sh:property [ sh:path <u:p> ; sh:maxCount 2 ] .
+    """)
+    specs = kg_audit_job._load_shapes(str(p))
+    assert specs == [{"id": "u:S", "target_class": ["u:T"],
+                      "properties": [{"path": "u:p", "max_count": 2}]}]
+
+
+def test_lists_audit(spark, tmp_path, capsys):
+    from rdf_spark.ops.rdflist import RDF_FIRST, RDF_NIL, RDF_REST
+
+    rows = [
+        ("c0", KI, RDF_FIRST, "a", KL, terms.XSD_STRING, None, None),
+        ("c0", KI, RDF_REST, "c1", KI, None, None, None),
+        ("c1", KI, RDF_FIRST, "b", KL, terms.XSD_STRING, None, None),
+        ("c1", KI, RDF_REST, RDF_NIL, KI, None, None, None),
+        # dangling list → dropped
+        ("d0", KI, RDF_FIRST, "x", KL, terms.XSD_STRING, None, None),
+        ("d0", KI, RDF_REST, "gone", KI, None, None, None),
+    ]
+    tri = str(tmp_path / "tri_lists")
+    spark.createDataFrame(rows, SCHEMA).write.parquet(tri)
+    out = str(tmp_path / "audit4")
+    rc = kg_audit_job.main(["--triples", tri, "--out", out, "--lists"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["lists"] == {
+        "n_lists": 1, "n_members": 2, "n_dropped_heads": 1}
+    got = sorted((r.head, r.ix, r.member) for r in
+                 spark.read.parquet(out + "/rdf_lists").collect())
+    assert got == [("c0", 0, "a"), ("c0", 1, "b")]
