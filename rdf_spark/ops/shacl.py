@@ -290,6 +290,37 @@ def _prop_violations(triples, targets, shape_id, prop):
             targets.join(have, "focus", "left_anti"), shape_id, path,
             "hasValue", F.lit(None).cast("string"), str(hv),
         ))
+
+    langs = prop.get("language_in")
+    if langs is not None:
+        # sh:languageIn: every value must be a language-tagged literal
+        # whose tag (or its primary subtag) is in the list (§4.2.4
+        # uses basic range matching; we match exact tag or tag prefix
+        # up to '-', the common validator behavior)
+        lang = F.lower(F.coalesce(F.col("value_lang"), F.lit("")))
+        ok = F.lit(False)
+        for item in langs:
+            it = str(item).lower()
+            ok = ok | (lang == it) | lang.startswith(it + "-")
+        out.append(_mk_report(
+            vals.filter(~ok), shape_id, path, "languageIn",
+            F.col("value"),
+            "(" + " ".join(map(str, langs)) + ")",
+        ))
+
+    if prop.get("unique_lang"):
+        # sh:uniqueLang: no two values may share a language tag;
+        # untagged values are ignored (§4.2.5)
+        dup = (
+            vals.filter(F.col("value_lang").isNotNull())
+            .groupBy("focus", "value_lang")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+        )
+        out.append(_mk_report(
+            dup, shape_id, path, "uniqueLang", F.col("value_lang"),
+            "true",
+        ))
     return out
 
 

@@ -19,15 +19,15 @@ Supported (SHACL core):
   ``sh:datatype``, ``sh:class``, ``sh:nodeKind`` (all six values),
   ``sh:pattern``+``sh:flags``, ``sh:minLength``/``sh:maxLength``,
   ``sh:minInclusive``/``sh:maxInclusive``/``sh:minExclusive``/
-  ``sh:maxExclusive``, ``sh:in``, ``sh:hasValue``
+  ``sh:maxExclusive``, ``sh:in``, ``sh:hasValue``, ``sh:uniqueLang``,
+  ``sh:languageIn``
 - node shapes: ``sh:closed`` + ``sh:ignoredProperties``
 
 Deliberate core-subset boundaries (raise :class:`ShaclError`, never
 silently half-validate): logical combinators (``sh:or``/``sh:and``/
 ``sh:not``/``sh:xone``), complex paths (sequence/alternation/
 zeroOrMore), ``sh:node`` recursion, qualified value shapes, pair
-constraints (``sh:equals`` …), ``sh:uniqueLang``/``sh:languageIn``,
-and SPARQL-based constraints.  ``sh:class`` tests direct ``rdf:type``
+constraints (``sh:equals`` …), and SPARQL-based constraints.  ``sh:class`` tests direct ``rdf:type``
 assertions only — run :func:`rdf_spark.ops.reasoning.rdfs_closure`
 first for subclass entailment; that composition is the idiomatic
 pipeline here.
@@ -61,8 +61,7 @@ class ShaclError(ValueError):
 
 _UNSUPPORTED = (
     "or", "and", "not", "xone", "node", "sparql", "qualifiedValueShape",
-    "lessThan", "lessThanOrEquals", "equals", "disjoint", "uniqueLang",
-    "languageIn",
+    "lessThan", "lessThanOrEquals", "equals", "disjoint",
 )
 
 _NODE_KIND_NAMES = {
@@ -172,6 +171,11 @@ def _compile_property(idx, node) -> dict:
     inv = _one(pprops, "in")
     if inv is not None:
         spec["in"] = _rdf_list(idx, (inv[0], inv[1]))
+    if _one_lex(pprops, "uniqueLang") == "true":
+        spec["unique_lang"] = True
+    li = _one(pprops, "languageIn")
+    if li is not None:
+        spec["language_in"] = _rdf_list(idx, (li[0], li[1]))
     return spec
 
 

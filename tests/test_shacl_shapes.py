@@ -207,9 +207,37 @@ def test_parse_shapes_spec_shape():
                    "min_inclusive": "0"}
 
 
+def test_unique_lang_and_language_in(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:label ;
+      sh:property [ sh:path ex:label ; sh:uniqueLang true ;
+                    sh:languageIn ("en" "fr") ] .
+    """
+    rows = [
+        (EX + "s1", 1, EX + "label", "hi", 2, None, "en"),
+        (EX + "s1", 1, EX + "label", "hello", 2, None, "en"),
+        (EX + "s1", 1, EX + "label", "salut", 2, None, "fr"),
+        (EX + "s2", 1, EX + "label", "hallo", 2, None, "de"),
+        (EX + "s2", 1, EX + "label", "howdy", 2, None, "en-US"),
+        (EX + "s2", 1, EX + "label", "plain", 2, XSD + "string", None),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    # uniqueLang: s1 has two @en labels (one row per duplicated tag);
+    # untagged values ignored
+    assert (EX + "s1", EX + "label", "uniqueLang", "en") in got
+    assert not [g for g in got if g[2] == "uniqueLang" and g[0] != EX + "s1"]
+    # languageIn: de fails, en-US passes (primary-subtag match),
+    # untagged fails
+    assert (EX + "s2", EX + "label", "languageIn", "hallo") in got
+    assert (EX + "s2", EX + "label", "languageIn", "plain") in got
+    assert (EX + "s2", EX + "label", "languageIn", "howdy") not in got
+
+
 def test_unsupported_components_raise():
     for frag in ("sh:or ()", "sh:not []",
-                 "sh:property [ sh:path ex:x ; sh:uniqueLang true ]",
+                 "sh:property [ sh:path ex:x ; sh:equals ex:y ]",
                  "sh:property [ sh:path ( ex:a ex:b ) ; sh:minCount 1 ]"):
         shapes = f"""
         @prefix sh: <{SH}> .
