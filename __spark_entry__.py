@@ -3352,6 +3352,36 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(d, chunk_tokens=32, overlap=8)
 
 
+def q_wat_links(spark, sf_dir):
+    """WAT outlink extraction (warc.wat_links, round-5): per-doc
+    synthesized Common-Crawl WAT envelopes (doc_id%3+1 links each,
+    absolute hrefs) parsed JVM-side with a pruned from_json schema and
+    exploded — the link-graph path that never re-reads the response
+    corpus.  The oracle regenerates the link rows closed-form."""
+    from rdf_spark.warc import wat_links
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    entry = lambda jx: F.concat(  # noqa: E731
+        F.lit('{"path":"A@/href","url":"http://h'), (k + jx) % 7,
+        F.lit(".test/p"), jx, F.lit('","text":"a'), jx, F.lit('"}'))
+    env = F.concat(
+        F.lit('{"Envelope":{"Payload-Metadata":'
+              '{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":['),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), (k % 3 + 1)), entry),
+            ","),
+        F.lit("]}}}}}"),
+    )
+    recs = d.select(
+        F.concat(F.lit("http://src"), k % 5, F.lit(".test/d"), k)
+        .alias("target_uri"),
+        env.alias("text"),
+        F.lit(None).cast("string").alias("err"),
+    )
+    return wat_links(recs)
+
+
 def q_rdf_lists(spark, sf_dir):
     """rdf:List materialization (ops.rdflist.rdf_lists, round-5): one
     first/rest chain per customer, length k%5+1, planted malformations
@@ -3700,6 +3730,7 @@ _QUERIES = {
         "shacl_shapes": q_shacl_shapes,
         "chunk_documents": q_chunk_documents,
         "rdf_lists": q_rdf_lists,
+        "wat_links": q_wat_links,
         "dsir_weights": q_dsir_weights,
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
@@ -6312,6 +6343,15 @@ def oracle_sql() -> dict[str, str]:
                   WHERE c_custkey % 31 <> 0
                     AND NOT (c_custkey % 37 = 0 AND c_custkey % 5 >= 1)),
                  UNNEST(range(0, ln)) AS u(j)
+        """,
+        "wat_links": """
+            SELECT 'http://src' || (doc_id % 5) || '.test/d' || doc_id
+                       AS url,
+                   'http://h' || ((doc_id + j) % 7) || '.test/p' || j
+                       AS href,
+                   'a' || j AS anchor, 'A@/href' AS link_path
+            FROM (SELECT doc_id, doc_id % 3 + 1 AS n FROM documents),
+                 UNNEST(range(1, n + 1)) AS u(j)
         """,
         # FULL replay: same md5 bucket, same α smoothing (α·B as the
         # runtime IEEE product — a 40.96 literal would differ at 1e-15),

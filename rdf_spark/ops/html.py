@@ -306,6 +306,7 @@ def host_link_graph(
     url_col: str = "url",
     drop_params: tuple[str, ...] = DEFAULT_DROP_PARAMS,
     keep_self: bool = False,
+    pre_resolved: bool = False,
 ) -> DataFrame:
     """Host-level link graph ``(src, dst, n_links)`` from anchor tags.
 
@@ -314,8 +315,15 @@ def host_link_graph(
     (src, dst) host pairs — bytes per edge, never HTML — into a
     map-side-combinable count aggregation.  Output feeds
     :func:`rdf_spark.ops.graph.pagerank` (src/dst columns) directly.
+
+    ``pre_resolved=True`` skips HTML extraction: ``pages`` is already a
+    ``(url, href)`` link table with absolute hrefs — e.g.
+    :func:`rdf_spark.warc.wat_links` output, the way the real
+    Common-Crawl host graph is built (from the WAT sidecar, never
+    re-parsing the response corpus).
     """
-    links = extract_links(pages, html_col=html_col, url_col=url_col)
+    links = (pages if pre_resolved
+             else extract_links(pages, html_col=html_col, url_col=url_col))
     norm = normalize_url_col(F.col("href"), drop_params)
     src = F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
     dst = F.lower(F.regexp_extract(norm, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))

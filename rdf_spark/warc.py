@@ -317,3 +317,101 @@ def encode_warc_record(
         out.append(f"{name}: {val}".encode())
     out.append(f"Content-Length: {len(payload)}".encode())
     return b"\r\n".join(out) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+# ---------------------------------------------------------------------------
+# WAT — Common Crawl's metadata sidecar (WARC-Type: metadata records
+# whose payload is one JSON "Envelope" per crawled page)
+# ---------------------------------------------------------------------------
+
+# targeted read schema: from_json prunes everything else at parse time,
+# so the JVM never materializes the (large) header/metrics sub-objects
+WAT_ENVELOPE_DDL = (
+    "Envelope STRUCT<`Payload-Metadata`: STRUCT<"
+    "`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: STRUCT<"
+    "Links: ARRAY<STRUCT<path: STRING, url: STRING, text: STRING>>, "
+    "Head: STRUCT<Title: STRING>>>>>"
+)
+
+
+def read_wat(
+    spark: SparkSession,
+    path: str,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Read WAT file(s) — Common Crawl's per-page metadata sidecar: a
+    WARC stream of ``WARC-Type: metadata`` records whose payload is a
+    JSON envelope (links, head metadata, HTTP metrics) for one crawled
+    page.  Same one-task-per-file narrow plan as :func:`read_warc`."""
+    return read_warc(spark, path, types=("metadata",), errors=errors)
+
+
+def wat_links(
+    records: DataFrame,
+    url_col: str = "target_uri",
+    json_col: str = "text",
+    resolve: bool = True,
+) -> DataFrame:
+    """Outlinks from WAT envelopes: one row per ``HTML-Metadata.Links``
+    entry — ``(url, href, anchor, link_path)``.
+
+    This is how the real Common-Crawl host/page link graphs are built:
+    the WAT sidecar already carries every page's outlinks, so the
+    100 TB *response* corpus never has to be re-parsed.  JVM-side
+    ``from_json`` with a pruned schema (no Python in the loop), then
+    ``explode`` — records whose JSON is malformed or that carry no
+    links produce no rows (``explode`` drops null/empty arrays), which
+    is the right default for graph building; count them upstream via
+    the reader's ``err`` column if auditing.
+
+    With ``resolve=True`` hrefs are resolved against the page URL by
+    the same RFC-3986-lite rules as ops.html.extract_links and
+    non-http(s) results dropped.  Feed the result straight to
+    ops.html.host_link_graph / ops.graph.pagerank.  Zero shuffle.
+    """
+    from rdf_spark.ops.html import _resolve_bare
+
+    env = F.from_json(F.col(json_col), WAT_ENVELOPE_DDL)
+    links = (env["Envelope"]["Payload-Metadata"]
+             ["HTTP-Response-Metadata"]["HTML-Metadata"]["Links"])
+    out = (
+        records.filter(F.col(url_col).isNotNull()
+                       & F.col("err").isNull())
+        .select(F.col(url_col).alias("url"), F.explode(links).alias("l"))
+        .select("url", F.col("l.url").alias("href"),
+                F.col("l.text").alias("anchor"),
+                F.col("l.path").alias("link_path"))
+        .filter(F.col("href").isNotNull())
+    )
+    if not resolve:
+        return out
+    bare = out.select(
+        "url", "anchor", "link_path",
+        F.regexp_replace("href", r"#.*$", "").alias("_bare"))
+    return (
+        bare.select(
+            "url",
+            _resolve_bare(F.col("url"), F.col("_bare")).alias("href"),
+            "anchor", "link_path")
+        .filter(F.col("href").rlike("^https?://"))
+    )
+
+
+def wat_page_titles(
+    records: DataFrame,
+    url_col: str = "target_uri",
+    json_col: str = "text",
+) -> DataFrame:
+    """``(url, title)`` from WAT ``HTML-Metadata.Head.Title`` — the
+    cheap page-metadata join key for anchor/title entity priors without
+    touching the response corpus.  Pages without a parsed title are
+    dropped.  Zero shuffle."""
+    env = F.from_json(F.col(json_col), WAT_ENVELOPE_DDL)
+    title = (env["Envelope"]["Payload-Metadata"]
+             ["HTTP-Response-Metadata"]["HTML-Metadata"]["Head"]["Title"])
+    return (
+        records.filter(F.col(url_col).isNotNull()
+                       & F.col("err").isNull())
+        .select(F.col(url_col).alias("url"), title.alias("title"))
+        .filter(F.col("title").isNotNull())
+    )
