@@ -204,6 +204,10 @@ def main() -> int:
         "personalized_pagerank",
         "scc",
         "duplicated_fraction",
+        "shacl_shapes",
+        "chunk_documents",
+        "rdf_lists",
+        "wat_links",
     ]
 
     timings: dict[str, float] = {}
