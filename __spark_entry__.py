@@ -3352,6 +3352,73 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(d, chunk_tokens=32, overlap=8)
 
 
+_SHACL_LOGIC_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+<u:SOr> a sh:NodeShape ; sh:targetClass <u:C> ;
+  sh:or ( [ sh:property [ sh:path <u:email> ; sh:minCount 1 ] ]
+          [ sh:property [ sh:path <u:phone> ; sh:minCount 1 ] ] ) .
+<u:SX> a sh:NodeShape ; sh:targetClass <u:C> ;
+  sh:xone ( [ sh:property [ sh:path <u:email> ; sh:minCount 1 ] ]
+            [ sh:property [ sh:path <u:phone> ; sh:minCount 1 ] ] ) .
+<u:SN> a sh:NodeShape ; sh:targetClass <u:C> ;
+  sh:not [ sh:property [ sh:path <u:flag> ; sh:minCount 1 ] ] .
+<u:SV> a sh:NodeShape ; sh:targetClass <u:C> ;
+  sh:property [ sh:path <u:val> ;
+                sh:or ( [ sh:datatype xsd:integer ]
+                        [ sh:nodeKind sh:IRI ] ) ] .
+"""
+
+
+def q_shacl_logic(spark, sf_dir):
+    """SHACL logical combinators (rdf_spark.shacl, round-5): focus-level
+    sh:or / sh:xone (email-or-phone over k%2 / k%3 emission — or fires
+    on neither, xone on both and neither), sh:not (k%5 carries the
+    forbidden u:flag), and value-level sh:or alternation compiled to one
+    row-local predicate (u:val is a string / integer-literal / IRI by
+    k%7; only the k%7==0 strings fail both alternatives).  Violator-set
+    algebra replayed closed-form by the oracle."""
+    from rdf_spark.shacl import shacl_validate
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def st(p, o, kind, dt):
+        return F.struct(
+            p.alias("p"), o.alias("o"),
+            F.lit(kind).cast("int").alias("o_kind")
+            if not isinstance(kind, F.Column)
+            else kind.cast("int").alias("o_kind"),
+            (dt if isinstance(dt, F.Column)
+             else F.lit(dt).cast("string")).alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+
+    val = F.when(k % 7 == 0, st(
+        F.lit("u:val"), F.concat(F.lit("bad"), k), 2, terms.XSD_STRING)) \
+        .when(k % 7 <= 3, st(
+            F.lit("u:val"), k.cast("string"), 2, terms.XSD_INTEGER)) \
+        .otherwise(st(
+            F.lit("u:val"), F.concat(F.lit("u:x:"), k), 1, None))
+    tri = c.select(
+        F.concat(F.lit("u:c:"), k).alias("s"),
+        F.lit(1).cast("int").alias("s_kind"),
+        F.explode(F.array_compact(F.array(
+            st(F.lit(terms.RDF_TYPE), F.lit("u:C"), 1, None),
+            F.when(k % 2 == 0, st(
+                F.lit("u:email"), F.concat(F.lit("e"), k), 2,
+                terms.XSD_STRING)),
+            F.when(k % 3 == 0, st(
+                F.lit("u:phone"), F.concat(F.lit("p"), k), 2,
+                terms.XSD_STRING)),
+            F.when(k % 5 == 0, st(
+                F.lit("u:flag"), F.lit("on"), 2, terms.XSD_STRING)),
+            val,
+        ))).alias("t"),
+    ).select("s", "s_kind", "t.*")
+    return shacl_validate(tri, _SHACL_LOGIC_TTL)
+
+
 def q_wat_links(spark, sf_dir):
     """WAT outlink extraction (warc.wat_links, round-5): per-doc
     synthesized Common-Crawl WAT envelopes (doc_id%3+1 links each,
@@ -3731,6 +3798,7 @@ _QUERIES = {
         "chunk_documents": q_chunk_documents,
         "rdf_lists": q_rdf_lists,
         "wat_links": q_wat_links,
+        "shacl_logic": q_shacl_logic,
         "dsir_weights": q_dsir_weights,
         "store_diff": q_store_diff,
         "label_propagation": q_label_propagation,
@@ -6343,6 +6411,29 @@ def oracle_sql() -> dict[str, str]:
                   WHERE c_custkey % 31 <> 0
                     AND NOT (c_custkey % 37 = 0 AND c_custkey % 5 >= 1)),
                  UNNEST(range(0, ln)) AS u(j)
+        """,
+        # violator-set algebra closed-form: or = neither contact, xone =
+        # both or neither, not = has the forbidden flag, value-or = the
+        # k%7 strings that fail both alternatives
+        "shacl_logic": """
+            WITH c AS (SELECT c_custkey AS k FROM customer)
+            SELECT 'u:c:' || k AS focus, 'u:SOr' AS shape_id,
+                   CAST(NULL AS VARCHAR) AS path, 'or' AS "constraint",
+                   CAST(NULL AS VARCHAR) AS value,
+                   '(2 operand shapes)' AS expected
+            FROM c WHERE k % 2 <> 0 AND k % 3 <> 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:SX', CAST(NULL AS VARCHAR), 'xone',
+                   CAST(NULL AS VARCHAR), '(2 operand shapes)'
+            FROM c WHERE k % 6 = 0 OR (k % 2 <> 0 AND k % 3 <> 0)
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:SN', CAST(NULL AS VARCHAR), 'not',
+                   CAST(NULL AS VARCHAR), 'sh:not operand'
+            FROM c WHERE k % 5 = 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:SV', 'u:val', 'or', 'bad' || k,
+                   '(2 alternatives)'
+            FROM c WHERE k % 7 = 0
         """,
         "wat_links": """
             SELECT 'http://src' || (doc_id % 5) || '.test/d' || doc_id

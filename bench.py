@@ -205,6 +205,7 @@ def main() -> int:
         "scc",
         "duplicated_fraction",
         "shacl_shapes",
+        "shacl_logic",
         "chunk_documents",
         "rdf_lists",
         "wat_links",

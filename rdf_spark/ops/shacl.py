@@ -170,6 +170,71 @@ def _mk_report(df: DataFrame, shape_id: str, path: str, constraint: str,
     )
 
 
+_VALUE_KEYS = frozenset((
+    "datatype", "node_kind", "pattern", "flags", "min_length",
+    "max_length", "min_inclusive", "max_inclusive", "min_exclusive",
+    "max_exclusive", "in", "language_in",
+))
+
+
+def _value_pred(spec: dict):
+    """Boolean Column over (value, value_kind, value_datatype,
+    value_lang): does one value node satisfy every value-testing
+    constraint in ``spec``?  The compilation target for sh:or
+    alternatives — alternation becomes ONE row-local predicate, no
+    extra scans or joins per operand."""
+    unknown = set(spec) - _VALUE_KEYS
+    if unknown:
+        raise ValueError(
+            f"sh:or alternative may only carry value-testing "
+            f"constraints; got {sorted(unknown)}")
+    conds = []
+    dt = spec.get("datatype")
+    if dt is not None:
+        conds.append((F.col("value_kind") == KIND_LITERAL)
+                     & F.col("value_datatype").eqNullSafe(dt))
+    nk = spec.get("node_kind")
+    if nk is not None:
+        conds.append(F.col("value_kind").isin(list(_NODE_KINDS[nk])))
+    pat = spec.get("pattern")
+    if pat is not None:
+        flags = spec.get("flags")
+        if flags not in (None, "", "i"):
+            raise ValueError("only sh:flags 'i' is supported")
+        conds.append(F.col("value").rlike(
+            ("(?i)" + pat) if flags == "i" else pat))
+    if spec.get("min_length") is not None:
+        conds.append(F.length("value") >= spec["min_length"])
+    if spec.get("max_length") is not None:
+        conds.append(F.length("value") <= spec["max_length"])
+    num = F.col("value").try_cast("decimal(38,9)")
+    comparable = (
+        (F.col("value_kind") == KIND_LITERAL)
+        & F.col("value_datatype").isin(list(_NUMERIC_DT))
+        & num.isNotNull()
+    )
+    for key, mk in (("min_inclusive", lambda b: num >= b),
+                    ("max_inclusive", lambda b: num <= b),
+                    ("min_exclusive", lambda b: num > b),
+                    ("max_exclusive", lambda b: num < b)):
+        if spec.get(key) is not None:
+            b = F.lit(str(spec[key])).cast("decimal(38,9)")
+            conds.append(comparable & mk(b))
+    if spec.get("in") is not None:
+        conds.append(F.col("value").isin(list(spec["in"])))
+    if spec.get("language_in") is not None:
+        lang = F.lower(F.coalesce(F.col("value_lang"), F.lit("")))
+        ok = F.lit(False)
+        for item in spec["language_in"]:
+            it = str(item).lower()
+            ok = ok | (lang == it) | lang.startswith(it + "-")
+        conds.append(ok)
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
+
+
 def _prop_violations(triples, targets, shape_id, prop):
     path = prop["path"]
     vals = _values(triples, targets, prop)
@@ -321,6 +386,18 @@ def _prop_violations(triples, targets, shape_id, prop):
             dup, shape_id, path, "uniqueLang", F.col("value_lang"),
             "true",
         ))
+
+    ors = prop.get("or")
+    if ors:
+        # value-level sh:or — each VALUE must satisfy ≥1 alternative of
+        # value-testing constraints; compiled to one row-local boolean
+        pred = F.lit(False)
+        for alt in ors:
+            pred = pred | _value_pred(alt)
+        out.append(_mk_report(
+            vals.filter(~pred), shape_id, path, "or", F.col("value"),
+            f"({len(ors)} alternatives)",
+        ))
     return out
 
 
@@ -346,6 +423,78 @@ def _closed_violations(triples, targets, shape):
     )
 
 
+def _operand_violators(triples, targets, operand: dict) -> DataFrame:
+    """Distinct focus nodes violating an operand shape (a spec dict
+    with 'properties' and optionally nested combinators) — the building
+    block of focus-level sh:not / sh:or / sh:xone set algebra."""
+    if operand.get("or_shapes") or operand.get("not_shape") \
+            or operand.get("xone_shapes"):
+        raise ValueError(
+            "nested focus-level combinators are not supported")
+    parts = []
+    for prop in operand.get("properties", ()):
+        parts.extend(_prop_violations(triples, targets, "_op", prop))
+    if not parts:
+        raise ValueError("combinator operand has no constraints")
+    out = parts[0].select("focus")
+    for p in parts[1:]:
+        out = out.unionByName(p.select("focus"))
+    return out.distinct()
+
+
+def _combinator_violations(triples, targets, shape):
+    """Focus-level sh:not / sh:or / sh:xone over operand shapes.
+
+    Set algebra over per-operand violator sets: a focus CONFORMS to an
+    operand iff it is not among that operand's violators.  not ⇒
+    violation when the focus conforms; or ⇒ violation when it conforms
+    to none (violates all); xone ⇒ violation unless it conforms to
+    exactly one.  Each operand costs its own predicate-pruned scans;
+    the combination is joins over (focus) sets — bytes per row.
+    """
+    out = []
+
+    def _rep(df, constraint, expected):
+        return df.select(
+            F.col("focus"), F.lit(shape["id"]).alias("shape_id"),
+            F.lit(None).cast("string").alias("path"),
+            F.lit(constraint).alias("constraint"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(expected).alias("expected"),
+        )
+
+    np = shape.get("not_shape")
+    if np is not None:
+        violators = _operand_violators(triples, targets, np)
+        conforming = targets.join(violators, "focus", "left_anti")
+        out.append(_rep(conforming, "not", "sh:not operand"))
+
+    ors = shape.get("or_shapes")
+    if ors:
+        bad = targets
+        for op in ors:
+            bad = bad.join(_operand_violators(triples, targets, op),
+                           "focus")
+        out.append(_rep(bad, "or", f"({len(ors)} operand shapes)"))
+
+    xs = shape.get("xone_shapes")
+    if xs:
+        conf_counts = None
+        for op in xs:
+            conf = targets.join(
+                _operand_violators(triples, targets, op), "focus",
+                "left_anti")
+            conf_counts = conf if conf_counts is None \
+                else conf_counts.unionByName(conf)
+        n_conf = conf_counts.groupBy("focus").agg(
+            F.count(F.lit(1)).alias("_n"))
+        bad = targets.join(n_conf, "focus", "left") \
+            .withColumn("_n", F.coalesce("_n", F.lit(0))) \
+            .filter(F.col("_n") != 1)
+        out.append(_rep(bad, "xone", f"({len(xs)} operand shapes)"))
+    return out
+
+
 def validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
     """Validation report: one row per violation (empty ⇒ conforms).
 
@@ -361,6 +510,7 @@ def validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
             )
         if shape.get("closed"):
             branches.append(_closed_violations(triples, targets, shape))
+        branches.extend(_combinator_violations(triples, targets, shape))
     if not branches:
         return triples.sparkSession.createDataFrame(
             [], "focus string, shape_id string, path string, "

@@ -20,14 +20,19 @@ Supported (SHACL core):
   ``sh:pattern``+``sh:flags``, ``sh:minLength``/``sh:maxLength``,
   ``sh:minInclusive``/``sh:maxInclusive``/``sh:minExclusive``/
   ``sh:maxExclusive``, ``sh:in``, ``sh:hasValue``, ``sh:uniqueLang``,
-  ``sh:languageIn``
-- node shapes: ``sh:closed`` + ``sh:ignoredProperties``
+  ``sh:languageIn``; ``sh:or`` of value-testing alternatives (compiled
+  to ONE row-local boolean predicate — alternation costs no extra
+  scans) and ``sh:and`` (constraint merge)
+- node shapes: ``sh:closed`` + ``sh:ignoredProperties``; focus-level
+  ``sh:not`` / ``sh:or`` / ``sh:xone`` over operand shapes (violator-set
+  algebra: per-operand violator sets joined on focus — bytes per row)
+  and ``sh:and`` (operand property shapes inlined)
 
 Deliberate core-subset boundaries (raise :class:`ShaclError`, never
-silently half-validate): logical combinators (``sh:or``/``sh:and``/
-``sh:not``/``sh:xone``), complex paths (sequence/alternation/
-zeroOrMore), ``sh:node`` recursion, qualified value shapes, pair
-constraints (``sh:equals`` …), and SPARQL-based constraints.  ``sh:class`` tests direct ``rdf:type``
+silently half-validate): nested focus-level combinators, complex paths
+(sequence/alternation/zeroOrMore), ``sh:node`` recursion, qualified
+value shapes, pair constraints (``sh:equals`` …), and SPARQL-based
+constraints.  ``sh:class`` tests direct ``rdf:type``
 assertions only — run :func:`rdf_spark.ops.reasoning.rdfs_closure`
 first for subclass entailment; that composition is the idiomatic
 pipeline here.
@@ -60,7 +65,7 @@ class ShaclError(ValueError):
 
 
 _UNSUPPORTED = (
-    "or", "and", "not", "xone", "node", "sparql", "qualifiedValueShape",
+    "node", "sparql", "qualifiedValueShape",
     "lessThan", "lessThanOrEquals", "equals", "disjoint",
 )
 
@@ -82,8 +87,8 @@ def _index(rows):
     return idx
 
 
-def _rdf_list(idx, head):
-    """Walk an rdf:first/rdf:rest list; returns the lexical forms."""
+def _rdf_list_nodes(idx, head):
+    """Walk an rdf:first/rdf:rest list; returns (member, kind) pairs."""
     out, seen = [], set()
     node, kind = head
     while not (kind == KIND_IRI and node == RDF_NIL):
@@ -94,9 +99,14 @@ def _rdf_list(idx, head):
         first, rest = props.get(RDF_FIRST), props.get(RDF_REST)
         if not first or not rest:
             raise ShaclError("malformed RDF list in shapes graph")
-        out.append(first[0][0])
+        out.append((first[0][0], first[0][1]))
         node, kind = rest[0][0], rest[0][1]
     return out
+
+
+def _rdf_list(idx, head):
+    """Walk an rdf:first/rdf:rest list; returns the lexical forms."""
+    return [lex for lex, _k in _rdf_list_nodes(idx, head)]
 
 
 def _one(props, pred):
@@ -125,11 +135,98 @@ def _reject_unsupported(props, where):
                 f"sh:{bad} on {where} is not supported (core subset)")
 
 
+def _value_constraints(idx, pprops) -> dict:
+    """The value-testing constraint keys shared by property shapes and
+    sh:or alternatives."""
+    spec: dict = {}
+    for key, getter in (("min_length", "minLength"),
+                        ("max_length", "maxLength")):
+        v = _one_int(pprops, getter)
+        if v is not None:
+            spec[key] = v
+    for key, getter in (
+            ("datatype", "datatype"),
+            ("pattern", "pattern"), ("flags", "flags"),
+            ("min_inclusive", "minInclusive"),
+            ("max_inclusive", "maxInclusive"),
+            ("min_exclusive", "minExclusive"),
+            ("max_exclusive", "maxExclusive")):
+        v = _one_lex(pprops, getter)
+        if v is not None:
+            spec[key] = v
+    nk = _one(pprops, "nodeKind")
+    if nk is not None:
+        name = _NODE_KIND_NAMES.get(nk[0])
+        if name is None:
+            raise ShaclError(f"unknown sh:nodeKind {nk[0]}")
+        spec["node_kind"] = name
+    inv = _one(pprops, "in")
+    if inv is not None:
+        spec["in"] = _rdf_list(idx, (inv[0], inv[1]))
+    li = _one(pprops, "languageIn")
+    if li is not None:
+        spec["language_in"] = _rdf_list(idx, (li[0], li[1]))
+    return spec
+
+
+def _compile_value_alt(idx, node) -> dict:
+    """One sh:or alternative on a property shape: value-testing
+    constraints only (no path, no cardinality)."""
+    pprops = idx.get(node)
+    if pprops is None:
+        raise ShaclError("sh:or alternative has no triples")
+    _reject_unsupported(pprops, "sh:or alternative")
+    spec = _value_constraints(idx, pprops)
+    extras = set(pprops) - {SH + k for k in (
+        "datatype", "nodeKind", "pattern", "flags", "minLength",
+        "maxLength", "minInclusive", "maxInclusive", "minExclusive",
+        "maxExclusive", "in", "languageIn")}
+    if extras or not spec:
+        raise ShaclError(
+            "sh:or on a property shape takes alternatives of "
+            "value-testing constraints only")
+    return spec
+
+
+def _compile_operand_shape(idx, node) -> dict:
+    """A combinator operand: an (anonymous) node shape whose
+    constraints are sh:property shapes.  Nested combinators and
+    targets on operands are rejected."""
+    props = idx.get(node)
+    if props is None:
+        raise ShaclError("combinator operand has no triples")
+    _reject_unsupported(props, "combinator operand")
+    for bad in ("or", "and", "not", "xone", "closed"):
+        if SH + bad in props:
+            raise ShaclError(
+                f"sh:{bad} nested inside a combinator operand is not "
+                "supported")
+    for t in ("targetClass", "targetNode", "targetSubjectsOf",
+              "targetObjectsOf"):
+        if SH + t in props:
+            raise ShaclError("combinator operands must not declare "
+                             "targets")
+    plist = [
+        _compile_property(idx, o)
+        for (o, _ok, _dt, _lg) in props.get(SH + "property", ())
+    ]
+    if not plist:
+        raise ShaclError(
+            "combinator operand carries no sh:property constraints")
+    plist.sort(key=lambda p: (p["path"], p.get("inverse", False)))
+    return {"properties": plist}
+
+
 def _compile_property(idx, node) -> dict:
     pprops = idx.get(node)
     if pprops is None:
         raise ShaclError("sh:property target has no triples")
     _reject_unsupported(pprops, "property shape")
+    for bad in ("not", "xone"):
+        if SH + bad in pprops:
+            raise ShaclError(
+                f"sh:{bad} on a property shape is not supported "
+                "(focus-level combinators go on the node shape)")
     path = _one(pprops, "path")
     if path is None:
         raise ShaclError("property shape without sh:path")
@@ -145,37 +242,37 @@ def _compile_property(idx, node) -> dict:
     elif p_kind != KIND_IRI:
         raise ShaclError("sh:path must be an IRI")
     spec["path"] = p_lex
-    for key, getter in (
-            ("min_count", "minCount"), ("max_count", "maxCount"),
-            ("min_length", "minLength"), ("max_length", "maxLength")):
+    for key, getter in (("min_count", "minCount"),
+                        ("max_count", "maxCount")):
         v = _one_int(pprops, getter)
         if v is not None:
             spec[key] = v
-    for key, getter in (
-            ("datatype", "datatype"), ("class", "class"),
-            ("pattern", "pattern"), ("flags", "flags"),
-            ("min_inclusive", "minInclusive"),
-            ("max_inclusive", "maxInclusive"),
-            ("min_exclusive", "minExclusive"),
-            ("max_exclusive", "maxExclusive"),
-            ("has_value", "hasValue")):
-        v = _one_lex(pprops, getter)
-        if v is not None:
-            spec[key] = v
-    nk = _one(pprops, "nodeKind")
-    if nk is not None:
-        name = _NODE_KIND_NAMES.get(nk[0])
-        if name is None:
-            raise ShaclError(f"unknown sh:nodeKind {nk[0]}")
-        spec["node_kind"] = name
-    inv = _one(pprops, "in")
-    if inv is not None:
-        spec["in"] = _rdf_list(idx, (inv[0], inv[1]))
+    cls = _one_lex(pprops, "class")
+    if cls is not None:
+        spec["class"] = cls
+    hv = _one_lex(pprops, "hasValue")
+    if hv is not None:
+        spec["has_value"] = hv
     if _one_lex(pprops, "uniqueLang") == "true":
         spec["unique_lang"] = True
-    li = _one(pprops, "languageIn")
-    if li is not None:
-        spec["language_in"] = _rdf_list(idx, (li[0], li[1]))
+    spec.update(_value_constraints(idx, pprops))
+    orv = _one(pprops, "or")
+    if orv is not None:
+        alts = _rdf_list_nodes(idx, (orv[0], orv[1]))
+        if not alts:
+            raise ShaclError("empty sh:or alternative list")
+        spec["or"] = [_compile_value_alt(idx, n) for (n, _k) in alts]
+    andv = _one(pprops, "and")
+    if andv is not None:
+        # value-level sh:and = plain conjunction — merge operand
+        # constraints into this property shape
+        for (n, _k) in _rdf_list_nodes(idx, (andv[0], andv[1])):
+            alt = _compile_value_alt(idx, n)
+            dup = set(alt) & set(spec)
+            if dup:
+                raise ShaclError(
+                    f"sh:and operand repeats constraint {sorted(dup)}")
+            spec.update(alt)
     return spec
 
 
@@ -218,6 +315,32 @@ def parse_shapes(shapes_ttl: str) -> list[dict]:
             _compile_property(idx, o)
             for (o, _ok, _dt, _lg) in props.get(SH + "property", ())
         ]
+        # focus-level combinators: operands are anonymous node shapes
+        # carrying sh:property constraints
+        notv = _one(props, "not")
+        if notv is not None:
+            spec["not_shape"] = _compile_operand_shape(idx, notv[0])
+        orv = _one(props, "or")
+        if orv is not None:
+            ops_ = _rdf_list_nodes(idx, (orv[0], orv[1]))
+            if not ops_:
+                raise ShaclError("empty sh:or operand list")
+            spec["or_shapes"] = [
+                _compile_operand_shape(idx, n) for (n, _k) in ops_]
+        xv = _one(props, "xone")
+        if xv is not None:
+            ops_ = _rdf_list_nodes(idx, (xv[0], xv[1]))
+            if not ops_:
+                raise ShaclError("empty sh:xone operand list")
+            spec["xone_shapes"] = [
+                _compile_operand_shape(idx, n) for (n, _k) in ops_]
+        andv = _one(props, "and")
+        if andv is not None:
+            # focus-level sh:and = conjunction — inline the operands'
+            # property shapes
+            for (n, _k) in _rdf_list_nodes(idx, (andv[0], andv[1])):
+                spec["properties"].extend(
+                    _compile_operand_shape(idx, n)["properties"])
         spec["properties"].sort(key=lambda p: (p["path"],
                                                p.get("inverse", False)))
         shapes.append(spec)

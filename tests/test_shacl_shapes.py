@@ -237,6 +237,7 @@ def test_unique_lang_and_language_in(spark):
 
 def test_unsupported_components_raise():
     for frag in ("sh:or ()", "sh:not []",
+                 "sh:node ex:Other",
                  "sh:property [ sh:path ex:x ; sh:equals ex:y ]",
                  "sh:property [ sh:path ( ex:a ex:b ) ; sh:minCount 1 ]"):
         shapes = f"""
@@ -259,3 +260,124 @@ def test_shape_without_target_raises(spark):
     """
     with pytest.raises(ValueError):
         shacl_validate(_df(spark, BASE), shapes)
+
+
+def test_value_level_or(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix xsd: <{XSD}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+      sh:property [ sh:path ex:v ;
+                    sh:or ( [ sh:datatype xsd:integer ]
+                            [ sh:nodeKind sh:IRI ] ) ] .
+    """
+    rows = [
+        (EX + "a", 1, EX + "v", "3", 2, XSD + "integer"),
+        (EX + "a", 1, EX + "v", EX + "ref", 1, None),
+        (EX + "a", 1, EX + "v", "nope", 2, XSD + "string"),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [(EX + "a", EX + "v", "or", "nope")]
+
+
+def test_property_sh_and_merges(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+      sh:property [ sh:path ex:v ; sh:minLength 2 ;
+                    sh:and ( [ sh:pattern "^[a-z]+$" ] ) ] .
+    """
+    rows = [
+        (EX + "a", 1, EX + "v", "ok", 2, None),
+        (EX + "a", 1, EX + "v", "X", 2, None),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert (EX + "a", EX + "v", "minLength", "X") in got
+    assert (EX + "a", EX + "v", "pattern", "X") in got
+    assert not [g for g in got if g[3] == "ok"]
+
+
+def test_focus_level_not(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:not [ sh:property [ sh:path ex:deprecated ;
+                             sh:minCount 1 ] ] .
+    """
+    rows = [
+        (EX + "a", 1, RDF_TYPE, EX + "T", 1, None),
+        (EX + "b", 1, RDF_TYPE, EX + "T", 1, None),
+        (EX + "a", 1, EX + "deprecated", "yes", 2, None),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    # a HAS deprecated → conforms to the operand → violates sh:not
+    assert got == [(EX + "a", None, "not", None)]
+
+
+def test_focus_level_or_and_xone(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:or ( [ sh:property [ sh:path ex:email ; sh:minCount 1 ] ]
+              [ sh:property [ sh:path ex:phone ; sh:minCount 1 ] ] ) .
+    ex:X a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:xone ( [ sh:property [ sh:path ex:email ; sh:minCount 1 ] ]
+                [ sh:property [ sh:path ex:phone ; sh:minCount 1 ] ] ) .
+    """
+    rows = [
+        (EX + "both", 1, RDF_TYPE, EX + "T", 1, None),
+        (EX + "both", 1, EX + "email", "e", 2, None),
+        (EX + "both", 1, EX + "phone", "p", 2, None),
+        (EX + "one", 1, RDF_TYPE, EX + "T", 1, None),
+        (EX + "one", 1, EX + "email", "e", 2, None),
+        (EX + "none", 1, RDF_TYPE, EX + "T", 1, None),
+    ]
+    rep = shacl_validate(_df(spark, rows), shapes)
+    got = sorted((r.focus, r.shape_id, r.constraint) for r in rep.collect())
+    # or: only 'none' violates; xone: 'both' (2 matches) and 'none' (0)
+    assert got == [
+        (EX + "both", EX + "X", "xone"),
+        (EX + "none", EX + "S", "or"),
+        (EX + "none", EX + "X", "xone"),
+    ]
+
+
+def test_focus_level_and_inlines(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:and ( [ sh:property [ sh:path ex:a ; sh:minCount 1 ] ]
+               [ sh:property [ sh:path ex:b ; sh:minCount 1 ] ] ) .
+    """
+    rows = [(EX + "x", 1, RDF_TYPE, EX + "T", 1, None),
+            (EX + "x", 1, EX + "a", "v", 2, None)]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [(EX + "x", EX + "b", "minCount", "0")]
+
+
+def test_combinator_rejections():
+    bad = [
+        # nested combinator in operand
+        "sh:not [ sh:or ( [ sh:property [ sh:path ex:a ; "
+        "sh:minCount 1 ] ] ) ]",
+        # operand with a target
+        "sh:not [ sh:targetClass ex:Z ; sh:property [ sh:path ex:a ; "
+        "sh:minCount 1 ] ]",
+        # property-level sh:or with a non-value constraint
+        "sh:property [ sh:path ex:v ; sh:or ( [ sh:minCount 1 ] ) ]",
+        # property-level sh:not
+        "sh:property [ sh:path ex:v ; sh:not [ sh:datatype ex:d ] ]",
+    ]
+    for frag in bad:
+        shapes = f"""
+        @prefix sh: <{SH}> .
+        @prefix ex: <{EX}> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ; {frag} .
+        """
+        with pytest.raises(ShaclError):
+            parse_shapes(shapes)
