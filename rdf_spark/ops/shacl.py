@@ -398,6 +398,23 @@ def _prop_violations(triples, targets, shape_id, prop):
             vals.filter(~pred), shape_id, path, "or", F.col("value"),
             f"({len(ors)} alternatives)",
         ))
+
+    node = prop.get("node")
+    if node is not None:
+        # sh:node — every VALUE node must conform to the operand shape:
+        # re-target the operand onto the (distinct) value set and keep
+        # the values among its violators.  The operand spec is a
+        # compile-time tree (cycles rejected at compile), so recursion
+        # bottoms out.
+        value_targets = vals.select(
+            F.col("value").alias("focus")).distinct()
+        violators = _operand_violators(triples, value_targets, node) \
+            .withColumnRenamed("focus", "value")
+        out.append(_mk_report(
+            vals.join(violators, "value").select("focus", "value"),
+            shape_id, path, "node", F.col("value"),
+            str(node.get("id", "(inline shape)")),
+        ))
     return out
 
 

@@ -65,7 +65,7 @@ class ShaclError(ValueError):
 
 
 _UNSUPPORTED = (
-    "node", "sparql", "qualifiedValueShape",
+    "sparql", "qualifiedValueShape",
     "lessThan", "lessThanOrEquals", "equals", "disjoint",
 )
 
@@ -188,36 +188,41 @@ def _compile_value_alt(idx, node) -> dict:
     return spec
 
 
-def _compile_operand_shape(idx, node) -> dict:
-    """A combinator operand: an (anonymous) node shape whose
-    constraints are sh:property shapes.  Nested combinators and
-    targets on operands are rejected."""
+def _compile_operand_shape(idx, node, visiting=frozenset(),
+                           allow_targets=False) -> dict:
+    """A combinator / sh:node operand: a node shape whose constraints
+    are sh:property shapes.  Nested combinators are rejected; targets
+    are rejected on combinator operands and IGNORED on sh:node operands
+    (referencing a targeted named shape is legal — §2.1.3)."""
+    if node in visiting:
+        raise ShaclError(f"cyclic sh:node reference through {node}")
     props = idx.get(node)
     if props is None:
-        raise ShaclError("combinator operand has no triples")
-    _reject_unsupported(props, "combinator operand")
+        raise ShaclError("shape operand has no triples")
+    _reject_unsupported(props, "shape operand")
     for bad in ("or", "and", "not", "xone", "closed"):
         if SH + bad in props:
             raise ShaclError(
-                f"sh:{bad} nested inside a combinator operand is not "
+                f"sh:{bad} nested inside a shape operand is not "
                 "supported")
-    for t in ("targetClass", "targetNode", "targetSubjectsOf",
-              "targetObjectsOf"):
-        if SH + t in props:
-            raise ShaclError("combinator operands must not declare "
-                             "targets")
+    if not allow_targets:
+        for t in ("targetClass", "targetNode", "targetSubjectsOf",
+                  "targetObjectsOf"):
+            if SH + t in props:
+                raise ShaclError("combinator operands must not declare "
+                                 "targets")
     plist = [
-        _compile_property(idx, o)
+        _compile_property(idx, o, visiting | {node})
         for (o, _ok, _dt, _lg) in props.get(SH + "property", ())
     ]
     if not plist:
         raise ShaclError(
-            "combinator operand carries no sh:property constraints")
+            "shape operand carries no sh:property constraints")
     plist.sort(key=lambda p: (p["path"], p.get("inverse", False)))
-    return {"properties": plist}
+    return {"id": node, "properties": plist}
 
 
-def _compile_property(idx, node) -> dict:
+def _compile_property(idx, node, visiting=frozenset()) -> dict:
     pprops = idx.get(node)
     if pprops is None:
         raise ShaclError("sh:property target has no triples")
@@ -273,6 +278,10 @@ def _compile_property(idx, node) -> dict:
                 raise ShaclError(
                     f"sh:and operand repeats constraint {sorted(dup)}")
             spec.update(alt)
+    nodev = _one(pprops, "node")
+    if nodev is not None:
+        spec["node"] = _compile_operand_shape(
+            idx, nodev[0], visiting, allow_targets=True)
     return spec
 
 
@@ -288,6 +297,7 @@ def parse_shapes(shapes_ttl: str) -> list[dict]:
 
     idx = _index(parse_turtle(shapes_ttl))
     shapes = []
+    any_node_shape = False
     for s, props in idx.items():
         types = [o for (o, ok, _dt, _lg) in props.get(RDF_TYPE, ())
                  if ok == KIND_IRI]
@@ -295,6 +305,12 @@ def parse_shapes(shapes_ttl: str) -> list[dict]:
             "targetClass", "targetNode", "targetSubjectsOf",
             "targetObjectsOf"))
         if (SH + "NodeShape") not in types and not targeted:
+            continue
+        any_node_shape = True
+        if not targeted:
+            # a named shape with no target validates nothing on its own
+            # (SHACL §2.1.3) — it only runs where referenced (sh:node),
+            # compiled at the reference site
             continue
         _reject_unsupported(props, f"shape {s}")
         spec: dict = {"id": s}
@@ -346,7 +362,9 @@ def parse_shapes(shapes_ttl: str) -> list[dict]:
         shapes.append(spec)
     shapes.sort(key=lambda sp: sp["id"])
     if not shapes:
-        raise ShaclError("shapes graph declares no node shapes")
+        raise ShaclError(
+            "shapes graph declares no targeted node shapes"
+            if any_node_shape else "shapes graph declares no node shapes")
     return shapes
 
 

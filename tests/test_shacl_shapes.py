@@ -237,7 +237,7 @@ def test_unique_lang_and_language_in(spark):
 
 def test_unsupported_components_raise():
     for frag in ("sh:or ()", "sh:not []",
-                 "sh:node ex:Other",
+                 "sh:sparql []",
                  "sh:property [ sh:path ex:x ; sh:equals ex:y ]",
                  "sh:property [ sh:path ( ex:a ex:b ) ; sh:minCount 1 ]"):
         shapes = f"""
@@ -381,3 +381,58 @@ def test_combinator_rejections():
         """
         with pytest.raises(ShaclError):
             parse_shapes(shapes)
+
+
+def test_sh_node_value_conformance(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:AddrShape a sh:NodeShape ;
+      sh:property [ sh:path ex:zip ; sh:minCount 1 ] .
+    ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+      sh:property [ sh:path ex:addr ; sh:node ex:AddrShape ] .
+    """
+    rows = [
+        (EX + "p1", 1, RDF_TYPE, EX + "Person", 1, None),
+        (EX + "p1", 1, EX + "addr", EX + "a1", 1, None),
+        (EX + "a1", 1, EX + "zip", "12345", 2, None),
+        (EX + "p2", 1, RDF_TYPE, EX + "Person", 1, None),
+        (EX + "p2", 1, EX + "addr", EX + "a2", 1, None),  # no zip
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [(EX + "p2", EX + "addr", "node", EX + "a2")]
+    # AddrShape itself declares no target → it does not fire standalone
+
+
+def test_sh_node_two_levels(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:CityShape a sh:NodeShape ;
+      sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    ex:AddrShape a sh:NodeShape ;
+      sh:property [ sh:path ex:city ; sh:node ex:CityShape ] .
+    ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+      sh:property [ sh:path ex:addr ; sh:node ex:AddrShape ] .
+    """
+    rows = [
+        (EX + "p1", 1, RDF_TYPE, EX + "Person", 1, None),
+        (EX + "p1", 1, EX + "addr", EX + "a1", 1, None),
+        (EX + "a1", 1, EX + "city", EX + "c1", 1, None),  # city w/o name
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    # a1's city violates CityShape → a1 violates AddrShape → p1 flagged
+    assert got == [(EX + "p1", EX + "addr", "node", EX + "a1")]
+
+
+def test_sh_node_cycle_rejected():
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:A a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ; sh:node ex:B ] .
+    ex:B a sh:NodeShape ;
+      sh:property [ sh:path ex:q ; sh:node ex:A ] .
+    """
+    with pytest.raises(ShaclError):
+        parse_shapes(shapes)
