@@ -402,19 +402,48 @@ def _prop_violations(triples, targets, shape_id, prop):
     node = prop.get("node")
     if node is not None:
         # sh:node — every VALUE node must conform to the operand shape:
-        # re-target the operand onto the (distinct) value set and keep
-        # the values among its violators.  The operand spec is a
-        # compile-time tree (cycles rejected at compile), so recursion
-        # bottoms out.
-        value_targets = vals.select(
-            F.col("value").alias("focus")).distinct()
-        violators = _operand_violators(triples, value_targets, node) \
-            .withColumnRenamed("focus", "value")
+        # violating rows = vals minus the conforming subset.  The
+        # operand spec is a compile-time tree (cycles rejected at
+        # compile), so recursion bottoms out.
+        conforming = _conforming_values(triples, vals, node) \
+            .select("focus", "value").distinct()
         out.append(_mk_report(
-            vals.join(violators, "value").select("focus", "value"),
+            vals.join(conforming, ["focus", "value"], "left_anti")
+            .select("focus", "value"),
             shape_id, path, "node", F.col("value"),
             str(node.get("id", "(inline shape)")),
         ))
+
+    q = prop.get("qualified_shape")
+    if q is not None:
+        # sh:qualifiedValueShape + qualifiedMin/MaxCount — count the
+        # value NODES conforming to the operand per focus
+        qmin = prop.get("qualified_min")
+        qmax = prop.get("qualified_max")
+        if qmin is None and qmax is None:
+            raise ValueError(
+                "qualified_shape needs qualified_min and/or "
+                "qualified_max")
+        conf = _conforming_values(triples, vals, q)
+        counts = conf.groupBy("focus").agg(
+            F.count_distinct(F.struct(
+                "value", "value_kind", "value_datatype", "value_lang"))
+            .alias("_n"))
+        qexp = str(q.get("id", "(inline shape)"))
+        if qmin is not None:
+            with_n = targets.join(counts, "focus", "left").select(
+                "focus", F.coalesce(F.col("_n"), F.lit(0)).alias("_n"))
+            out.append(_mk_report(
+                with_n.filter(F.col("_n") < qmin), shape_id, path,
+                "qualifiedMinCount", F.col("_n"),
+                f">= {qmin} conforming to {qexp}",
+            ))
+        if qmax is not None:
+            out.append(_mk_report(
+                counts.filter(F.col("_n") > qmax), shape_id, path,
+                "qualifiedMaxCount", F.col("_n"),
+                f"<= {qmax} conforming to {qexp}",
+            ))
     return out
 
 
@@ -448,6 +477,11 @@ def _operand_violators(triples, targets, operand: dict) -> DataFrame:
             or operand.get("xone_shapes"):
         raise ValueError(
             "nested focus-level combinators are not supported")
+    if operand.get("value_alt") or operand.get("value_class"):
+        raise ValueError(
+            "focus-level combinator operands take sh:property "
+            "constraints only (value-form operands are for sh:node / "
+            "sh:qualifiedValueShape)")
     parts = []
     for prop in operand.get("properties", ()):
         parts.extend(_prop_violations(triples, targets, "_op", prop))
@@ -457,6 +491,36 @@ def _operand_violators(triples, targets, operand: dict) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p.select("focus"))
     return out.distinct()
+
+
+def _conforming_values(triples, vals, operand: dict) -> DataFrame:
+    """The subset of ``vals`` rows whose VALUE node conforms to an
+    operand shape.  Three operand forms, AND-combined: ``value_alt``
+    (value-testing constraints → one row-local predicate),
+    ``value_class`` (sh:class on the value itself → semi-join against
+    the typed-instance set), and ``properties`` (sh:property shapes →
+    re-target onto the distinct value set, anti-join its violators)."""
+    out = vals
+    alt = operand.get("value_alt")
+    if alt:
+        out = out.filter(_value_pred(alt))
+    vc = operand.get("value_class")
+    if vc:
+        typed = (
+            triples.filter((F.col("p") == RDF_TYPE) & (F.col("o") == vc))
+            .select(F.col("s").alias("value")).distinct()
+        )
+        out = out.filter(F.col("value_kind") != KIND_LITERAL) \
+            .join(typed, "value", "left_semi")
+    if operand.get("properties"):
+        value_targets = out.select(
+            F.col("value").alias("focus")).distinct()
+        violators = _operand_violators(
+            triples, value_targets,
+            {"properties": operand["properties"]},
+        ).withColumnRenamed("focus", "value")
+        out = out.join(violators, "value", "left_anti")
+    return out
 
 
 def _combinator_violations(triples, targets, shape):

@@ -65,7 +65,7 @@ class ShaclError(ValueError):
 
 
 _UNSUPPORTED = (
-    "sparql", "qualifiedValueShape",
+    "sparql", "qualifiedValueShapesDisjoint",
     "lessThan", "lessThanOrEquals", "equals", "disjoint",
 )
 
@@ -189,13 +189,18 @@ def _compile_value_alt(idx, node) -> dict:
 
 
 def _compile_operand_shape(idx, node, visiting=frozenset(),
-                           allow_targets=False) -> dict:
-    """A combinator / sh:node operand: a node shape whose constraints
-    are sh:property shapes.  Nested combinators are rejected; targets
-    are rejected on combinator operands and IGNORED on sh:node operands
-    (referencing a targeted named shape is legal — §2.1.3)."""
+                           allow_targets=False,
+                           value_form=False) -> dict:
+    """An operand shape for combinators / sh:node /
+    sh:qualifiedValueShape.  Focus-level combinator operands
+    (``value_form=False``) take sh:property constraints only.
+    Value-form operands additionally accept constraints on the value
+    node itself: value-testing keys (→ ``value_alt``) and ``sh:class``
+    (→ ``value_class``).  Nested combinators are rejected; targets are
+    rejected on combinator operands and IGNORED on referenced named
+    shapes (legal per §2.1.3)."""
     if node in visiting:
-        raise ShaclError(f"cyclic sh:node reference through {node}")
+        raise ShaclError(f"cyclic shape reference through {node}")
     props = idx.get(node)
     if props is None:
         raise ShaclError("shape operand has no triples")
@@ -211,15 +216,24 @@ def _compile_operand_shape(idx, node, visiting=frozenset(),
             if SH + t in props:
                 raise ShaclError("combinator operands must not declare "
                                  "targets")
+    spec: dict = {"id": node}
+    if value_form:
+        alt = _value_constraints(idx, props)
+        if alt:
+            spec["value_alt"] = alt
+        cls = _one_lex(props, "class")
+        if cls is not None:
+            spec["value_class"] = cls
     plist = [
         _compile_property(idx, o, visiting | {node})
         for (o, _ok, _dt, _lg) in props.get(SH + "property", ())
     ]
-    if not plist:
-        raise ShaclError(
-            "shape operand carries no sh:property constraints")
-    plist.sort(key=lambda p: (p["path"], p.get("inverse", False)))
-    return {"id": node, "properties": plist}
+    if plist:
+        plist.sort(key=lambda p: (p["path"], p.get("inverse", False)))
+        spec["properties"] = plist
+    if len(spec) == 1:  # only "id"
+        raise ShaclError("shape operand carries no constraints")
+    return spec
 
 
 def _compile_property(idx, node, visiting=frozenset()) -> dict:
@@ -281,7 +295,25 @@ def _compile_property(idx, node, visiting=frozenset()) -> dict:
     nodev = _one(pprops, "node")
     if nodev is not None:
         spec["node"] = _compile_operand_shape(
-            idx, nodev[0], visiting, allow_targets=True)
+            idx, nodev[0], visiting, allow_targets=True,
+            value_form=True)
+    qv = _one(pprops, "qualifiedValueShape")
+    qmin = _one_int(pprops, "qualifiedMinCount")
+    qmax = _one_int(pprops, "qualifiedMaxCount")
+    if qv is not None:
+        if qmin is None and qmax is None:
+            raise ShaclError(
+                "sh:qualifiedValueShape needs sh:qualifiedMinCount "
+                "and/or sh:qualifiedMaxCount")
+        spec["qualified_shape"] = _compile_operand_shape(
+            idx, qv[0], visiting, allow_targets=True, value_form=True)
+        if qmin is not None:
+            spec["qualified_min"] = qmin
+        if qmax is not None:
+            spec["qualified_max"] = qmax
+    elif qmin is not None or qmax is not None:
+        raise ShaclError(
+            "sh:qualifiedMin/MaxCount without sh:qualifiedValueShape")
     return spec
 
 

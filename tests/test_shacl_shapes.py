@@ -436,3 +436,91 @@ def test_sh_node_cycle_rejected():
     """
     with pytest.raises(ShaclError):
         parse_shapes(shapes)
+
+
+def test_qualified_value_shape_counts(spark):
+    # each team needs 1-2 members that are managers (typed ex:Mgr)
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:Team ;
+      sh:property [ sh:path ex:member ;
+                    sh:qualifiedValueShape [ sh:class ex:Mgr ] ;
+                    sh:qualifiedMinCount 1 ;
+                    sh:qualifiedMaxCount 2 ] .
+    """
+    rows = [
+        (EX + "t1", 1, RDF_TYPE, EX + "Team", 1, None),
+        (EX + "t1", 1, EX + "member", EX + "m1", 1, None),
+        (EX + "t1", 1, EX + "member", EX + "w1", 1, None),
+        (EX + "t2", 1, RDF_TYPE, EX + "Team", 1, None),
+        (EX + "t2", 1, EX + "member", EX + "w2", 1, None),
+        (EX + "t3", 1, RDF_TYPE, EX + "Team", 1, None),
+        (EX + "t3", 1, EX + "member", EX + "m1", 1, None),
+        (EX + "t3", 1, EX + "member", EX + "m2", 1, None),
+        (EX + "t3", 1, EX + "member", EX + "m3", 1, None),
+        (EX + "m1", 1, RDF_TYPE, EX + "Mgr", 1, None),
+        (EX + "m2", 1, RDF_TYPE, EX + "Mgr", 1, None),
+        (EX + "m3", 1, RDF_TYPE, EX + "Mgr", 1, None),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    # t1: 1 manager ok; t2: 0 → qualifiedMinCount; t3: 3 → qualifiedMax
+    assert got == [
+        (EX + "t2", EX + "member", "qualifiedMinCount", "0"),
+        (EX + "t3", EX + "member", "qualifiedMaxCount", "3"),
+    ]
+
+
+def test_qualified_with_value_tests_and_properties(spark):
+    # ≥1 value that is an integer literal AND whose node has ex:ok
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix xsd: <{XSD}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+      sh:property [ sh:path ex:v ;
+                    sh:qualifiedValueShape [ sh:nodeKind sh:IRI ;
+                        sh:property [ sh:path ex:ok ;
+                                      sh:minCount 1 ] ] ;
+                    sh:qualifiedMinCount 1 ] .
+    """
+    rows = [
+        (EX + "a", 1, EX + "v", EX + "good", 1, None),
+        (EX + "good", 1, EX + "ok", "y", 2, None),
+        (EX + "b", 1, EX + "v", EX + "bad", 1, None),   # no ex:ok
+        (EX + "c", 1, EX + "v", "literal", 2, None),    # wrong kind
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [
+        (EX + "b", EX + "v", "qualifiedMinCount", "0"),
+        (EX + "c", EX + "v", "qualifiedMinCount", "0"),
+    ]
+    # note: ex:good is a target too (subject of nothing) — only
+    # subjects of ex:v are targets, so it is not flagged
+
+
+def test_sh_node_value_form_class(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:ref ;
+      sh:property [ sh:path ex:ref ; sh:node [ sh:class ex:T ] ] .
+    """
+    rows = [
+        (EX + "a", 1, EX + "ref", EX + "x", 1, None),
+        (EX + "x", 1, RDF_TYPE, EX + "T", 1, None),
+        (EX + "a", 1, EX + "ref", EX + "y", 1, None),  # untyped
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [(EX + "a", EX + "ref", "node", EX + "y")]
+
+
+def test_qualified_count_without_shape_raises():
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:v ; sh:qualifiedMinCount 1 ] .
+    """
+    with pytest.raises(ShaclError):
+        parse_shapes(shapes)
