@@ -158,6 +158,18 @@ def _values(triples: DataFrame, targets: DataFrame, prop: dict) -> DataFrame:
     return vals.join(targets, "focus")
 
 
+def _pair_values(triples, targets, pred_iri: str) -> DataFrame:
+    """Distinct (focus, value, value_kind) of a pair-constraint's
+    SECOND property, restricted to the targets."""
+    return (
+        triples.filter(F.col("p") == pred_iri)
+        .select(F.col("s").alias("focus"), F.col("o").alias("value"),
+                F.col("o_kind").alias("value_kind"))
+        .join(targets, "focus")
+        .distinct()
+    )
+
+
 def _mk_report(df: DataFrame, shape_id: str, path: str, constraint: str,
                value_col, expected: str) -> DataFrame:
     return df.select(
@@ -412,6 +424,57 @@ def _prop_violations(triples, targets, shape_id, prop):
             .select("focus", "value"),
             shape_id, path, "node", F.col("value"),
             str(node.get("id", "(inline shape)")),
+        ))
+
+    # pair constraints (§4.3): compare this path's value set against a
+    # SECOND property's value set on the same focus node.  Each is one
+    # extra predicate-filtered scan + a per-focus join — value rows,
+    # never documents.
+    eq = prop.get("equals")
+    if eq is not None:
+        other = _pair_values(triples, targets, eq)
+        here = vals.select("focus", "value", "value_kind").distinct()
+        missing_there = here.join(other, ["focus", "value"], "left_anti")
+        missing_here = other.join(here, ["focus", "value"], "left_anti")
+        out.append(_mk_report(
+            missing_there.unionByName(missing_here.select(
+                "focus", "value", "value_kind")),
+            shape_id, path, "equals", F.col("value"), eq,
+        ))
+
+    dj = prop.get("disjoint")
+    if dj is not None:
+        other = _pair_values(triples, targets, dj)
+        out.append(_mk_report(
+            vals.join(other, ["focus", "value"], "left_semi"),
+            shape_id, path, "disjoint", F.col("value"), dj,
+        ))
+
+    for key, name, ok_cmp in (
+            ("less_than", "lessThan", "lt"),
+            ("less_than_or_equals", "lessThanOrEquals", "le")):
+        other_p = prop.get(key)
+        if other_p is None:
+            continue
+        other = _pair_values(triples, targets, other_p).select(
+            "focus", F.col("value").alias("_other"),
+            F.col("value_kind").alias("_other_kind"))
+        v_num = F.col("value").try_cast("decimal(38,9)")
+        o_num = F.col("_other").try_cast("decimal(38,9)")
+        both_num = v_num.isNotNull() & o_num.isNotNull()
+        ok = (v_num < o_num) if ok_cmp == "lt" else (v_num <= o_num)
+        # numeric compare when both lexicals parse; else lexicographic
+        # compare when both sides are literals — anything else is
+        # incomparable ⇒ violation (§4.3.3)
+        s_ok = (F.col("value") < F.col("_other")) if ok_cmp == "lt" \
+            else (F.col("value") <= F.col("_other"))
+        both_lit = ((F.col("value_kind") == KIND_LITERAL)
+                    & (F.col("_other_kind") == KIND_LITERAL))
+        pairs = vals.join(other, "focus")
+        out.append(_mk_report(
+            pairs.filter(~F.when(both_num, ok)
+                         .otherwise(both_lit & s_ok)),
+            shape_id, path, name, F.col("value"), other_p,
         ))
 
     q = prop.get("qualified_shape")

@@ -64,10 +64,7 @@ class ShaclError(ValueError):
     """Unsupported or malformed shapes graph."""
 
 
-_UNSUPPORTED = (
-    "sparql", "qualifiedValueShapesDisjoint",
-    "lessThan", "lessThanOrEquals", "equals", "disjoint",
-)
+_UNSUPPORTED = ("sparql", "qualifiedValueShapesDisjoint")
 
 _NODE_KIND_NAMES = {
     SH + "IRI": "IRI",
@@ -272,6 +269,14 @@ def _compile_property(idx, node, visiting=frozenset()) -> dict:
     hv = _one_lex(pprops, "hasValue")
     if hv is not None:
         spec["has_value"] = hv
+    for key, getter in (("equals", "equals"), ("disjoint", "disjoint"),
+                        ("less_than", "lessThan"),
+                        ("less_than_or_equals", "lessThanOrEquals")):
+        v = _one(pprops, getter)
+        if v is not None:
+            if v[1] != KIND_IRI:
+                raise ShaclError(f"sh:{getter} takes a predicate IRI")
+            spec[key] = v[0]
     if _one_lex(pprops, "uniqueLang") == "true":
         spec["unique_lang"] = True
     spec.update(_value_constraints(idx, pprops))

@@ -238,7 +238,7 @@ def test_unique_lang_and_language_in(spark):
 def test_unsupported_components_raise():
     for frag in ("sh:or ()", "sh:not []",
                  "sh:sparql []",
-                 "sh:property [ sh:path ex:x ; sh:equals ex:y ]",
+                 "sh:property [ sh:path ex:x ; sh:qualifiedValueShape [ sh:class ex:C ] ; sh:qualifiedMinCount 1 ; sh:qualifiedValueShapesDisjoint true ]",
                  "sh:property [ sh:path ( ex:a ex:b ) ; sh:minCount 1 ]"):
         shapes = f"""
         @prefix sh: <{SH}> .
@@ -524,3 +524,61 @@ def test_qualified_count_without_shape_raises():
     """
     with pytest.raises(ShaclError):
         parse_shapes(shapes)
+
+
+def test_pair_constraints_equals_disjoint(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:a ;
+      sh:property [ sh:path ex:a ; sh:equals ex:b ;
+                    sh:disjoint ex:c ] .
+    """
+    rows = [
+        # s1: a={x,y} b={x} → y missing in b; c={x} → disjoint hit on x
+        (EX + "s1", 1, EX + "a", "x", 2, None),
+        (EX + "s1", 1, EX + "a", "y", 2, None),
+        (EX + "s1", 1, EX + "b", "x", 2, None),
+        (EX + "s1", 1, EX + "c", "x", 2, None),
+        # s2: a={v} b={v,w} → w missing in a; c={} fine
+        (EX + "s2", 1, EX + "a", "v", 2, None),
+        (EX + "s2", 1, EX + "b", "v", 2, None),
+        (EX + "s2", 1, EX + "b", "w", 2, None),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert (EX + "s1", EX + "a", "equals", "y") in got
+    assert (EX + "s2", EX + "a", "equals", "w") in got
+    assert (EX + "s1", EX + "a", "disjoint", "x") in got
+    assert len([g for g in got if g[2] == "equals"]) == 2
+    assert len([g for g in got if g[2] == "disjoint"]) == 1
+
+
+def test_pair_constraints_less_than(spark):
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix xsd: <{XSD}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:start ;
+      sh:property [ sh:path ex:start ; sh:lessThan ex:end ] .
+    """
+    I = XSD + "integer"
+    rows = [
+        (EX + "ok", 1, EX + "start", "1", 2, I),
+        (EX + "ok", 1, EX + "end", "2", 2, I),
+        # numeric compare, not lexicographic: 9 < 10
+        (EX + "num", 1, EX + "start", "9", 2, I),
+        (EX + "num", 1, EX + "end", "10", 2, I),
+        (EX + "bad", 1, EX + "start", "5", 2, I),
+        (EX + "bad", 1, EX + "end", "5", 2, I),
+        # incomparable: IRI on the other side
+        (EX + "inc", 1, EX + "start", "1", 2, I),
+        (EX + "inc", 1, EX + "end", EX + "x", 1, None),
+        # string fallback: both plain literals
+        (EX + "str", 1, EX + "start", "apple", 2, None),
+        (EX + "str", 1, EX + "end", "banana", 2, None),
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    assert got == [
+        (EX + "bad", EX + "start", "lessThan", "5"),
+        (EX + "inc", EX + "start", "lessThan", "1"),
+    ]
