@@ -134,28 +134,78 @@ def _targets(triples: DataFrame, shape: dict) -> DataFrame:
     return out.distinct()
 
 
-def _values(triples: DataFrame, targets: DataFrame, prop: dict) -> DataFrame:
-    """(focus, value, value_kind, value_datatype) rows for one property
-    path restricted to the shape's targets."""
-    path = prop["path"]
-    t = triples.filter(F.col("p") == path)
-    if prop.get("inverse"):
-        vals = t.select(
-            F.col("o").alias("focus"),
-            F.col("s").alias("value"),
-            F.col("s_kind").alias("value_kind"),
-            F.lit(None).cast("string").alias("value_datatype"),
-            F.lit(None).cast("string").alias("value_lang"),
-        )
-    else:
-        vals = t.select(
+def _path_values(triples: DataFrame, pathspec) -> DataFrame:
+    """(focus, value, value_kind, value_datatype, value_lang) pair
+    table of a SHACL path expression.
+
+    ``pathspec``: a predicate IRI string, ``("inv", iri)``,
+    ``("seq", [spec, …])`` or ``("alt", [spec, …])`` — arbitrarily
+    nested sequence/alternation; inverses only over predicates (the
+    common shapes; closures are not supported).  Value metadata comes
+    from the final step.  Complex paths deduplicate (SHACL value sets;
+    two routes to the same value are one value node) — a plain
+    predicate stays row-level, exact on a canonical (deduplicated)
+    store and cheaper."""
+    if isinstance(pathspec, str):
+        return triples.filter(F.col("p") == pathspec).select(
             F.col("s").alias("focus"),
             F.col("o").alias("value"),
             F.col("o_kind").alias("value_kind"),
             F.col("o_datatype").alias("value_datatype"),
             F.col("o_lang").alias("value_lang"),
         )
-    return vals.join(targets, "focus")
+    kind, arg = pathspec[0], pathspec[1]
+    if kind == "inv":
+        if not isinstance(arg, str):
+            raise ValueError(
+                "sh:inversePath is supported over predicates only")
+        return triples.filter(F.col("p") == arg).select(
+            F.col("o").alias("focus"),
+            F.col("s").alias("value"),
+            F.col("s_kind").alias("value_kind"),
+            F.lit(None).cast("string").alias("value_datatype"),
+            F.lit(None).cast("string").alias("value_lang"),
+        )
+    if kind == "seq":
+        out = _path_values(triples, arg[0])
+        for step in arg[1:]:
+            nxt = _path_values(triples, step)
+            out = (
+                out.select("focus", F.col("value").alias("_mid"))
+                .join(nxt.withColumnRenamed("focus", "_mid"), "_mid")
+                .drop("_mid")
+            )
+        return out.distinct()
+    if kind == "alt":
+        out = _path_values(triples, arg[0])
+        for branch in arg[1:]:
+            out = out.unionByName(_path_values(triples, branch))
+        return out.distinct()
+    raise ValueError(f"unknown path spec {pathspec!r}")
+
+
+def path_str(pathspec) -> str:
+    """Render a path spec for the report's ``path`` column (SPARQL
+    property-path syntax)."""
+    if isinstance(pathspec, str):
+        return pathspec
+    kind, arg = pathspec[0], pathspec[1]
+    if kind == "inv":
+        return "^" + arg
+    if kind == "seq":
+        return "/".join(path_str(p) for p in arg)
+    if kind == "alt":
+        return "(" + "|".join(path_str(p) for p in arg) + ")"
+    raise ValueError(f"unknown path spec {pathspec!r}")
+
+
+def _values(triples: DataFrame, targets: DataFrame, prop: dict) -> DataFrame:
+    """(focus, value, value_kind, value_datatype) rows for one property
+    path restricted to the shape's targets."""
+    path = prop["path"]
+    if prop.get("inverse"):
+        path = ("inv", path)
+    return _path_values(triples, path).join(targets, "focus")
 
 
 def _pair_values(triples, targets, pred_iri: str) -> DataFrame:
@@ -248,7 +298,8 @@ def _value_pred(spec: dict):
 
 
 def _prop_violations(triples, targets, shape_id, prop):
-    path = prop["path"]
+    path = path_str(("inv", prop["path"]) if prop.get("inverse")
+                    else prop["path"])
     vals = _values(triples, targets, prop)
     out = []
 
@@ -514,8 +565,11 @@ def _closed_violations(triples, targets, shape):
     """sh:closed — every triple on a focus node whose predicate is not
     declared by a (forward) property shape, sh:ignoredProperties, or
     rdf:type is a violation (SHACL §4.8.1)."""
+    # only plain forward predicates "declare" a property for closedness
+    # (a complex path does not license its first predicate — §4.8.1
+    # counts sh:path values that are IRIs)
     allowed = {p["path"] for p in shape.get("properties", ())
-               if not p.get("inverse")}
+               if not p.get("inverse") and isinstance(p["path"], str)}
     allowed.update(shape.get("ignored_properties", ()))
     allowed.add(RDF_TYPE)
     bad = (

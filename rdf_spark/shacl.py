@@ -14,24 +14,30 @@ Supported (SHACL core):
 
 - targets: ``sh:targetClass`` (multiple allowed), ``sh:targetNode``,
   ``sh:targetSubjectsOf``, ``sh:targetObjectsOf``
-- property shapes (``sh:path`` a predicate IRI or
-  ``[ sh:inversePath <p> ]``): ``sh:minCount``/``sh:maxCount``,
+- paths: predicate IRIs, ``[ sh:inversePath <p> ]``, sequence paths
+  ``( <p1> <p2> … )`` and ``[ sh:alternativePath ( … ) ]``,
+  arbitrarily nested (closure paths — zeroOrMorePath family — are
+  not supported)
+- property shapes: ``sh:minCount``/``sh:maxCount``,
   ``sh:datatype``, ``sh:class``, ``sh:nodeKind`` (all six values),
   ``sh:pattern``+``sh:flags``, ``sh:minLength``/``sh:maxLength``,
   ``sh:minInclusive``/``sh:maxInclusive``/``sh:minExclusive``/
   ``sh:maxExclusive``, ``sh:in``, ``sh:hasValue``, ``sh:uniqueLang``,
   ``sh:languageIn``; ``sh:or`` of value-testing alternatives (compiled
   to ONE row-local boolean predicate — alternation costs no extra
-  scans) and ``sh:and`` (constraint merge)
+  scans) and ``sh:and`` (constraint merge); ``sh:node`` (value-node
+  conformance to a referenced/inline shape, arbitrary nesting,
+  compile-time cycle rejection); ``sh:qualifiedValueShape`` +
+  ``sh:qualifiedMin/MaxCount``; pair constraints ``sh:equals`` /
+  ``sh:disjoint`` / ``sh:lessThan`` / ``sh:lessThanOrEquals``
 - node shapes: ``sh:closed`` + ``sh:ignoredProperties``; focus-level
   ``sh:not`` / ``sh:or`` / ``sh:xone`` over operand shapes (violator-set
   algebra: per-operand violator sets joined on focus — bytes per row)
   and ``sh:and`` (operand property shapes inlined)
 
 Deliberate core-subset boundaries (raise :class:`ShaclError`, never
-silently half-validate): nested focus-level combinators, complex paths
-(sequence/alternation/zeroOrMore), ``sh:node`` recursion, qualified
-value shapes, pair constraints (``sh:equals`` …), and SPARQL-based
+silently half-validate): nested focus-level combinators, closure
+paths, ``sh:qualifiedValueShapesDisjoint``, and SPARQL-based
 constraints.  ``sh:class`` tests direct ``rdf:type``
 assertions only — run :func:`rdf_spark.ops.reasoning.rdfs_closure`
 first for subclass entailment; that composition is the idiomatic
@@ -44,7 +50,12 @@ joins, nothing collected.
 """
 from __future__ import annotations
 
-from rdf_spark.ops.shacl import conforms, validate, violation_stats
+from rdf_spark.ops.shacl import (
+    conforms,
+    path_str,
+    validate,
+    violation_stats,
+)
 from rdf_spark.terms import KIND_BLANK, KIND_IRI
 
 __all__ = [
@@ -226,11 +237,46 @@ def _compile_operand_shape(idx, node, visiting=frozenset(),
         for (o, _ok, _dt, _lg) in props.get(SH + "property", ())
     ]
     if plist:
-        plist.sort(key=lambda p: (p["path"], p.get("inverse", False)))
+        plist.sort(key=lambda p: path_str(p["path"]))
         spec["properties"] = plist
     if len(spec) == 1:  # only "id"
         raise ShaclError("shape operand carries no constraints")
     return spec
+
+
+def _compile_path(idx, lex, kind):
+    """SHACL path expression → ops.shacl path spec: predicate IRI,
+    ``("inv", iri)``, ``("seq", [...])``, ``("alt", [...])`` —
+    arbitrarily nested; closures (zeroOrMorePath etc.) and inverse over
+    non-predicates raise."""
+    if kind == KIND_IRI:
+        return lex
+    if kind != KIND_BLANK:
+        raise ShaclError("sh:path must be an IRI or a path expression")
+    node = idx.get(lex)
+    if node is None:
+        raise ShaclError("sh:path expression node has no triples")
+    if RDF_FIRST in node:  # an RDF list = sequence path
+        return ("seq", [
+            _compile_path(idx, m, k)
+            for (m, k) in _rdf_list_nodes(idx, (lex, KIND_BLANK))
+        ])
+    inv = _one(node, "inversePath")
+    if inv is not None:
+        if inv[1] != KIND_IRI:
+            raise ShaclError(
+                "sh:inversePath is supported over predicates only")
+        return ("inv", inv[0])
+    alt = _one(node, "alternativePath")
+    if alt is not None:
+        return ("alt", [
+            _compile_path(idx, m, k)
+            for (m, k) in _rdf_list_nodes(idx, (alt[0], alt[1]))
+        ])
+    for closure in ("zeroOrMorePath", "oneOrMorePath", "zeroOrOnePath"):
+        if SH + closure in node:
+            raise ShaclError(f"sh:{closure} is not supported")
+    raise ShaclError("unrecognized sh:path expression")
 
 
 def _compile_property(idx, node, visiting=frozenset()) -> dict:
@@ -246,18 +292,7 @@ def _compile_property(idx, node, visiting=frozenset()) -> dict:
     path = _one(pprops, "path")
     if path is None:
         raise ShaclError("property shape without sh:path")
-    p_lex, p_kind = path[0], path[1]
-    spec: dict = {}
-    if p_kind == KIND_BLANK:
-        inv = _one(idx.get(p_lex, {}), "inversePath")
-        if inv is None or inv[1] != KIND_IRI:
-            raise ShaclError(
-                "only predicate IRIs and [ sh:inversePath <p> ] are "
-                "supported as sh:path (no sequence/alternation paths)")
-        p_lex, spec["inverse"] = inv[0], True
-    elif p_kind != KIND_IRI:
-        raise ShaclError("sh:path must be an IRI")
-    spec["path"] = p_lex
+    spec: dict = {"path": _compile_path(idx, path[0], path[1])}
     for key, getter in (("min_count", "minCount"),
                         ("max_count", "maxCount")):
         v = _one_int(pprops, getter)
@@ -394,8 +429,7 @@ def parse_shapes(shapes_ttl: str) -> list[dict]:
             for (n, _k) in _rdf_list_nodes(idx, (andv[0], andv[1])):
                 spec["properties"].extend(
                     _compile_operand_shape(idx, n)["properties"])
-        spec["properties"].sort(key=lambda p: (p["path"],
-                                               p.get("inverse", False)))
+        spec["properties"].sort(key=lambda p: path_str(p["path"]))
         shapes.append(spec)
     shapes.sort(key=lambda sp: sp["id"])
     if not shapes:

@@ -140,7 +140,7 @@ def test_inverse_path_and_target_objects_of(spark):
         (EX + "c", 1, EX + "memberOf", EX + "g2", 1, None),
     ]
     got = _viol(shacl_validate(_df(spark, rows), shapes))
-    assert got == [(EX + "g2", EX + "memberOf", "minCount", "1")]
+    assert got == [(EX + "g2", "^" + EX + "memberOf", "minCount", "1")]
 
 
 def test_closed_shape(spark):
@@ -239,7 +239,7 @@ def test_unsupported_components_raise():
     for frag in ("sh:or ()", "sh:not []",
                  "sh:sparql []",
                  "sh:property [ sh:path ex:x ; sh:qualifiedValueShape [ sh:class ex:C ] ; sh:qualifiedMinCount 1 ; sh:qualifiedValueShapesDisjoint true ]",
-                 "sh:property [ sh:path ( ex:a ex:b ) ; sh:minCount 1 ]"):
+                 "sh:property [ sh:path [ sh:zeroOrMorePath ex:a ] ; sh:minCount 1 ]"):
         shapes = f"""
         @prefix sh: <{SH}> .
         @prefix ex: <{EX}> .
@@ -582,3 +582,71 @@ def test_pair_constraints_less_than(spark):
         (EX + "bad", EX + "start", "lessThan", "5"),
         (EX + "inc", EX + "start", "lessThan", "1"),
     ]
+
+
+def test_sequence_path(spark):
+    # every person's address must resolve to a city with a zip ≥ 1000
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix xsd: <{XSD}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+      sh:property [ sh:path ( ex:addr ex:zip ) ;
+                    sh:minCount 1 ; sh:minInclusive 1000 ] .
+    """
+    I = XSD + "integer"
+    rows = [
+        (EX + "p1", 1, RDF_TYPE, EX + "Person", 1, None),
+        (EX + "p1", 1, EX + "addr", EX + "a1", 1, None),
+        (EX + "a1", 1, EX + "zip", "2000", 2, I),
+        (EX + "p2", 1, RDF_TYPE, EX + "Person", 1, None),
+        (EX + "p2", 1, EX + "addr", EX + "a2", 1, None),
+        (EX + "a2", 1, EX + "zip", "7", 2, I),
+        (EX + "p3", 1, RDF_TYPE, EX + "Person", 1, None),  # no addr
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    seq = EX + "addr/" + EX + "zip"
+    assert got == [
+        (EX + "p2", seq, "minInclusive", "7"),
+        (EX + "p3", seq, "minCount", "0"),
+    ]
+
+
+def test_alternative_path_and_nesting(spark):
+    # phone OR (contact/phone), at least one required
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path [ sh:alternativePath
+                        ( ex:phone ( ex:contact ex:phone ) ) ] ;
+                    sh:minCount 1 ] .
+    """
+    rows = [
+        (EX + "d", 1, RDF_TYPE, EX + "T", 1, None),
+        (EX + "d", 1, EX + "phone", "123", 2, None),
+        (EX + "i", 1, RDF_TYPE, EX + "T", 1, None),
+        (EX + "i", 1, EX + "contact", EX + "c1", 1, None),
+        (EX + "c1", 1, EX + "phone", "456", 2, None),
+        (EX + "n", 1, RDF_TYPE, EX + "T", 1, None),  # neither
+    ]
+    got = _viol(shacl_validate(_df(spark, rows), shapes))
+    alt = "(" + EX + "phone|" + EX + "contact/" + EX + "phone)"
+    assert got == [(EX + "n", alt, "minCount", "0")]
+
+
+def test_sequence_path_dedupes_routes(spark):
+    # two routes to the same value node = ONE value (set semantics)
+    shapes = f"""
+    @prefix sh: <{SH}> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetNode ex:r ;
+      sh:property [ sh:path ( ex:a ex:b ) ; sh:maxCount 1 ] .
+    """
+    rows = [
+        (EX + "r", 1, EX + "a", EX + "m1", 1, None),
+        (EX + "r", 1, EX + "a", EX + "m2", 1, None),
+        (EX + "m1", 1, EX + "b", EX + "v", 1, None),
+        (EX + "m2", 1, EX + "b", EX + "v", 1, None),
+    ]
+    assert shacl_validate(_df(spark, rows), shapes).count() == 0
