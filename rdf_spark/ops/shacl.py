@@ -693,15 +693,23 @@ def _combinator_violations(triples, targets, shape):
     return out
 
 
-def validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
+def validate(triples: DataFrame, shapes: list[dict],
+             restrict_focus: DataFrame | None = None) -> DataFrame:
     """Validation report: one row per violation (empty ⇒ conforms).
 
     ``triples``: canonical columns (s, s_kind, p, o, o_kind, o_datatype,
     o_lang); filter ``err`` beforehand.
+
+    ``restrict_focus``: optional 1-column ``focus`` DataFrame — only
+    target nodes in this set are validated (the incremental-validation
+    hook; see :func:`validate_delta`).
     """
     branches = []
     for shape in shapes:
         targets = _targets(triples, shape)
+        if restrict_focus is not None:
+            targets = targets.join(restrict_focus.select("focus")
+                                   .distinct(), "focus")
         for prop in shape.get("properties", ()):
             branches.extend(
                 _prop_violations(triples, targets, shape["id"], prop)
@@ -722,6 +730,45 @@ def validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
 
 def conforms(triples: DataFrame, shapes: list[dict]) -> bool:
     return validate(triples, shapes).isEmpty()
+
+
+def affected_focus(triples: DataFrame, delta: DataFrame,
+                   hops: int = 1) -> DataFrame:
+    """Focus candidates whose verdict can change after a delta: the
+    changed triples' subjects, plus (per hop) every subject in the NEW
+    store pointing at an already-affected node — dependency closure for
+    the non-local constraints (sh:class typed sets, sh:node operand
+    shapes, pair paths).  ``hops`` should be ≥ the deepest sh:node
+    nesting in the shapes graph (1 covers plain class/pair shapes).
+
+    ``delta``: any frame with an ``s`` column — e.g.
+    :func:`rdf_spark.store.snapshot_diff` output (both added and
+    removed rows matter: a removed triple can introduce a minCount
+    violation)."""
+    out = delta.select(F.col("s").alias("focus")).distinct()
+    for _ in range(hops):
+        in_nbrs = (
+            triples.join(out.withColumnRenamed("focus", "o"), "o")
+            .select(F.col("s").alias("focus"))
+        )
+        out = out.unionByName(in_nbrs).distinct()
+    return out
+
+
+def validate_delta(triples: DataFrame, shapes: list[dict],
+                   delta: DataFrame, hops: int = 1) -> DataFrame:
+    """Incremental re-validation after a snapshot delta: validate the
+    NEW store, but only the focus nodes :func:`affected_focus` marks.
+
+    This is the nightly-publish path at 100 TB: the delta is orders of
+    magnitude smaller than the store, and every constraint scan is
+    joined against the (small) affected-focus set — Catalyst broadcasts
+    it, so no full-store shuffle survives.  The result is exactly
+    ``validate(new, shapes)`` restricted to affected focus rows; merge
+    it over the previous report by replacing rows whose focus is
+    affected."""
+    return validate(triples, shapes,
+                    restrict_focus=affected_focus(triples, delta, hops))
 
 
 def violation_stats(triples: DataFrame, shapes: list[dict]) -> DataFrame:

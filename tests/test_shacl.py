@@ -172,3 +172,52 @@ class TestConstraints:
 
     def test_empty_shapes_conforms(self, spark):
         assert conforms(_graph(spark), [])
+
+
+class TestIncremental:
+    def test_validate_delta_matches_full_restricted(self, spark):
+        from rdf_spark.ops.shacl import validate_delta
+        from rdf_spark.store import snapshot_diff
+
+        old_rows = [
+            ("u:p1", KI, terms.RDF_TYPE, "u:Person", KI, None, None),
+            ("u:p1", KI, "u:name", "Ada", KL, XS, None),
+            ("u:p2", KI, terms.RDF_TYPE, "u:Person", KI, None, None),
+            ("u:p2", KI, "u:name", "Bo", KL, XS, None),
+        ]
+        # delta: p2 loses its name (minCount violation appears);
+        # p1 untouched
+        new_rows = old_rows[:3]
+        old, new = _t(spark, old_rows), _t(spark, new_rows)
+        delta = snapshot_diff(old, new)
+        rep = validate_delta(new, SHAPES, delta)
+        got = {(r.focus, r.constraint) for r in rep.collect()}
+        assert got == {("u:p2", "minCount")}
+
+    def test_affected_focus_pulls_in_neighbors(self, spark):
+        from rdf_spark.ops.shacl import affected_focus, validate_delta
+
+        # u:acme loses its rdf:type → p1's sh:class verdict flips even
+        # though no u:p1-subject triple changed
+        new_rows = [
+            ("u:p1", KI, terms.RDF_TYPE, "u:Person", KI, None, None),
+            ("u:p1", KI, "u:name", "Ada", KL, XS, None),
+            ("u:p1", KI, "u:org", "u:acme", KI, None, None),
+        ]
+        new = _t(spark, new_rows)
+        delta = spark.createDataFrame(
+            [("u:acme",)], "s string")  # the changed subject
+        aff = {r.focus for r in affected_focus(new, delta).collect()}
+        assert aff == {"u:acme", "u:p1"}
+        rep = validate_delta(new, SHAPES, delta)
+        got = {(r.focus, r.constraint) for r in rep.collect()}
+        assert got == {("u:p1", "class")}
+
+    def test_restrict_excludes_unaffected(self, spark):
+        from rdf_spark.ops.shacl import validate
+
+        restrict = spark.createDataFrame([("u:p3",)], "focus string")
+        rep = validate(_graph(spark), SHAPES, restrict_focus=restrict)
+        got = {(r.focus, r.constraint) for r in rep.collect()}
+        # p2's violations are filtered out; only p3's minCount remains
+        assert got == {("u:p3", "minCount")}
