@@ -49,6 +49,9 @@ def main(argv=None) -> int:
                     help="SHACL shapes: JSON spec or Turtle shapes graph")
     ap.add_argument("--lists", action="store_true",
                     help="materialize well-formed rdf:Lists + drop audit")
+    ap.add_argument("--report-graph", action="store_true",
+                    help="also write the report as sh:ValidationReport "
+                         "triples (canonical store schema + N-Triples)")
     ap.add_argument("--fail-on-violation", action="store_true")
     args = ap.parse_args(argv)
     if not args.void and not args.shapes and not args.lists:
@@ -97,6 +100,15 @@ def main(argv=None) -> int:
         shapes = _load_shapes(args.shapes)
         report = validate(triples, shapes)
         report.write.mode("overwrite").parquet(args.out + "/shacl_report")
+        if args.report_graph:
+            from rdf_spark.encoders import write_ntriples
+            from rdf_spark.ops.shacl import report_graph
+
+            g = report_graph(
+                spark.read.parquet(args.out + "/shacl_report"))
+            g.write.mode("overwrite").parquet(
+                args.out + "/shacl_report_graph")
+            write_ntriples(g, args.out + "/shacl_report_nt")
         by = (
             spark.read.parquet(args.out + "/shacl_report")
             .groupBy("constraint")

@@ -771,6 +771,90 @@ def validate_delta(triples: DataFrame, shapes: list[dict],
                     restrict_focus=affected_focus(triples, delta, hops))
 
 
+_SH = "http://www.w3.org/ns/shacl#"
+_XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
+
+
+def report_graph(report: DataFrame) -> DataFrame:
+    """Render a validation report as the standard SHACL results
+    vocabulary (sh:ValidationReport / sh:ValidationResult triples in
+    the canonical store schema) so it can be serialized with the
+    repo's own encoders and merged back into a graph store.
+
+    One deterministic blank node per result row (md5 of the row's
+    identity — duplicate rows collapse); the constraint name maps to
+    its sh:*ConstraintComponent IRI mechanically (minCount →
+    sh:MinCountConstraintComponent, …).  ``sh:focusNode`` is emitted
+    with IRI kind (the report does not carry the focus's kind) and
+    ``sh:value`` as a plain literal; ``sh:resultMessage`` carries the
+    report's ``expected`` column.  Pure projection + explode — zero
+    shuffle."""
+    rid = F.concat(F.lit("_:r"), F.md5(F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c), F.lit("\x00")) for c in _REPORT_COLS])))
+    comp = F.concat(
+        F.lit(_SH), F.upper(F.substring("constraint", 1, 1)),
+        F.expr("substring(constraint, 2)"),
+        F.lit("ConstraintComponent"))
+
+    def tr(p, o, o_kind, dt=None):
+        return F.struct(
+            F.lit(p).alias("p"),
+            (o if isinstance(o, F.Column) else F.lit(o)).alias("o"),
+            F.lit(o_kind).cast("int").alias("o_kind"),
+            F.lit(dt).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+
+    results = report.select(
+        rid.alias("s"),
+        F.lit(KIND_BLANK).cast("int").alias("s_kind"),
+        F.explode(F.array_compact(F.array(
+            tr(RDF_TYPE, _SH + "ValidationResult", KIND_IRI),
+            tr(_SH + "resultSeverity", _SH + "Violation", KIND_IRI),
+            tr(_SH + "focusNode", F.col("focus"), KIND_IRI),
+            tr(_SH + "sourceShape", F.col("shape_id"), KIND_IRI),
+            F.when(F.col("path").isNotNull(),
+                   tr(_SH + "resultPath", F.col("path"), KIND_IRI)),
+            tr(_SH + "sourceConstraintComponent", comp, KIND_IRI),
+            F.when(F.col("value").isNotNull(),
+                   tr(_SH + "value", F.col("value"), KIND_LITERAL)),
+            F.when(F.col("expected").isNotNull(),
+                   tr(_SH + "resultMessage", F.col("expected"),
+                      KIND_LITERAL)),
+        ))).alias("t"),
+    ).select("s", "s_kind", "t.*").distinct()
+    conforms_lex = report.agg(F.count(F.lit(1)).alias("n")).select(
+        F.when(F.col("n") == 0, "true").otherwise("false").alias("lex"))
+    header = conforms_lex.select(
+        F.lit("_:report").alias("s"),
+        F.lit(KIND_BLANK).cast("int").alias("s_kind"),
+        F.lit(RDF_TYPE).alias("p"),
+        F.lit(_SH + "ValidationReport").alias("o"),
+        F.lit(KIND_IRI).cast("int").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    ).unionByName(conforms_lex.select(
+        F.lit("_:report").alias("s"),
+        F.lit(KIND_BLANK).cast("int").alias("s_kind"),
+        F.lit(_SH + "conforms").alias("p"),
+        F.col("lex").alias("o"),
+        F.lit(KIND_LITERAL).cast("int").alias("o_kind"),
+        F.lit(_XSD_BOOL).alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    ))
+    links = results.select("s").distinct().select(
+        F.lit("_:report").alias("s"),
+        F.lit(KIND_BLANK).cast("int").alias("s_kind"),
+        F.lit(_SH + "result").alias("p"),
+        F.col("s").alias("o"),
+        F.lit(KIND_BLANK).cast("int").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    return header.unionByName(links).unionByName(results)
+
+
 def violation_stats(triples: DataFrame, shapes: list[dict]) -> DataFrame:
     """Per-(shape, path, constraint) violation counts — the audit
     histogram a publish gate logs."""

@@ -128,3 +128,18 @@ def test_lists_audit(spark, tmp_path, capsys):
     got = sorted((r.head, r.ix, r.member) for r in
                  spark.read.parquet(out + "/rdf_lists").collect())
     assert got == [("c0", 0, "a"), ("c0", 1, "b")]
+
+
+def test_report_graph_output(spark, tmp_path, capsys):
+    tri = _store(spark, tmp_path)
+    out = str(tmp_path / "audit5")
+    rc = kg_audit_job.main([
+        "--triples", tri, "--out", out, "--shapes", _shapes(tmp_path),
+        "--report-graph",
+    ])
+    assert rc == 0
+    g = spark.read.parquet(out + "/shacl_report_graph").collect()
+    SHNS = "http://www.w3.org/ns/shacl#"
+    assert (sum(1 for r in g if r.p == SHNS + "result")) == 1
+    nt = spark.read.text(out + "/shacl_report_nt").collect()
+    assert any("ValidationReport" in r.value for r in nt)

@@ -221,3 +221,53 @@ class TestIncremental:
         got = {(r.focus, r.constraint) for r in rep.collect()}
         # p2's violations are filtered out; only p3's minCount remains
         assert got == {("u:p3", "minCount")}
+
+
+class TestReportGraph:
+    def test_report_graph_roundtrip(self, spark):
+        from rdf_spark.encoders import nt_line_col
+        from rdf_spark.ops.shacl import report_graph
+        from rdf_spark.parsing import parse_ntriples
+
+        SHNS = "http://www.w3.org/ns/shacl#"
+        rep = validate(_graph(spark), SHAPES)
+        g = report_graph(rep)
+        rows = g.collect()
+        by_pred = {}
+        for r in rows:
+            by_pred.setdefault(r.p, []).append(r)
+        assert len(by_pred[SHNS + "result"]) == 4
+        assert len(by_pred[SHNS + "focusNode"]) == 4
+        comps = {r.o for r in by_pred[SHNS + "sourceConstraintComponent"]}
+        assert comps == {
+            SHNS + "MinCountConstraintComponent",
+            SHNS + "MaxCountConstraintComponent",
+            SHNS + "DatatypeConstraintComponent",
+            SHNS + "ClassConstraintComponent",
+        }
+        conf = by_pred[SHNS + "conforms"][0]
+        assert (conf.o, conf.o_datatype) == (
+            "false", "http://www.w3.org/2001/XMLSchema#boolean")
+        # every result bnode is linked from the report node
+        linked = {r.o for r in by_pred[SHNS + "result"]}
+        assert linked == {r.s for r in rows if r.s != "_:report"}
+        # dogfood: the graph serializes through our own encoder and
+        # re-parses to the same triple count
+        nt = g.select(nt_line_col().alias("line"))
+        lines = "\n".join(r.line for r in nt.collect())
+        assert len(parse_ntriples(lines)) == len(rows)
+
+    def test_report_graph_conformant(self, spark):
+        from rdf_spark.ops.shacl import report_graph
+
+        SHNS = "http://www.w3.org/ns/shacl#"
+        ok = _t(spark, [
+            ("u:p1", KI, terms.RDF_TYPE, "u:Person", KI, None, None),
+            ("u:p1", KI, "u:name", "Ada", KL, XS, None),
+            ("u:p1", KI, "u:org", "u:acme", KI, None, None),
+            ("u:acme", KI, terms.RDF_TYPE, "u:Org", KI, None, None),
+        ])
+        g = report_graph(validate(ok, SHAPES)).collect()
+        got = {(r.p, r.o) for r in g}
+        assert (SHNS + "conforms", "true") in got
+        assert len(g) == 2  # type + conforms, no results
