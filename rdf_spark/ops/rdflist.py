@@ -104,7 +104,10 @@ def rdf_lists(
             .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
             .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"),
                     (F.col("x.d") + F.col("y.d")).alias("d"))
-            .filter(F.col("d") <= max_len)
+            # d is a 0-based spine index for the head row; keeping
+            # d ≤ max_len−1 caps materialized lists at max_len cells
+            # exactly (d = max_len would admit length max_len+1)
+            .filter(F.col("d") < max_len)
         )
         e = _distinct_pairs(e.unionByName(doubled)).localCheckpoint()
 
