@@ -3649,6 +3649,152 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(d, target, n=2, n_buckets=4096, alpha=0.01)
 
 
+def q_fuse_values(spark, sf_dir):
+    """Truth-discovery fusion (ops.fusion.fuse_assertions, round-5):
+    six synthetic sources assert each order's status/priority — one
+    source votes TWICE (per-source dedup must count it once), src_c
+    contradicts the status on every third order (trust 4 vs 3+2 — the
+    majority coalition wins), and the priority ties 2-2 on every fifth
+    order (lexicographic-min tie-break: '0AAA' sorts before the
+    digit-led priorities).  FULL replay oracle: the same assertion set
+    and the same three-level weighted vote in SQL.  Three map-side-
+    combinable hash aggregations, no windows, no Python."""
+    from rdf_spark.ops.fusion import fuse_assertions
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("urn:o:"), F.col("o_orderkey")).alias("s"),
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+    )
+    st = F.lit("urn:p:status")
+    pr = F.lit("urn:p:prio")
+    conflict = F.when(F.col("o_orderkey") % 3 == 0, F.lit("XX")) \
+        .otherwise(F.col("o_orderstatus"))
+    tie = F.when(F.col("o_orderkey") % 5 == 0, F.lit("0AAA")) \
+        .otherwise(F.col("o_orderpriority"))
+
+    def vote(p, val, src, trust):
+        return o.select(
+            "s", p.alias("p"), val.alias("o"),
+            F.lit(src).alias("source"), F.lit(trust).alias("trust"),
+        )
+
+    assertions = (
+        vote(st, F.col("o_orderstatus"), "src_a", 3)
+        .unionAll(vote(st, F.col("o_orderstatus"), "src_a", 3))
+        .unionAll(vote(st, F.col("o_orderstatus"), "src_b", 2))
+        .unionAll(vote(st, conflict, "src_c", 4))
+        .unionAll(vote(pr, F.col("o_orderpriority"), "src_a", 2))
+        .unionAll(vote(pr, tie, "src_c", 2))
+    )
+    fused = fuse_assertions(assertions)
+    return fused.select(
+        "s", "p", "o",
+        F.col("support").cast("double").alias("support"),
+        F.col("total").cast("double").alias("total"),
+        "confidence",
+        F.col("n_values").cast("long").alias("n_values"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+    )
+
+
+def q_hearst_hyponyms(spark, sf_dir):
+    """Hearst-pattern hyponymy mining (ops.relations.hearst_candidates,
+    round-5): five planted sentence families over the ORGANIC document
+    text (all-lowercase, so the capitalized-NP patterns cannot fire on
+    it — every organic token is a live false-positive probe).  Each
+    family exercises one pattern: `such as` with a 3-NP and-list,
+    `and other` (hypernym trails), `including`, `, especially`, and
+    `Such X as Y or Z` (or-list).  Closed-form oracle: the planted
+    pairs replayed from doc_id arithmetic.  One narrow JVM regex
+    projection, zero shuffle, zero Python."""
+    from rdf_spark.ops.relations import hearst_candidates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.col("text"),
+        F.concat(F.lit(" Vendors such as Alpha"), i, F.lit(", Beta"), i,
+                 F.lit(" and Gamma"), i, F.lit(" ship parts.")),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(
+            F.lit(" Delta"), i, F.lit(" and other Carriers run routes."),
+        )).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit(" Tools including Epsilon"), i, F.lit(" work."),
+        )).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(
+            F.lit(" Regions, especially Zeta"), i, F.lit(", grow."),
+        )).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(
+            F.lit(" Such Firms as Eta"), i, F.lit(" or Theta"), i,
+            F.lit(" exist."),
+        )).otherwise(F.lit("")),
+    )
+    return hearst_candidates(d.select("doc_id", text.alias("text")))
+
+
+def q_table_triples(spark, sf_dir):
+    """Infobox mining (ops.content.table_to_triples, round-5): each
+    order page carries a header table with two labeled columns (header
+    slugging: 'Order Status' → order_status), a headerless third
+    column (dropped), a second data row with an empty price cell
+    (dropped), plus a header-only table and a stray td (both dropped
+    by the extract/convert pair).  Closed-form oracle: three triples
+    per order.  The cells self-join is the only exchange; the header
+    side is 2/5 of the cell rows and AQE-sized."""
+    from rdf_spark.ops.content import extract_tables, table_to_triples
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("https://kb.example/o/"), F.col("o_orderkey"))
+    html = F.concat(
+        F.lit("<td>stray</td><table><tr><th>Order Status</th>"
+              "<th>Total Price</th><th> </th></tr><tr><td>"),
+        F.col("o_orderstatus"),
+        F.lit("</td><td>"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.lit("</td><td>nohdr</td></tr><tr><td>P"),
+        F.col("o_orderkey"),
+        F.lit("</td><td></td></tr></table>"
+              "<table><tr><th>loner</th></tr></table>"),
+    )
+    pages = _spread(o.select(url.alias("url"), html.alias("html")))
+    t = table_to_triples(extract_tables(pages))
+    return t.select(
+        "url", "s", F.col("s_kind").cast("int").alias("s_kind"),
+        "p", "o", F.col("o_kind").cast("int").alias("o_kind"),
+        "o_datatype", "o_lang",
+    )
+
+
+def q_table_triples_keyed(spark, sf_dir):
+    """Key-column infobox mining (table_to_triples
+    subject_from_first_col=True, round-5): every part page's table
+    names the entity in column 0 ('Part <key>' → subject slug
+    part_<key>); column 0 emits no triple and a keyless second row is
+    dropped whole.  Closed-form oracle: two triples per part."""
+    from rdf_spark.ops.content import extract_tables, table_to_triples
+
+    p = _t(spark, sf_dir, "part")
+    url = F.concat(F.lit("https://kb.example/p/"), F.col("p_partkey"))
+    html = F.concat(
+        F.lit("<table><tr><th>Name</th><th>Retail Price</th>"
+              "<th>Brand</th></tr><tr><td>Part "),
+        F.col("p_partkey"),
+        F.lit("</td><td>"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("string"),
+        F.lit("</td><td>"),
+        F.col("p_brand"),
+        F.lit("</td></tr><tr><td> </td><td>keyless</td><td>x</td></tr>"
+              "</table>"),
+    )
+    pages = _spread(p.select(url.alias("url"), html.alias("html")))
+    t = table_to_triples(extract_tables(pages), subject_from_first_col=True)
+    return t.select(
+        "url", "s", F.col("s_kind").cast("int").alias("s_kind"),
+        "p", "o", F.col("o_kind").cast("int").alias("o_kind"),
+        "o_datatype", "o_lang",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3818,6 +3964,10 @@ _QUERIES = {
         "duplicated_fraction": q_duplicated_fraction,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
+        "fuse_values": q_fuse_values,
+        "hearst_hyponyms": q_hearst_hyponyms,
+        "table_triples": q_table_triples,
+        "table_triples_keyed": q_table_triples_keyed,
     }
 
 
@@ -6546,5 +6696,117 @@ def oracle_sql() -> dict[str, str]:
                          * (CAST(b.sx AS DOUBLE) / n.c), 9) AS cov
             FROM sxy s JOIN sx a ON s.i = a.i JOIN sx b ON s.j = b.i
             CROSS JOIN n
+        """,
+        # FULL replay of the weighted vote: same assertion synthesis
+        # (incl. the duplicate src_a vote), per-source dedup, per-value
+        # support sums, and the (w DESC, o ASC) winner rule; confidence
+        # is the same IEEE double division of exact integer sums
+        "fuse_values": """
+            WITH src AS (
+                SELECT 'urn:o:' || o_orderkey AS s, o_orderkey AS k,
+                       o_orderstatus AS st, o_orderpriority AS pr
+                FROM orders
+            ),
+            a AS (
+                SELECT s, 'urn:p:status' AS p, st AS o,
+                       'src_a' AS source, 3 AS trust FROM src
+                UNION ALL SELECT s, 'urn:p:status', st, 'src_a', 3 FROM src
+                UNION ALL SELECT s, 'urn:p:status', st, 'src_b', 2 FROM src
+                UNION ALL SELECT s, 'urn:p:status',
+                    CASE WHEN k % 3 = 0 THEN 'XX' ELSE st END,
+                    'src_c', 4 FROM src
+                UNION ALL SELECT s, 'urn:p:prio', pr, 'src_a', 2 FROM src
+                UNION ALL SELECT s, 'urn:p:prio',
+                    CASE WHEN k % 5 = 0 THEN '0AAA' ELSE pr END,
+                    'src_c', 2 FROM src
+            ),
+            ps AS (
+                SELECT s, p, o, source, MAX(trust) AS trust
+                FROM a GROUP BY s, p, o, source
+            ),
+            sup AS (
+                SELECT s, p, o, SUM(trust) AS w, COUNT(*) AS ns
+                FROM ps GROUP BY s, p, o
+            ),
+            win AS (
+                SELECT s, p, o, w, ns,
+                       ROW_NUMBER() OVER (PARTITION BY s, p
+                                          ORDER BY w DESC, o ASC) AS rn,
+                       SUM(w) OVER (PARTITION BY s, p) AS total,
+                       COUNT(*) OVER (PARTITION BY s, p) AS n_values,
+                       SUM(ns) OVER (PARTITION BY s, p) AS n_sources
+                FROM sup
+            )
+            SELECT s, p, o,
+                   CAST(w AS DOUBLE) AS support,
+                   CAST(total AS DOUBLE) AS total,
+                   CAST(w AS DOUBLE) / CAST(total AS DOUBLE)
+                       AS confidence,
+                   CAST(n_values AS BIGINT) AS n_values,
+                   CAST(n_sources AS BIGINT) AS n_sources
+            FROM win WHERE rn = 1
+        """,
+        # closed-form: the planted pairs from doc_id arithmetic; the
+        # organic text is all-lowercase so the capitalized-NP patterns
+        # cannot add rows beyond these
+        "hearst_hyponyms": """
+            SELECT doc_id, 'Alpha' || doc_id AS hyponym,
+                   'Vendors' AS hypernym, 'such_as' AS pattern
+            FROM documents
+            UNION ALL SELECT doc_id, 'Beta' || doc_id, 'Vendors',
+                'such_as' FROM documents
+            UNION ALL SELECT doc_id, 'Gamma' || doc_id, 'Vendors',
+                'such_as' FROM documents
+            UNION ALL SELECT doc_id, 'Delta' || doc_id, 'Carriers',
+                'and_other' FROM documents WHERE doc_id % 2 = 0
+            UNION ALL SELECT doc_id, 'Epsilon' || doc_id, 'Tools',
+                'including' FROM documents WHERE doc_id % 3 = 0
+            UNION ALL SELECT doc_id, 'Zeta' || doc_id, 'Regions',
+                'especially' FROM documents WHERE doc_id % 5 = 0
+            UNION ALL SELECT doc_id, 'Eta' || doc_id, 'Firms',
+                'such_np_as' FROM documents WHERE doc_id % 7 = 0
+            UNION ALL SELECT doc_id, 'Theta' || doc_id, 'Firms',
+                'such_np_as' FROM documents WHERE doc_id % 7 = 0
+        """,
+        # closed-form: 3 triples per order (header slugs, row-2 empty
+        # price dropped, headerless col / header-only table / stray td
+        # all absent)
+        "table_triples": """
+            WITH o AS (
+                SELECT 'https://kb.example/o/' || o_orderkey AS url,
+                       o_orderkey AS k, o_orderstatus AS st,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS VARCHAR) AS pr
+                FROM orders
+            )
+            SELECT url, url || '#table-0-row-1' AS s, 1 AS s_kind,
+                   'urn:table:p:order_status' AS p, st AS o,
+                   2 AS o_kind, CAST(NULL AS VARCHAR) AS o_datatype,
+                   CAST(NULL AS VARCHAR) AS o_lang
+            FROM o
+            UNION ALL SELECT url, url || '#table-0-row-1', 1,
+                'urn:table:p:total_price', pr, 2, NULL, NULL FROM o
+            UNION ALL SELECT url, url || '#table-0-row-2', 1,
+                'urn:table:p:order_status', 'P' || k, 2, NULL, NULL
+            FROM o
+        """,
+        # closed-form: 2 triples per part, subject minted from the
+        # slugged column-0 cell ('Part 7' -> part_7); the keyless
+        # second row vanishes whole
+        "table_triples_keyed": """
+            WITH p AS (
+                SELECT 'https://kb.example/p/' || p_partkey AS url,
+                       p_partkey AS k, p_brand AS br,
+                       CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                            AS VARCHAR) AS pr
+                FROM part
+            )
+            SELECT url, url || '#part_' || k AS s, 1 AS s_kind,
+                   'urn:table:p:retail_price' AS p, pr AS o,
+                   2 AS o_kind, CAST(NULL AS VARCHAR) AS o_datatype,
+                   CAST(NULL AS VARCHAR) AS o_lang
+            FROM p
+            UNION ALL SELECT url, url || '#part_' || k, 1,
+                'urn:table:p:brand', br, 2, NULL, NULL FROM p
         """,
     }

@@ -54,7 +54,11 @@ from rdf_spark import chars
     GRAPH_KW,
     BLOCK_START,
     BLOCK_END,
-) = range(33)
+    QT_START,
+    QT_END,
+    ANNOT_START,
+    ANNOT_END,
+) = range(37)
 
 TOKEN_NAMES = {
     EOF: "EOF", EOL: "EOL", ERROR: "error", IRI_ABS: "IRI (absolute)",
@@ -70,6 +74,8 @@ TOKEN_NAMES = {
     COLL_START: "collection start", COLL_END: "collection end",
     GRAPH_KW: "GRAPH", BLOCK_START: "graph block start",
     BLOCK_END: "graph block end",
+    QT_START: "quoted triple start", QT_END: "quoted triple end",
+    ANNOT_START: "annotation start", ANNOT_END: "annotation end",
 }
 
 _EOF_CH = ""  # sentinel "rune" for end of current buffer
@@ -241,8 +247,36 @@ def _h_bnode(l: Lexer):
 
 def _h_iri(l: Lexer):
     l._next()
+    # RDF-star (Turtle-star/N-Triples-star): '<<' opens a quoted triple.
+    # Plain RDF 1.1 inputs are unaffected — a second '<' inside an IRI was
+    # always an error (badIRIRunes, /root/reference/rune.go:13).
+    if l._peek() == "<":
+        l._next()
+        l._ignore()
+        l._emit(QT_START)
+        return _lex_any
     l._ignore()
     return _lex_iri
+
+
+def _h_qt_close(l: Lexer):
+    l._next()
+    if l._peek() != ">":
+        return l._errorf("unexpected character: '>'")
+    l._next()
+    l._ignore()
+    l._emit(QT_END)
+    return _lex_any
+
+
+def _h_annot_close(l: Lexer):
+    l._next()
+    if l._peek() != "}":
+        return l._errorf("unexpected character: '|'")
+    l._next()
+    l._ignore()
+    l._emit(ANNOT_END)
+    return _lex_any
 
 
 def _h_a(l: Lexer):
@@ -398,6 +432,12 @@ def _h_G(l: Lexer):
 
 def _h_block_open(l: Lexer):
     l._next()
+    # RDF-star annotation syntax: '{|' opens an annotation block.
+    if l._peek() == "|":
+        l._next()
+        l._ignore()
+        l._emit(ANNOT_START)
+        return _lex_any
     l._ignore()
     l._emit(BLOCK_START)
     return _lex_any
@@ -800,6 +840,7 @@ _DISPATCH = {
     "t": _h_t, "f": _h_f,
     "G": _h_G, "g": _h_G,
     "{": _h_block_open, "}": _h_block_close,
+    ">": _h_qt_close, "|": _h_annot_close,
 }
 for _d in "0123456789":
     _DISPATCH[_d] = _h_digit

@@ -40,7 +40,7 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 _SKIP_TAGS = frozenset(
     "script style noscript template svg nav footer aside header form "
@@ -323,3 +323,89 @@ def extract_tables(
             yield pd.DataFrame(out)
 
     return pages.mapInPandas(run, schema=schema)
+
+
+def _pred_slug(cell: Column) -> Column:
+    """Header text → predicate local name: lowercase, non-alphanumeric
+    runs collapsed to ``_``, leading/trailing ``_`` stripped — the
+    deterministic slug every engine's regexp_replace reproduces."""
+    slug = F.lower(F.regexp_replace(F.trim(cell), "[^A-Za-z0-9]+", "_"))
+    return F.regexp_replace(slug, "^_+|_+$", "")
+
+
+def table_to_triples(
+    cells: DataFrame,
+    pred_base: str = "urn:table:p:",
+    subject_from_first_col: bool = False,
+    subj_base: str | None = None,
+) -> DataFrame:
+    """Infobox mining: header-row HTML tables → canonical triple rows.
+
+    Input is :func:`extract_tables` output (``url, table, row, col,
+    cell``).  Row 0 of each table is read as the header: each header
+    cell names a predicate (``pred_base`` + slug), and every later row
+    becomes one entity whose cell under that column is the literal
+    object.  Output: ``(url, s, s_kind, p, o, o_kind, o_datatype,
+    o_lang)`` in the canonical schema (§1.4; o_datatype null ⇒
+    xsd:string).
+
+    Subjects: by default one fresh row entity per data row
+    (``<url>#table-T-row-R``).  With ``subject_from_first_col=True``
+    the first column is the entity-key column (subject = ``subj_base or
+    url+'#'`` + slug of the row's column-0 cell; column 0 then emits no
+    triple, and rows with an empty key are dropped whole).
+
+    Dropped, not guessed: empty header cells (their whole column),
+    empty data cells, header-only / single-row tables (no data rows).
+
+    Scale shape: one self-equi-join of the cells table (data rows ×
+    header row on ``(url, table, col)``, plus the key-cell join on
+    ``(url, table, row)`` in key mode) — both sides are the same scan,
+    co-partitioned by the join keys' common prefix, and the header side
+    is ~1/rows of the data side so AQE sizes it; no windows, no Python
+    beyond the upstream extract.
+    """
+    from rdf_spark.terms import KIND_IRI, KIND_LITERAL
+
+    headers = (
+        cells.filter(F.col("row") == 0)
+        .select(
+            "url", "table", "col",
+            _pred_slug(F.col("cell")).alias("_pred"),
+        )
+        .filter(F.col("_pred") != "")
+    )
+    data = cells.filter((F.col("row") > 0) & (F.trim(F.col("cell")) != ""))
+    if subject_from_first_col:
+        keys = (
+            cells.filter((F.col("row") > 0) & (F.col("col") == 0))
+            .select(
+                "url", "table", "row",
+                _pred_slug(F.col("cell")).alias("_key"),
+            )
+            .filter(F.col("_key") != "")
+        )
+        base = (
+            F.lit(subj_base) if subj_base is not None
+            else F.concat(F.col("url"), F.lit("#"))
+        )
+        data = data.filter(F.col("col") > 0).join(
+            keys, ["url", "table", "row"]
+        )
+        subject = F.concat(base, F.col("_key"))
+    else:
+        subject = F.concat(
+            F.col("url"), F.lit("#table-"), F.col("table"),
+            F.lit("-row-"), F.col("row"),
+        )
+    joined = data.join(headers, ["url", "table", "col"])
+    return joined.select(
+        "url",
+        subject.alias("s"),
+        F.lit(KIND_IRI).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit(pred_base), F.col("_pred")).alias("p"),
+        F.col("cell").alias("o"),
+        F.lit(KIND_LITERAL).cast("tinyint").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )

@@ -13,7 +13,10 @@ strict-abort vs quarantine — SURVEY.md §4.1 "fail-fast" row).
 
 from __future__ import annotations
 
+import hashlib
+
 from rdf_spark import lexer as lx
+from rdf_spark.chars import escape_literal
 from rdf_spark.terms import (
     KIND_BLANK,
     KIND_IRI,
@@ -21,6 +24,7 @@ from rdf_spark.terms import (
     DEFAULT_GRAPH,
     RDF_FIRST,
     RDF_NIL,
+    RDF_NS,
     RDF_REST,
     RDF_TYPE,
     RDF_LANG_STRING,
@@ -30,6 +34,14 @@ from rdf_spark.terms import (
     XSD_INTEGER,
     XSD_STRING,
 )
+
+# RDF reification vocabulary — the RDF-1.1-compatible encoding of RDF-star
+# quoted triples (the CG report's "unstar" mapping): each distinct quoted
+# triple becomes one statement node carrying these four triples.
+RDF_STATEMENT = RDF_NS + "Statement"
+RDF_SUBJECT = RDF_NS + "subject"
+RDF_PREDICATE = RDF_NS + "predicate"
+RDF_OBJECT = RDF_NS + "object"
 
 
 class ParseError(ValueError):
@@ -85,6 +97,95 @@ class _TokenStream:
 
 
 # ---------------------------------------------------------------------------
+# RDF-star quoted triples (Turtle-star / N-Triples-star / N-Quads-star)
+# ---------------------------------------------------------------------------
+
+
+def _term_ser(t: tuple) -> str:
+    """Canonical N-Triples serialization of a term 4-tuple — the content
+    key a quoted triple's statement node is minted from."""
+    lex, kind, dt, lang = t
+    if kind == KIND_IRI:
+        return "<%s>" % lex
+    if kind == KIND_BLANK:
+        return lex
+    s = '"%s"' % escape_literal(lex)
+    if lang:
+        return s + "@" + lang
+    if dt is not None and dt != XSD_STRING:
+        return s + "^^<" + dt + ">"
+    return s
+
+
+class _QtMinter:
+    """Per-document quoted-triple → statement-node mapping.
+
+    A GROUND quoted triple (no blank nodes anywhere inside) mints the
+    globally stable IRI ``urn:rdfstar:<md5 of its canonical N-Triples
+    serialization>`` — the same quoted fact in two documents resolves to
+    the same node, so the final dedup merges their annotation edges (the
+    property a fusion layer wants).  A quoted triple CONTAINING a blank
+    node mints the document-scoped blank label ``_:qt<md5>`` instead
+    (its referents are doc-scoped, so the node must be too; the url-keyed
+    skolemizer then makes it globally unique like any other blank).
+
+    Each distinct quoted triple expands ONCE per document into the four
+    standard reification triples (rdf:type rdf:Statement / rdf:subject /
+    rdf:predicate / rdf:object) via the ``emit`` callback.
+    """
+
+    __slots__ = ("memo",)
+
+    def __init__(self):
+        self.memo: dict[str, tuple] = {}
+
+    def term(self, s: tuple, p: tuple, o: tuple, emit) -> tuple:
+        key = "%s %s %s" % (_term_ser(s), _term_ser(p), _term_ser(o))
+        qt = self.memo.get(key)
+        if qt is not None:
+            return qt
+        h = hashlib.md5(key.encode("utf-8")).hexdigest()
+        if s[1] == KIND_BLANK or o[1] == KIND_BLANK:
+            qt = ("_:qt" + h, KIND_BLANK, None, None)
+        else:
+            qt = ("urn:rdfstar:" + h, KIND_IRI, None, None)
+        self.memo[key] = qt
+        emit((qt[0], qt[1], RDF_TYPE, RDF_STATEMENT, KIND_IRI, None, None))
+        emit((qt[0], qt[1], RDF_SUBJECT, s[0], s[1], None, None))
+        emit((qt[0], qt[1], RDF_PREDICATE, p[0], KIND_IRI, None, None))
+        emit((qt[0], qt[1], RDF_OBJECT, o[0], o[1], o[2], o[3]))
+        return qt
+
+
+def _parse_nt_quoted(ts: _TokenStream, qt: _QtMinter, emit) -> tuple:
+    """``<< s p o >>`` in the line formats (N-Triples-star grammar:
+    subject IRI|bnode|quoted, predicate IRI, object any term|quoted)."""
+    tok = ts.expect("quoted subject", lx.IRI_ABS, lx.BNODE, lx.QT_START)
+    if tok.typ == lx.QT_START:
+        s = _parse_nt_quoted(ts, qt, emit)
+    elif tok.typ == lx.BNODE:
+        s = (tok.text, KIND_BLANK, None, None)
+    else:
+        s = (tok.text, KIND_IRI, None, None)
+    ptok = ts.expect("quoted predicate", lx.IRI_ABS)
+    p = (ptok.text, KIND_IRI, None, None)
+    tok = ts.expect(
+        "quoted object", lx.IRI_ABS, lx.BNODE, lx.LITERAL, lx.QT_START
+    )
+    if tok.typ == lx.QT_START:
+        o = _parse_nt_quoted(ts, qt, emit)
+    elif tok.typ == lx.BNODE:
+        o = (tok.text, KIND_BLANK, None, None)
+    elif tok.typ == lx.LITERAL:
+        ol, odt, olang = _parse_nt_object_literal(ts, tok)
+        o = (ol, KIND_LITERAL, odt, olang)
+    else:
+        o = (tok.text, KIND_IRI, None, None)
+    ts.expect("quoted triple end", lx.QT_END)
+    return qt.term(s, p, o, emit)
+
+
+# ---------------------------------------------------------------------------
 # N-Triples / N-Quads (line formats)
 # ---------------------------------------------------------------------------
 
@@ -106,24 +207,37 @@ def _parse_nt_object_literal(ts: _TokenStream, tok: lx.Token):
 
 
 def parse_ntriples(text: str) -> list[tuple]:
-    """Strict whole-document N-Triples parse → list of 7-tuples."""
+    """Strict whole-document N-Triples parse → list of 7-tuples.
+
+    N-Triples-star: ``<< s p o >>`` quoted triples in subject/object
+    position resolve to statement nodes (see :class:`_QtMinter`), each
+    expanding once into the four reification triples."""
     ts = _TokenStream(lx.Lexer(text, line_mode=True))
     out = []
+    qt = _QtMinter()
     while True:
         while ts.peek().typ == lx.EOL:
             ts.next()
         if ts.peek().typ == lx.EOF:
             return out
 
-        tok = ts.expect("subject", lx.IRI_ABS, lx.BNODE)
-        s = tok.text
-        s_kind = KIND_IRI if tok.typ == lx.IRI_ABS else KIND_BLANK
+        tok = ts.expect("subject", lx.IRI_ABS, lx.BNODE, lx.QT_START)
+        if tok.typ == lx.QT_START:
+            s, s_kind = _parse_nt_quoted(ts, qt, out.append)[:2]
+        else:
+            s = tok.text
+            s_kind = KIND_IRI if tok.typ == lx.IRI_ABS else KIND_BLANK
 
         tok = ts.expect("predicate", lx.IRI_ABS)
         p = tok.text
 
-        tok = ts.expect("object", lx.IRI_ABS, lx.BNODE, lx.LITERAL)
-        if tok.typ == lx.BNODE:
+        tok = ts.expect(
+            "object", lx.IRI_ABS, lx.BNODE, lx.LITERAL, lx.QT_START
+        )
+        if tok.typ == lx.QT_START:
+            ot = _parse_nt_quoted(ts, qt, out.append)
+            row = (s, s_kind, p, ot[0], ot[1], None, None)
+        elif tok.typ == lx.BNODE:
             row = (s, s_kind, p, tok.text, KIND_BLANK, None, None)
         elif tok.typ == lx.LITERAL:
             o, o_dt, o_lang = _parse_nt_object_literal(ts, tok)
@@ -138,9 +252,15 @@ def parse_ntriples(text: str) -> list[tuple]:
 
 def parse_nquads(text: str) -> list[tuple]:
     """Strict whole-document N-Quads parse → list of 9-tuples; the default
-    graph is the blank node ``_:defaultGraph`` (decoder.go:89)."""
+    graph is the blank node ``_:defaultGraph`` (decoder.go:89).
+
+    N-Quads-star: quoted triples resolve as in :func:`parse_ntriples`;
+    a statement node's reification triples land in the graph of the
+    FIRST quad that quotes it (later quotes in other graphs reuse the
+    node without re-emitting)."""
     ts = _TokenStream(lx.Lexer(text, line_mode=True))
     out = []
+    qt = _QtMinter()
     while True:
         while ts.peek().typ == lx.EOL:
             ts.next()
@@ -148,16 +268,25 @@ def parse_nquads(text: str) -> list[tuple]:
             return out
 
         g, g_kind = DEFAULT_GRAPH, KIND_BLANK
+        reif: list[tuple] = []
 
-        tok = ts.expect("subject", lx.IRI_ABS, lx.BNODE)
-        s = tok.text
-        s_kind = KIND_IRI if tok.typ == lx.IRI_ABS else KIND_BLANK
+        tok = ts.expect("subject", lx.IRI_ABS, lx.BNODE, lx.QT_START)
+        if tok.typ == lx.QT_START:
+            s, s_kind = _parse_nt_quoted(ts, qt, reif.append)[:2]
+        else:
+            s = tok.text
+            s_kind = KIND_IRI if tok.typ == lx.IRI_ABS else KIND_BLANK
 
         tok = ts.expect("predicate", lx.IRI_ABS)
         p = tok.text
 
-        tok = ts.expect("object", lx.IRI_ABS, lx.BNODE, lx.LITERAL)
-        if tok.typ == lx.BNODE:
+        tok = ts.expect(
+            "object", lx.IRI_ABS, lx.BNODE, lx.LITERAL, lx.QT_START
+        )
+        if tok.typ == lx.QT_START:
+            ot = _parse_nt_quoted(ts, qt, reif.append)
+            o, o_kind, o_dt, o_lang = ot[0], ot[1], None, None
+        elif tok.typ == lx.BNODE:
             o, o_kind, o_dt, o_lang = tok.text, KIND_BLANK, None, None
         elif tok.typ == lx.LITERAL:
             o, o_dt, o_lang = _parse_nt_object_literal(ts, tok)
@@ -177,6 +306,8 @@ def parse_nquads(text: str) -> list[tuple]:
 
         ts.expect("dot (.)", lx.DOT)
         ts.expect("end of line", lx.EOL)
+        for r in reif:
+            out.append(r + (g, g_kind))
         out.append((s, s_kind, p, o, o_kind, o_dt, o_lang, g, g_kind))
 
 
@@ -187,6 +318,7 @@ def parse_nquads(text: str) -> list[tuple]:
 _CTX_TOP = 0
 _CTX_COLL = 1
 _CTX_LIST = 2
+_CTX_ANNOT = 3
 
 # term = (lex, kind, datatype, lang); subjects/predicates use datatype=lang=None
 _NIL_TERM = (RDF_NIL, KIND_IRI, None, None)
@@ -204,6 +336,7 @@ class TurtleParser:
         self.base = base
         self.ns: dict[str, str] = {}
         self.bnode_n = 0
+        self._qt = _QtMinter()
         # current triple: [subj, pred, obj, ctx]; terms are 4-tuples or None
         self.cur = [None, None, None, _CTX_TOP]
         self.stack: list[list] = []
@@ -214,6 +347,83 @@ class TurtleParser:
     def _mint_bnode(self) -> tuple:
         self.bnode_n += 1
         return ("_:b%d" % self.bnode_n, KIND_BLANK, None, None)
+
+    # -- RDF-star (Turtle-star) --------------------------------------------
+
+    def _parse_qt_term(self, subject: bool) -> tuple:
+        """One term inside ``<< … >>`` (Turtle-star grammar: subject is
+        IRI | bnode | quoted; object additionally any literal — no anon
+        bnodes, property lists, or collections inside quoted triples)."""
+        ts = self.ts
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.QT_START:
+            return self._parse_quoted()
+        if typ == lx.IRI_ABS:
+            return (tok.text, KIND_IRI, None, None)
+        if typ == lx.IRI_REL:
+            return (self.base + tok.text, KIND_IRI, None, None)
+        if typ == lx.PREFIX_LABEL:
+            return (self._pname(tok), KIND_IRI, None, None)
+        if typ == lx.BNODE:
+            return (tok.text, KIND_BLANK, None, None)
+        if not subject:
+            if typ in (lx.LITERAL, lx.LITERAL3):
+                o, o_dt, o_lang = tok.text, XSD_STRING, None
+                p = ts.peek()
+                if p.typ == lx.LANG_MARKER:
+                    ts.next()
+                    lt = ts.expect("literal language", lx.LANG)
+                    o_lang = lt.text
+                    o_dt = RDF_LANG_STRING
+                elif p.typ == lx.DT_MARKER:
+                    ts.next()
+                    dt = ts.expect(
+                        "literal datatype", lx.IRI_ABS, lx.PREFIX_LABEL
+                    )
+                    o_dt = dt.text if dt.typ == lx.IRI_ABS else self._pname(dt)
+                return (o, KIND_LITERAL, o_dt, o_lang)
+            if typ == lx.LITERAL_DOUBLE:
+                return (tok.text, KIND_LITERAL, XSD_DOUBLE, None)
+            if typ == lx.LITERAL_DECIMAL:
+                return (tok.text, KIND_LITERAL, XSD_DECIMAL, None)
+            if typ == lx.LITERAL_INTEGER:
+                return (tok.text, KIND_LITERAL, XSD_INTEGER, None)
+            if typ == lx.LITERAL_BOOLEAN:
+                return (tok.text, KIND_LITERAL, XSD_BOOLEAN, None)
+        if typ == lx.ERROR:
+            raise ParseError(tok.line, tok.col, "syntax error: %s" % tok.text)
+        raise ParseError(
+            tok.line, tok.col,
+            "unexpected %s in quoted triple" % lx.TOKEN_NAMES.get(typ, typ),
+        )
+
+    def _parse_quoted(self) -> tuple:
+        """``<< s p o >>`` after QT_START: returns the statement-node
+        term and emits its reification expansion once per document."""
+        ts = self.ts
+        s = self._parse_qt_term(subject=True)
+        tok = ts.next()
+        typ = tok.typ
+        if typ == lx.IRI_ABS:
+            p = (tok.text, KIND_IRI, None, None)
+        elif typ == lx.IRI_REL:
+            p = (self.base + tok.text, KIND_IRI, None, None)
+        elif typ == lx.RDF_TYPE:
+            p = (RDF_TYPE, KIND_IRI, None, None)
+        elif typ == lx.PREFIX_LABEL:
+            p = (self._pname(tok), KIND_IRI, None, None)
+        elif typ == lx.ERROR:
+            raise ParseError(tok.line, tok.col, "syntax error: %s" % tok.text)
+        else:
+            raise ParseError(
+                tok.line, tok.col,
+                "unexpected %s as quoted predicate"
+                % lx.TOKEN_NAMES.get(typ, typ),
+            )
+        o = self._parse_qt_term(subject=False)
+        ts.expect("quoted triple end", lx.QT_END)
+        return self._qt.term(s, p, o, self.out.append)
 
     def _emit(self) -> None:
         s = self.cur[0]
@@ -292,6 +502,8 @@ class TurtleParser:
             self.cur[0] = (tok.text, KIND_BLANK, None, None)
         elif typ == lx.ANON_BNODE:
             self.cur[0] = self._mint_bnode()
+        elif typ == lx.QT_START:
+            self.cur[0] = self._parse_quoted()
         elif typ == lx.PREFIX_LABEL:
             self.cur[0] = (self._pname(tok), KIND_IRI, None, None)
         elif typ == lx.PLIST_START:
@@ -349,6 +561,8 @@ class TurtleParser:
             self.cur[2] = (tok.text, KIND_BLANK, None, None)
         elif typ == lx.ANON_BNODE:
             self.cur[2] = self._mint_bnode()
+        elif typ == lx.QT_START:
+            self.cur[2] = self._parse_quoted()
         elif typ in (lx.LITERAL, lx.LITERAL3):
             o, o_dt, o_lang = tok.text, XSD_STRING, None
             p = ts.peek()
@@ -445,7 +659,28 @@ class TurtleParser:
                 self._push()
                 return None
             return self._parse_end
+        if typ == lx.ANNOT_START:
+            # RDF-star annotation: the just-emitted (s, p, o) is ALSO
+            # quoted; the block's triples hang off its statement node.
+            qt = self._qt.term(
+                self.cur[0], self.cur[1], self.cur[2], self.out.append
+            )
+            self._push()  # resume point: finish the base triple after |}
+            self.cur = [qt, None, None, _CTX_ANNOT]
+            self._push()
+            return None
+        if typ == lx.ANNOT_END:
+            if self.cur[3] != _CTX_ANNOT:
+                raise ParseError(
+                    tok.line, tok.col, "unexpected annotation end"
+                )
+            self._pop()
+            return self._parse_end
         if typ == lx.DOT:
+            if self.cur[3] == _CTX_ANNOT:
+                raise ParseError(
+                    tok.line, tok.col, "dot inside annotation block"
+                )
             if self.cur[3] == _CTX_COLL:
                 return self._parse_end
             return None

@@ -1,0 +1,189 @@
+"""RDF-star (Turtle-star / N-Triples-star / N-Quads-star) decode.
+
+Quoted triples are represented by the RDF-1.1-compatible reification
+expansion (parsing._QtMinter): ground quoted triples mint the globally
+stable ``urn:rdfstar:<md5>`` statement IRI; blank-containing ones mint
+a document-scoped ``_:qt<md5>`` blank node.  No reference analogue —
+/root/reference is RDF 1.1 only (rdf.go:14-22); `<<` was a lex error
+there and stays one for every input the conformance suites cover."""
+import pytest
+
+from rdf_spark.parsing import (
+    RDF_OBJECT,
+    RDF_PREDICATE,
+    RDF_STATEMENT,
+    RDF_SUBJECT,
+    ParseError,
+    TurtleParser,
+    parse_nquads,
+    parse_ntriples,
+)
+from rdf_spark.terms import RDF_TYPE, XSD_DECIMAL, XSD_STRING
+
+
+def _ttl(doc):
+    return TurtleParser(doc).parse_all()
+
+
+def _reif_preds(rows, node):
+    return {r[2] for r in rows if r[0] == node}
+
+
+class TestNTriplesStar:
+    def test_quoted_subject_expands_once(self):
+        rows = parse_ntriples(
+            '<< <urn:s> <urn:p> "v" >> <urn:conf> "0.9" .\n'
+            '<< <urn:s> <urn:p> "v" >> <urn:src> <urn:page> .\n'
+        )
+        stmt = [r for r in rows if r[3] == RDF_STATEMENT]
+        assert len(stmt) == 1
+        node = stmt[0][0]
+        assert node.startswith("urn:rdfstar:") and stmt[0][1] == 1
+        assert _reif_preds(rows, node) == {
+            RDF_TYPE, RDF_SUBJECT, RDF_PREDICATE, RDF_OBJECT,
+            "urn:conf", "urn:src",
+        }
+        # the object reification row keeps the literal's metadata
+        [orow] = [r for r in rows if r[2] == RDF_OBJECT]
+        assert (orow[3], orow[4], orow[5]) == ("v", 2, XSD_STRING)
+
+    def test_quoted_object(self):
+        rows = parse_ntriples(
+            "<urn:a> <urn:saw> << <urn:s> <urn:p> <urn:o> >> .\n")
+        [base] = [r for r in rows if r[0] == "urn:a"]
+        assert base[3].startswith("urn:rdfstar:") and base[4] == 1
+
+    def test_blank_inside_makes_blank_statement_node(self):
+        rows = parse_ntriples(
+            "<< _:x <urn:p> <urn:o> >> <urn:src> <urn:page> .\n")
+        [stmt] = [r for r in rows if r[3] == RDF_STATEMENT]
+        assert stmt[0].startswith("_:qt") and stmt[1] == 0
+
+    def test_nested_quoted(self):
+        rows = parse_ntriples(
+            "<< << <urn:s> <urn:p> <urn:o> >> <urn:q> <urn:z> >> "
+            "<urn:conf> \"1\" .\n")
+        stmts = [r for r in rows if r[3] == RDF_STATEMENT]
+        assert len(stmts) == 2
+        inner = [r for r in rows if r[2] == RDF_SUBJECT
+                 and r[3].startswith("urn:rdfstar:")]
+        assert len(inner) == 1  # outer's subject IS the inner node
+
+    def test_determinism_across_documents(self):
+        a = parse_ntriples('<< <urn:s> <urn:p> "v" >> <urn:c> "1" .\n')
+        b = parse_ntriples('<< <urn:s> <urn:p> "v" >> <urn:c> "2" .\n')
+        assert a[0][0] == b[0][0]  # same ground fact, same IRI
+
+    def test_malformed(self):
+        for bad in [
+            "<< <urn:s> <urn:p> . \n",
+            "<< <urn:s> <urn:p> <urn:o> <urn:g> >> <urn:q> <urn:z> .\n",
+            "<urn:s> << <urn:a> <urn:b> <urn:c> >> <urn:o> .\n",
+            "<urn:s> <urn:p> <urn:o> >> .\n",
+        ]:
+            with pytest.raises(ParseError):
+                parse_ntriples(bad)
+
+
+class TestNQuadsStar:
+    def test_reification_lands_in_quad_graph(self):
+        rows = parse_nquads(
+            '<< <urn:s> <urn:p> <urn:o> >> <urn:c> "1" <urn:g1> .\n')
+        assert {r[7] for r in rows} == {"urn:g1"}
+        assert len(rows) == 5
+
+    def test_second_graph_reuses_node(self):
+        rows = parse_nquads(
+            '<< <urn:s> <urn:p> <urn:o> >> <urn:c> "1" <urn:g1> .\n'
+            '<< <urn:s> <urn:p> <urn:o> >> <urn:c> "2" <urn:g2> .\n'
+        )
+        stmts = [r for r in rows if r[3] == RDF_STATEMENT]
+        assert len(stmts) == 1 and stmts[0][7] == "urn:g1"
+        g2 = [r for r in rows if r[7] == "urn:g2"]
+        assert len(g2) == 1 and g2[0][0] == stmts[0][0]
+
+
+class TestTurtleStar:
+    def test_quoted_with_pnames_and_shorthand(self):
+        rows = _ttl("@prefix ex: <urn:ex:> .\n"
+                    "<< ex:s a ex:T >> ex:conf 0.9 .\n")
+        [stmt] = [r for r in rows if r[3] == RDF_STATEMENT]
+        [prow] = [r for r in rows if r[2] == RDF_PREDICATE]
+        assert prow[3] == RDF_TYPE
+        [conf] = [r for r in rows if r[2] == "urn:ex:conf"]
+        assert (conf[0], conf[5]) == (stmt[0], XSD_DECIMAL)
+
+    def test_annotation_asserts_base_triple(self):
+        rows = _ttl('@prefix ex: <urn:ex:> .\n'
+                    'ex:s ex:p "v" {| ex:src ex:page ; ex:conf 0.9 |} .\n')
+        assert ("urn:ex:s", 1, "urn:ex:p", "v", 2, XSD_STRING, None) in rows
+        [stmt] = [r for r in rows if r[3] == RDF_STATEMENT]
+        assert _reif_preds(rows, stmt[0]) == {
+            RDF_TYPE, RDF_SUBJECT, RDF_PREDICATE, RDF_OBJECT,
+            "urn:ex:src", "urn:ex:conf",
+        }
+
+    def test_annotation_then_more_objects(self):
+        rows = _ttl('@prefix ex: <urn:ex:> .\n'
+                    'ex:s ex:p "v" {| ex:c 1 |} , "w" ; ex:q "z" .\n')
+        plain = [(r[0], r[2], r[3]) for r in rows
+                 if not r[0].startswith("urn:rdfstar:")]
+        assert ("urn:ex:s", "urn:ex:p", "w") in plain
+        assert ("urn:ex:s", "urn:ex:q", "z") in plain
+
+    def test_annotation_matches_quoted_node(self):
+        a = _ttl('<urn:s> <urn:p> "v" {| <urn:c> "1" |} .\n')
+        b = _ttl('<< <urn:s> <urn:p> "v" >> <urn:c> "1" .\n')
+        na = [r for r in a if r[3] == RDF_STATEMENT][0][0]
+        nb = [r for r in b if r[3] == RDF_STATEMENT][0][0]
+        assert na == nb
+
+    def test_nested_annotation(self):
+        rows = _ttl('<urn:s> <urn:p> "v" {| <urn:q> "z" '
+                    '{| <urn:r> "y" |} |} .\n')
+        stmts = [r for r in rows if r[3] == RDF_STATEMENT]
+        assert len(stmts) == 2
+
+    def test_quoted_subject_of_statement(self):
+        rows = _ttl("<< <urn:s> <urn:p> <urn:o> >> <urn:c> <urn:z> .\n")
+        [c] = [r for r in rows if r[2] == "urn:c"]
+        assert c[0].startswith("urn:rdfstar:")
+
+    def test_malformed(self):
+        for bad in [
+            '<urn:s> <urn:p> "v" {| <urn:q> "z" . |} .\n',   # dot inside
+            '<urn:s> <urn:p> "v" |} .\n',                    # stray close
+            "<< [] <urn:p> <urn:o> >> <urn:c> <urn:z> .\n",  # anon inside
+            "<< (1) <urn:p> <urn:o> >> <urn:c> <urn:z> .\n", # coll inside
+            "<< <urn:s> <urn:p> <urn:o> > <urn:c> <urn:z> .\n",
+        ]:
+            with pytest.raises(ParseError):
+                _ttl(bad)
+
+
+class TestSparkDecode:
+    """Star docs flow through the document decoders; the flat-Turtle
+    arrow fast path must not claim `<<` lines (scheme-anchored IRI
+    class) — differential vs the exact parser."""
+
+    def test_turtle_star_via_decoder(self, spark):
+        from rdf_spark.sources import parse_documents
+
+        docs = spark.createDataFrame(
+            [("u1", '<urn:s> <urn:p> "v" {| <urn:conf> "0.9" |} .')],
+            "url string, text string")
+        out = parse_documents(docs, fmt="turtle").collect()
+        assert [r for r in out if r.err is not None] == []
+        assert len(out) == 6  # base + 4 reification + annotation
+        stmt = [r.s for r in out if r.o == RDF_STATEMENT][0]
+        assert {r.s for r in out} == {"urn:s", stmt}
+
+    def test_nt_star_via_line_reader(self, spark):
+        from rdf_spark.sources import parse_lines_df
+
+        lines = spark.createDataFrame(
+            [('<< <urn:s> <urn:p> <urn:o> >> <urn:conf> "1" .',)],
+            "value string")
+        out = parse_lines_df(lines, fmt="ntriples").collect()
+        assert [r for r in out if r.err is not None] == []
+        assert len(out) == 5
