@@ -3795,6 +3795,38 @@ def q_table_triples_keyed(spark, sf_dir):
     )
 
 
+def q_turtle_star_parse(spark, sf_dir):
+    """RDF-star decode (round-5): every order page asserts its price
+    with a {| source ; confidence |} annotation block AND quotes its
+    status unasserted via << >> subject position — so annotation
+    emission, ground-statement-IRI minting (urn:rdfstar:<md5>), and
+    memoized reification expansion are all load-bearing.  Closed-form
+    oracle: DuckDB rebuilds the statement IRIs with ITS md5 over the
+    same canonical key.  Same narrow mapInPandas stage as
+    `turtle_parse`; `<<`/`{|` lines are provably unsafe for the arrow
+    flat path (scheme-anchored IRI class) so the exact tokenizer runs."""
+    docs = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("urn:doc:"), F.col("o_orderkey")).alias("url"),
+        F.concat(
+            F.lit("<urn:order:"), F.col("o_orderkey"),
+            F.lit('> <urn:p:price> "'),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+            F.lit('" {| <urn:p:src> <urn:crawl:'), F.col("o_orderkey") % 4,
+            F.lit("> ; <urn:p:conf> 0.9 |} .\n"
+                  "<< <urn:order:"), F.col("o_orderkey"),
+            F.lit('> <urn:p:status> "'), F.col("o_orderstatus"),
+            F.lit('" >> <urn:p:src> <urn:crawl:'), F.col("o_orderkey") % 4,
+            F.lit("> .\n"),
+        ).alias("text"),
+    )
+    tri = sources.parse_documents(_spread(docs), fmt="turtle",
+                                  base_from_url=False)
+    return tri.filter(F.col("err").isNull()).select(
+        "s", "p", "o", F.col("o_kind").cast("int").alias("o_kind"),
+        "o_datatype",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3964,6 +3996,7 @@ _QUERIES = {
         "duplicated_fraction": q_duplicated_fraction,
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
+        "turtle_star_parse": q_turtle_star_parse,
         "fuse_values": q_fuse_values,
         "hearst_hyponyms": q_hearst_hyponyms,
         "table_triples": q_table_triples,
@@ -6696,6 +6729,58 @@ def oracle_sql() -> dict[str, str]:
                          * (CAST(b.sx AS DOUBLE) / n.c), 9) AS cov
             FROM sxy s JOIN sx a ON s.i = a.i JOIN sx b ON s.j = b.i
             CROSS JOIN n
+        """,
+        # closed-form replay of the reification expansion; DuckDB's
+        # md5() rebuilds the ground statement IRIs from the identical
+        # canonical N-Triples key
+        "turtle_star_parse": f"""
+            WITH o AS (
+                SELECT 'urn:order:' || o_orderkey AS subj,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS VARCHAR) AS pr,
+                       o_orderstatus AS st,
+                       'urn:crawl:' || (o_orderkey % 4) AS src
+                FROM orders
+            ), q AS (
+                SELECT subj, pr, st, src,
+                       'urn:rdfstar:' || md5('<' || subj ||
+                           '> <urn:p:price> "' || pr || '"') AS qt1,
+                       'urn:rdfstar:' || md5('<' || subj ||
+                           '> <urn:p:status> "' || st || '"') AS qt2
+                FROM o
+            )
+            SELECT subj AS s, 'urn:p:price' AS p, pr AS o, 2 AS o_kind,
+                   '{XSD_STRING}' AS o_datatype FROM q
+            UNION ALL SELECT qt1,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement',
+                1, NULL FROM q
+            UNION ALL SELECT qt1,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject',
+                subj, 1, NULL FROM q
+            UNION ALL SELECT qt1,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate',
+                'urn:p:price', 1, NULL FROM q
+            UNION ALL SELECT qt1,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
+                pr, 2, '{XSD_STRING}' FROM q
+            UNION ALL SELECT qt1, 'urn:p:src', src, 1, NULL FROM q
+            UNION ALL SELECT qt1, 'urn:p:conf', '0.9', 2,
+                '{terms.XSD_DECIMAL}' FROM q
+            UNION ALL SELECT qt2,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement',
+                1, NULL FROM q
+            UNION ALL SELECT qt2,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject',
+                subj, 1, NULL FROM q
+            UNION ALL SELECT qt2,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate',
+                'urn:p:status', 1, NULL FROM q
+            UNION ALL SELECT qt2,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
+                st, 2, '{XSD_STRING}' FROM q
+            UNION ALL SELECT qt2, 'urn:p:src', src, 1, NULL FROM q
         """,
         # FULL replay of the weighted vote: same assertion synthesis
         # (incl. the duplicate src_a vote), per-source dedup, per-value

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from rdf_spark import encoders, sources
 
 DECODERS = {"ntriples", "nquads", "turtle", "trig", "jsonld", "rdfxml"}
-ENCODERS = {"ntriples", "nquads", "turtle", "trig", "jsonld", "rdfxml"}
+ENCODERS = {"ntriples", "nquads", "turtle", "trig", "jsonld", "rdfxml",
+            "ntriples-star"}
 
 
 def read_rdf(spark: SparkSession, path: str, fmt: str, base: str = "",
@@ -60,6 +61,11 @@ def write_rdf(df: DataFrame, path: str, fmt: str) -> None:
         raise ValueError(f"no encoder for format: {fmt}")
     if fmt == "ntriples":
         encoders.write_ntriples(df, path)
+    elif fmt == "ntriples-star":
+        # fold reification statements back into << >> quoted terms
+        from rdf_spark.rdfstar import write_ntriples_star
+
+        write_ntriples_star(df, path)
     elif fmt == "nquads":
         encoders.write_nquads(_ensure_graph_cols(df), path)
     elif fmt == "jsonld":

@@ -187,3 +187,88 @@ class TestSparkDecode:
         out = parse_lines_df(lines, fmt="ntriples").collect()
         assert [r for r in out if r.err is not None] == []
         assert len(out) == 5
+
+
+_TRIPLE_DDL = ("s string, s_kind tinyint, p string, o string, "
+               "o_kind tinyint, o_datatype string, o_lang string")
+
+
+class TestStarEncode:
+    """encode_ntriples_star: reification → << >> folding, round-trip."""
+
+    def _df(self, spark, docs):
+        rows = []
+        for d in docs:
+            rows.extend(TurtleParser(d).parse_all())
+        return rows, spark.createDataFrame(rows, _TRIPLE_DDL)
+
+    def _lines(self, df):
+        from rdf_spark.rdfstar import encode_ntriples_star
+
+        return [r.value for r in encode_ntriples_star(df).collect()]
+
+    def test_round_trip_identity(self, spark):
+        rows, df = self._df(spark, [
+            '<urn:s> <urn:p> "v" {| <urn:src> <urn:page> ; '
+            "<urn:conf> 0.9 |} .\n",
+            '<< <urn:a> <urn:b> <urn:c> >> <urn:q> "z"@en .\n',
+            '<< << <urn:s> <urn:p> "v" >> <urn:q> <urn:z> >> '
+            '<urn:meta> "m" .\n',
+            '<urn:x> <urn:y> "plain" .\n',
+        ])
+        lines = self._lines(df)
+        reparsed = parse_ntriples("\n".join(lines) + "\n")
+        # set semantics: the doc-1/doc-3 shared quote dedups on encode
+        assert set(map(tuple, reparsed)) == set(map(tuple, rows))
+        assert len(reparsed) == len(set(map(tuple, rows)))
+
+    def test_folds_to_quoted_syntax(self, spark):
+        _, df = self._df(
+            spark, ['<< <urn:a> <urn:b> <urn:c> >> <urn:q> "z" .\n'])
+        lines = self._lines(df)
+        assert lines == ['<< <urn:a> <urn:b> <urn:c> >> <urn:q> "z" .']
+
+    def test_unreferenced_statement_not_erased(self, spark):
+        rows, _ = self._df(
+            spark, ['<< <urn:a> <urn:b> <urn:c> >> <urn:q> "z" .\n'])
+        bare = [r for r in rows if r[2] != "urn:q"]
+        df = spark.createDataFrame(bare, _TRIPLE_DDL)
+        lines = self._lines(df)
+        assert len(lines) == 4
+        assert set(map(tuple, parse_ntriples("\n".join(lines) + "\n"))) \
+            == set(map(tuple, bare))
+
+    def test_conflicting_parts_disqualify(self, spark):
+        rows, _ = self._df(
+            spark, ['<< <urn:a> <urn:b> <urn:c> >> <urn:q> "z" .\n'])
+        # second, CONFLICTING rdf:object for the same node
+        node = rows[0][0]
+        rows = rows + [(node, 1, RDF_OBJECT, "urn:other", 1, None, None)]
+        df = spark.createDataFrame(rows, _TRIPLE_DDL)
+        lines = self._lines(df)
+        assert not any("<<" in l for l in lines)
+        assert set(map(tuple, parse_ntriples("\n".join(lines) + "\n"))) \
+            == set(map(tuple, rows))
+
+    def test_plain_graph_untouched(self, spark):
+        rows, df = self._df(spark, [
+            '<urn:x> <urn:y> "plain"@en .\n<urn:x> <urn:z> 4 .\n'])
+        lines = self._lines(df)
+        assert sorted(lines) == sorted([
+            '<urn:x> <urn:y> "plain"@en .',
+            '<urn:x> <urn:z> "4"^^<http://www.w3.org/2001/XMLSchema'
+            "#integer> .",
+        ])
+
+    def test_convert_registry(self, spark, tmp_path):
+        from rdf_spark.convert import write_rdf
+
+        _, df = self._df(
+            spark, ['<< <urn:a> <urn:b> <urn:c> >> <urn:q> "z" .\n'])
+        out = str(tmp_path / "star")
+        write_rdf(df, out, "ntriples-star")
+        import glob
+
+        text = "".join(
+            open(f).read() for f in glob.glob(out + "/part-*"))
+        assert "<< <urn:a> <urn:b> <urn:c> >>" in text
