@@ -209,6 +209,10 @@ def main() -> int:
         "chunk_documents",
         "rdf_lists",
         "wat_links",
+        "turtle_star_parse",
+        "fuse_values",
+        "hearst_hyponyms",
+        "table_triples",
     ]
 
     timings: dict[str, float] = {}
