@@ -3827,6 +3827,57 @@ def q_turtle_star_parse(spark, sf_dir):
     )
 
 
+def q_sparql_star(spark, sf_dir):
+    """SPARQL-star quoted-triple patterns (round-5): two << ?ord
+    <urn:p:price> ?price >> patterns (one joined to its source, one
+    pinning confidence "0.9") over a store holding the reification
+    encoding the star decoder emits.  Each quoted pattern desugars to a
+    fresh ?_qt var + 4 reification patterns — a plain bgp_match
+    equi-join tree, nothing stateful.  Closed-form oracle: the odd-key
+    orders (the 0.9-confidence slice)."""
+    from rdf_spark.sparql import sparql_select
+    from rdf_spark.terms import KIND_IRI, KIND_LITERAL
+
+    o = _t(spark, sf_dir, "orders")
+    stmt = F.concat(F.lit("urn:stmt:"), F.col("o_orderkey"))
+    ik = F.lit(KIND_IRI).cast("tinyint")
+    lk = F.lit(KIND_LITERAL).cast("tinyint")
+    nstr = F.lit(None).cast("string")
+    price = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+    conf = F.when(F.col("o_orderkey") % 2 == 1, "0.9").otherwise("0.4")
+
+    def tri(p, obj, okind):
+        return o.select(
+            stmt.alias("s"), ik.alias("s_kind"), F.lit(p).alias("p"),
+            obj.alias("o"), okind.alias("o_kind"),
+            nstr.alias("o_datatype"), nstr.alias("o_lang"),
+        )
+
+    from rdf_spark.parsing import (
+        RDF_OBJECT, RDF_PREDICATE, RDF_STATEMENT, RDF_SUBJECT,
+    )
+    from rdf_spark.terms import RDF_TYPE as _T
+
+    store = (
+        tri(_T, F.lit(RDF_STATEMENT), ik)
+        .unionByName(tri(
+            RDF_SUBJECT,
+            F.concat(F.lit("urn:order:"), F.col("o_orderkey")), ik))
+        .unionByName(tri(RDF_PREDICATE, F.lit("urn:p:price"), ik))
+        .unionByName(tri(RDF_OBJECT, price, lk))
+        .unionByName(tri(
+            "urn:src",
+            F.concat(F.lit("urn:crawl:"), F.col("o_orderkey") % 4), ik))
+        .unionByName(tri("urn:conf", conf, lk))
+    )
+    return sparql_select(store, """
+        SELECT ?ord ?price ?src WHERE {
+            << ?ord <urn:p:price> ?price >> <urn:src> ?src .
+            << ?ord <urn:p:price> ?price >> <urn:conf> "0.9"
+        }
+    """)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3997,6 +4048,7 @@ _QUERIES = {
         "embedding_covariance": q_embedding_covariance,
         "k_truss": q_k_truss,
         "turtle_star_parse": q_turtle_star_parse,
+        "sparql_star": q_sparql_star,
         "fuse_values": q_fuse_values,
         "hearst_hyponyms": q_hearst_hyponyms,
         "table_triples": q_table_triples,
@@ -6781,6 +6833,14 @@ def oracle_sql() -> dict[str, str]:
                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
                 st, 2, '{XSD_STRING}' FROM q
             UNION ALL SELECT qt2, 'urn:p:src', src, 1, NULL FROM q
+        """,
+        # closed-form: the odd-key (confidence-0.9) orders
+        "sparql_star": """
+            SELECT 'urn:order:' || o_orderkey AS ord,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+                       AS price,
+                   'urn:crawl:' || (o_orderkey % 4) AS src
+            FROM orders WHERE o_orderkey % 2 = 1
         """,
         # FULL replay of the weighted vote: same assertion synthesis
         # (incl. the duplicate src_a vote), per-source dedup, per-value

@@ -210,6 +210,7 @@ def main() -> int:
         "rdf_lists",
         "wat_links",
         "turtle_star_parse",
+        "sparql_star",
         "fuse_values",
         "hearst_hyponyms",
         "table_triples",

@@ -113,6 +113,36 @@ _META_SRC = {
 META_COLS = ("s_kind", "o_kind", "o_datatype", "o_lang")
 
 
+def _bgp_pattern_vars(pat: tuple) -> set:
+    return {
+        t[1:] for t in pat
+        if isinstance(t, str) and t.startswith("?")
+    }
+
+
+def _connected_order(patterns: list[tuple]) -> list[tuple]:
+    """Greedy stable reorder keeping the join tree connected where
+    possible: seed with the first pattern, then repeatedly take the
+    EARLIEST remaining pattern sharing a variable with the bound set
+    (falling back to the earliest pattern when the BGP is genuinely
+    disconnected — that cross product is the query's semantics)."""
+    if len(patterns) < 3:
+        return patterns
+    remaining = list(patterns)
+    out = [remaining.pop(0)]
+    bound = _bgp_pattern_vars(out[0])
+    while remaining:
+        pick = 0
+        for j, pat in enumerate(remaining):
+            if _bgp_pattern_vars(pat) & bound:
+                pick = j
+                break
+        pat = remaining.pop(pick)
+        out.append(pat)
+        bound |= _bgp_pattern_vars(pat)
+    return out
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -152,6 +182,15 @@ def bgp_match(
         missing = [c for c in META_COLS if c not in triples.columns]
         if missing:
             raise ValueError(f"carry_meta needs metadata columns {missing}")
+    else:
+        # join-graph-aware greedy reorder: always join a pattern that
+        # shares a variable with what is already bound, so a poorly
+        # ordered BGP doesn't silently build an O(n^2)-row cross product
+        # (the crossJoin below) when a connected order exists.  Stable:
+        # an already-connected order is returned unchanged.  Skipped for
+        # carry_meta (the "FIRST binding's metadata wins" contract is
+        # defined over the written pattern order).
+        patterns = _connected_order(patterns)
     out = None
     bound: set[str] = set()
 

@@ -226,12 +226,13 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
             v = m.group(kind)
             if v is not None:
                 if kind == "var" and v[1:].startswith(
-                    ("_pp", "_meta_", "_path_m")
+                    ("_pp", "_meta_", "_path_m", "_qt")
                 ):
                     raise SparqlError(
                         f"variable {v} uses a reserved prefix: ?_pp* "
                         "(path rewriting), ?_meta_* (term metadata), "
-                        "?_path_m* (path markers)"
+                        "?_path_m* (path markers), ?_qt* (quoted-triple "
+                        "rewriting)"
                     )
                 out.append((kind, v))
                 break
@@ -346,6 +347,9 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._ppn = 0  # fresh-variable counter for path-sequence rewriting
+        self._qtn = 0  # fresh-variable counter for quoted-triple patterns
+        self._qt_ok = False  # << >> legal only inside group patterns
+        self._pending_qt: list[tuple[str, str, str, str]] = []
 
     def prologue(self):
         """Zero or more `PREFIX ns: <iri>` declarations."""
@@ -825,14 +829,38 @@ class _Parser:
                         raise SparqlError("empty VALUES block")
                     g.values.append(([var[1][1:]], [(v,) for v in vals]))
             else:
+                self._qt_ok = True
                 s = self.term("s")
                 path = self.path_expr()
                 o = self.term("o")
+                self._qt_ok = False
+                # quoted-triple expansions FIRST (their subject/object
+                # patterns bind the shared vars), then the base pattern
+                # that uses the ?_qt vars — keeps the join tree connected
+                self._flush_qt(g)
                 self._plant_path(g, s, path, o)
             if self.peek() == ("op", "."):
                 self.next()
 
     _PATH_ATOMS = ("pred", "ipred", "nps", "inps")
+
+    def _flush_qt(self, g: "_Group"):
+        """Expand collected << s p o >> patterns: each quoted triple adds
+        its four reification patterns on the fresh ?_qt var (the exact
+        encoding rdf_spark.parsing's star decoder materializes), so star
+        queries run against star-decoded stores with zero extra state."""
+        from rdf_spark.parsing import (
+            RDF_OBJECT, RDF_PREDICATE, RDF_STATEMENT, RDF_SUBJECT,
+        )
+        for var, qs, qp, qo in self._pending_qt:
+            # subject/object first: they bind the variables shared with
+            # the rest of the group, so the bgp join tree stays
+            # connected (the type pattern alone shares only ?_qt)
+            g.patterns.append((var, RDF_SUBJECT, qs))
+            g.patterns.append((var, RDF_PREDICATE, qp))
+            g.patterns.append((var, RDF_OBJECT, qo))
+            g.patterns.append((var, RDF_TYPE, RDF_STATEMENT))
+        self._pending_qt.clear()
 
     def _plant_path(self, g: _Group, s: str, node: tuple, o: str):
         """Route one parsed path to the cheapest compilation shape: plain
@@ -975,6 +1003,25 @@ class _Parser:
 
     def term(self, position: str) -> str:
         kind, v = self.next()
+        if kind == "op" and v == "<" and self.peek() == ("op", "<"):
+            # SPARQL-star quoted triple pattern << s p o >> — desugars to
+            # the reification encoding the star DECODER emits (one fresh
+            # ?_qt var + 4 patterns, flushed into the enclosing group).
+            # Two single '<' op tokens occur in no other legal position.
+            if not self._qt_ok or position == "p":
+                raise SparqlError(
+                    "quoted triple pattern only allowed in subject/object "
+                    "position of a group pattern")
+            self.next()  # second '<'
+            qs = self.term("s")
+            qp = self.term("p")
+            qo = self.term("o")
+            self.eat_op(">")
+            self.eat_op(">")
+            var = f"?_qt{self._qtn}"
+            self._qtn += 1
+            self._pending_qt.append((var, qs, qp, qo))
+            return var
         if kind == "var":
             return v  # keep '?', bgp_match speaks this dialect
         if kind == "iri":
@@ -2059,6 +2106,7 @@ def _compile_group(triples: DataFrame, g: _Group,
     return df.drop(*[
         c for c in df.columns
         if c.startswith("_meta_") or c.startswith("_pp")
+        or c.startswith("_qt")
     ])
 
 

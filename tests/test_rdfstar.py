@@ -260,6 +260,50 @@ class TestStarEncode:
             "#integer> .",
         ])
 
+    def test_sparql_star_patterns(self, spark):
+        from rdf_spark.sparql import SparqlError, sparql_select
+
+        # ONE document: a store is a deduped triple SET at query time
+        # (two docs quoting the same fact yield duplicate reification
+        # rows until dedup_triples — bag semantics would multiply)
+        rows = TurtleParser(
+            '<urn:o1> <urn:p> "10" {| <urn:src> <urn:cA> |} .\n'
+            '<urn:o2> <urn:p> "20" {| <urn:src> <urn:cB> |} .\n'
+            '<urn:a> <urn:saw> << <urn:o1> <urn:p> "10" >> .\n'
+        ).parse_all()
+        df = spark.createDataFrame(rows, _TRIPLE_DDL)
+        got = sparql_select(df, """
+            SELECT ?s ?v ?src WHERE {
+                << ?s <urn:p> ?v >> <urn:src> ?src
+            }""").orderBy("s").collect()
+        assert [(r.s, r.v, r.src) for r in got] == [
+            ("urn:o1", "10", "urn:cA"), ("urn:o2", "20", "urn:cB")]
+        # quoted pattern in object position, ground inner terms
+        got = sparql_select(df, """
+            SELECT ?w WHERE { ?w <urn:saw> << <urn:o1> <urn:p> "10" >> }
+        """).collect()
+        assert [r.w for r in got] == ["urn:a"]
+        # internal ?_qt vars never leak into SELECT *
+        got = sparql_select(df, """
+            SELECT * WHERE { << ?s <urn:p> ?v >> <urn:src> ?src }
+        """)
+        assert sorted(got.columns) == ["s", "src", "v"]
+        # rejected positions
+        for q in [
+            "SELECT ?s WHERE { ?s << ?a ?b ?c >> ?o }",
+            "SELECT ?_qt0 WHERE { ?s ?p ?_qt0 }",
+        ]:
+            with pytest.raises(SparqlError):
+                sparql_select(df, q)
+        from rdf_spark.sparql import sparql_construct
+
+        with pytest.raises(SparqlError):
+            sparql_construct(
+                df,
+                "CONSTRUCT { << ?s ?p ?o >> <urn:x> <urn:y> } "
+                "WHERE { ?s ?p ?o }",
+            )
+
     def test_convert_registry(self, spark, tmp_path):
         from rdf_spark.convert import write_rdf
 
