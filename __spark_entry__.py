@@ -3878,6 +3878,22 @@ def q_sparql_star(spark, sf_dir):
     """)
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (ops.cluster.kmeans, round-5): k=4,
+    2 rounds from the lowest-vec_id seeds over the embeddings table.
+    FULL replay oracle — distances are pre-rounded decimal sums
+    (order-independent, bit-exact in both engines), argmin ties break
+    on cluster id, centroid updates divide decimal sums as doubles,
+    empty clusters keep their seed.  Per round: one narrow scan with k
+    row-local distance folds + one map-side-combinable (cluster, dim)
+    aggregation — only k x dim cells cross the shuffle."""
+    from rdf_spark.ops.cluster import kmeans
+
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans(e, k=4, n_iter=2)
+    return assigned.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4049,6 +4065,7 @@ _QUERIES = {
         "k_truss": q_k_truss,
         "turtle_star_parse": q_turtle_star_parse,
         "sparql_star": q_sparql_star,
+        "kmeans": q_kmeans,
         "fuse_values": q_fuse_values,
         "hearst_hyponyms": q_hearst_hyponyms,
         "table_triples": q_table_triples,
@@ -6833,6 +6850,63 @@ def oracle_sql() -> dict[str, str]:
                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
                 st, 2, '{XSD_STRING}' FROM q
             UNION ALL SELECT qt2, 'urn:p:src', src, 1, NULL FROM q
+        """,
+        # FULL Lloyd replay: same decimal distance sums, argmin with
+        # cluster-id tie-break, double centroid means, seed fallback for
+        # empty clusters — two rounds as chained CTEs
+        "kmeans": """
+            WITH e AS (
+                SELECT vec_id, embedding AS v FROM embeddings
+                WHERE embedding IS NOT NULL
+            ),
+            seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v
+                FROM e ORDER BY vec_id LIMIT 4
+            ),
+            c0 AS (
+                SELECT cl, t.i AS i, CAST(v[t.i + 1] AS DOUBLE) AS c
+                FROM seeds, UNNEST(range(64)) t(i)
+            ),
+            d1 AS (
+                SELECT e.vec_id, c0.cl,
+                       SUM(CAST(round(
+                           (CAST(e.v[c0.i + 1] AS DOUBLE) - c0.c)
+                           * (CAST(e.v[c0.i + 1] AS DOUBLE) - c0.c), 12)
+                           AS DECIMAL(38,12))) AS dist
+                FROM e, c0 GROUP BY e.vec_id, c0.cl
+            ),
+            a1 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT vec_id, cl, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY dist ASC, cl ASC
+                    ) AS rn FROM d1
+                ) WHERE rn = 1
+            ),
+            m1 AS (
+                SELECT a1.cl AS cl, t.i AS i,
+                       CAST(SUM(CAST(round(CAST(e.v[t.i + 1] AS DOUBLE),
+                                           12) AS DECIMAL(38,12)))
+                            AS DOUBLE) / COUNT(*) AS mean
+                FROM a1 JOIN e USING (vec_id), UNNEST(range(64)) t(i)
+                GROUP BY a1.cl, t.i
+            ),
+            c1 AS (
+                SELECT c0.cl, c0.i, COALESCE(m1.mean, c0.c) AS c
+                FROM c0 LEFT JOIN m1 ON m1.cl = c0.cl AND m1.i = c0.i
+            ),
+            d2 AS (
+                SELECT e.vec_id, c1.cl,
+                       SUM(CAST(round(
+                           (CAST(e.v[c1.i + 1] AS DOUBLE) - c1.c)
+                           * (CAST(e.v[c1.i + 1] AS DOUBLE) - c1.c), 12)
+                           AS DECIMAL(38,12))) AS dist
+                FROM e, c1 GROUP BY e.vec_id, c1.cl
+            )
+            SELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist ASC, cl ASC
+                ) AS rn FROM d2
+            ) WHERE rn = 1
         """,
         # closed-form: the odd-key (confidence-0.9) orders
         "sparql_star": """

@@ -214,6 +214,7 @@ def main() -> int:
         "fuse_values",
         "hearst_hyponyms",
         "table_triples",
+        "kmeans",
     ]
 
     timings: dict[str, float] = {}
