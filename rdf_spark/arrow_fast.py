@@ -259,9 +259,13 @@ def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
     parse_one = parsing.parse_nquads if quads else parsing.parse_ntriples
     n_cols = len(schema) - 1
     recs: list[tuple] = []
+    # one quoted-triple minter per BATCH: a fact quoted on many lines
+    # expands its reification once here, not once per line (content-
+    # keyed ids keep cross-batch duplicates identical → dedup collapses)
+    qt_minter = parsing._QtMinter()
     for line in slow_lines:
         try:
-            rows = parse_one(line)
+            rows = parse_one(line, qt=qt_minter)
         except parsing.QUARANTINE_ERRORS as e:
             recs.append((None,) * n_cols + (str(e),))
             continue

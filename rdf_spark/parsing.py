@@ -206,15 +206,20 @@ def _parse_nt_object_literal(ts: _TokenStream, tok: lx.Token):
     return o, o_dt, o_lang
 
 
-def parse_ntriples(text: str) -> list[tuple]:
+def parse_ntriples(text: str, qt: _QtMinter | None = None) -> list[tuple]:
     """Strict whole-document N-Triples parse → list of 7-tuples.
 
     N-Triples-star: ``<< s p o >>`` quoted triples in subject/object
     position resolve to statement nodes (see :class:`_QtMinter`), each
-    expanding once into the four reification triples."""
+    expanding once into the four reification triples.  ``qt`` lets a
+    LINE-PARALLEL caller (arrow_fast) share one minter across the lines
+    of a batch so a fact quoted on several lines expands once per
+    batch, not once per line — across batches/partitions duplicates are
+    identical by content-keying and collapse in dedup_triples."""
     ts = _TokenStream(lx.Lexer(text, line_mode=True))
     out = []
-    qt = _QtMinter()
+    if qt is None:
+        qt = _QtMinter()
     while True:
         while ts.peek().typ == lx.EOL:
             ts.next()
@@ -250,17 +255,19 @@ def parse_ntriples(text: str) -> list[tuple]:
         out.append(row)
 
 
-def parse_nquads(text: str) -> list[tuple]:
+def parse_nquads(text: str, qt: _QtMinter | None = None) -> list[tuple]:
     """Strict whole-document N-Quads parse → list of 9-tuples; the default
     graph is the blank node ``_:defaultGraph`` (decoder.go:89).
 
     N-Quads-star: quoted triples resolve as in :func:`parse_ntriples`;
     a statement node's reification triples land in the graph of the
     FIRST quad that quotes it (later quotes in other graphs reuse the
-    node without re-emitting)."""
+    node without re-emitting; in the line-parallel path the rule holds
+    per batch — see :func:`parse_ntriples` on the shared ``qt``)."""
     ts = _TokenStream(lx.Lexer(text, line_mode=True))
     out = []
-    qt = _QtMinter()
+    if qt is None:
+        qt = _QtMinter()
     while True:
         while ts.peek().typ == lx.EOL:
             ts.next()
@@ -350,6 +357,11 @@ class TurtleParser:
 
     # -- RDF-star (Turtle-star) --------------------------------------------
 
+    def _append_reif(self, row: tuple) -> None:
+        """Emit one reification row of a quoted triple (TrigParser
+        overrides to extend with the enclosing graph columns)."""
+        self.out.append(row)
+
     def _parse_qt_term(self, subject: bool) -> tuple:
         """One term inside ``<< … >>`` (Turtle-star grammar: subject is
         IRI | bnode | quoted; object additionally any literal — no anon
@@ -423,7 +435,7 @@ class TurtleParser:
             )
         o = self._parse_qt_term(subject=False)
         ts.expect("quoted triple end", lx.QT_END)
-        return self._qt.term(s, p, o, self.out.append)
+        return self._qt.term(s, p, o, self._append_reif)
 
     def _emit(self) -> None:
         s = self.cur[0]
@@ -662,8 +674,15 @@ class TurtleParser:
         if typ == lx.ANNOT_START:
             # RDF-star annotation: the just-emitted (s, p, o) is ALSO
             # quoted; the block's triples hang off its statement node.
+            # Only legal after an object of a predicateObjectList
+            # (Turtle-star grammar) — not on collection members.
+            if self.cur[3] == _CTX_COLL:
+                raise ParseError(
+                    tok.line, tok.col,
+                    "annotation block on a collection member",
+                )
             qt = self._qt.term(
-                self.cur[0], self.cur[1], self.cur[2], self.out.append
+                self.cur[0], self.cur[1], self.cur[2], self._append_reif
             )
             self._push()  # resume point: finish the base triple after |}
             self.cur = [qt, None, None, _CTX_ANNOT]
@@ -730,6 +749,13 @@ class TrigParser(TurtleParser):
         s, p, o = self.cur[0], self.cur[1], self.cur[2]
         g, g_kind = self.graph if self.graph is not None else (DEFAULT_GRAPH, KIND_BLANK)
         self.out.append((s[0], s[1], p[0], o[0], o[1], o[2], o[3], g, g_kind))
+
+    def _append_reif(self, row: tuple) -> None:
+        # a quoted triple's reification lands in the graph of the block
+        # that FIRST quotes it (memo prevents re-emission elsewhere —
+        # same rule as parse_nquads)
+        g, g_kind = self.graph if self.graph is not None else (DEFAULT_GRAPH, KIND_BLANK)
+        self.out.append(row + (g, g_kind))
 
     def _graph_label(self) -> tuple:
         ts = self.ts

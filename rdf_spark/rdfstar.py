@@ -48,10 +48,22 @@ def _is_reif_row() -> Column:
     )
 
 
-def _statement_sers(df: DataFrame, max_depth: int) -> DataFrame:
+#: statement nodes the star DECODER mints — the only ones folded by
+#: default (folding a hand-reified node with its own IRI would RENAME it
+#: to urn:rdfstar:<md5> on the next parse, breaking external references)
+_MINTED_RE = r"^(urn:rdfstar:|_:qt)[0-9a-f]{32}$"
+
+
+def _statement_sers(
+    df: DataFrame, max_depth: int, fold: str = "minted"
+) -> DataFrame:
     """(node, ser): the ``<< s p o >>`` serialization of every foldable
     statement node, with nested statement references resolved up to
-    ``max_depth`` levels."""
+    ``max_depth`` levels.  ``fold="minted"`` restricts to decoder-minted
+    node ids (see :data:`_MINTED_RE`); ``fold="all"`` folds any complete
+    reification (identity-destroying on round-trip — opt-in only)."""
+    if fold not in ("minted", "all"):
+        raise ValueError(f"fold must be 'minted' or 'all', got {fold!r}")
     typed = (
         df.filter(
             (F.col("p") == RDF_TYPE)
@@ -61,6 +73,8 @@ def _statement_sers(df: DataFrame, max_depth: int) -> DataFrame:
         .select(F.col("s").alias("node"))
         .distinct()
     )
+    if fold == "minted":
+        typed = typed.filter(F.col("node").rlike(_MINTED_RE))
     # set semantics over reification rows: the same ground fact quoted
     # in two documents legitimately yields identical reification rows
     # twice — identical copies collapse; genuinely CONFLICTING parts
@@ -93,6 +107,33 @@ def _statement_sers(df: DataFrame, max_depth: int) -> DataFrame:
         .join(dup, "node", "left_anti")
     )
 
+    # mark which subject/object slots reference another foldable
+    # statement node — resolution tracking: a node's serialization is
+    # COMPLETE only when every such inner reference has been substituted
+    nodeset = stmts.select("node").distinct()
+    stmts = (
+        stmts.join(
+            nodeset.withColumnRenamed("node", "qs")
+            .withColumn("_qs_stmt", F.lit(True)),
+            "qs", "left",
+        )
+        .join(
+            nodeset.withColumnRenamed("node", "qo")
+            .withColumn("_qo_stmt", F.lit(True)),
+            "qo", "left",
+        )
+        .withColumn(
+            "_qs_stmt",
+            F.coalesce(F.col("_qs_stmt"), F.lit(False))
+            & (F.col("qs_kind") != KIND_LITERAL),
+        )
+        .withColumn(
+            "_qo_stmt",
+            F.coalesce(F.col("_qo_stmt"), F.lit(False))
+            & (F.col("qo_kind") != KIND_LITERAL),
+        )
+    )
+
     def ser_round(cur: DataFrame) -> DataFrame:
         qs_ser = F.coalesce(
             F.col("_sub_ser"),
@@ -105,40 +146,58 @@ def _statement_sers(df: DataFrame, max_depth: int) -> DataFrame:
                 F.col("qo_dt"), F.col("qo_lang"),
             ),
         )
+        res = (
+            (~F.col("_qs_stmt") | F.coalesce(
+                F.col("_sub_res"), F.lit(False)))
+            & (~F.col("_qo_stmt") | F.coalesce(
+                F.col("_obj_res"), F.lit(False)))
+        )
         return cur.withColumn(
             "ser",
             F.concat(
                 F.lit("<< "), qs_ser, F.lit(" <"), F.col("qp"),
                 F.lit("> "), qo_ser, F.lit(" >>"),
             ),
-        )
+        ).withColumn("res", res)
 
+    nulls = F.lit(None)
     cur = ser_round(
-        stmts.withColumn("_sub_ser", F.lit(None).cast("string"))
-        .withColumn("_obj_ser", F.lit(None).cast("string"))
+        stmts.withColumn("_sub_ser", nulls.cast("string"))
+        .withColumn("_obj_ser", nulls.cast("string"))
+        .withColumn("_sub_res", nulls.cast("boolean"))
+        .withColumn("_obj_res", nulls.cast("boolean"))
     )
     for _ in range(max(0, max_depth - 1)):
         sers = cur.select(
-            F.col("node").alias("_n"), F.col("ser").alias("_s")
+            F.col("node").alias("_n"),
+            F.col("ser").alias("_s"),
+            F.col("res").alias("_r"),
         )
         cur = ser_round(
-            cur.drop("_sub_ser", "_obj_ser", "ser")
+            cur.drop("_sub_ser", "_obj_ser", "_sub_res", "_obj_res",
+                     "ser", "res")
             .join(
-                sers.withColumnRenamed("_s", "_sub_ser"),
-                F.col("qs") == F.col("_n"), "left",
+                sers.withColumnRenamed("_s", "_sub_ser")
+                .withColumnRenamed("_r", "_sub_res"),
+                (F.col("qs") == F.col("_n"))
+                & (F.col("qs_kind") != KIND_LITERAL),
+                "left",
             ).drop("_n")
             .join(
-                sers.withColumnRenamed("_s", "_obj_ser"),
+                sers.withColumnRenamed("_s", "_obj_ser")
+                .withColumnRenamed("_r", "_obj_res"),
                 (F.col("qo") == F.col("_n"))
                 & (F.col("qo_kind") != KIND_LITERAL),
                 "left",
             ).drop("_n")
         )
-    return cur.select("node", "ser")
+    # an UNRESOLVED node (nesting deeper than max_depth) is not folded —
+    # it and everything above it stay fully reified (lossless)
+    return cur.filter(F.col("res")).select("node", "ser")
 
 
 def encode_ntriples_star(
-    df: DataFrame, max_depth: int = 4
+    df: DataFrame, max_depth: int = 4, fold: str = "minted"
 ) -> DataFrame:
     """Triples → N-Triples-star lines (column ``value``).
 
@@ -149,10 +208,13 @@ def encode_ntriples_star(
     quoted form; dedup the input first if exact multiset round-trips of
     duplicated rows matter).  A foldable node nobody references is NOT
     folded: its reification rows are the only trace of it and are kept
-    verbatim.  ``max_depth`` bounds nested-quote resolution (deeper
-    nests serialize the inner statement IRI unresolved — lossless,
-    just un-sugared)."""
-    sers = _statement_sers(df, max_depth)
+    verbatim.  ``max_depth`` bounds nested-quote resolution — a chain
+    nested deeper stays FULLY reified (every line kept; lossless).
+    ``fold="minted"`` (default) folds only decoder-minted statement ids
+    (``urn:rdfstar:``/``_:qt`` + md5) so hand-reified nodes with their
+    own IRIs keep their identity on round-trip; ``fold="all"`` folds
+    any complete reification."""
+    sers = _statement_sers(df, max_depth, fold=fold)
     folded_nodes = sers.select(F.col("node"))
     non_reif = df.filter(~_is_reif_row())
 
@@ -218,7 +280,10 @@ def encode_ntriples_star(
 
 
 def write_ntriples_star(
-    df: DataFrame, path: str, mode: str = "overwrite", max_depth: int = 4
+    df: DataFrame, path: str, mode: str = "overwrite",
+    max_depth: int = 4, fold: str = "minted",
 ) -> None:
     """Write the star-folded N-Triples lines as text files."""
-    encode_ntriples_star(df, max_depth=max_depth).write.mode(mode).text(path)
+    encode_ntriples_star(
+        df, max_depth=max_depth, fold=fold
+    ).write.mode(mode).text(path)

@@ -225,14 +225,15 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
         for kind in ("iri", "var", "string", "number", "pname", "word", "op"):
             v = m.group(kind)
             if v is not None:
-                if kind == "var" and v[1:].startswith(
-                    ("_pp", "_meta_", "_path_m", "_qt")
+                if kind == "var" and (
+                    v[1:].startswith(("_pp", "_meta_", "_path_m"))
+                    or re.fullmatch(r"_qt\d+", v[1:])
                 ):
                     raise SparqlError(
-                        f"variable {v} uses a reserved prefix: ?_pp* "
+                        f"variable {v} uses a reserved name: ?_pp* "
                         "(path rewriting), ?_meta_* (term metadata), "
-                        "?_path_m* (path markers), ?_qt* (quoted-triple "
-                        "rewriting)"
+                        "?_path_m* (path markers), ?_qt<N> (quoted-"
+                        "triple rewriting)"
                     )
                 out.append((kind, v))
                 break
@@ -2106,7 +2107,7 @@ def _compile_group(triples: DataFrame, g: _Group,
     return df.drop(*[
         c for c in df.columns
         if c.startswith("_meta_") or c.startswith("_pp")
-        or c.startswith("_qt")
+        or re.fullmatch(r"_qt\d+", c)
     ])
 
 

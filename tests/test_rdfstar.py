@@ -193,6 +193,101 @@ _TRIPLE_DDL = ("s string, s_kind tinyint, p string, o string, "
                "o_kind tinyint, o_datatype string, o_lang string")
 
 
+class TestReviewRegressions:
+    """Fixes from the round-5 session code review."""
+
+    def test_trig_star_emits_quads(self):
+        from rdf_spark.parsing import parse_trig
+
+        rows = parse_trig(
+            "<urn:g> { << <urn:s> <urn:p> <urn:o> >> <urn:c> \"1\" . }\n"
+            "<urn:x> <urn:y> \"z\" .\n")
+        assert all(len(r) == 9 for r in rows)
+        reif = [r for r in rows if r[3] == RDF_STATEMENT]
+        assert len(reif) == 1 and reif[0][7] == "urn:g"
+        # annotation form too, in a named block
+        rows = parse_trig(
+            '<urn:g2> { <urn:s> <urn:p> "v" {| <urn:c> 1 |} . }\n')
+        assert all(len(r) == 9 for r in rows)
+        assert {r[7] for r in rows} == {"urn:g2"}
+
+    def test_trig_star_via_decoder_quarantine(self, spark):
+        from rdf_spark.sources import parse_documents
+
+        docs = spark.createDataFrame(
+            [("u1", "<urn:g> { << <urn:s> <urn:p> <urn:o> >> "
+                    '<urn:c> "1" . }')],
+            "url string, text string")
+        out = parse_documents(docs, fmt="trig").collect()
+        assert [r for r in out if r.err is not None] == []
+        assert len(out) == 5
+
+    def test_deep_nesting_stays_reified_lossless(self, spark):
+        from rdf_spark.rdfstar import encode_ntriples_star
+
+        doc = "<urn:s> <urn:p> <urn:o>"
+        for i in range(5):
+            doc = f"<< {doc} >> <urn:q{i}> <urn:z{i}>"
+        rows = TurtleParser(doc + " .\n").parse_all()
+        df = spark.createDataFrame(rows, _TRIPLE_DDL)
+        lines = [
+            r.value
+            for r in encode_ntriples_star(df, max_depth=3).collect()
+        ]
+        back = parse_ntriples("\n".join(lines) + "\n")
+        assert set(map(tuple, back)) == set(map(tuple, rows))
+
+    def test_line_parallel_shares_minter_per_batch(self):
+        import pyarrow as pa
+
+        from rdf_spark.arrow_fast import parse_lines_arrow
+
+        lines = pa.array([
+            '<< <urn:s> <urn:p> "v" >> <urn:c> "1" .',
+            '<< <urn:s> <urn:p> "v" >> <urn:d> "2" .',
+        ])
+        tbl = parse_lines_arrow(lines, fmt="ntriples")
+        assert len(tbl) == 6  # 4 reification rows once + 2 annotations
+
+    def test_hand_reified_iri_keeps_identity(self, spark):
+        from rdf_spark.rdfstar import encode_ntriples_star
+
+        rows = [
+            ("http://ex/st1", 1, RDF_TYPE, RDF_STATEMENT, 1, None, None),
+            ("http://ex/st1", 1, RDF_SUBJECT, "urn:a", 1, None, None),
+            ("http://ex/st1", 1, RDF_PREDICATE, "urn:b", 1, None, None),
+            ("http://ex/st1", 1, RDF_OBJECT, "urn:c", 1, None, None),
+            ("http://ex/st1", 1, "urn:conf", "0.9", 2, XSD_STRING, None),
+        ]
+        df = spark.createDataFrame(rows, _TRIPLE_DDL)
+        lines = [r.value for r in encode_ntriples_star(df).collect()]
+        assert not any("<<" in l for l in lines)  # identity preserved
+        assert set(map(tuple, parse_ntriples("\n".join(lines) + "\n"))) \
+            == set(map(tuple, rows))
+        folded = [
+            r.value
+            for r in encode_ntriples_star(df, fold="all").collect()
+        ]
+        assert any("<< <urn:a> <urn:b> <urn:c> >>" in l for l in folded)
+
+    def test_annotation_on_collection_member_rejected(self):
+        with pytest.raises(ParseError):
+            TurtleParser(
+                "<urn:s> <urn:p> ( <urn:a> {| <urn:q> 1 |} ) .\n"
+            ).parse_all()
+
+    def test_underscore_qt_vars_allowed_except_generated(self, spark):
+        from rdf_spark.sparql import SparqlError, sparql_select
+
+        df = spark.createDataFrame(
+            [("urn:s", 1, "urn:p", "5", 2, None, None)], _TRIPLE_DDL)
+        got = sparql_select(
+            df, "SELECT ?_qty WHERE { ?s <urn:p> ?_qty }").collect()
+        assert [r._qty for r in got] == ["5"]
+        with pytest.raises(SparqlError):
+            sparql_select(df, "SELECT ?_qt7 WHERE { ?s <urn:p> ?_qt7 }")
+
+
 class TestStarEncode:
     """encode_ntriples_star: reification → << >> folding, round-trip."""
 
