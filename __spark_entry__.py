@@ -3894,6 +3894,32 @@ def q_kmeans(spark, sf_dir):
     return assigned.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
 
 
+def q_direct_map(spark, sf_dir):
+    """W3C Direct Mapping (rdf_spark.directmap, round-5): the orders
+    table → RDF with pk o_orderkey and fk o_custkey→customer, covering
+    four datatype mappings (bigint→xsd:integer, varchar→plain,
+    decimal→xsd:decimal, timestamp→xsd:dateTime) plus the rdf:type and
+    ref- triples.  Closed-form oracle (6 UNION ALL branches).  ONE
+    narrow scan — all of a row's triples are an exploded struct array,
+    no per-column scan union, no shuffle."""
+    from rdf_spark.directmap import direct_map
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_price"),
+        "o_orderdate", "o_custkey",
+    )
+    t = direct_map(
+        o, "orders", pk=["o_orderkey"],
+        fks={"o_custkey": ("customer", "c_custkey")},
+    )
+    return t.select(
+        "s", F.col("s_kind").cast("int").alias("s_kind"),
+        "p", "o", F.col("o_kind").cast("int").alias("o_kind"),
+        "o_datatype", "o_lang",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4066,6 +4092,7 @@ _QUERIES = {
         "turtle_star_parse": q_turtle_star_parse,
         "sparql_star": q_sparql_star,
         "kmeans": q_kmeans,
+        "direct_map": q_direct_map,
         "fuse_values": q_fuse_values,
         "hearst_hyponyms": q_hearst_hyponyms,
         "table_triples": q_table_triples,
@@ -6850,6 +6877,38 @@ def oracle_sql() -> dict[str, str]:
                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
                 st, 2, '{XSD_STRING}' FROM q
             UNION ALL SELECT qt2, 'urn:p:src', src, 1, NULL FROM q
+        """,
+        # closed-form Direct Mapping replay: 6 triples per order (type,
+        # 4 typed/plain literals, 1 ref)
+        "direct_map": f"""
+            WITH o AS (
+                SELECT 'urn:dm:orders/o_orderkey=' || o_orderkey AS s,
+                       o_orderkey AS k, o_orderstatus AS st,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS VARCHAR) AS pr,
+                       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS dt,
+                       o_custkey AS ck
+                FROM orders
+            )
+            SELECT s, 1 AS s_kind,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS p,
+                   'urn:dm:orders' AS o, 1 AS o_kind,
+                   CAST(NULL AS VARCHAR) AS o_datatype,
+                   CAST(NULL AS VARCHAR) AS o_lang
+            FROM o
+            UNION ALL SELECT s, 1, 'urn:dm:orders#o_orderkey',
+                CAST(k AS VARCHAR), 2, '{terms.XSD}integer', NULL FROM o
+            UNION ALL SELECT s, 1, 'urn:dm:orders#o_orderstatus',
+                st, 2, NULL, NULL FROM o
+            UNION ALL SELECT s, 1, 'urn:dm:orders#o_price',
+                pr, 2, '{terms.XSD}decimal', NULL FROM o
+            UNION ALL SELECT s, 1, 'urn:dm:orders#o_orderdate',
+                dt, 2, '{terms.XSD}dateTime', NULL FROM o
+            UNION ALL SELECT s, 1, 'urn:dm:orders#o_custkey',
+                CAST(ck AS VARCHAR), 2, '{terms.XSD}integer', NULL FROM o
+            UNION ALL SELECT s, 1, 'urn:dm:orders#ref-o_custkey',
+                'urn:dm:customer/c_custkey=' || ck, 1, NULL, NULL FROM o
         """,
         # FULL Lloyd replay: same decimal distance sums, argmin with
         # cluster-id tie-break, double centroid means, seed fallback for

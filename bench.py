@@ -215,6 +215,7 @@ def main() -> int:
         "hearst_hyponyms",
         "table_triples",
         "kmeans",
+        "direct_map",
     ]
 
     timings: dict[str, float] = {}
