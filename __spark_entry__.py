@@ -3920,6 +3920,171 @@ def q_direct_map(spark, sf_dir):
     )
 
 
+def q_property_graph(spark, sf_dir):
+    """RDF → labeled-property-graph projection
+    (ops.propertygraph.to_property_graph, round-5): the three
+    relational faces (typed nodes, literal properties, IRI edges) of a
+    customer store, unioned as a kind-tagged scalar table so ONE oracle
+    covers them.  Nodes = union + dedup hash-agg; properties/edges =
+    pure filtered projections (predicate filters push into the
+    scan)."""
+    from rdf_spark.ops.propertygraph import to_property_graph
+    from rdf_spark.terms import KIND_IRI, KIND_LITERAL, RDF_TYPE
+
+    c = _t(spark, sf_dir, "customer")
+    s = F.concat(F.lit("urn:cust/"), F.col("c_custkey"))
+    ik = F.lit(KIND_IRI).cast("tinyint")
+    lk = F.lit(KIND_LITERAL).cast("tinyint")
+    nstr = F.lit(None).cast("string")
+    triples = (
+        c.select(
+            s.alias("s"), ik.alias("s_kind"), F.lit(RDF_TYPE).alias("p"),
+            F.lit("urn:ex#Customer").alias("o"), ik.alias("o_kind"),
+            nstr.alias("o_datatype"), nstr.alias("o_lang"),
+        )
+        .unionByName(c.select(
+            s.alias("s"), ik.alias("s_kind"),
+            F.lit("urn:ex#name").alias("p"),
+            F.col("c_name").alias("o"), lk.alias("o_kind"),
+            nstr.alias("o_datatype"), nstr.alias("o_lang"),
+        ))
+        .unionByName(c.select(
+            s.alias("s"), ik.alias("s_kind"),
+            F.lit("urn:ex#inNation").alias("p"),
+            F.concat(F.lit("urn:nation/"), F.col("c_nationkey")).alias("o"),
+            ik.alias("o_kind"), nstr.alias("o_datatype"),
+            nstr.alias("o_lang"),
+        ))
+    )
+    nodes, props, edges = to_property_graph(triples)
+    return (
+        nodes.select(
+            F.lit("node").alias("kind"), F.col("node_id").alias("a"),
+            F.col("label").alias("b"), nstr.alias("c"),
+        )
+        .unionByName(props.select(
+            F.lit("prop").alias("kind"), F.col("node_id").alias("a"),
+            F.col("key").alias("b"), F.col("value").alias("c"),
+        ))
+        .unionByName(edges.select(
+            F.lit("edge").alias("kind"), F.col("src").alias("a"),
+            F.col("edge_type").alias("b"), F.col("dst").alias("c"),
+        ))
+    )
+
+
+def q_graph_walks(spark, sf_dir):
+    """Deterministic random walks (ops.walks.deterministic_walks,
+    round-5): 2 walks of length 4 per start over a 20-node synthetic
+    customer graph.  The per-step md5 hash lottery is replayed verbatim
+    by the oracle (generated CTE rounds, min-md5 via rank window) — the
+    walk corpus is identical at any parallelism.  Per step: one
+    frontier-edges equi-join + one map-side-combinable min(struct)
+    agg."""
+    from rdf_spark.ops.walks import deterministic_walks
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.concat(F.lit("n"), F.col("c_custkey") % 20).alias("src"),
+        F.concat(
+            F.lit("n"),
+            (F.col("c_custkey") % 20 + F.col("c_custkey") % 7 + 1) % 20,
+        ).alias("dst"),
+    )
+    return deterministic_walks(edges, walk_len=4, n_walks=2)
+
+
+_WALKS_SQL_ROUNDS = 4
+
+
+def _walks_sql(rounds: int = _WALKS_SQL_ROUNDS) -> str:
+    ctes = [
+        """e AS (
+            SELECT 'n' || (c_custkey % 20) AS src,
+                   'n' || ((c_custkey % 20 + c_custkey % 7 + 1)
+                           % 20) AS dst
+            FROM customer
+        )""",
+        """f0 AS (
+            SELECT DISTINCT src AS start, t.w AS walk, src AS node,
+                   0 AS step
+            FROM e, UNNEST([0, 1]) t(w)
+        )""",
+    ]
+    for t in range(1, rounds):
+        ctes.append(f"""f{t} AS (
+            SELECT start, walk, v AS node, {t} AS step FROM (
+                SELECT f.start, f.walk, e.dst AS v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.start, f.walk
+                           ORDER BY md5(f.start || '|' || f.walk
+                                        || '|{t}|' || e.dst) ASC,
+                                    e.dst ASC
+                       ) AS rn
+                FROM f{t - 1} f JOIN e ON f.node = e.src
+            ) WHERE rn = 1
+        )""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT start, walk, step, node FROM f{t}" for t in range(rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def q_shortest_paths(spark, sf_dir):
+    """Weighted SSSP (ops.graph.shortest_paths, round-5): Bellman-Ford
+    relaxation from n0 over a 20-node ring (weights 1-5 by residue)
+    with weight-3 chords — shortcut-vs-ring tradeoffs make every
+    relaxation round load-bearing.  Exact BIGINT distance sums; the
+    oracle replays the rounds as generated MATERIALIZED CTEs (the
+    k_core lesson: non-materialized round chains re-inline
+    exponentially).  Per round: one frontier-edges equi-join + one
+    map-side-combinable min agg."""
+    from rdf_spark.ops.graph import shortest_paths
+
+    c = _t(spark, sf_dir, "customer")
+    r = F.col("c_custkey") % 20
+    ring = c.select(
+        F.concat(F.lit("n"), r).alias("src"),
+        F.concat(F.lit("n"), (r + 1) % 20).alias("dst"),
+        (r % 5 + 1).cast("bigint").alias("w"),
+    )
+    chord = c.select(
+        F.concat(F.lit("n"), r).alias("src"),
+        F.concat(F.lit("n"), (r + 5) % 20).alias("dst"),
+        F.lit(3).cast("bigint").alias("w"),
+    )
+    srcs = spark.createDataFrame([("n0",)], "node string")
+    return shortest_paths(
+        ring.unionByName(chord), srcs, weight_col="w",
+    )
+
+
+def _sssp_sql(rounds: int = 20) -> str:
+    ctes = [
+        """nodes AS (SELECT DISTINCT c_custkey % 20 AS r FROM customer)""",
+        """e AS MATERIALIZED (
+            SELECT 'n' || r AS src, 'n' || ((r + 1) % 20) AS dst,
+                   CAST(r % 5 + 1 AS BIGINT) AS w
+            FROM nodes
+            UNION ALL
+            SELECT 'n' || r, 'n' || ((r + 5) % 20), 3 FROM nodes
+        )""",
+        """d0 AS (SELECT 'n0' AS node, CAST(0 AS BIGINT) AS dist)""",
+    ]
+    for t in range(rounds):
+        ctes.append(f"""d{t + 1} AS MATERIALIZED (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d{t} d JOIN e ON d.node = e.src
+                UNION ALL SELECT node, dist FROM d{t}
+            ) GROUP BY node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4093,6 +4258,9 @@ _QUERIES = {
         "sparql_star": q_sparql_star,
         "kmeans": q_kmeans,
         "direct_map": q_direct_map,
+        "property_graph": q_property_graph,
+        "graph_walks": q_graph_walks,
+        "shortest_paths": q_shortest_paths,
         "fuse_values": q_fuse_values,
         "hearst_hyponyms": q_hearst_hyponyms,
         "table_triples": q_table_triples,
@@ -6877,6 +7045,29 @@ def oracle_sql() -> dict[str, str]:
                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
                 st, 2, '{XSD_STRING}' FROM q
             UNION ALL SELECT qt2, 'urn:p:src', src, 1, NULL FROM q
+        """,
+        # FULL replay of the md5 walk lottery as generated CTE rounds
+        "graph_walks": _walks_sql(),
+        # Bellman-Ford fixpoint as generated MATERIALIZED CTE rounds
+        "shortest_paths": _sssp_sql(),
+        # closed-form LPG projection: customer nodes labeled by the
+        # rdf:type local name, DISTINCT nation nodes unlabeled, one
+        # name property and one inNation edge per customer
+        "property_graph": """
+            SELECT 'node' AS kind, 'urn:cust/' || c_custkey AS a,
+                   'Customer' AS b, CAST(NULL AS VARCHAR) AS c
+            FROM customer
+            UNION ALL
+            SELECT DISTINCT 'node', 'urn:nation/' || c_nationkey,
+                   NULL, NULL
+            FROM customer
+            UNION ALL
+            SELECT 'prop', 'urn:cust/' || c_custkey, 'name', c_name
+            FROM customer
+            UNION ALL
+            SELECT 'edge', 'urn:cust/' || c_custkey, 'inNation',
+                   'urn:nation/' || c_nationkey
+            FROM customer
         """,
         # closed-form Direct Mapping replay: 6 triples per order (type,
         # 4 typed/plain literals, 1 ref)

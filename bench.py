@@ -216,6 +216,9 @@ def main() -> int:
         "table_triples",
         "kmeans",
         "direct_map",
+        "property_graph",
+        "graph_walks",
+        "shortest_paths",
     ]
 
     timings: dict[str, float] = {}

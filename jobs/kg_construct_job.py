@@ -81,6 +81,18 @@ def main(argv=None) -> int:
     ap.add_argument("--normalize-urls", action="store_true",
                     help="canonicalize page URLs (ops.url rules) before "
                     "sharding, so lookalike spellings co-locate and collapse")
+    ap.add_argument("--hearst",
+                    help="also write Hearst-pattern hyponymy candidates "
+                         "mined from the page text ((url, hyponym, "
+                         "hypernym, pattern) parquet; ops.relations) — "
+                         "taxonomy-candidate input for a fusion pass")
+    ap.add_argument("--infobox-triples",
+                    help="also write triples mined from header-row HTML "
+                         "tables ((url, s, ..., o_lang) parquet; "
+                         "ops.content.table_to_triples)")
+    ap.add_argument("--infobox-key-col", action="store_true",
+                    help="with --infobox-triples: treat each table's "
+                         "first column as the entity key column")
     ap.add_argument("--aliases",
                     help="gazetteer parquet (surface, entity_iri, prior) — "
                     "e.g. a previous run's --anchor-priors output; default "
@@ -153,6 +165,21 @@ def main(argv=None) -> int:
         relatedness=relatedness,
         coherence_weight=args.coherence_weight,
     )
+    if args.hearst:
+        from rdf_spark.ops.relations import hearst_candidates
+
+        hearst_candidates(
+            pages, text_col="text", id_col="url"
+        ).withColumnRenamed("doc_id", "url").write.mode(
+            "overwrite"
+        ).parquet(args.hearst)
+    if args.infobox_triples:
+        from rdf_spark.ops.content import extract_tables, table_to_triples
+
+        table_to_triples(
+            extract_tables(pages),
+            subject_from_first_col=args.infobox_key_col,
+        ).write.mode("overwrite").parquet(args.infobox_triples)
     if args.page_meta:
         from rdf_spark.ops.html import extract_page_meta
 

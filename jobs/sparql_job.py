@@ -23,6 +23,37 @@ import json
 import sys
 
 
+_SCHEME_RE = __import__("re").compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$")
+
+
+def _srj_term(value):
+    """Lexical value → SPARQL-results term object.  The engine's
+    documented dialect binds LEXICAL FORMS, so term kinds are
+    reconstructed: '_:'-prefixed = bnode, scheme-shaped (no
+    whitespace) = uri, everything else = literal."""
+    if value.startswith("_:"):
+        return {"type": "bnode", "value": value[2:]}
+    if _SCHEME_RE.match(value):
+        return {"type": "uri", "value": value}
+    return {"type": "literal", "value": value}
+
+
+def _write_srj(df, path):
+    """ONE application/sparql-results+json document (driver-side —
+    interchange-sized results; use parquet/csv for bulk)."""
+    cols = df.columns
+    bindings = [
+        {c: _srj_term(row[c]) for c in cols if row[c] is not None}
+        for row in df.collect()
+    ]
+    with open(path, "w") as f:
+        json.dump(
+            {"head": {"vars": cols},
+             "results": {"bindings": bindings}},
+            f, indent=1,
+        )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--store", required=True)
@@ -30,11 +61,17 @@ def main(argv=None) -> int:
     ap.add_argument("--query-file")
     ap.add_argument("--out")
     ap.add_argument("--out-format", default="parquet",
-                    choices=("parquet", "csv", "json"),
+                    choices=("parquet", "csv", "json", "srj"),
                     help="result encoding for --out: parquet (default), "
                          "csv (RFC 4180 quoting + header, the SPARQL "
                          "results CSV profile — lexical forms only, "
-                         "type info is lost by design), or json lines")
+                         "type info is lost by design), json lines, or "
+                         "srj (the SPARQL 1.1 Query Results JSON "
+                         "document — ONE file, driver-side assembly for "
+                         "interchange-sized results; term types are "
+                         "reconstructed from the lexical dialect: '_:' "
+                         "prefix = bnode, scheme-shaped = uri, else "
+                         "literal)")
     args = ap.parse_args(argv)
     if bool(args.query) == bool(args.query_file):
         ap.error("exactly one of --query / --query-file is required")
@@ -54,7 +91,11 @@ def main(argv=None) -> int:
     form = sparql.sniff_form(q)
 
     if form == "ASK":
-        print(json.dumps({"ask": sparql.sparql_ask(triples, q)}))
+        result = sparql.sparql_ask(triples, q)
+        if args.out and args.out_format == "srj":
+            with open(args.out, "w") as f:
+                json.dump({"head": {}, "boolean": result}, f)
+        print(json.dumps({"ask": result}))
         return 0
     if form == "UPDATE":
         if not args.out:
@@ -74,6 +115,11 @@ def main(argv=None) -> int:
     else:
         ap.error(f"unsupported query form {form!r}")
         return 2
+    if args.out and args.out_format == "srj":
+        _write_srj(df, args.out)
+        print(json.dumps({"rows": df.count(), "out": args.out,
+                          "format": "srj"}))
+        return 0
     if args.out:
         w = df.write.mode("overwrite")
         if args.out_format == "csv":

@@ -1173,3 +1173,72 @@ def strongly_connected_components(
             [], "node string, scc string"
         )
     return done
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Single/multi-source shortest paths by distributed Bellman-Ford
+    relaxation (graft addition — the weighted companion of the k-hop
+    BFS; no reference analogue, the reference has no graph layer).
+
+    ``sources``: one-column DataFrame of source nodes (distance 0).
+    ``weight_col=None`` means unit weights (hop counts).  Weights are
+    summed EXACTLY — integral weights ride a BIGINT, fractional ones
+    must be decimal-typed by the caller (IEEE double sums would be
+    partitioning-dependent).  Negative weights are rejected (classic
+    Bellman-Ford cycles would need n-1 full rounds + a cycle check —
+    out of scope for the corpus-graph use cases this serves).
+
+    Returns ``(node, dist)`` for every REACHED node.  Each round is one
+    frontier-edges equi-join + a min hash-aggregation (map-side
+    combinable); converged when no distance improves, bounded by
+    ``max_iter`` (raises if still improving — silent truncation would
+    return wrong distances, cf. the k-hop broadcast cap).  Per-round
+    ``localCheckpoint`` keeps the plan linear in rounds.
+    """
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    e = edges.select(
+        F.col(src_col).cast("string").alias("_src"),
+        F.col(dst_col).cast("string").alias("_dst"),
+        w.alias("_w"),
+    ).filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+    if e.filter(F.col("_w") < 0).limit(1).count():
+        raise ValueError("negative edge weights are not supported")
+    [c] = sources.columns
+    dist = sources.select(
+        F.col(c).cast("string").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        relaxed = (
+            dist.join(e, dist["node"] == e["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when no node's distance improved (anti-join on the
+        # exact (node, dist) pair is empty)
+        changed = relaxed.join(
+            dist, ["node", "dist"], "left_anti"
+        ).limit(1).count()
+        dist = relaxed
+        if not changed:
+            return dist
+    raise ValueError(
+        f"shortest_paths did not converge in max_iter={max_iter} rounds"
+    )

@@ -842,3 +842,54 @@ def test_kg_construct_job_sniff_charset(spark, tmp_path):
     # <#café> resolves against each page url → 8 distinct subjects
     assert euro.count() == 8
     assert euro.filter(F.col("s").endswith("#café")).count() == 8
+
+
+def test_kg_construct_job_hearst_and_infobox(spark, tmp_path):
+    """--hearst and --infobox-triples sidecar outputs (round-5)."""
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import kg_construct_job
+
+    from rdf_spark import datagen
+
+    pages = datagen.pages(spark, 12)
+    pages = pages.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Vendors such as Alpha and Beta ship parts."),
+        ),
+    ).withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.decode("html", "utf-8"),
+                F.lit("<table><tr><th>Size</th></tr>"
+                      "<tr><td>42</td></tr></table>"),
+            ),
+            "utf-8",
+        ),
+    )
+    src = str(tmp_path / "pages_in")
+    pages.write.parquet(src)
+    out = str(tmp_path / "job_out")
+    hearst = str(tmp_path / "hearst")
+    infobox = str(tmp_path / "infobox")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = kg_construct_job.main([
+            "--pages", src, "--out", out, "--shards", "1",
+            "--buckets", "2", "--hearst", hearst,
+            "--infobox-triples", infobox,
+        ])
+    assert rc == 0
+    pairs = {(r.hyponym, r.hypernym)
+             for r in spark.read.parquet(hearst).collect()}
+    assert pairs == {("Alpha", "Vendors"), ("Beta", "Vendors")}
+    tri = spark.read.parquet(infobox)
+    assert tri.count() == 12
+    [r] = tri.limit(1).collect()
+    assert r.p == "urn:table:p:size" and r.o == "42"

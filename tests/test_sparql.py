@@ -2167,3 +2167,43 @@ def test_construct_where_shorthand(tri, spark):
     # explain covers update requests now
     plan = sparql_explain(tri, 'DELETE WHERE { ?c <urn:knows> ?o }')
     assert "Join" in plan or "Exchange" in plan
+
+
+def test_sparql_job_srj_format(spark, tri, tmp_path):
+    """--out-format srj: one SPARQL 1.1 Query Results JSON document
+    (head/vars + typed bindings; ASK → boolean document)."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import sparql_job
+
+    store = str(tmp_path / "store")
+    tri.write.mode("overwrite").parquet(store)
+    out = str(tmp_path / "res.srj")
+    with redirect_stdout(io.StringIO()):
+        rc = sparql_job.main([
+            "--store", store, "--out", out, "--out-format", "srj",
+            "--query",
+            "PREFIX u: <urn:> SELECT ?c ?n WHERE { ?c u:name ?n }",
+        ])
+    assert rc == 0
+    doc = json.load(open(out))
+    assert doc["head"]["vars"] == ["c", "n"]
+    binds = doc["results"]["bindings"]
+    assert len(binds) == 3
+    by_name = {b["n"]["value"]: b for b in binds}
+    assert by_name["Alice"]["n"]["type"] == "literal"
+    assert by_name["Alice"]["c"]["type"] == "uri"
+
+    ask_out = str(tmp_path / "ask.srj")
+    with redirect_stdout(io.StringIO()):
+        rc = sparql_job.main([
+            "--store", store, "--out", ask_out, "--out-format", "srj",
+            "--query",
+            'PREFIX u: <urn:> ASK { ?c u:name "Alice" }',
+        ])
+    assert rc == 0
+    assert json.load(open(ask_out)) == {"head": {}, "boolean": True}

@@ -1,0 +1,65 @@
+"""ops/graph.shortest_paths — distributed Bellman-Ford."""
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_spark.ops.graph import shortest_paths
+
+
+def _edges(spark, triples):
+    return spark.createDataFrame(
+        triples, "src string, dst string, w long")
+
+
+def _src(spark, *nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+
+class TestShortestPaths:
+    def test_weighted_beats_hop_count(self, spark):
+        e = _edges(spark, [
+            ("a", "b", 10), ("a", "c", 1), ("c", "b", 1), ("b", "d", 1),
+        ])
+        got = {r.node: r.dist for r in
+               shortest_paths(e, _src(spark, "a"), weight_col="w").collect()}
+        assert got == {"a": 0, "b": 2, "c": 1, "d": 3}
+
+    def test_unit_weights_are_hops(self, spark):
+        e = _edges(spark, [("a", "b", 99), ("b", "c", 99)])
+        got = {r.node: r.dist for r in
+               shortest_paths(e, _src(spark, "a")).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_unreachable_absent(self, spark):
+        e = _edges(spark, [("a", "b", 1), ("x", "y", 1)])
+        got = {r.node for r in
+               shortest_paths(e, _src(spark, "a"), weight_col="w").collect()}
+        assert got == {"a", "b"}
+
+    def test_multi_source(self, spark):
+        e = _edges(spark, [("a", "m", 5), ("b", "m", 2)])
+        got = {r.node: r.dist for r in shortest_paths(
+            e, _src(spark, "a", "b"), weight_col="w").collect()}
+        assert got == {"a": 0, "b": 0, "m": 2}
+
+    def test_cycle_converges(self, spark):
+        e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+        got = {r.node: r.dist for r in
+               shortest_paths(e, _src(spark, "a"), weight_col="w").collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_negative_weight_rejected(self, spark):
+        e = _edges(spark, [("a", "b", -1)])
+        with pytest.raises(ValueError, match="negative"):
+            shortest_paths(e, _src(spark, "a"), weight_col="w")
+
+    def test_max_iter_raises_not_truncates(self, spark):
+        e = _edges(spark, [(f"v{i}", f"v{i+1}", 1) for i in range(6)])
+        with pytest.raises(ValueError, match="converge"):
+            shortest_paths(
+                e, _src(spark, "v0"), weight_col="w", max_iter=3)
+
+    def test_zero_weight_edges(self, spark):
+        e = _edges(spark, [("a", "b", 0), ("b", "c", 4)])
+        got = {r.node: r.dist for r in
+               shortest_paths(e, _src(spark, "a"), weight_col="w").collect()}
+        assert got == {"a": 0, "b": 0, "c": 4}
