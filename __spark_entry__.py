@@ -3519,6 +3519,13 @@ _SHACL_SHAPES_TTL = """
   sh:property [ sh:path <u:nat> ; sh:nodeKind sh:IRI ;
                 sh:class <u:Nation> ] ;
   sh:property [ sh:path <u:tag> ; sh:hasValue "gold" ] .
+<u:SQShape> a sh:NodeShape ; sh:targetClass <u:Customer> ;
+  sh:sparql [ sh:message "machinery customers need a gold tag" ;
+    sh:select '''SELECT $this ?value WHERE {
+      $this <u:seg> ?value .
+      FILTER(?value = "MACHINERY")
+      FILTER NOT EXISTS { $this <u:tag> "gold" }
+    }''' ] .
 """
 
 
@@ -6820,6 +6827,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'u:c:' || k, 'u:CustShape', 'u:extra', 'closed',
                    'x' || k, 'closed'
             FROM c WHERE k % 17 = 0
+            UNION ALL
+            SELECT 'u:c:' || k, 'u:SQShape', NULL, 'sparql',
+                   seg, 'machinery customers need a gold tag'
+            FROM c WHERE seg = 'MACHINERY' AND k % 3 <> 0
         """,
         # identical integer window arithmetic: stride 24 = 32 − 8,
         # n_chunks = 1 + (max(n−32,0) + 23) // 24, DuckDB list slices

@@ -693,6 +693,44 @@ def _combinator_violations(triples, targets, shape):
     return out
 
 
+def _sparql_violations(triples: DataFrame, targets: DataFrame,
+                       shape: dict) -> list[DataFrame]:
+    """SHACL-SPARQL constraints (sh:sparql, SHACL §5): each spec is
+    ``{"select": <SELECT projecting ?this [,?value, ?path]>,
+    "message": <str|None>}``.  The recommendation pre-binds ``$this``
+    per focus node; set-at-a-time, that is: rewrite ``$this`` → ``?this``
+    (textual — a ``$this`` inside a string literal is rewritten too,
+    documented), run the SELECT ONCE over the whole data graph with the
+    rdf_spark.sparql engine, and inner-join the solution set against
+    the shape's target set on ?this.  One query plan per constraint, no
+    per-focus loop.  ?value / ?path projections map to the report's
+    value / path columns when present."""
+    from rdf_spark.sparql import sparql_select
+
+    out = []
+    for spec in shape.get("sparql", ()):
+        q = spec["select"].replace("$this", "?this")
+        res = sparql_select(triples, q)
+        if "this" not in res.columns:
+            raise ValueError(
+                "sh:sparql SELECT must project ?this ($this); got "
+                f"columns {res.columns}")
+        joined = res.join(
+            targets, res["this"] == targets["focus"], "inner")
+        value = F.col("value") if "value" in res.columns             else F.lit(None).cast("string")
+        path = F.col("path") if "path" in res.columns             else F.lit(None).cast("string")
+        out.append(joined.select(
+            F.col("focus"),
+            F.lit(shape["id"]).alias("shape_id"),
+            path.cast("string").alias("path"),
+            F.lit("sparql").alias("constraint"),
+            value.cast("string").alias("value"),
+            F.lit(spec.get("message") or "sh:sparql constraint")
+            .alias("expected"),
+        ))
+    return out
+
+
 def validate(triples: DataFrame, shapes: list[dict],
              restrict_focus: DataFrame | None = None) -> DataFrame:
     """Validation report: one row per violation (empty ⇒ conforms).
@@ -717,6 +755,7 @@ def validate(triples: DataFrame, shapes: list[dict],
         if shape.get("closed"):
             branches.append(_closed_violations(triples, targets, shape))
         branches.extend(_combinator_violations(triples, targets, shape))
+        branches.extend(_sparql_violations(triples, targets, shape))
     if not branches:
         return triples.sparkSession.createDataFrame(
             [], "focus string, shape_id string, path string, "

@@ -75,7 +75,7 @@ class ShaclError(ValueError):
     """Unsupported or malformed shapes graph."""
 
 
-_UNSUPPORTED = ("sparql", "qualifiedValueShapesDisjoint")
+_UNSUPPORTED = ("qualifiedValueShapesDisjoint",)
 
 _NODE_KIND_NAMES = {
     SH + "IRI": "IRI",
@@ -429,6 +429,23 @@ def parse_shapes(shapes_ttl: str) -> list[dict]:
             for (n, _k) in _rdf_list_nodes(idx, (andv[0], andv[1])):
                 spec["properties"].extend(
                     _compile_operand_shape(idx, n)["properties"])
+        sqs = []
+        for (n, _nk, _dt, _lg) in props.get(SH + "sparql", ()):
+            nprops = idx.get(n, {})
+            if SH + "prefixes" in nprops:
+                raise ShaclError(
+                    "sh:prefixes is not supported — declare PREFIX "
+                    "inline in the sh:select string")
+            sel = _one_lex(nprops, "select")
+            if sel is None:
+                raise ShaclError(f"sh:sparql on {s} needs sh:select")
+            sqs.append({
+                "select": sel,
+                "message": _one_lex(nprops, "message"),
+            })
+        if sqs:
+            spec["sparql"] = sorted(
+                sqs, key=lambda d: d["select"])
         spec["properties"].sort(key=lambda p: path_str(p["path"]))
         shapes.append(spec)
     shapes.sort(key=lambda sp: sp["id"])

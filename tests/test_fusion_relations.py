@@ -170,3 +170,41 @@ class TestTableToTriples:
             cells, subject_from_first_col=True, subj_base="urn:e:"
         ).collect()
         assert r.s == "urn:e:a"
+
+
+def test_fuse_job_entrypoint(spark, tmp_path):
+    """jobs/fuse_job.py: fused winners + conflicts audit + canonical
+    triples sidecar, with a confidence floor."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import fuse_job
+
+    spark.createDataFrame([
+        ("urn:o1", "urn:p", "A", "s1", 3),
+        ("urn:o1", "urn:p", "B", "s2", 4),
+        ("urn:o2", "urn:p", "C", "s1", 1),
+    ], "s string, p string, o string, source string, trust int"
+    ).write.parquet(str(tmp_path / "a"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = fuse_job.main([
+            "--assertions", str(tmp_path / "a"),
+            "--out", str(tmp_path / "f"),
+            "--conflicts", str(tmp_path / "c"),
+            "--triples-out", str(tmp_path / "t"),
+            "--min-confidence", "0.5",
+        ])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["facts"] == 2 and stats["contested_facts"] == 1
+    rows = {(r.s, r.o) for r in spark.read.parquet(
+        str(tmp_path / "f")).collect()}
+    assert rows == {("urn:o1", "B"), ("urn:o2", "C")}
+    t = spark.read.parquet(str(tmp_path / "t"))
+    assert t.count() == 2
+    assert set(t.columns) == {
+        "s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"}

@@ -650,3 +650,80 @@ def test_sequence_path_dedupes_routes(spark):
         (EX + "m2", 1, EX + "b", EX + "v", 1, None),
     ]
     assert shacl_validate(_df(spark, rows), shapes).count() == 0
+
+
+class TestShaclSparql:
+    """sh:sparql constraint components (round-5: compiled onto the
+    rdf_spark.sparql engine, set-at-a-time with $this -> ?this)."""
+
+    SHAPES = """
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        <u:S> a sh:NodeShape ; sh:targetClass <u:T> ;
+          sh:sparql [ sh:message "bal over limit" ;
+            sh:select '''SELECT $this ?value WHERE {
+                $this <u:bal> ?value . $this <u:lim> ?lim .
+                FILTER(?value > ?lim) }''' ] .
+    """
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "s string, s_kind tinyint, p string, o string, "
+            "o_kind tinyint, o_datatype string, o_lang string")
+
+    def test_violations_joined_to_targets(self, spark):
+        from rdf_spark.shacl import shacl_validate
+        from rdf_spark.terms import RDF_TYPE
+
+        rows = [
+            ("u:a", 1, RDF_TYPE, "u:T", 1, None, None),
+            ("u:a", 1, "u:bal", "900", 2, None, None),
+            ("u:a", 1, "u:lim", "500", 2, None, None),
+            ("u:b", 1, RDF_TYPE, "u:T", 1, None, None),
+            ("u:b", 1, "u:bal", "100", 2, None, None),
+            ("u:b", 1, "u:lim", "500", 2, None, None),
+            # violating but UNTARGETED: absent from the report
+            ("u:x", 1, "u:bal", "999", 2, None, None),
+            ("u:x", 1, "u:lim", "1", 2, None, None),
+        ]
+        rep = shacl_validate(self._df(spark, rows), self.SHAPES).collect()
+        assert [(r.focus, r.constraint, r.value, r.expected)
+                for r in rep] == [
+            ("u:a", "sparql", "900", "bal over limit")]
+
+    def test_prefixes_rejected(self):
+        from rdf_spark.shacl import ShaclError, parse_shapes
+
+        import pytest as _pytest
+        with _pytest.raises(ShaclError, match="sh:prefixes"):
+            parse_shapes("""
+                @prefix sh: <http://www.w3.org/ns/shacl#> .
+                <u:S> a sh:NodeShape ; sh:targetClass <u:T> ;
+                  sh:sparql [ sh:prefixes <u:p> ;
+                    sh:select "SELECT ?this WHERE { ?this ?p ?o }" ] .
+            """)
+
+    def test_select_required(self):
+        from rdf_spark.shacl import ShaclError, parse_shapes
+
+        import pytest as _pytest
+        with _pytest.raises(ShaclError, match="sh:select"):
+            parse_shapes("""
+                @prefix sh: <http://www.w3.org/ns/shacl#> .
+                <u:S> a sh:NodeShape ; sh:targetClass <u:T> ;
+                  sh:sparql [ sh:message "m" ] .
+            """)
+
+    def test_this_projection_required(self, spark):
+        from rdf_spark.shacl import shacl_validate
+        from rdf_spark.terms import RDF_TYPE
+
+        import pytest as _pytest
+        rows = [("u:a", 1, RDF_TYPE, "u:T", 1, None, None)]
+        shapes = """
+            @prefix sh: <http://www.w3.org/ns/shacl#> .
+            <u:S> a sh:NodeShape ; sh:targetClass <u:T> ;
+              sh:sparql [ sh:select "SELECT ?x WHERE { ?x ?p ?o }" ] .
+        """
+        with _pytest.raises(ValueError, match="project"):
+            shacl_validate(self._df(spark, rows), shapes)
