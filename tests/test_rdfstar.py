@@ -411,3 +411,81 @@ class TestStarEncode:
         text = "".join(
             open(f).read() for f in glob.glob(out + "/part-*"))
         assert "<< <urn:a> <urn:b> <urn:c> >>" in text
+
+
+class TestStarFuzz:
+    """Derandomized generative soak: random star documents round-trip
+    through parse → encode_ntriples_star → parse; random mutations
+    never escape ParseError."""
+
+    @staticmethod
+    def _gen_doc(rng):
+        def iri():
+            return f"<urn:x{rng.randrange(8)}>"
+
+        def literal():
+            base = f'"v{rng.randrange(8)}"'
+            r = rng.random()
+            if r < 0.2:
+                return base + "@en"
+            if r < 0.4:
+                return base + "^^<urn:dt>"
+            return base
+
+        def term(depth, subject):
+            if depth > 0 and rng.random() < 0.35:
+                return quoted(depth - 1)
+            if not subject and rng.random() < 0.4:
+                return literal()
+            return iri()
+
+        def quoted(depth):
+            return (f"<< {term(depth, True)} <urn:p{rng.randrange(4)}> "
+                    f"{term(depth, False)} >>")
+
+        lines = []
+        for _ in range(rng.randrange(1, 6)):
+            s = term(2, True)
+            p = f"<urn:p{rng.randrange(4)}>"
+            o = term(2, False)
+            annot = ""
+            if rng.random() < 0.4:
+                annot = (f' {{| <urn:q{rng.randrange(3)}> {literal()} '
+                         f'{"; <urn:r> " + iri() if rng.random() < 0.3 else ""} |}}')
+            lines.append(f"{s} {p} {o}{annot} .")
+        return "\n".join(lines) + "\n"
+
+    def test_round_trip_soak(self, spark):
+        import random
+
+        from rdf_spark.rdfstar import encode_ntriples_star
+
+        rng = random.Random(20260819)
+        docs = [self._gen_doc(rng) for _ in range(60)]
+        rows = []
+        for d in docs:
+            rows.extend(TurtleParser(d).parse_all())
+        uniq = sorted(set(map(tuple, rows)))
+        df = spark.createDataFrame(uniq, _TRIPLE_DDL)
+        lines = [r.value for r in encode_ntriples_star(df).collect()]
+        back = parse_ntriples("\n".join(lines) + "\n")
+        assert sorted(set(map(tuple, back))) == uniq
+
+    def test_mutation_soak_no_crash(self):
+        import random
+
+        rng = random.Random(42)
+        base = self._gen_doc(rng)
+        chars = "<>{}|" + '".'
+        for i in range(300):
+            doc = list(base)
+            for _ in range(rng.randrange(1, 4)):
+                pos = rng.randrange(len(doc))
+                if rng.random() < 0.5:
+                    doc[pos] = rng.choice(chars)
+                else:
+                    doc.insert(pos, rng.choice(chars))
+            try:
+                TurtleParser("".join(doc)).parse_all()
+            except ParseError:
+                pass  # the only acceptable failure mode
