@@ -217,10 +217,6 @@ the least-interfered observation — all raw walls in BENCH_SCALING.json).
     return 0
 
 
-if __name__ == "__main__":
-    sys.exit(main())
-
-
 def _min_merge_existing(result: dict) -> dict:
     """Fold the fresh session into the committed artifact as a per-level
     per-path MIN-merge (raw walls unioned, throughputs + efficiencies
@@ -262,3 +258,7 @@ def _min_merge_existing(result: dict) -> dict:
         "Per-level per-path MIN-merge across bench_scaling sessions "
         "(raw walls unioned; efficiencies recomputed from merged mins).")
     return result
+
+
+if __name__ == "__main__":
+    sys.exit(main())
