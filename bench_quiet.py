@@ -139,6 +139,8 @@ def main() -> int:
         "kg_pages_per_sec": round(n_pages / kg_wall, 1),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "nt_fixture_lines": n_lines,
+        "kg_fixture_pages": n_pages,
     }
     print(json.dumps(result))
     result = _min_merge_existing(result)
@@ -162,7 +164,21 @@ def _min_merge_existing(result: dict) -> dict:
             old = json.load(f)
     except (OSError, ValueError):
         return result
+    if old.get("sf", result["sf"]) != result["sf"]:
+        # a different scale factor makes every wall incomparable
+        return result
     oq, oraw = old.get("queries", {}), old.get("raw_walls", {})
+    # throughput fixtures are only comparable at identical sizes (the
+    # bench_scaling guard, mirrored): drop incomparable historical walls
+    for key, field in (("nt_parse_throughput", "nt_fixture_lines"),
+                       ("kg_pipeline_60k", "kg_fixture_pages")):
+        if old.get(field, result[field]) != result[field]:
+            oq.pop(key, None)
+            oraw.pop(key, None)
+            if field == "nt_fixture_lines":
+                old["nt_triples_per_sec"] = 0.0
+            else:
+                old["kg_pages_per_sec"] = 0.0
     merged_q, merged_raw = {}, {}
     for k, v in result["queries"].items():
         hist = oq.get(k)

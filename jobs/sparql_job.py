@@ -27,10 +27,15 @@ _SCHEME_RE = __import__("re").compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$")
 
 
 def _srj_term(value):
-    """Lexical value → SPARQL-results term object.  The engine's
+    """Binding value → SPARQL-results term object.  The engine's
     documented dialect binds LEXICAL FORMS, so term kinds are
     reconstructed: '_:'-prefixed = bnode, scheme-shaped (no
-    whitespace) = uri, everything else = literal."""
+    whitespace) = uri, everything else = literal.  Non-string values
+    (aggregates, arithmetic projections, kind columns) serialize as
+    literal lexical forms."""
+    if not isinstance(value, str):
+        value = str(value)
+        return {"type": "literal", "value": value}
     if value.startswith("_:"):
         return {"type": "bnode", "value": value[2:]}
     if _SCHEME_RE.match(value):
@@ -40,7 +45,8 @@ def _srj_term(value):
 
 def _write_srj(df, path):
     """ONE application/sparql-results+json document (driver-side —
-    interchange-sized results; use parquet/csv for bulk)."""
+    interchange-sized results; use parquet/csv for bulk).  Returns the
+    binding count so the caller need not re-execute the plan."""
     cols = df.columns
     bindings = [
         {c: _srj_term(row[c]) for c in cols if row[c] is not None}
@@ -52,6 +58,7 @@ def _write_srj(df, path):
              "results": {"bindings": bindings}},
             f, indent=1,
         )
+    return len(bindings)
 
 
 def main(argv=None) -> int:
@@ -116,8 +123,8 @@ def main(argv=None) -> int:
         ap.error(f"unsupported query form {form!r}")
         return 2
     if args.out and args.out_format == "srj":
-        _write_srj(df, args.out)
-        print(json.dumps({"rows": df.count(), "out": args.out,
+        n = _write_srj(df, args.out)
+        print(json.dumps({"rows": n, "out": args.out,
                           "format": "srj"}))
         return 0
     if args.out:

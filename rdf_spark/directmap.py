@@ -99,9 +99,11 @@ def _row_node(
             parts.append(F.lit(col + "="))
             parts.append(percent_encode(F.col(col).cast("string")))
         return F.concat(F.lit(base + table + "/"), *parts), KIND_IRI
-    key = F.md5(F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in df.columns]
-    ))
+    # to_json over the full-row struct: null columns and separator-like
+    # characters are quoted unambiguously, so ONLY byte-identical rows
+    # share a key (concat_ws would silently skip nulls and collide
+    # ('x', NULL) with (NULL, 'x'))
+    key = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     return F.concat(F.lit("_:dm"), key), KIND_BLANK
 
 
@@ -163,7 +165,10 @@ def direct_map(
             F.lit(s_kind).cast("tinyint").alias("s_kind"),
             F.explode(F.array(*entries)).alias("_e"),
         )
-        .filter(F.col("_e.o").isNotNull())
+        # a NULL pk value yields a NULL subject — a relational pk is
+        # non-null by definition, so such rows are data errors and are
+        # DROPPED rather than emitted as schema-violating null-s triples
+        .filter(F.col("s").isNotNull() & F.col("_e.o").isNotNull())
         .select(
             "s", "s_kind",
             F.col("_e.p").alias("p"),

@@ -1203,7 +1203,7 @@ def shortest_paths(
     ``localCheckpoint`` keeps the plan linear in rounds.
     """
     w = (
-        F.col(weight_col).cast("bigint")
+        F.col(weight_col).try_cast("bigint")
         if weight_col is not None
         else F.lit(1).cast("bigint")
     )
@@ -1212,8 +1212,15 @@ def shortest_paths(
         F.col(dst_col).cast("string").alias("_dst"),
         w.alias("_w"),
     ).filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
-    if e.filter(F.col("_w") < 0).limit(1).count():
-        raise ValueError("negative edge weights are not supported")
+    # null weights (incl. cast failures from a non-numeric weight_col)
+    # would poison min() with null distances that the plain-equality
+    # convergence anti-join counts as "changed" forever (the round-2
+    # eqNullSafe gotcha) — reject them up front, with negatives
+    if e.filter(
+        F.col("_w").isNull() | (F.col("_w") < 0)
+    ).limit(1).count():
+        raise ValueError(
+            "edge weights must be non-null, non-negative, and numeric")
     [c] = sources.columns
     dist = sources.select(
         F.col(c).cast("string").alias("node"),

@@ -107,6 +107,17 @@ def write_graphml(
     has single-valued keys)."""
     import xml.sax.saxutils as su
 
+    def attr(v):
+        # quoteattr escapes quotes AND emits character references for
+        # \n/\r/\t (XML 1.0 attribute-value normalization would
+        # otherwise eat them — the rdfxml-encoder lesson)
+        return su.quoteattr(v)
+
+    def content(v):
+        # element content: escape markup, and carriage returns as
+        # character references (line-ending normalization eats raw \r)
+        return su.escape(v).replace("\r", "&#13;")
+
     nodes, props, edges = to_property_graph(triples)
     rows_n = nodes.groupBy("node_id").agg(
         F.max("label").alias("label"))
@@ -123,26 +134,26 @@ def write_graphml(
            'attr.type="string"/>']
     for k in keys:
         out.append(
-            f'  <key id="{su.escape(k)}" for="node" '
-            f'attr.name="{su.escape(k)}" attr.type="string"/>')
+            f'  <key id={attr(k)} for="node" '
+            f'attr.name={attr(k)} attr.type="string"/>')
     out.append('  <graph edgedefault="directed">')
     for nid in sorted(n_local):
         r = n_local[nid]
-        out.append(f'    <node id="{su.escape(nid)}">')
+        out.append(f"    <node id={attr(nid)}>")
         if r["label"] is not None:
             out.append(
-                f'      <data key="label">{su.escape(r["label"])}</data>')
+                f'      <data key="label">{content(r["label"])}</data>')
         for k, v in sorted(p_local.get(nid, {}).items()):
             out.append(
-                f'      <data key="{su.escape(k)}">{su.escape(v)}</data>')
+                f"      <data key={attr(k)}>{content(v)}</data>")
         out.append("    </node>")
     for i, r in enumerate(sorted(
         edges.collect(), key=lambda e: (e["src"], e["edge_type"], e["dst"])
     )):
         out.append(
-            f'    <edge id="e{i}" source="{su.escape(r["src"])}" '
-            f'target="{su.escape(r["dst"])}" '
-            f'label="{su.escape(r["edge_type"])}"/>')
+            f'    <edge id="e{i}" source={attr(r["src"])} '
+            f'target={attr(r["dst"])} '
+            f'label={attr(r["edge_type"])}/>')
     out.append("  </graph>")
     out.append("</graphml>")
     sc = triples.sparkSession

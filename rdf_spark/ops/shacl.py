@@ -715,12 +715,16 @@ def _sparql_violations(triples: DataFrame, targets: DataFrame,
             raise ValueError(
                 "sh:sparql SELECT must project ?this ($this); got "
                 f"columns {res.columns}")
-        joined = res.join(
-            targets, res["this"] == targets["focus"], "inner")
-        value = F.col("value") if "value" in res.columns             else F.lit(None).cast("string")
-        path = F.col("path") if "path" in res.columns             else F.lit(None).cast("string")
+        # alias the target column: a query projecting its own ?focus
+        # variable must not make the join or the select ambiguous
+        tgt = targets.select(F.col("focus").alias("_sh_tgt")).distinct()
+        joined = res.join(tgt, res["this"] == tgt["_sh_tgt"], "inner")
+        value = (res["value"] if "value" in res.columns
+                 else F.lit(None).cast("string"))
+        path = (res["path"] if "path" in res.columns
+                else F.lit(None).cast("string"))
         out.append(joined.select(
-            F.col("focus"),
+            res["this"].alias("focus"),
             F.lit(shape["id"]).alias("shape_id"),
             path.cast("string").alias("path"),
             F.lit("sparql").alias("constraint"),

@@ -213,6 +213,10 @@ def _compile_operand_shape(idx, node, visiting=frozenset(),
     if props is None:
         raise ShaclError("shape operand has no triples")
     _reject_unsupported(props, "shape operand")
+    if SH + "sparql" in props:
+        raise ShaclError(
+            "sh:sparql nested inside a shape operand is not supported "
+            "— attach it to the targeted node shape")
     for bad in ("or", "and", "not", "xone", "closed"):
         if SH + bad in props:
             raise ShaclError(
@@ -284,6 +288,10 @@ def _compile_property(idx, node, visiting=frozenset()) -> dict:
     if pprops is None:
         raise ShaclError("sh:property target has no triples")
     _reject_unsupported(pprops, "property shape")
+    if SH + "sparql" in pprops:
+        raise ShaclError(
+            "sh:sparql on a property shape is not supported — attach "
+            "it to the targeted node shape (its SELECT sees $this)")
     for bad in ("not", "xone"):
         if SH + bad in pprops:
             raise ShaclError(

@@ -125,3 +125,24 @@ class TestDirectMap:
             .select(nt_line_col()).collect()
         ]
         assert '<urn:dm:t/id=1> <urn:dm:t#name> "x" .' in lines
+
+
+class TestReviewRegressions:
+    def test_null_columns_do_not_collide_blank_keys(self, spark):
+        df = spark.createDataFrame(
+            [("x", None), (None, "x")], "a string, b string")
+        subs = {r.s for r in direct_map(df, "t").collect()}
+        assert len(subs) == 2  # distinct rows, distinct blank nodes
+
+    def test_separator_lookalike_rows_do_not_collide(self, spark):
+        df = spark.createDataFrame(
+            [("a\x1fb", None), ("a", "b")], "a string, b string")
+        subs = {r.s for r in direct_map(df, "t").collect()}
+        assert len(subs) == 2
+
+    def test_null_pk_rows_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (None, "y")], "id long, name string")
+        rows = direct_map(df, "t", pk=["id"]).collect()
+        assert all(r.s is not None for r in rows)
+        assert {r.o for r in rows if r.p == "urn:dm:t#name"} == {"x"}

@@ -72,3 +72,23 @@ class TestPropertyGraph:
         assert {r.node_id for r in p.collect()} <= node_ids
         assert {r.src for r in e.collect()} <= node_ids
         assert {r.dst for r in e.collect()} <= node_ids
+
+
+def test_graphml_escapes_quotes_and_cr(spark, tmp_path):
+    """Review regression: node ids with quotes must not break attribute
+    quoting; \r in property values must survive as a char reference."""
+    import glob
+    import xml.etree.ElementTree as ET
+
+    rows = [
+        ('urn:x"q', 1, "urn:ex#name", "line\rbreak", 2, None, None),
+        ('urn:x"q', 1, "urn:ex#knows", "urn:y", 1, None, None),
+    ]
+    df = spark.createDataFrame(rows, _DDL)
+    out = str(tmp_path / "g")
+    write_graphml(df, out)
+    xml = "".join(open(f).read() for f in glob.glob(out + "/part-*"))
+    root = ET.fromstring(xml)  # well-formed despite the quote
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    vals = [d.text for d in root.iter(f"{ns}data")]
+    assert "line\rbreak" in vals  # \r preserved via &#13;

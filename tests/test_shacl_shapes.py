@@ -727,3 +727,37 @@ class TestShaclSparql:
         """
         with _pytest.raises(ValueError, match="project"):
             shacl_validate(self._df(spark, rows), shapes)
+
+
+class TestShaclSparqlRegressions:
+    def test_property_shape_sparql_rejected(self):
+        from rdf_spark.shacl import ShaclError, parse_shapes
+
+        import pytest as _pytest
+        with _pytest.raises(ShaclError, match="property shape"):
+            parse_shapes("""
+                @prefix sh: <http://www.w3.org/ns/shacl#> .
+                <u:S> a sh:NodeShape ; sh:targetClass <u:T> ;
+                  sh:property [ sh:path <u:p> ;
+                    sh:sparql [ sh:select "SELECT ?this WHERE {?this ?p ?o}" ] ] .
+            """)
+
+    def test_query_projecting_focus_var_not_ambiguous(self, spark):
+        from rdf_spark.shacl import shacl_validate
+        from rdf_spark.terms import RDF_TYPE
+
+        rows = [
+            ("u:a", 1, RDF_TYPE, "u:T", 1, None, None),
+            ("u:a", 1, "u:p", "bad", 2, None, None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "s string, s_kind tinyint, p string, o string, "
+            "o_kind tinyint, o_datatype string, o_lang string")
+        rep = shacl_validate(df, """
+            @prefix sh: <http://www.w3.org/ns/shacl#> .
+            <u:S> a sh:NodeShape ; sh:targetClass <u:T> ;
+              sh:sparql [ sh:select
+                "SELECT $this ?focus WHERE { $this <u:p> ?focus }" ] .
+        """).collect()
+        assert [r.focus for r in rep] == ["u:a"]

@@ -2207,3 +2207,32 @@ def test_sparql_job_srj_format(spark, tri, tmp_path):
         ])
     assert rc == 0
     assert json.load(open(ask_out)) == {"head": {}, "boolean": True}
+
+
+def test_sparql_job_srj_nonstring_bindings(spark, tri, tmp_path):
+    """Review regression: aggregate/arithmetic projections are
+    non-string columns — srj must coerce, not crash."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import sparql_job
+
+    store = str(tmp_path / "store")
+    tri.write.mode("overwrite").parquet(store)
+    out = str(tmp_path / "agg.srj")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = sparql_job.main([
+            "--store", store, "--out", out, "--out-format", "srj",
+            "--query",
+            "PREFIX u: <urn:> SELECT (COUNT(?n) AS ?c) "
+            "WHERE { ?s u:name ?n }",
+        ])
+    assert rc == 0
+    doc = json.load(open(out))
+    [b] = doc["results"]["bindings"]
+    assert b["c"] == {"type": "literal", "value": "3"}
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["rows"] == 1

@@ -63,3 +63,19 @@ class TestShortestPaths:
         got = {r.node: r.dist for r in
                shortest_paths(e, _src(spark, "a"), weight_col="w").collect()}
         assert got == {"a": 0, "b": 0, "c": 4}
+
+
+def test_null_weight_rejected(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", None)], "src string, dst string, w long")
+    s = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="non-null"):
+        shortest_paths(e, s, weight_col="w")
+
+
+def test_non_numeric_weight_rejected(spark):
+    e = spark.createDataFrame(
+        [("a", "b", "heavy")], "src string, dst string, w string")
+    s = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="non-null"):
+        shortest_paths(e, s, weight_col="w")
