@@ -35,10 +35,17 @@ Supported (SHACL core):
   algebra: per-operand violator sets joined on focus — bytes per row)
   and ``sh:and`` (operand property shapes inlined)
 
+SPARQL-based constraints (``sh:sparql`` with ``sh:select`` +
+``sh:message``) are supported on TARGETED NODE SHAPES, compiled onto
+:mod:`rdf_spark.sparql` — ``$this`` rewrites to ``?this`` and the
+SELECT runs once set-at-a-time, inner-joined against the target set
+(``?value``/``?path`` projections map to the report columns).
+
 Deliberate core-subset boundaries (raise :class:`ShaclError`, never
 silently half-validate): nested focus-level combinators, closure
-paths, ``sh:qualifiedValueShapesDisjoint``, and SPARQL-based
-constraints.  ``sh:class`` tests direct ``rdf:type``
+paths, ``sh:qualifiedValueShapesDisjoint``, ``sh:prefixes`` (declare
+PREFIX inline in the select string), and ``sh:sparql`` anywhere other
+than a targeted node shape.  ``sh:class`` tests direct ``rdf:type``
 assertions only — run :func:`rdf_spark.ops.reasoning.rdfs_closure`
 first for subclass entailment; that composition is the idiomatic
 pipeline here.
