@@ -42,15 +42,61 @@ RDFS_RANGE = RDFS_NS + "range"
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 _SCHEMA_MAX_ITER = 30
+# ontologies are small by contract (module docstring); an edge set at or
+# under this cap is closed on the driver (one collect job instead of
+# O(log diameter) shuffle+checkpoint+count rounds — measured 2.7 s of
+# scheduling for a ONE-edge input on a 32-core local box), anything
+# bigger falls back to the distributed iterative squaring
+_SCHEMA_COLLECT_MAX = 100_000
 
 
-def _schema_closure(edges: DataFrame, max_iter: int = _SCHEMA_MAX_ITER) -> DataFrame:
-    """Transitive closure of a small ``(sub, sup)`` schema edge set by
-    iterative squaring (R ← R ∪ R∘R, O(log diameter) rounds, per-round
-    localCheckpoint) — same scheme as sparql._closure_pairs but local to
-    ops (no private import).  The input is ontology-sized; each round is
-    a self-join of a table that fits in a broadcast."""
-    result = edges.distinct().localCheckpoint(eager=True)
+def _closure_local(pairs: list[tuple]) -> list[tuple]:
+    """Transitive closure (irreflexive) of an edge list via per-source
+    DFS — O(V·E) worst case, fine at ontology scale."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    out = []
+    for start, direct in adj.items():
+        seen: set = set()
+        stack = list(direct)
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            nxt = adj.get(x)
+            if nxt:
+                stack.extend(nxt)
+        out.extend((start, y) for y in seen if y != start)
+    return out
+
+
+def _schema_closure_with_local(
+    edges: DataFrame,
+    max_iter: int = _SCHEMA_MAX_ITER,
+    collect_max: int = _SCHEMA_COLLECT_MAX,
+) -> tuple[DataFrame, list[tuple] | None]:
+    """Transitive closure of a small ``(sub, sup)`` schema edge set.
+
+    Fast path: when the distinct edge set fits ``collect_max`` it is
+    collected and closed on the driver (the broadcast-small-side
+    pattern — the ontology is joined broadcast downstream anyway, so
+    the driver holds it either way), returning ``(closure_df,
+    local_pairs)`` so callers can make plan decisions (e.g. skip empty
+    branches) without extra jobs.  Past the cap: distributed iterative
+    squaring (R ← R ∪ R∘R, O(log diameter) rounds, per-round
+    localCheckpoint — same scheme as sparql._closure_pairs), returning
+    ``(closure_df, None)``."""
+    spark = edges.sparkSession
+    distinct = edges.distinct()
+    head = distinct.limit(collect_max + 1).collect()
+    if len(head) <= collect_max:
+        closed = _closure_local([(r[0], r[1]) for r in head])
+        cols = edges.columns
+        schema = "%s string, %s string" % (cols[0], cols[1])
+        return spark.createDataFrame(closed, schema), closed
+    result = distinct.localCheckpoint(eager=True)
     n = result.count()
     for _ in range(max_iter):
         if n == 0:
@@ -68,7 +114,12 @@ def _schema_closure(edges: DataFrame, max_iter: int = _SCHEMA_MAX_ITER) -> DataF
         raise RuntimeError(
             "schema closure did not converge in %d rounds" % max_iter
         )
-    return result.filter(F.col("sub") != F.col("sup"))
+    return result.filter(F.col("sub") != F.col("sup")), None
+
+
+def _schema_closure(edges: DataFrame, max_iter: int = _SCHEMA_MAX_ITER) -> DataFrame:
+    """See :func:`_schema_closure_with_local` (DataFrame-only facade)."""
+    return _schema_closure_with_local(edges, max_iter)[0]
 
 
 def _carry(df: DataFrame, template: DataFrame, **overrides: Column) -> DataFrame:
@@ -109,21 +160,104 @@ def rdfs_closure(
       5. rdfs9: (c sc+ d), (s type c)  → (s type d)   [over ALL types]
     """
     src = schema if schema is not None else triples
-    sc_edges = src.filter(F.col("p") == RDFS_SUBCLASSOF).select(
-        F.col("s").alias("sub"), F.col("o").alias("sup")
-    )
-    sp_edges = src.filter(F.col("p") == RDFS_SUBPROPERTYOF).select(
-        F.col("s").alias("sub"), F.col("o").alias("sup")
-    )
-    dom = src.filter(F.col("p") == RDFS_DOMAIN).select(
-        F.col("s").alias("prop"), F.col("o").alias("cls")
-    )
-    rng = src.filter(F.col("p") == RDFS_RANGE).select(
-        F.col("s").alias("prop"), F.col("o").alias("cls")
-    )
+    spark = triples.sparkSession
 
-    sp_plus = _schema_closure(sp_edges)
-    sc_plus = _schema_closure(sc_edges)
+    # Rule COMPOSITIONS are folded schema-side so every instance branch
+    # is ONE scan of ``triples`` joined broadcast to a tiny rule table —
+    # the naive tiered plan (inst = triples ∪ r7; typed = inst ∪ r2 ∪
+    # r3; out = typed ∪ r9 ∪ …) duplicates the instance subtree at
+    # every tier and re-scans the input 12×.  These are set-identical
+    # (the compositions rdfs7∘rdfs2/3 and rdfs9∘rdfs2/3 become extra
+    # rows of the effective domain/range tables; sp/sc closures are
+    # already transitive, so nothing iterates instance-side):
+    #   dom_eff  = dom ∪ sp⁺∘dom      (p sp⁺ q, q dom c  ⇒ p dom_eff c)
+    #   dom_full = dom_eff ∪ dom_eff∘sc⁺  (… c sc⁺ d     ⇒ p dom_full d)
+    # and likewise rng_full.  All four are ontology-sized by contract
+    # (module docstring), so the common case collects every schema slice
+    # in ONE guarded job and composes on the driver; past the cap the
+    # distributed path closes/composes with broadcast-hinted tiny joins.
+    schema_preds = (
+        RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE,
+    )
+    schema_rows = (
+        src.filter(F.col("p").isin(*schema_preds))
+        .select("s", "p", "o")
+        .limit(_SCHEMA_COLLECT_MAX + 1)
+        .collect()
+    )
+    pair_schema = "sub string, sup string"
+    if len(schema_rows) <= _SCHEMA_COLLECT_MAX:
+        by_pred: dict[str, set] = {p: set() for p in schema_preds}
+        for s, p, o in schema_rows:
+            if s is None:  # a null subject can never join an instance row
+                continue
+            by_pred[p].add((s, o))
+        # null sups/classes: a (x, null) hierarchy edge never survives the
+        # old filter/joins → dropped from the closures; a null domain/range
+        # CLASS still produced (s type null) rows → kept in dom/rng
+        sp_pairs = _closure_local(
+            sorted(p for p in by_pred[RDFS_SUBPROPERTYOF] if p[1] is not None)
+        )
+        sc_pairs = _closure_local(
+            sorted(p for p in by_pred[RDFS_SUBCLASSOF] if p[1] is not None)
+        )
+        sc_map: dict[str, set] = {}
+        for a, b in sc_pairs:
+            sc_map.setdefault(a, set()).add(b)
+        sp_rev: dict[str, set] = {}
+        for a, b in sp_pairs:
+            sp_rev.setdefault(b, set()).add(a)
+
+        def _compose_local(base: set) -> list[tuple]:
+            eff = set(base)
+            for q, c in base:
+                for p in sp_rev.get(q, ()):
+                    eff.add((p, c))
+            full = set(eff)
+            for p, c in eff:
+                for d in sc_map.get(c, ()):
+                    full.add((p, d))
+            return sorted(full, key=lambda t: (t[0], t[1] or ""))
+
+        sp_local: list | None = sp_pairs
+        sp_plus = spark.createDataFrame(sorted(sp_pairs), pair_schema)
+        sc_plus = spark.createDataFrame(sorted(sc_pairs), pair_schema)
+        dom_full = spark.createDataFrame(
+            _compose_local(by_pred[RDFS_DOMAIN]), "prop string, cls string"
+        )
+        rng_full = spark.createDataFrame(
+            _compose_local(by_pred[RDFS_RANGE]), "prop string, cls string"
+        )
+    else:
+        sc_edges = src.filter(F.col("p") == RDFS_SUBCLASSOF).select(
+            F.col("s").alias("sub"), F.col("o").alias("sup")
+        )
+        sp_edges = src.filter(F.col("p") == RDFS_SUBPROPERTYOF).select(
+            F.col("s").alias("sub"), F.col("o").alias("sup")
+        )
+        dom = src.filter(F.col("p") == RDFS_DOMAIN).select(
+            F.col("s").alias("prop"), F.col("o").alias("cls")
+        )
+        rng = src.filter(F.col("p") == RDFS_RANGE).select(
+            F.col("s").alias("prop"), F.col("o").alias("cls")
+        )
+        sp_plus, sp_local = _schema_closure_with_local(sp_edges)
+        sc_plus, _ = _schema_closure_with_local(sc_edges)
+
+        def _compose(base: DataFrame) -> DataFrame:
+            eff = base.unionByName(
+                base.join(
+                    F.broadcast(sp_plus), sp_plus["sup"] == base["prop"]
+                ).select(F.col("sub").alias("prop"), F.col("cls"))
+            ).distinct()
+            return eff.unionByName(
+                eff.join(
+                    F.broadcast(sc_plus), eff["cls"] == sc_plus["sub"]
+                ).select(F.col("prop"), F.col("sup").alias("cls"))
+            ).distinct()
+
+        dom_full = _compose(dom)
+        rng_full = _compose(rng)
 
     has_kind = "o_kind" in triples.columns
     iri_kind = F.lit(KIND_IRI).cast(
@@ -137,7 +271,6 @@ def rdfs_closure(
         triples,
         p=F.col("sup"),
     )
-    inst = triples.unionByName(r7)
 
     # 3. rdfs2/rdfs3 — typing.  The subject keeps its kind; the object
     # of the new triple is a class IRI.  rdfs3 only fires for non-
@@ -162,11 +295,17 @@ def rdfs_closure(
             )
         return _carry(base, triples, **over)
 
+    # 3+5 folded: rdfs2/rdfs3 over inst ≡ dom_full/rng_full over the
+    # ORIGINAL triples (sp⁺ composition baked in), with the rdfs9 lift
+    # of the derived types baked in too (sc⁺ composition).
     r2 = _type_triple(
-        inst.join(F.broadcast(dom), inst["p"] == dom["prop"]), "s",
+        triples.join(F.broadcast(dom_full), triples["p"] == dom_full["prop"]),
+        "s",
         "s_kind" if "s_kind" in triples.columns else None,
     )
-    r3_base = inst.join(F.broadcast(rng), inst["p"] == rng["prop"])
+    r3_base = triples.join(
+        F.broadcast(rng_full), triples["p"] == rng_full["prop"]
+    )
     if has_kind:
         r3_base = r3_base.filter(F.col("o_kind") != KIND_LITERAL)
     r3 = _type_triple(r3_base, "o", "o_kind" if has_kind else None)
@@ -180,10 +319,9 @@ def rdfs_closure(
             over["o_kind"] = iri_kind
         return _carry(pairs, triples, **over)
 
-    typed = inst.unionByName(r2).unionByName(r3)
-
-    # 5. rdfs9 — type inheritance over every type triple derived so far
-    types = typed.filter(F.col("p") == RDF_TYPE)
+    # 5. rdfs9 over ORIGINAL type triples (r2/r3-derived types carry
+    # their sc⁺ lift via dom_full/rng_full above)
+    types = triples.filter(F.col("p") == RDF_TYPE)
     r9 = _carry(
         types.join(F.broadcast(sc_plus), types["o"] == sc_plus["sub"]),
         triples,
@@ -191,10 +329,35 @@ def rdfs_closure(
     )
 
     out = (
-        typed.unionByName(r9)
+        triples.unionByName(r7)
+        .unionByName(r2)
+        .unionByName(r3)
+        .unionByName(r9)
         .unionByName(_schema_triple(sp_plus, RDFS_SUBPROPERTYOF))
         .unionByName(_schema_triple(sc_plus, RDFS_SUBCLASSOF))
     )
+
+    # rdfs9 over rdfs7-DERIVED type triples: only possible when some
+    # p sp⁺ rdf:type exists (a pathological but legal ontology); the
+    # branch is skipped entirely when the driver-side closure proves it
+    # empty, so the common case never pays the extra scan.
+    sp_to_type = (
+        any(b == RDF_TYPE for _, b in sp_local)
+        if sp_local is not None
+        else not sp_plus.filter(F.col("sup") == RDF_TYPE).isEmpty()
+    )
+    if sp_to_type:
+        spt = sp_plus.filter(F.col("sup") == RDF_TYPE).select(
+            F.col("sub").alias("_tp")
+        )
+        r9b = _carry(
+            triples.join(F.broadcast(spt), triples["p"] == F.col("_tp"))
+            .join(F.broadcast(sc_plus), triples["o"] == sc_plus["sub"]),
+            triples,
+            p=F.lit(RDF_TYPE),
+            o=F.col("sup"),
+        )
+        out = out.unionByName(r9b)
     if dedup:
         from rdf_spark.canonical import dedup_key
 
