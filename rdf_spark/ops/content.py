@@ -365,8 +365,13 @@ def table_to_triples(
     is ~1/rows of the data side so AQE sizes it; no windows, no Python
     beyond the upstream extract.
     """
+    from rdf_spark.ops.planutil import materialize_for_fanout
     from rdf_spark.terms import KIND_IRI, KIND_LITERAL
 
+    # both join sides (headers + data, and keys in key mode) scan the
+    # same cells table; when it is the usual extract_tables python
+    # stage, materialize it once instead of re-parsing the HTML per side
+    cells = materialize_for_fanout(cells)
     headers = (
         cells.filter(F.col("row") == 0)
         .select(

@@ -303,12 +303,12 @@ def connected_components_star(
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # nodes whose only edges are self-loops must still appear (singleton
-    # components) — same coverage as connected_components
+    # components) — same coverage as connected_components.  Left lazy:
+    # read exactly once, by the final singleton anti-join.
     all_nodes = (
         raw.select(F.col("u").alias("node"))
         .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     e = raw.filter(F.col("u") != F.col("v"))
     # orient + symmetrize once; invariant kept: edges point small ← large
@@ -317,6 +317,7 @@ def connected_components_star(
         .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
     )
+    n = e.count()
 
     def _min_nbr(df):
         # m(u) = min over Γ(u) ∪ {u}; with the small←large orientation the
@@ -353,12 +354,12 @@ def connected_components_star(
             .dropDuplicates(["u", "v"])
             .localCheckpoint(eager=True)
         )
-        # converged when the round was a no-op (star graphs are fixpoints)
-        converged = (
-            e2.count() == e.count()
-            and e2.exceptAll(e).limit(1).count() == 0
-        )
-        e = e2
+        # converged when the round was a no-op (star graphs are
+        # fixpoints); previous round's count is remembered, and the
+        # content check only runs when the counts tie
+        n2 = e2.count()
+        converged = n2 == n and e2.exceptAll(e).limit(1).count() == 0
+        e, n = e2, n2
         if converged:
             break
     else:
@@ -1084,7 +1085,10 @@ def strongly_connected_components(
     for _phase in range(max_phases):
         if active.isEmpty():
             break
-        # (1) forward min-label coloring to fixpoint
+        # (1) forward min-label coloring to fixpoint.  The change flag is
+        # computed INSIDE the round's one checkpointed plan, so the
+        # convergence probe reads cached rows instead of paying a second
+        # join job per round (the probe was half the round's schedule).
         colors = active.select("node", F.col("node").alias("color"))
         for _round in range(max_rounds):
             incoming = (
@@ -1097,22 +1101,21 @@ def strongly_connected_components(
                 .groupBy(F.col("v").alias("node"))
                 .agg(F.min("cu").alias("cin"))
             )
+            new_color = F.least(
+                F.col("color"), F.coalesce("cin", F.col("color"))
+            )
             nxt = (
                 colors.join(incoming, "node", "left")
                 .select(
                     "node",
-                    F.least(
-                        F.col("color"), F.coalesce("cin", F.col("color"))
-                    ).alias("color"),
+                    new_color.alias("_color"),
+                    (new_color < F.col("color")).alias("_changed"),
                 )
+                .withColumnRenamed("_color", "color")
                 .localCheckpoint(eager=True)
             )
-            converged = (
-                nxt.join(colors.withColumnRenamed("color", "_old"), "node")
-                .filter(F.col("color") != F.col("_old"))
-                .isEmpty()
-            )
-            colors = nxt
+            converged = nxt.filter(F.col("_changed")).isEmpty()
+            colors = nxt.select("node", "color")
             if converged:
                 break
         else:

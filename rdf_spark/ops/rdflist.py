@@ -70,6 +70,12 @@ def rdf_lists(
     """
     if max_len < 1:
         raise ValueError("max_len must be >= 1")
+    # ~10 branch plans (heads/spine/audits/members) re-read the input;
+    # a parsed/generated input is materialized once, a parquet store
+    # stays lazy (p-pushdown per branch is the better plan there)
+    from rdf_spark.ops.planutil import materialize_for_fanout
+
+    triples = materialize_for_fanout(triples)
     firsts = (
         triples.filter(F.col("p") == RDF_FIRST)
         .select(F.col("s").alias("node"), F.col("o").alias("member"),

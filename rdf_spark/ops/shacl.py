@@ -745,7 +745,17 @@ def validate(triples: DataFrame, shapes: list[dict],
     ``restrict_focus``: optional 1-column ``focus`` DataFrame — only
     target nodes in this set are validated (the incremental-validation
     hook; see :func:`validate_delta`).
+
+    Every constraint family is an independent branch plan over
+    ``triples``; a Python-parsed input is materialized ONCE up front
+    (ops.planutil) so the branches re-read a cached table instead of
+    re-running the parse per family — parquet-backed inputs stay lazy
+    and keep per-branch predicate pushdown.
     """
+    from rdf_spark.ops.planutil import materialize_for_fanout
+
+    if len(shapes) > 0:
+        triples = materialize_for_fanout(triples)
     branches = []
     for shape in shapes:
         targets = _targets(triples, shape)
