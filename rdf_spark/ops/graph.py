@@ -1205,48 +1205,87 @@ def shortest_paths(
     return wrong distances, cf. the k-hop broadcast cap).  Per-round
     ``localCheckpoint`` keeps the plan linear in rounds.
     """
-    w = (
-        F.col(weight_col).try_cast("bigint")
-        if weight_col is not None
-        else F.lit(1).cast("bigint")
-    )
+    wtype = dict(edges.dtypes).get(weight_col) if weight_col else None
+    if wtype is not None and wtype.startswith("decimal"):
+        # decimal weights keep their scale and sum exactly in a widened
+        # decimal — the "fractional weights must be decimal-typed"
+        # promise of the docstring
+        scale = int(wtype.rstrip(")").split(",")[1])
+        dist_type = "decimal(38,%d)" % scale
+        w = F.col(weight_col).cast(dist_type)
+        nonintegral = F.lit(False)
+    else:
+        dist_type = "bigint"
+        w = (
+            F.col(weight_col).try_cast("bigint")
+            if weight_col is not None
+            else F.lit(1).cast("bigint")
+        )
+        # a fractional double/float weight would be silently FLOORED by
+        # the bigint cast (0.5 -> 0) — reject instead (decimal-typed
+        # weights take the exact branch above)
+        nonintegral = (
+            F.col(weight_col).try_cast("decimal(38,18)")
+            != w.cast("decimal(38,18)")
+            if weight_col is not None
+            else F.lit(False)
+        )
     e = edges.select(
         F.col(src_col).cast("string").alias("_src"),
         F.col(dst_col).cast("string").alias("_dst"),
         w.alias("_w"),
+        nonintegral.alias("_frac"),
     ).filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
     # null weights (incl. cast failures from a non-numeric weight_col)
     # would poison min() with null distances that the plain-equality
     # convergence anti-join counts as "changed" forever (the round-2
-    # eqNullSafe gotcha) — reject them up front, with negatives
+    # eqNullSafe gotcha) — reject them up front, with negatives and
+    # silently-truncated fractional values; the guard pass doubles as
+    # the checkpoint that keeps later rounds from re-scanning the input
+    e = e.localCheckpoint(eager=True)
     if e.filter(
-        F.col("_w").isNull() | (F.col("_w") < 0)
+        F.col("_w").isNull() | (F.col("_w") < 0) | F.col("_frac")
     ).limit(1).count():
         raise ValueError(
-            "edge weights must be non-null, non-negative, and numeric")
+            "edge weights must be non-null, non-negative, numeric, and "
+            "integral-valued (use a decimal-typed column for exact "
+            "fractional weights)")
+    e = e.drop("_frac")
     [c] = sources.columns
     dist = sources.select(
         F.col(c).cast("string").alias("node"),
-        F.lit(0).cast("bigint").alias("dist"),
+        F.lit(0).cast(dist_type).alias("dist"),
     ).distinct().localCheckpoint(eager=True)
     for _ in range(max_iter):
+        # the convergence signal (a node appeared or its distance
+        # improved) is aggregated inside the round's one checkpointed
+        # plan — the probe then reads cached rows (no per-round join job)
         relaxed = (
             dist.join(e, dist["node"] == e["_src"])
             .select(
                 F.col("_dst").alias("node"),
                 (F.col("dist") + F.col("_w")).alias("dist"),
+                F.lit(None).cast(dist_type).alias("_old"),
             )
-            .unionByName(dist)
+            .unionByName(
+                dist.select(
+                    "node", "dist", F.col("dist").alias("_old")
+                )
+            )
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min("_old").alias("_old"),
+            )
+            .select(
+                "node", "dist",
+                (F.col("_old").isNull()
+                 | (F.col("dist") < F.col("_old"))).alias("_changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        # converged when no node's distance improved (anti-join on the
-        # exact (node, dist) pair is empty)
-        changed = relaxed.join(
-            dist, ["node", "dist"], "left_anti"
-        ).limit(1).count()
-        dist = relaxed
+        changed = not relaxed.filter(F.col("_changed")).isEmpty()
+        dist = relaxed.select("node", "dist")
         if not changed:
             return dist
     raise ValueError(

@@ -79,3 +79,36 @@ def test_non_numeric_weight_rejected(spark):
     s = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(ValueError, match="non-null"):
         shortest_paths(e, s, weight_col="w")
+
+
+def test_fractional_double_weight_rejected(spark):
+    """Round-6 ADVICE fix: a fractional double weight used to be
+    silently FLOORED by the bigint cast (0.5 -> 0) — now rejected."""
+    e = spark.createDataFrame(
+        [("a", "b", 0.5)], "src string, dst string, w double")
+    with pytest.raises(ValueError, match="integral"):
+        shortest_paths(e, _src(spark, "a"), weight_col="w")
+
+
+def test_integral_double_weight_accepted(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 3.0)],
+        "src string, dst string, w double")
+    got = {r.node: r.dist for r in
+           shortest_paths(e, _src(spark, "a"), weight_col="w").collect()}
+    assert got == {"a": 0, "b": 2, "c": 5}
+
+
+def test_decimal_weights_exact(spark):
+    """Decimal-typed fractional weights sum exactly (the docstring's
+    'fractional ones must be decimal-typed by the caller' promise)."""
+    from decimal import Decimal
+
+    e = spark.createDataFrame(
+        [("a", "b", Decimal("0.50")), ("b", "c", Decimal("1.90")),
+         ("a", "c", Decimal("2.50"))],
+        "src string, dst string, w decimal(10,2)")
+    out = shortest_paths(e, _src(spark, "a"), weight_col="w")
+    got = {r.node: r.dist for r in out.collect()}
+    assert got == {"a": Decimal("0.00"), "b": Decimal("0.50"),
+                   "c": Decimal("2.40")}
