@@ -483,18 +483,23 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = (
-        edges.groupBy(src.alias("node"))
-        .agg(F.count(F.lit(1)).alias("od"))
+    out_deg = edges.groupBy(src.alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    # the edges⋈out_deg join is iteration-invariant — hoist and
+    # materialize it once so each of the n_iter rounds pays one join
+    # against the current ranks instead of re-scanning the input twice
+    # (same rows, same arithmetic: every edge has exactly one od)
+    e_od = (
+        edges.select(src.alias("node"), dst.alias("_dst"))
+        .join(out_deg, "node")
         .localCheckpoint(eager=True)
     )
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         contrib = (
-            edges.select(src.alias("node"), dst.alias("_dst"))
-            .join(ranks, "node")
-            .join(out_deg, "node")
+            e_od.join(ranks, "node")
             .select(
                 F.col("_dst").alias("node"),
                 F.round(F.col("rank") / F.col("od"), 14).alias("c"),
@@ -541,7 +546,11 @@ def hits(
     keeps the plan O(1); multi-edges contribute once per occurrence.
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    e = edges.select(src.alias("src"), dst.alias("dst"))
+    # 2 scans per iteration (auth + hub passes) — materialize the
+    # projected edge list once
+    e = edges.select(src.alias("src"), dst.alias("dst")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -1001,9 +1010,14 @@ def personalized_pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    out_deg = (
-        edges.groupBy(src.alias("node"))
-        .agg(F.count(F.lit(1)).alias("od"))
+    out_deg = edges.groupBy(src.alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    # iteration-invariant edges⋈out_deg hoisted out of the loop (the
+    # pagerank convention — same rows, same arithmetic)
+    e_od = (
+        edges.select(src.alias("node"), dst.alias("_dst"))
+        .join(out_deg, "node")
         .localCheckpoint(eager=True)
     )
     is_seed = F.col("node").isin(seeds)
@@ -1015,9 +1029,7 @@ def personalized_pagerank(
     )
     for _ in range(n_iter):
         contrib = (
-            edges.select(src.alias("node"), dst.alias("_dst"))
-            .join(ranks, "node")
-            .join(out_deg, "node")
+            e_od.join(ranks, "node")
             .select(
                 F.col("_dst").alias("node"),
                 F.round(F.col("rank") / F.col("od"), 14).alias("c"),
