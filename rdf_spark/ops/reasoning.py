@@ -387,7 +387,11 @@ def sameas_resolve(
     edge appear in it) and the joins stay skew-free on IRI keys.
     """
     from rdf_spark.ops.graph import connected_components_star
+    from rdf_spark.ops.planutil import materialize_for_fanout
 
+    # the sameAs slice, the rewrite base, and CC's node audit all
+    # re-read the input — materialize parsed/generated inputs once
+    triples = materialize_for_fanout(triples)
     sa = triples.filter(F.col("p") == OWL_SAMEAS)
     if "o_kind" in triples.columns:
         sa = sa.filter(F.col("o_kind") == KIND_IRI)
@@ -482,6 +486,12 @@ def owl_property_closure(
     scan is never shuffled by steps 1/3; only the transitive edge set
     (usually a small predicate slice) iterates.
     """
+    from rdf_spark.ops.planutil import materialize_for_fanout
+
+    # ~5 branch plans (rewrite base, transitive edge extraction, the
+    # output union) re-read the input; parsed/generated inputs are
+    # materialized once, parquet stores stay lazy (ops.planutil)
+    triples = materialize_for_fanout(triples)
     src = schema if schema is not None else triples
     has_kind = "o_kind" in triples.columns
     inv = src.filter(F.col("p") == OWL_INVERSEOF).select(
