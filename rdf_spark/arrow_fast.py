@@ -264,9 +264,16 @@ def parse_lines_arrow(lines: pa.Array, fmt: str = "ntriples") -> pa.Table:
     # keyed ids keep cross-batch duplicates identical → dedup collapses)
     qt_minter = parsing._QtMinter()
     for line in slow_lines:
+        # stage this line's memo additions: a quarantined line's partial
+        # parse must not leave statement nodes memoized (their
+        # reification rows die with the line — a later clean line
+        # quoting the same fact would then emit nothing)
+        qt_minter.journal = staged = []
         try:
             rows = parse_one(line, qt=qt_minter)
         except parsing.QUARANTINE_ERRORS as e:
+            for k in staged:
+                del qt_minter.memo[k]
             recs.append((None,) * n_cols + (str(e),))
             continue
         for r in rows:

@@ -21,6 +21,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# guard on the ivf_pq_topk query-side driver collect (queries are the
+# small side by contract; a 1M × 64-double query dict is ~0.5 GB —
+# past this, shard the query set and union the per-shard top-k)
+MAX_QUERIES = 1_000_000
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -402,13 +407,25 @@ def ivf_pq_topk(
         .select(query_id_col, id_col, "codes")
         .dropDuplicates([query_id_col, id_col])
     )
+    # query vectors ride an sc.broadcast (one torrent transfer shared by
+    # all tasks), NOT closure capture (pickled into every task), with
+    # the embedding_decontaminate-style size guard on the driver collect
+    n_queries = queries.count()
+    if n_queries > MAX_QUERIES:
+        raise ValueError(
+            f"query set has {n_queries} rows > max {MAX_QUERIES}; "
+            "shard the query set and union the top-k results"
+        )
     qrows = queries.select(query_id_col, vec_col).collect()
     qvecs = {}
     for r in qrows:
         v = np.asarray(r[1], dtype=np.float64)
         qvecs[r[0]] = v / max(float(np.linalg.norm(v)), 1e-12)
+    bc_qvecs = queries.sparkSession.sparkContext.broadcast(qvecs)
+    del qvecs, qrows
 
     def adc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qvecs = bc_qvecs.value
         luts: dict = {}
         sub_idx = np.arange(m_)
         for pdf in it:

@@ -134,10 +134,17 @@ class _QtMinter:
     rdf:predicate / rdf:object) via the ``emit`` callback.
     """
 
-    __slots__ = ("memo",)
+    __slots__ = ("memo", "journal")
 
     def __init__(self):
         self.memo: dict[str, tuple] = {}
+        # when a line-parallel caller shares one minter across lines, a
+        # line that quarantines AFTER memoizing a quoted triple would
+        # poison the memo: its reification emits die with the failed
+        # line, and a later clean line quoting the same fact would find
+        # the memo hit and emit nothing.  Callers set ``journal`` to a
+        # fresh list per line and delete the journaled keys on failure.
+        self.journal: list[str] | None = None
 
     def term(self, s: tuple, p: tuple, o: tuple, emit) -> tuple:
         key = "%s %s %s" % (_term_ser(s), _term_ser(p), _term_ser(o))
@@ -150,6 +157,8 @@ class _QtMinter:
         else:
             qt = ("urn:rdfstar:" + h, KIND_IRI, None, None)
         self.memo[key] = qt
+        if self.journal is not None:
+            self.journal.append(key)
         emit((qt[0], qt[1], RDF_TYPE, RDF_STATEMENT, KIND_IRI, None, None))
         emit((qt[0], qt[1], RDF_SUBJECT, s[0], s[1], None, None))
         emit((qt[0], qt[1], RDF_PREDICATE, p[0], KIND_IRI, None, None))

@@ -1186,3 +1186,32 @@ def test_decontaminate_job_embeddings_mode(spark, tmp_path):
     assert {r.doc_id for r in
             spark.read.parquet(f"{out}/contaminated").collect()} \
         == {0, 5, 10, 15}
+
+
+def test_ivf_pq_query_guard_and_broadcast(spark, embeddings, monkeypatch):
+    """Round-6 (VERDICT item 5): the query-side driver collect is
+    guarded, and the vectors ship via ONE sc.broadcast instead of
+    closure capture into every task."""
+    both = _perturbed_embeddings(spark, embeddings)
+    queries = both.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    monkeypatch.setattr(ann, "MAX_QUERIES", 2)
+    with pytest.raises(ValueError, match="max"):
+        ann.ivf_pq_topk(both, queries, dim=64, k=1, n_lists=8, m=8)
+    monkeypatch.setattr(ann, "MAX_QUERIES", 1_000_000)
+
+    calls = []
+    sc = spark.sparkContext
+    orig = type(sc).broadcast
+
+    def counting(self, value):
+        calls.append(type(value).__name__)
+        return orig(self, value)
+
+    monkeypatch.setattr(type(sc), "broadcast", counting)
+    out = ann.ivf_pq_topk(
+        both, queries, dim=64, k=1, n_lists=8, n_probe=1, m=8
+    ).collect()
+    assert len(out) == 5
+    assert calls.count("dict") == 1  # the query-vector map, exactly once

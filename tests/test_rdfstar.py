@@ -489,3 +489,38 @@ class TestStarFuzz:
                 TurtleParser("".join(doc)).parse_all()
             except ParseError:
                 pass  # the only acceptable failure mode
+
+
+class TestQuarantineMemoIsolation:
+    """Round-6 ADVICE fix: a malformed line that parses '<< s p o >>'
+    before erroring must not poison the batch-shared _QtMinter memo —
+    a later well-formed line quoting the same fact still expands its
+    full reification."""
+
+    def test_failed_line_does_not_eat_reification(self):
+        import pyarrow as pa
+
+        from rdf_spark.arrow_fast import parse_lines_arrow
+
+        bad = '<< <urn:s> <urn:p> <urn:o> >> <urn:c> .'
+        good = '<< <urn:s> <urn:p> <urn:o> >> <urn:c> "v" .'
+        tbl = parse_lines_arrow(pa.array([bad, good]))
+        rows = tbl.to_pylist()
+        errs = [r for r in rows if r["err"] is not None]
+        assert len(errs) == 1  # the malformed line quarantines alone
+        ok = [r for r in rows if r["err"] is None]
+        # 4 reification rows + 1 annotation row from the clean line
+        assert len(ok) == 5
+        assert sum(1 for r in ok if r["o"] and "Statement" in (r["o"] or "")) == 1
+
+    def test_clean_then_failed_line_keeps_memo(self):
+        import pyarrow as pa
+
+        from rdf_spark.arrow_fast import parse_lines_arrow
+
+        good = '<< <urn:s> <urn:p> <urn:o> >> <urn:c> "v" .'
+        bad = '<< <urn:s> <urn:p> <urn:o> >> <urn:c> .'
+        tbl = parse_lines_arrow(pa.array([good, bad]))
+        rows = tbl.to_pylist()
+        assert sum(1 for r in rows if r["err"] is not None) == 1
+        assert sum(1 for r in rows if r["err"] is None) == 5
