@@ -3680,19 +3680,25 @@ def q_fuse_values(spark, sf_dir):
         .otherwise(F.col("o_orderpriority"))
 
     def vote(p, val, src, trust):
-        return o.select(
-            "s", p.alias("p"), val.alias("o"),
+        return F.struct(
+            p.alias("p"), val.alias("o"),
             F.lit(src).alias("source"), F.lit(trust).alias("trust"),
         )
 
-    assertions = (
-        vote(st, F.col("o_orderstatus"), "src_a", 3)
-        .unionAll(vote(st, F.col("o_orderstatus"), "src_a", 3))
-        .unionAll(vote(st, F.col("o_orderstatus"), "src_b", 2))
-        .unionAll(vote(st, conflict, "src_c", 4))
-        .unionAll(vote(pr, F.col("o_orderpriority"), "src_a", 2))
-        .unionAll(vote(pr, tie, "src_c", 2))
-    )
+    # same six votes as the round-5 unionAll chain, built from ONE
+    # orders scan via explode (the union re-read the table six times;
+    # vote multiset, and therefore the fused output, is identical)
+    assertions = o.select(
+        "s",
+        F.explode(F.array(
+            vote(st, F.col("o_orderstatus"), "src_a", 3),
+            vote(st, F.col("o_orderstatus"), "src_a", 3),
+            vote(st, F.col("o_orderstatus"), "src_b", 2),
+            vote(st, conflict, "src_c", 4),
+            vote(pr, F.col("o_orderpriority"), "src_a", 2),
+            vote(pr, tie, "src_c", 2),
+        )).alias("_v"),
+    ).select("s", "_v.p", "_v.o", "_v.source", "_v.trust")
     fused = fuse_assertions(assertions)
     return fused.select(
         "s", "p", "o",
