@@ -34,12 +34,16 @@ def main() -> int:
     args = sys.argv[1:]
     plan_tag = None
     reps = 3
+    gate = None
     while args and args[0].startswith("--"):
         if args[0] == "--plans":
             plan_tag = args[1]
             args = args[2:]
         elif args[0] == "--reps":
             reps = int(args[1])
+            args = args[2:]
+        elif args[0] == "--gate":
+            gate = float(args[1])
             args = args[2:]
         else:
             raise SystemExit(f"unknown flag {args[0]}")
@@ -72,6 +76,10 @@ def main() -> int:
                 f.write(plan)
         walls, loads = [], []
         for _ in range(reps):
+            if gate is not None:
+                t_gate = time.time()
+                while _loadavg1() >= gate and time.time() - t_gate < 600:
+                    time.sleep(15)
             l0 = _loadavg1()
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
             t0 = time.time()

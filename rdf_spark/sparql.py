@@ -1695,8 +1695,35 @@ def _graph_nodes(triples: DataFrame) -> DataFrame:
 
 def _reach_from(edges: DataFrame, start: str) -> DataFrame:
     """Nodes reachable from ``start`` by ≥1 edge of the ``(_src, _dst)``
-    pair set: iterate-to-fixpoint BFS with per-round localCheckpoint,
-    same shape as ops.graph.k_hop_neighbors."""
+    pair set.  A small edge set (≤ _CLOSURE_COLLECT_MAX distinct pairs)
+    is collected once and BFS'd in-process — the per-round
+    localCheckpoint+count scheduling dominated anchored-closure queries;
+    the output is bounded by the node count, so no output cap is needed.
+    Bigger sets keep the iterate-to-fixpoint distributed BFS with
+    per-round localCheckpoint, same shape as ops.graph.k_hop_neighbors.
+    Local traversal mirrors SQL join semantics: a null node joins
+    nothing downstream (reached, never expanded)."""
+    head = edges.distinct().limit(_CLOSURE_COLLECT_MAX + 1).collect()
+    if len(head) <= _CLOSURE_COLLECT_MAX:
+        adj: dict = {}
+        for r in head:
+            adj.setdefault(r[0], set()).add(r[1])
+        seen: set = set()
+        stack = list(adj.get(start, ()))
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            if x is None:
+                continue
+            nxt = adj.get(x)
+            if nxt:
+                stack.extend(nxt)
+        return edges.sparkSession.createDataFrame(
+            sorted(((v,) for v in seen), key=lambda t: t[0] or ""),
+            "node string",
+        )
     frontier = (
         edges.filter(F.col("_src") == start)
         .select(F.col("_dst").alias("node"))
@@ -1731,16 +1758,75 @@ def _reach_plus(triples: DataFrame, pred: str, start: str,
     return _reach_from(edges, start)
 
 
+#: driver fast-path caps for _closure_pairs: a subgraph whose DISTINCT
+#: edge set fits the input cap is closed in-process (one collect instead
+#: of O(log diameter) shuffle+checkpoint rounds — the per-round
+#: scheduling dominated small-closure queries); a closure whose PAIR SET
+#: outgrows the output cap falls back to the distributed squaring, which
+#: spills and parallelizes.  Both caps are input-derived every run.
+_CLOSURE_COLLECT_MAX = 200_000
+_CLOSURE_LOCAL_MAX_OUT = 500_000
+
+
+class _ClosureTooLarge(Exception):
+    pass
+
+
+def _closure_pairs_local(pairs: list[tuple]) -> set:
+    """In-process reachability closure matching the distributed
+    semantics exactly: original pairs kept (nulls included), traversal
+    never continues THROUGH a null node (SQL equality joins never match
+    null), cycles yield their (a, a) pairs."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    out = set(pairs)
+    for start, direct in adj.items():
+        seen: set = set()
+        stack = list(direct)
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            if x is None:
+                continue  # a null _dst joins nothing downstream
+            nxt = adj.get(x)
+            if nxt:
+                stack.extend(nxt)
+        out.update((start, y) for y in seen)
+        if len(out) > _CLOSURE_LOCAL_MAX_OUT:
+            raise _ClosureTooLarge
+    return out
+
+
 def _closure_pairs(edges: DataFrame) -> DataFrame:
-    """The full transitive-closure pair set of ``(_src, _dst)`` edges by
-    iterative squaring: R ← R ∪ R∘R doubles the reachable path length
-    per round, so convergence takes O(log diameter) self-join rounds
-    (vs O(diameter) for edge-at-a-time semi-naive iteration); per-round
-    localCheckpoint truncates lineage.  Set semantics per SPARQL §9.1
-    ALP.  The pair set is always finite; it is worst-case quadratic in
-    the subgraph's node count — the cost of an unanchored closure query,
-    not of this algorithm."""
-    result = edges.distinct().localCheckpoint(eager=True)
+    """The full transitive-closure pair set of ``(_src, _dst)`` edges.
+    Set semantics per SPARQL §9.1 ALP.  The pair set is always finite;
+    it is worst-case quadratic in the subgraph's node count — the cost
+    of an unanchored closure query, not of this algorithm.
+
+    Small subgraphs (≤ ``_CLOSURE_COLLECT_MAX`` distinct edges, closure
+    ≤ ``_CLOSURE_LOCAL_MAX_OUT`` pairs) are closed on the driver — one
+    guarded collect replaces O(log diameter) self-join rounds whose
+    per-round localCheckpoint+count scheduling dominated the wall.
+    Anything bigger uses iterative squaring: R ← R ∪ R∘R doubles the
+    reachable path length per round (O(log diameter) rounds vs
+    O(diameter) for edge-at-a-time semi-naive iteration); per-round
+    localCheckpoint truncates lineage."""
+    distinct = edges.distinct()
+    head = distinct.limit(_CLOSURE_COLLECT_MAX + 1).collect()
+    if len(head) <= _CLOSURE_COLLECT_MAX:
+        try:
+            closed = _closure_pairs_local([(r[0], r[1]) for r in head])
+        except _ClosureTooLarge:
+            pass
+        else:
+            return edges.sparkSession.createDataFrame(
+                sorted(closed, key=lambda t: (t[0] or "", t[1] or "")),
+                "_src string, _dst string",
+            )
+    result = distinct.localCheckpoint(eager=True)
     n = result.count()
     for _ in range(_PATH_MAX_ITER):
         if n == 0:
