@@ -203,7 +203,10 @@ def bigram_lm_nll(
     ).select(id_col, "b.v", "b.w")
 
     tf = big.groupBy(id_col, "v", "w").agg(F.count(F.lit(1)).alias("tf"))
-    cvw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    # corpus type counts reduce the ALREADY-aggregated per-doc counts
+    # instead of re-running the tokenize+zip_with explode a second time
+    # (Σ_doc tf = corpus count, exactly)
+    cvw = tf.groupBy("v", "w").agg(F.sum("tf").alias("cvw"))
     cleft = cvw.groupBy("v").agg(F.sum("cvw").alias("cl"))
 
     toks = tokenize_lower(docs, text_col, id_col)

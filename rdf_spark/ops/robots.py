@@ -210,16 +210,28 @@ def robots_rules(
 
 
 def _match_len_fn(pattern: pd.Series, path: pd.Series) -> pd.Series:
-    cache: dict[str, re.Pattern] = {}
-    out = []
-    for pat, p in zip(pattern, path):
-        if pat is None or p is None:
-            out.append(-1)
-            continue
-        rx = cache.get(pat)
-        if rx is None:
-            rx = cache[pat] = _pattern_re(pat)
-        out.append(len(pat) if rx.match(p) else -1)
+    """Per batch: group rows by rule pattern (a handful of distinct
+    patterns per batch) and run each compiled regex once over the whole
+    group via pandas' vectorized str.match, instead of a per-row Python
+    loop."""
+    import numpy as np
+
+    n = len(pattern)
+    out = np.full(n, -1, dtype="int32")
+    if n:
+        pats = pattern.to_numpy(dtype=object)
+        paths = path.to_numpy(dtype=object)
+        base = np.array([
+            i for i in range(n) if pats[i] is not None and paths[i] is not None
+        ], dtype="int64")
+        if len(base):
+            sub = pd.Series(paths[base])
+            for pat, idx in sub.groupby(pats[base], sort=False).indices.items():
+                hit = (
+                    sub.iloc[idx].str.match(_pattern_re(pat))
+                    .to_numpy(dtype=bool)
+                )
+                out[base[idx][hit]] = len(pat)
     return pd.Series(out, dtype="int32")
 
 
