@@ -623,10 +623,13 @@ def triangle_count(
     exactly once and credited to all three corners.
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # 5 downstream reads (node table, degree table, wedge join) — one
+    # checkpoint beats re-running the dedup shuffle per branch
     und = (
         raw.filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
     )
     nodes = (
         und.select(F.col("u").alias("node"))
@@ -925,6 +928,7 @@ def link_predict(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
     )
     adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
