@@ -1166,14 +1166,15 @@ def strongly_connected_components(
             )
             if step.isEmpty():
                 break
-            marked = marked.unionByName(step).localCheckpoint(eager=True)
+            # step is already checkpointed — the growing mark set stays
+            # a lazy union of cached frames (depth 1, width ≤ max_rounds)
+            marked = marked.unionByName(step)
         else:
             raise RuntimeError(
                 "SCC mark pass did not converge in %d rounds" % max_rounds
             )
         found = marked.select("node", F.col("color").alias("scc"))
         done = found if done is None else done.unionByName(found)
-        done = done.localCheckpoint(eager=True)
         active = active.join(
             marked.select("node"), "node", "left_anti"
         ).localCheckpoint(eager=True)
