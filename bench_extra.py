@@ -10,6 +10,10 @@ Usage:
   python bench_extra.py q1 q2 ...            # time listed queries (3 reps)
   python bench_extra.py --plans before q1 .. # also dump plans/r06/q1_before.txt
   python bench_extra.py --reps 5 q1
+  python bench_extra.py --gate 2.0 q1 ...    # wait for loadavg < 2.0
+                                             # before each rep (max 600 s)
+                                             # — ungated walls on this box
+                                             # are contaminated 2-3x
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
 """
 
@@ -49,7 +53,10 @@ def main() -> int:
             raise SystemExit(f"unknown flag {args[0]}")
     names = args
     if not names:
-        raise SystemExit("usage: bench_extra.py [--plans TAG] [--reps N] query ...")
+        raise SystemExit(
+            "usage: bench_extra.py [--plans TAG] [--reps N] [--gate LOAD] "
+            "query ..."
+        )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

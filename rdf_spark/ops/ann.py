@@ -408,15 +408,17 @@ def ivf_pq_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     # query vectors ride an sc.broadcast (one torrent transfer shared by
-    # all tasks), NOT closure capture (pickled into every task), with
-    # the embedding_decontaminate-style size guard on the driver collect
-    n_queries = queries.count()
-    if n_queries > MAX_QUERIES:
+    # all tasks), NOT closure capture (pickled into every task), with an
+    # embedding_decontaminate-style size guard folded into the ONE
+    # collect job (limit bounds both the job and driver memory)
+    qrows = queries.select(query_id_col, vec_col).limit(
+        MAX_QUERIES + 1
+    ).collect()
+    if len(qrows) > MAX_QUERIES:
         raise ValueError(
-            f"query set has {n_queries} rows > max {MAX_QUERIES}; "
+            f"query set exceeds max {MAX_QUERIES} rows; "
             "shard the query set and union the top-k results"
         )
-    qrows = queries.select(query_id_col, vec_col).collect()
     qvecs = {}
     for r in qrows:
         v = np.asarray(r[1], dtype=np.float64)

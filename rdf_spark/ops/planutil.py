@@ -39,15 +39,6 @@ _PY_NODES = (
 _GEN_NODES = ("Generate",)
 
 
-def has_python_stage(df: DataFrame) -> bool:
-    """True when the optimized physical plan evaluates any Python/pandas
-    stage (the same nodes ``explain()`` would show)."""
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "simple"
-    )
-    return any(n in plan for n in _PY_NODES)
-
-
 def _expensive_to_rescan(df: DataFrame) -> bool:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple"

@@ -52,9 +52,14 @@ _SCHEMA_COLLECT_MAX = 100_000
 
 def _closure_local(pairs: list[tuple]) -> list[tuple]:
     """Transitive closure (irreflexive) of an edge list via per-source
-    DFS — O(V·E) worst case, fine at ontology scale."""
+    DFS — O(V·E) worst case, fine at ontology scale.  Null-containing
+    edges are dropped up front, mirroring the distributed path exactly:
+    SQL equality never joins through null, and the (x, null) pairs die
+    on its ``sub != sup`` filter."""
     adj: dict = {}
     for a, b in pairs:
+        if a is None or b is None:
+            continue
         adj.setdefault(a, set()).add(b)
     out = []
     for start, direct in adj.items():
@@ -159,6 +164,12 @@ def rdfs_closure(
       4. sc+  := subClassOf closure               (schema-only)
       5. rdfs9: (c sc+ d), (s type c)  → (s type d)   [over ALL types]
     """
+    from rdf_spark.ops.planutil import materialize_for_fanout
+
+    # ~6 rule branches re-read the input (the convert --infer path
+    # feeds a freshly parsed frame here); parsed/generated inputs are
+    # materialized once, parquet stores stay lazy (ops.planutil)
+    triples = materialize_for_fanout(triples)
     src = schema if schema is not None else triples
     spark = triples.sparkSession
 
@@ -396,7 +407,12 @@ def sameas_resolve(
     if "o_kind" in triples.columns:
         sa = sa.filter(F.col("o_kind") == KIND_IRI)
     edges = sa.select(F.col("s").alias("a"), F.col("o").alias("b"))
-    comp = connected_components_star(edges, max_iter=max_iter)
+    # the component table is read 2-3 times downstream (subject map,
+    # object map, keep_links provenance) — materialize it once instead
+    # of re-running the CC result assembly per read
+    comp = connected_components_star(edges, max_iter=max_iter).localCheckpoint(
+        eager=True
+    )
     rep = comp.select(F.col("node"), F.col("comp").alias("rep"))
 
     rest = triples.filter(F.col("p") != OWL_SAMEAS)

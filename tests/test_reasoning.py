@@ -171,3 +171,21 @@ def test_rdfs_closure_instance_side_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_schema_closure_null_edges_match_distributed_semantics(spark):
+    """Round-6 review fix: the driver fast path must not traverse
+    through null nodes or emit null-containing pairs — SQL equality
+    joins never match null and the distributed path's sub != sup
+    filter drops (x, null) rows."""
+    from rdf_spark.ops.reasoning import _closure_local, _schema_closure
+
+    assert _closure_local([("a", None), (None, "b")]) == []
+    assert sorted(_closure_local([("a", "b"), ("b", None), ("b", "c")])) \
+        == [("a", "b"), ("a", "c"), ("b", "c")]
+    edges = spark.createDataFrame(
+        [("a", None), (None, "b"), ("a", "b"), ("b", "c")],
+        "sub string, sup string",
+    )
+    got = {(r.sub, r.sup) for r in _schema_closure(edges).collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
