@@ -237,7 +237,9 @@ def q_iri_split(spark, sf_dir):
 
 def q_dedup_triples(spark, sf_dir):
     """E4: exact triple dedup over parsed lines (partial+final hash agg)."""
-    lines = _t(spark, sf_dir, "lineitem").select(
+    # 600k synthesized lines from a single-split scan: spread so the
+    # Arrow parse + partial agg run wide (1 task otherwise)
+    lines = _spread(_t(spark, sf_dir, "lineitem")).select(
         F.concat(
             F.lit("<urn:order:"), F.col("l_orderkey"), F.lit("> <urn:p:flag> \""),
             F.col("l_returnflag"), F.lit('" .'),
@@ -3300,7 +3302,9 @@ def q_shacl_report(spark, sf_dir):
     the oracle regenerates each violation row closed-form."""
     from rdf_spark.ops.shacl import validate
 
-    o = _t(spark, sf_dir, "orders")
+    # spread the single-split scan BEFORE the 7-way line explode so the
+    # synthesis and the Python NT parse both run wide (1 task otherwise)
+    o = _spread(_t(spark, sf_dir, "orders"))
     k, c = F.col("o_orderkey"), F.col("o_custkey")
     order = F.concat(F.lit("<u:order:"), k, F.lit(">"))
     prio = F.concat(order, F.lit(' <u:p:prio> "'),
@@ -3651,7 +3655,7 @@ def q_dsir_weights(spark, sf_dir):
     as DECIMAL(38,9) (the retrieval.py reproducible-sum pattern)."""
     from rdf_spark.ops.dsir import dsir_weights
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     target = d.filter(F.col("doc_id") % 10 < 2)
     return dsir_weights(d, target, n=2, n_buckets=4096, alpha=0.01)
 
@@ -3668,7 +3672,9 @@ def q_fuse_values(spark, sf_dir):
     combinable hash aggregations, no windows, no Python."""
     from rdf_spark.ops.fusion import fuse_assertions
 
-    o = _t(spark, sf_dir, "orders").select(
+    # spread the single-split scan so the 6-way vote explode and its
+    # map-side aggregation run wide (1 task otherwise)
+    o = _spread(_t(spark, sf_dir, "orders")).select(
         F.concat(F.lit("urn:o:"), F.col("o_orderkey")).alias("s"),
         "o_orderkey", "o_orderstatus", "o_orderpriority",
     )

@@ -84,8 +84,18 @@ def dsir_weights(
     log pr(b), 9), 9), 6)`` with add-``alpha`` smoothing on both
     sides; documents with no n-grams score 0.0 with ``n_grams = 0``.
     """
-    raw_db = _doc_bucket_counts(raw, text_col, id_col, n, n_buckets)
-    tgt_db = _doc_bucket_counts(target, text_col, id_col, n, n_buckets)
+    from rdf_spark.ops.planutil import materialize_for_fanout
+
+    # each (doc, bucket) table feeds 2-3 consumers (corpus totals, gram
+    # totals, scoring); without materialization every consumer re-runs
+    # the gram explode + md5 map stage — Catalyst's exchange reuse does
+    # NOT fire across these AQE-compiled branches (observed: the raw
+    # explode stage executed twice per run).  The reduced table is ~50x
+    # smaller than the gram stream, so one checkpoint beats re-scanning.
+    raw_db = materialize_for_fanout(
+        _doc_bucket_counts(raw, text_col, id_col, n, n_buckets))
+    tgt_db = materialize_for_fanout(
+        _doc_bucket_counts(target, text_col, id_col, n, n_buckets))
     # corpus-level bucket counts reuse the per-doc reduction (map-side
     # combined twice rather than re-scanning text)
     raw_b = raw_db.groupBy("_b").agg(
