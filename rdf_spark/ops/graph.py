@@ -284,6 +284,56 @@ def bgp_match(
     return result.distinct() if distinct else result
 
 
+#: driver fast-path cap for the component ops below (distinct edges;
+#: node sets are capped at 2x).  Same economics as sparql._closure_pairs:
+#: a bench-sized graph's O(log n) distributed rounds are pure scheduling
+#: (~2 jobs + a localCheckpoint per round, tens of tiny stages), while a
+#: guarded collect + in-process union-find/label-prop is one job.  Graphs
+#: past the cap keep the scale-correct distributed algorithms.
+_COMPONENT_COLLECT_MAX = 200_000
+
+
+def _sorted_rows(rows):
+    """Deterministic output order; None sorts first (never compared to
+    a value — the tuple key short-circuits on the None flag)."""
+    return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+
+def _pair_type(df: DataFrame, a: str, b: str):
+    """Schema for a 2-column output whose type is the coerced common
+    type of two input columns (what greatest/least would produce)."""
+    from pyspark.sql.types import StructField, StructType
+
+    t = df.select(F.greatest(F.col(a), F.col(b)).alias("_x")).schema[0].dataType
+    return lambda n1, n2: StructType(
+        [StructField(n1, t), StructField(n2, t)]
+    )
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent
+        root = x
+        while p.setdefault(root, root) != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # keep the smaller id as root so comp = min(component)
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "a",
@@ -310,13 +360,29 @@ def connected_components_star(
         .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
     )
-    e = raw.filter(F.col("u") != F.col("v"))
     # orient + symmetrize once; invariant kept: edges point small ← large
-    e = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    # (null-keyed and self-loop edges are dropped here exactly as the
+    # u != v SQL filter drops them; their endpoints stay in all_nodes)
+    oriented = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=True)
     )
+    head = oriented.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        nodes = all_nodes.limit(2 * _COMPONENT_COLLECT_MAX + 1).collect()
+        if len(nodes) <= 2 * _COMPONENT_COLLECT_MAX:
+            uf = _UnionFind()
+            for r in head:
+                uf.union(r[0], r[1])
+            out = [
+                (n.node, uf.find(n.node) if n.node in uf.parent else n.node)
+                for n in nodes
+            ]
+            return edges.sparkSession.createDataFrame(
+                _sorted_rows(out), _pair_type(raw, "u", "v")("node", "comp")
+            )
+    e = oriented.localCheckpoint(eager=True)
     n = e.count()
 
     def _min_nbr(df):
@@ -384,6 +450,47 @@ def connected_components_star(
     return labels.unionByName(roots).unionByName(singletons)
 
 
+def _cc_min_label_local(
+    edges: DataFrame, e: DataFrame, sym_head, max_iter: int
+) -> DataFrame:
+    """In-process replica of :func:`connected_components`' round loop —
+    IDENTICAL semantics, including the SQL null rules: a null neighbor
+    key never joins (contributes nothing), a node's new label is
+    ``least`` over non-null candidates, and a round only counts a change
+    when both old and new labels are non-null — so early-exit and the
+    non-convergence raise fire on exactly the same round."""
+    sym = [(r[0], r[1]) for r in sym_head]
+    labels = {u: u for u, _ in sym}
+    n_changed = -1
+    for _ in range(max_iter):
+        nbr_min: dict = {}
+        for u, v in sym:
+            if u is None or v is None:
+                continue  # join keys: null matches nothing
+            c = labels.get(v)
+            if c is None:
+                continue  # F.min ignores nulls
+            if u not in nbr_min or c < nbr_min[u]:
+                nbr_min[u] = c
+        n_changed = 0
+        for node, m in nbr_min.items():
+            cur = labels[node]
+            if cur is not None and m < cur:
+                n_changed += 1
+            if cur is None or m < cur:
+                labels[node] = m
+        if n_changed == 0:
+            break
+    if n_changed != 0:
+        raise RuntimeError(
+            "connected_components did not converge in %d rounds "
+            "(graph diameter exceeds max_iter; raise max_iter)" % max_iter
+        )
+    return edges.sparkSession.createDataFrame(
+        _sorted_rows(labels.items()), _pair_type(e, "u", "v")("node", "comp")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
@@ -407,7 +514,11 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
+    sym = sym.dropDuplicates(["u", "v"])
+    head = sym.limit(2 * _COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= 2 * _COMPONENT_COLLECT_MAX:
+        return _cc_min_label_local(edges, e, head, max_iter)
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -1058,6 +1169,86 @@ def personalized_pagerank(
     return ranks
 
 
+def _scc_local(
+    edges: DataFrame, distinct_edges: DataFrame, head, max_phases: int
+) -> DataFrame:
+    """In-process SCC for graphs under the collect cap: iterative
+    Tarjan, scc = min member id — the exact fixpoint of the coloring/
+    peeling schedule (each phase assigns every marked node the smallest
+    node of its SCC, which is that phase's root).  A null endpoint is
+    replicated faithfully too: a null node can never become a root or be
+    marked, so the distributed peel loop exhausts ``max_phases`` and
+    raises — do the same without burning the phases."""
+    pairs = [(r[0], r[1]) for r in head]
+    nodes: set = set()
+    for u, v in pairs:
+        nodes.add(u)
+        nodes.add(v)
+    if not pairs:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, scc string"
+        )
+    if None in nodes:
+        raise RuntimeError(
+            "SCC peeling did not finish in %d phases" % max_phases
+        )
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    scc_of: dict = {}
+    counter = 0
+    for start in nodes:
+        if start in index:
+            continue
+        # iterative Tarjan (explicit work stack: (node, child cursor))
+        work = [(start, 0)]
+        while work:
+            node, ci = work[-1]
+            if ci == 0:
+                index[node] = low[node] = counter
+                counter += 1
+                stack.append(node)
+                on_stack.add(node)
+            children = adj.get(node, ())
+            advanced = False
+            while ci < len(children):
+                w = children[ci]
+                ci += 1
+                if w not in index:
+                    work[-1] = (node, ci)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack and index[w] < low[node]:
+                    low[node] = index[w]
+            if advanced:
+                continue
+            work.pop()
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                rep = min(comp)
+                for w in comp:
+                    scc_of[w] = rep
+            if work:
+                pnode, _ = work[-1]
+                if low[node] < low[pnode]:
+                    low[pnode] = low[node]
+    return edges.sparkSession.createDataFrame(
+        _sorted_rows(scc_of.items()),
+        _pair_type(distinct_edges, "u", "v")("node", "scc"),
+    )
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src_col: str = "src",
@@ -1086,11 +1277,11 @@ def strongly_connected_components(
     web link graphs converge in a handful of phases).
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    live_edges = (
-        edges.select(src.alias("u"), dst.alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    distinct_edges = edges.select(src.alias("u"), dst.alias("v")).distinct()
+    head = distinct_edges.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _scc_local(edges, distinct_edges, head, max_phases)
+    live_edges = distinct_edges.localCheckpoint(eager=True)
     active = (
         live_edges.select(F.col("u").alias("node"))
         .unionByName(live_edges.select(F.col("v").alias("node")))

@@ -230,11 +230,14 @@ def test_connected_components_nonconvergence_raises(spark):
     assert got == {0}
 
 
-def test_connected_components_star_differential(spark):
+def test_connected_components_star_differential(spark, monkeypatch):
     """large-star/small-star vs the same union-find oracle, plus a long
-    chain (diameter ≫ rounds) that label propagation cannot finish."""
+    chain (diameter ≫ rounds) that label propagation cannot finish.
+    Runs the DISTRIBUTED algorithm (cap forced to 0); the driver fast
+    path is covered by test_connected_components_fast_path_equivalence."""
     import random
 
+    monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 0)
     rng = random.Random(23)
     for trial in range(2):
         n = 150
@@ -249,7 +252,7 @@ def test_connected_components_star_differential(spark):
     got = {r.comp for r in graph.connected_components_star(chain, max_iter=25).collect()}
     assert got == {0}
 
-    # non-convergence raises (same contract as the label variant)
+    # non-convergence raises (the round bound is a distributed-runaway guard)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="converge"):
@@ -259,6 +262,34 @@ def test_connected_components_star_differential(spark):
     loops = spark.createDataFrame([(5, 5), (1, 2)], "a long, b long")
     comp = {r.node: r.comp for r in graph.connected_components_star(loops).collect()}
     assert comp == {5: 5, 1: 1, 2: 1}
+
+
+def test_connected_components_fast_path_equivalence(spark, monkeypatch):
+    """Driver fast path ≡ distributed path for both CC variants, on a
+    random graph plus the edge cases the SQL semantics make tricky:
+    self-loops, null endpoints, and singleton coverage."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    cases = [
+        ("a long, b long", edges + [(9, 9)]),
+        ("a string, b string", [("a", "b"), ("c", "c"), (None, "d"),
+                                ("e", None), (None, None)]),
+    ]
+    for ddl, pairs in cases:
+        df = spark.createDataFrame(pairs, ddl)
+        for fn in (graph.connected_components_star,
+                   graph.connected_components):
+            fast = fn(df)
+            fast_rows = {(r[0], r[1]) for r in fast.collect()}
+            monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 0)
+            slow = fn(df)
+            slow_rows = {(r[0], r[1]) for r in slow.collect()}
+            monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 200_000)
+            assert fast_rows == slow_rows, (ddl, fn.__name__)
+            assert [f.dataType for f in fast.schema.fields] == \
+                [f.dataType for f in slow.schema.fields], (ddl, fn.__name__)
 
 
 # ---------------------------------------------------------------------------

@@ -2,6 +2,7 @@
 vs a Tarjan reference."""
 import pytest
 
+from rdf_spark.ops import graph as graphmod
 from rdf_spark.ops.graph import strongly_connected_components
 
 
@@ -94,16 +95,24 @@ class TestScc:
         got = _got(strongly_connected_components(_edges(spark, pairs)))
         assert got == {f"p{i}": f"p{i}" for i in range(6)}
 
-    def test_phase_bound_raises(self, spark):
+    def test_phase_bound_raises(self, spark, monkeypatch):
+        # the phase bound is a distributed-runaway guard: force the
+        # distributed path (the driver fast path has no peel loop)
+        monkeypatch.setattr(graphmod, "_COMPONENT_COLLECT_MAX", 0)
         pairs = [(f"p{i}", f"p{i+1}") for i in range(4)]
         with pytest.raises(RuntimeError):
             strongly_connected_components(_edges(spark, pairs),
                                           max_phases=2)
 
+    # cap=0 forces the distributed coloring/peeling algorithm; the
+    # default cap exercises the driver fast path — both must match Tarjan
     @pytest.mark.parametrize("seed", range(4))
-    def test_matches_tarjan_random(self, spark, seed):
+    @pytest.mark.parametrize("cap", [0, None])
+    def test_matches_tarjan_random(self, spark, seed, cap, monkeypatch):
         import random
 
+        if cap is not None:
+            monkeypatch.setattr(graphmod, "_COMPONENT_COLLECT_MAX", cap)
         rng = random.Random(seed * 7 + 1)
         nodes = [f"n{i}" for i in range(10)]
         pairs = list({(rng.choice(nodes), rng.choice(nodes))
@@ -111,3 +120,19 @@ class TestScc:
         pairs = [(u, v) for u, v in pairs if u != v]
         got = _got(strongly_connected_components(_edges(spark, pairs)))
         assert got == _tarjan(pairs), seed
+
+    def test_null_endpoint_raises_like_distributed(self, spark):
+        # a null node can never root or be marked: the distributed peel
+        # exhausts max_phases and raises; the fast path must do the same
+        df = spark.createDataFrame([("a", "b"), (None, "a")],
+                                   "src string, dst string")
+        with pytest.raises(RuntimeError, match="phases"):
+            strongly_connected_components(df)
+
+    def test_local_matches_distributed_with_self_loops(self, spark,
+                                                       monkeypatch):
+        pairs = [("a", "b"), ("b", "a"), ("c", "c"), ("c", "d")]
+        fast = _got(strongly_connected_components(_edges(spark, pairs)))
+        monkeypatch.setattr(graphmod, "_COMPONENT_COLLECT_MAX", 0)
+        slow = _got(strongly_connected_components(_edges(spark, pairs)))
+        assert fast == slow == {"a": "a", "b": "a", "c": "c", "d": "d"}
