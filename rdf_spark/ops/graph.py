@@ -299,12 +299,19 @@ def _sorted_rows(rows):
     return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
 
 
+def _coerced_type(df: DataFrame, a: str, b: str):
+    """The coerced common type of two input columns (what greatest/
+    least would produce) — no job, analysis only."""
+    return df.select(
+        F.greatest(F.col(a), F.col(b)).alias("_x")
+    ).schema[0].dataType
+
+
 def _pair_type(df: DataFrame, a: str, b: str):
-    """Schema for a 2-column output whose type is the coerced common
-    type of two input columns (what greatest/least would produce)."""
+    """Schema builder for a 2-column output of the coerced type."""
     from pyspark.sql.types import StructField, StructType
 
-    t = df.select(F.greatest(F.col(a), F.col(b)).alias("_x")).schema[0].dataType
+    t = _coerced_type(df, a, b)
     return lambda n1, n2: StructType(
         [StructField(n1, t), StructField(n2, t)]
     )
@@ -869,6 +876,39 @@ def k_truss(
     return und
 
 
+def _k_core_local(spark, und: DataFrame, head, k: int,
+                  max_iter: int) -> DataFrame:
+    """Driver peel replica of :func:`k_core`'s round schedule — same
+    round-at-a-time degree recomputation, same fixpoint test (edge count
+    unchanged), same ``max_iter`` raise."""
+    from pyspark.sql.types import StructField, StructType
+
+    es = {(r[0], r[1]) for r in head}
+    for _ in range(max_iter):
+        if not es:
+            break
+        deg: dict = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        pruned = {
+            (u, v) for u, v in es if deg[u] >= k and deg[v] >= k
+        }
+        if len(pruned) == len(es):
+            break
+        es = pruned
+    else:
+        raise RuntimeError(
+            "k_core did not converge in %d peel rounds (raise max_iter)"
+            % max_iter
+        )
+    nodes = {u for u, _ in es} | {v for _, v in es}
+    return spark.createDataFrame(
+        sorted((n,) for n in nodes),
+        StructType([StructField("node", _coerced_type(und, "u", "v"))]),
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -900,8 +940,11 @@ def k_core(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=True)
     )
+    head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _k_core_local(edges.sparkSession, und, head, k, max_iter)
+    und = und.localCheckpoint(eager=True)
     n_edges = und.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -932,6 +975,32 @@ def k_core(
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .distinct()
+    )
+
+
+def _lpa_local(spark, und: DataFrame, head, n_iter: int) -> DataFrame:
+    """Driver replica of :func:`label_propagation`'s synchronous
+    schedule: exactly ``n_iter`` rounds, votes = neighbor labels + one
+    self-vote, winner by (count desc, label asc) — bit-identical to the
+    WindowGroupLimit plan."""
+    adj: dict = {}
+    for r in head:
+        u, v = r[0], r[1]
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for node, nbrs in adj.items():
+            votes: dict = {labels[node]: 1}  # self-vote
+            for nb in nbrs:
+                lab = labels[nb]
+                votes[lab] = votes.get(lab, 0) + 1
+            new[node] = min(votes, key=lambda lab: (-votes[lab], lab))
+        labels = new
+    return spark.createDataFrame(
+        _sorted_rows(labels.items()),
+        _pair_type(und, "u", "v")("node", "label"),
     )
 
 
@@ -969,6 +1038,9 @@ def label_propagation(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
     )
+    head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _lpa_local(edges.sparkSession, und, head, n_iter)
     adj = (
         und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionByName(
@@ -1386,6 +1458,75 @@ def strongly_connected_components(
     return done
 
 
+def _sssp_local(spark, e: DataFrame, sources: DataFrame,
+                dist_type: str, max_iter: int):
+    """Driver Bellman-Ford for edge sets under the collect cap, or None
+    to take the distributed path.  Exact replica of the round schedule:
+    the same weight guard (null/negative/fractional-truncated raise),
+    synchronous relaxation from the PREVIOUS round's distances, the same
+    changed test (new node or strict improvement), the same
+    non-convergence raise.  Arithmetic is python int (BIGINT) or
+    ``decimal.Decimal`` (DECIMAL weights) — both exact, like the engine."""
+    import decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    head = e.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) > _COMPONENT_COLLECT_MAX:
+        return None
+    [c] = sources.columns
+    srcs = (
+        sources.select(F.col(c).cast("string").alias("node"))
+        .distinct()
+        .limit(2 * _COMPONENT_COLLECT_MAX + 1)
+        .collect()
+    )
+    if len(srcs) > 2 * _COMPONENT_COLLECT_MAX:
+        return None
+    if any(r["_w"] is None or r["_w"] < 0 or r["_frac"] for r in head):
+        raise ValueError(
+            "edge weights must be non-null, non-negative, numeric, and "
+            "integral-valued (use a decimal-typed column for exact "
+            "fractional weights)")
+    if dist_type == "bigint":
+        zero = 0
+        out_field = LongType()
+    else:
+        zero = decimal.Decimal(0)
+        out_field = DecimalType(38, int(dist_type.rstrip(")").split(",")[1]))
+    edge_list = [(r["_src"], r["_dst"], r["_w"]) for r in head]
+    dist = {r["node"]: zero for r in srcs}
+    for _ in range(max_iter):
+        best = dict(dist)
+        for s, d, w in edge_list:
+            old = dist.get(s)
+            if old is None:
+                continue
+            cand = old + w
+            cur = best.get(d)
+            if cur is None or cand < cur:
+                best[d] = cand
+        changed = any(
+            n not in dist or v < dist[n] for n, v in best.items()
+        )
+        dist = best
+        if not changed:
+            return spark.createDataFrame(
+                _sorted_rows(dist.items()),
+                StructType([StructField("node", StringType()),
+                            StructField("dist", out_field)]),
+            )
+    raise ValueError(
+        f"shortest_paths did not converge in max_iter={max_iter} rounds"
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
@@ -1444,6 +1585,9 @@ def shortest_paths(
         w.alias("_w"),
         nonintegral.alias("_frac"),
     ).filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+    local = _sssp_local(edges.sparkSession, e, sources, dist_type, max_iter)
+    if local is not None:
+        return local
     # null weights (incl. cast failures from a non-numeric weight_col)
     # would poison min() with null distances that the plain-equality
     # convergence anti-join counts as "changed" forever (the round-2

@@ -264,6 +264,52 @@ def test_connected_components_star_differential(spark, monkeypatch):
     assert comp == {5: 5, 1: 1, 2: 1}
 
 
+def test_iterative_fast_paths_match_distributed(spark, monkeypatch):
+    """Driver replicas of k_core / label_propagation / shortest_paths
+    ≡ the distributed round schedules (values AND dtypes)."""
+    import random
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(90)})
+    df = spark.createDataFrame(pairs, "a long, b long")
+    wdf = spark.createDataFrame(
+        [(a, b, (a + b) % 7) for a, b in pairs], "src long, dst long, w long"
+    )
+    srcs = spark.createDataFrame([(0,), (1,)], "s long")
+
+    def runs():
+        return [
+            sorted((r[0], r[1]) for r in graph.k_core(df, k=3)
+                   .select("node", "node").collect()),
+            sorted((r[0], r[1]) for r in
+                   graph.label_propagation(df, n_iter=4).collect()),
+            sorted((r[0], r[1]) for r in
+                   graph.shortest_paths(wdf, srcs, weight_col="w").collect()),
+        ]
+
+    fast = runs()
+    monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 0)
+    slow = runs()
+    assert fast == slow
+
+    # decimal weights: exact sums on both paths
+    from decimal import Decimal
+
+    wdec = spark.createDataFrame(
+        [("a", "b", Decimal("0.50")), ("b", "c", Decimal("0.25")),
+         ("a", "c", Decimal("1.00"))],
+        "src string, dst string, w decimal(10,2)",
+    )
+    sdec = spark.createDataFrame([("a",)], "s string")
+    slow_d = {(r.node, r.dist) for r in
+              graph.shortest_paths(wdec, sdec, weight_col="w").collect()}
+    monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 200_000)
+    fast_d = {(r.node, r.dist) for r in
+              graph.shortest_paths(wdec, sdec, weight_col="w").collect()}
+    assert fast_d == slow_d == {("a", Decimal("0")), ("b", Decimal("0.5")),
+                                ("c", Decimal("0.75"))}
+
+
 def test_connected_components_fast_path_equivalence(spark, monkeypatch):
     """Driver fast path ≡ distributed path for both CC variants, on a
     random graph plus the edge cases the SQL semantics make tricky:
