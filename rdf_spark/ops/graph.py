@@ -830,11 +830,15 @@ def k_truss(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=True)
     )
     thresh = k - 2
     if thresh == 0:
-        return und
+        return und.localCheckpoint(eager=True)
+    head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _k_truss_local(edges.sparkSession, und, head, thresh,
+                              max_iter)
+    und = und.localCheckpoint(eager=True)
     n_edges = und.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -874,6 +878,47 @@ def k_truss(
             % max_iter
         )
     return und
+
+
+def _k_truss_local(spark, und: DataFrame, head, thresh: int,
+                   max_iter: int) -> DataFrame:
+    """Driver replica of :func:`k_truss`'s support-peel rounds — same
+    per-round triangle re-enumeration, the same edge-count fixpoint and
+    ``max_iter`` raise.  Integer support counts are exact on both
+    paths."""
+    es = {(r[0], r[1]) for r in head}
+    rounds = 0
+    converged = False
+    while rounds < max_iter:
+        rounds += 1
+        if not es:
+            converged = True
+            break
+        nbrs: dict = {}
+        for u, v in es:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        support: dict = {}
+        # count common neighbors per edge via the smaller adjacency set
+        for u, v in es:
+            a, b = nbrs[u], nbrs[v]
+            if len(b) < len(a):
+                a, b = b, a
+            s = sum(1 for w in a if w in b)
+            if s:
+                support[(u, v)] = s
+        kept = {e for e in es if support.get(e, 0) >= thresh}
+        if len(kept) == len(es):
+            converged = True
+            break
+        es = kept
+    if not converged:
+        raise RuntimeError(
+            "k_truss did not converge in %d peel rounds (raise max_iter)"
+            % max_iter
+        )
+    t = _pair_type(und, "u", "v")("u", "v")
+    return spark.createDataFrame(_sorted_rows(es), t)
 
 
 def _k_core_local(spark, und: DataFrame, head, k: int,

@@ -52,6 +52,91 @@ def _distinct_pairs(df: DataFrame) -> DataFrame:
     return df.distinct()
 
 
+#: driver fast-path caps (cf. ops.graph._COMPONENT_COLLECT_MAX): the
+#: predicate-filtered first/rest cell tables are ontology-sized for
+#: real stores; past the caps the distributed pointer-doubling runs.
+_COLLECT_MAX = 200_000
+_LOCAL_PAIR_MAX = 2_000_000
+
+
+class _TooLarge(Exception):
+    pass
+
+
+def _reach_pairs_local(rests: list, max_len: int) -> set:
+    """All (a, b, d) with a rest-path a→b of length 1 ≤ d ≤ max_len−1 —
+    exactly the fixpoint of the distance-capped pointer-doubling (any
+    d ≤ max_len−1 splits into halves also under the cap, so the
+    distributed rounds generate the full set).  Degenerate multi-rest
+    branching can blow this up; bail past ``_LOCAL_PAIR_MAX``."""
+    nxt: dict = {}
+    for node, nx in rests:
+        nxt.setdefault(node, []).append(nx)
+    out: set = set()
+    for a in nxt:
+        frontier = {a}
+        for d in range(1, max_len):
+            step = set()
+            for x in frontier:
+                for y in nxt.get(x, ()):
+                    step.add(y)
+            if not step:
+                break
+            for b in step:
+                out.add((a, b, d))
+            if len(out) > _LOCAL_PAIR_MAX:
+                raise _TooLarge
+            frontier = step
+    return out
+
+
+def _rdf_lists_local(spark, firsts_rows, rests_rows, max_len, stats,
+                     member_schema):
+    """In-process replica of the branch algebra below — identical
+    well-formedness rules over the same distinct first/rest cell sets."""
+    rests = [(r["node"], r["next"]) for r in rests_rows]
+    pairs = _reach_pairs_local(rests, max_len)
+    first_nodes = {r["node"] for r in firsts_rows}
+    rest_targets = {b for _, b in rests}
+    heads = first_nodes - rest_targets
+    # head-anchored spine (head, node, ix); ix 0 for the head itself
+    spine = {(h, h, 0) for h in heads}
+    spine |= {(a, b, d) for a, b, d in pairs if a in heads}
+    cells = {(h, n, ix) for h, n, ix in spine if n != RDF_NIL}
+    nil_tails = {a for a, b in rests if b == RDF_NIL}
+    terminated = {h for h, n, _ in cells if n in nil_tails}
+    n_first: dict = {}
+    for r in firsts_rows:
+        n_first[r["node"]] = n_first.get(r["node"], 0) + 1
+    n_rest: dict = {}
+    for a, _ in rests:
+        n_rest[a] = n_rest.get(a, 0) + 1
+    bad_nodes = {n for n, c in n_first.items() if c > 1}
+    bad_nodes |= {n for n, c in n_rest.items() if c > 1}
+    bad_nodes |= {n for _, n, _ in cells if n not in first_nodes}
+    bad_nodes |= {b for a, b, _ in pairs if a == RDF_NIL}
+    bad_heads = {h for h, n, _ in cells if n in bad_nodes}
+    good = terminated - bad_heads
+    by_node: dict = {}
+    for r in firsts_rows:
+        by_node.setdefault(r["node"], []).append(r)
+    members = [
+        (h, ix, fr["member"], fr["member_kind"],
+         fr["member_datatype"], fr["member_lang"])
+        for h, n, ix in cells if h in good
+        for fr in by_node.get(n, ())
+    ]
+    if not stats:
+        return spark.createDataFrame(
+            sorted(members, key=lambda t: tuple((x is None, x) for x in t)),
+            member_schema,
+        )
+    return spark.createDataFrame(
+        [(len(good), len(members), len(heads) - len(good))],
+        "n_lists long, n_members long, n_dropped_heads long",
+    )
+
+
 def rdf_lists(
     triples: DataFrame,
     max_len: int = 128,
@@ -89,6 +174,26 @@ def rdf_lists(
         .select(F.col("s").alias("node"), F.col("o").alias("next"))
         .distinct()
     )
+
+    f_head = firsts.limit(_COLLECT_MAX + 1).collect()
+    r_head = rests.limit(_COLLECT_MAX + 1).collect()
+    if len(f_head) <= _COLLECT_MAX and len(r_head) <= _COLLECT_MAX:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        fs = firsts.schema
+        member_schema = StructType(
+            [StructField("head", fs["node"].dataType),
+             StructField("ix", IntegerType())]
+            + [StructField(n, fs[n].dataType)
+               for n in ("member", "member_kind",
+                         "member_datatype", "member_lang")]
+        )
+        try:
+            return _rdf_lists_local(
+                triples.sparkSession, f_head, r_head, max_len, stats,
+                member_schema)
+        except _TooLarge:
+            pass
 
     # structural heads: cells not pointed to by any rdf:rest
     heads = (

@@ -78,3 +78,24 @@ class TestKTruss:
         got = {r.node: r.triangles
                for r in triangle_count(_edges(spark, tri)).collect()}
         assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_ktruss_local_matches_distributed(spark, monkeypatch):
+    import random
+
+    from rdf_spark.ops import graph as graphmod
+
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(12)]
+    pairs = list({
+        tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+        for _ in range(40)
+    })
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    for k in (3, 4, 5):
+        fast = _got(k_truss(e, k=k))
+        monkeypatch.setattr(graphmod, "_COMPONENT_COLLECT_MAX", 0)
+        slow = _got(k_truss(e, k=k))
+        monkeypatch.setattr(graphmod, "_COMPONENT_COLLECT_MAX", 200_000)
+        assert fast == slow, k

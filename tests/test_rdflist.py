@@ -136,3 +136,32 @@ def test_nil_with_rest_garbage(spark):
 def test_max_len_validation(spark):
     with pytest.raises(ValueError):
         rdf_lists(_df(spark, _chain("x", ["a"])), max_len=0)
+
+
+def test_local_matches_distributed(spark, monkeypatch):
+    """Driver fast path ≡ distributed pointer-doubling on a mixed
+    fixture: good chains, a cycle, a dangle, multi-first, past-nil
+    garbage — full 6-column row sets and stats must agree."""
+    import rdf_spark.ops.rdflist as rl
+
+    rows = (
+        _chain("ok:", ["a", "b", "c"])
+        + _chain("one:", ["solo"])
+        + _chain("dang:", ["p", "q"], tail="u:dangle")
+        + _chain("cyc:", ["x", "y"], tail="cyc:0")
+        + _chain("mf:", ["m1", "m2"])
+    )
+    rows.append(("mf:1", RDF_FIRST, "EXTRA", 2, XS, None))
+    rows.append((RDF_NIL, RDF_REST, "bad:tail", 1, None, None))
+    df = _df(spark, rows)
+
+    def full(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    fast = full(rdf_lists(df))
+    fast_stats = full(rdf_lists(df, stats=True))
+    monkeypatch.setattr(rl, "_COLLECT_MAX", 0)
+    slow = full(rdf_lists(df))
+    slow_stats = full(rdf_lists(df, stats=True))
+    assert fast == slow
+    assert fast_stats == slow_stats
