@@ -564,6 +564,67 @@ def connected_components(
     return labels
 
 
+def _round_half_up(x: float, s: int):
+    """Replica of Spark's ``round(double, s)`` / ``cast(double as
+    decimal(_, s))``: HALF_UP over the value's shortest decimal
+    spelling (``BigDecimal.valueOf``), returned as ``Decimal``."""
+    import decimal
+
+    return decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1).scaleb(-s), rounding=decimal.ROUND_HALF_UP
+    )
+
+
+def _power_iteration_local(spark, edges_df, head, n_iter, damping,
+                           round_to, seeds=None):
+    """Driver replica of the pagerank / personalized-pagerank schedule:
+    identical numerics (14-dp pre-round, exact decimal per-node sums,
+    one IEEE damped update rounded to ``round_to``) and identical SQL
+    null rules (a null src never joins out_deg, a null dst's
+    contribution never joins the node table — both leak, node keeps its
+    base mass)."""
+    elist = [(r[0], r[1]) for r in head]
+    nodes = {s for s, _ in elist} | {d for _, d in elist}
+    if seeds is not None:
+        nodes |= set(seeds)
+        restart = 1.0 / len(seeds)
+        base_n = len(seeds)
+        seed_set = set(seeds)
+        ranks = {n: (restart if n in seed_set else 0.0) for n in nodes}
+    else:
+        base_n = len(nodes)
+        seed_set = None
+        ranks = {n: 1.0 / base_n for n in nodes}
+    base = (1.0 - damping) / base_n
+    od: dict = {}
+    for s, _ in elist:
+        if s is not None:
+            od[s] = od.get(s, 0) + 1
+    import decimal
+
+    zero = decimal.Decimal(0)
+    for _ in range(n_iter):
+        sums: dict = {}
+        for s, d in elist:
+            if s is None or d is None:
+                continue
+            c = float(_round_half_up(ranks[s] / od[s], 14))
+            sums[d] = sums.get(d, zero) + _round_half_up(c, 14)
+        new = {}
+        for n in nodes:
+            m = float(sums[n]) if n in sums else 0.0
+            b = base if seed_set is None or n in seed_set else 0.0
+            new[n] = float(_round_half_up(b + damping * m, round_to))
+        ranks = new
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    t = _coerced_type(edges_df, "_s", "_d")
+    return spark.createDataFrame(
+        _sorted_rows(ranks.items()),
+        StructType([StructField("node", t), StructField("rank", DoubleType())]),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,
@@ -594,6 +655,11 @@ def pagerank(
     counter.
     """
     src, dst = F.col(src_col), F.col(dst_col)
+    proj = edges.select(src.alias("_s"), dst.alias("_d"))
+    head = proj.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _power_iteration_local(
+            edges.sparkSession, proj, head, n_iter, damping, round_to)
     nodes = (
         edges.select(src.alias("node"))
         .unionByName(edges.select(dst.alias("node")))
@@ -664,11 +730,13 @@ def hits(
     keeps the plan O(1); multi-edges contribute once per occurrence.
     """
     src, dst = F.col(src_col), F.col(dst_col)
+    proj = edges.select(src.alias("src"), dst.alias("dst"))
+    head = proj.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _hits_local(edges.sparkSession, proj, head, n_iter, round_to)
     # 2 scans per iteration (auth + hub passes) — materialize the
     # projected edge list once
-    e = edges.select(src.alias("src"), dst.alias("dst")).localCheckpoint(
-        eager=True
-    )
+    e = proj.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -698,6 +766,56 @@ def hits(
         hub = hub.localCheckpoint(eager=True)
     return nodes.join(hub, "node").join(auth, "node").select(
         "node", "hub", "authority"
+    )
+
+
+def _hits_local(spark, proj, head, n_iter: int, round_to: int) -> DataFrame:
+    """Driver replica of the HITS schedule: per pass exact decimal raw
+    sums of 14-dp-rounded scores, L1 normalization as one IEEE divide
+    rounded to ``round_to``; null endpoints never join (contribute
+    nothing, score 0.0 like any contribution-less node)."""
+    import decimal
+
+    elist = [(r[0], r[1]) for r in head]
+    nodes = {s for s, _ in elist} | {d for _, d in elist}
+    zero = decimal.Decimal(0)
+
+    def normalized(raw: dict) -> dict:
+        if not raw:  # all-null edge list: SQL total is null -> null scores
+            return {n: None for n in nodes}
+        tot = float(sum(raw.values(), zero))
+        return {
+            n: float(_round_half_up(
+                (float(raw[n]) if n in raw else 0.0) / tot, round_to))
+            for n in nodes
+        }
+
+    hub = {n: 1.0 for n in nodes}
+    auth: dict = {}
+    for _ in range(n_iter):
+        a_raw: dict = {}
+        for s, d in elist:
+            if s is None or d is None:
+                continue
+            c = _round_half_up(float(_round_half_up(hub[s], 14)), 14)
+            a_raw[d] = a_raw.get(d, zero) + c
+        auth = normalized(a_raw)
+        h_raw: dict = {}
+        for s, d in elist:
+            if s is None or d is None:
+                continue
+            c = _round_half_up(float(_round_half_up(auth[d], 14)), 14)
+            h_raw[s] = h_raw.get(s, zero) + c
+        hub = normalized(h_raw)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    t = _coerced_type(proj, "src", "dst")
+    rows = [(n, hub[n], auth[n]) for n in nodes]
+    return spark.createDataFrame(
+        _sorted_rows(rows),
+        StructType([StructField("node", t),
+                    StructField("hub", DoubleType()),
+                    StructField("authority", DoubleType())]),
     )
 
 
@@ -1232,6 +1350,11 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs >= 1 seed")
     src, dst = F.col(src_col), F.col(dst_col)
     spark = edges.sparkSession
+    proj = edges.select(src.alias("_s"), dst.alias("_d"))
+    head = proj.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _power_iteration_local(
+            spark, proj, head, n_iter, damping, round_to, seeds=seeds)
     seed_df = spark.createDataFrame(
         [(s,) for s in seeds], schema=edges.select(src.alias("node")).schema
     )

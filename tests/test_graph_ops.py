@@ -519,3 +519,27 @@ def test_kg_construct_job_link_scc(spark, tmp_path):
     got = {r.host: r.scc for r in spark.read.parquet(scc_dir).collect()}
     assert got == {"a.example": "a.example", "b.example": "a.example",
                    "c.example": "c.example"}
+
+
+def test_rank_fast_paths_match_distributed(spark, monkeypatch):
+    """pagerank / personalized_pagerank / hits driver replicas must be
+    BIT-identical to the distributed decimal-exact schedules."""
+    import random
+
+    rng = random.Random(5)
+    pairs = [(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}")
+             for _ in range(120)]  # duplicates kept: multi-edge semantics
+    df = spark.createDataFrame(pairs, "src string, dst string")
+
+    def runs():
+        return [
+            sorted(tuple(r) for r in graph.pagerank(df).collect()),
+            sorted(tuple(r) for r in graph.personalized_pagerank(
+                df, seeds=["n1", "n3"]).collect()),
+            sorted(tuple(r) for r in graph.hits(df).collect()),
+        ]
+
+    fast = runs()
+    monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 0)
+    slow = runs()
+    assert fast == slow
