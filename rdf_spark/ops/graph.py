@@ -859,14 +859,17 @@ def triangle_count(
     exactly once and credited to all three corners.
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # 5 downstream reads (node table, degree table, wedge join) — one
-    # checkpoint beats re-running the dedup shuffle per branch
     und = (
         raw.filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=True)
     )
+    head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _triangle_count_local(edges.sparkSession, und, head)
+    # 5 downstream reads (node table, degree table, wedge join) — one
+    # checkpoint beats re-running the dedup shuffle per branch
+    und = und.localCheckpoint(eager=True)
     nodes = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -882,6 +885,102 @@ def triangle_count(
     )
     return nodes.join(corners, "node", "left").select(
         "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+    )
+
+
+def _triangle_count_local(spark, und: DataFrame, head) -> DataFrame:
+    """Driver replica of the wedge count: every triangle {a<b<c}
+    enumerated once (edge (a,b) × common neighbor w > b), credited to
+    all three corners — integer-exact, orientation-invariant like the
+    distributed plan."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    es = [(r[0], r[1]) for r in head]
+    nbrs: dict = {}
+    for u, v in es:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in nbrs}
+    for u, v in es:
+        a, b = nbrs[u], nbrs[v]
+        if len(b) < len(a):
+            a, b = b, a
+        for w in a:
+            if w > v and w in b:
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+    return spark.createDataFrame(
+        _sorted_rows(tri.items()),
+        StructType([StructField("node", _coerced_type(und, "u", "v")),
+                    StructField("triangles", LongType())]),
+    )
+
+
+def _link_predict_local(spark, und: DataFrame, head, max_degree: int,
+                        min_common: int) -> DataFrame:
+    """Driver replica of the wedge-bounded link scores.  The one
+    engine-sensitive op — ``ln(deg)`` (JVM Math.log is not required to
+    be correctly rounded) — is evaluated IN the JVM over the tiny
+    distinct-degree set, so contributions are bit-identical; counts,
+    exact decimal sums and the final HALF_UP rounds replicate in
+    python."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    es = {(r[0], r[1]) for r in head}
+    nbrs: dict = {}
+    for u, v in es:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in nbrs.items()}
+    centers = [n for n, d in deg.items() if 2 <= d <= max_degree]
+    degs = sorted({deg[z] for z in centers})
+    contrib = {}
+    if degs:
+        rows = spark.createDataFrame(
+            [(d,) for d in degs], "degz long"
+        ).select(
+            "degz",
+            F.round(F.lit(1.0) / F.log(F.col("degz").cast("double")), 9)
+            .cast("decimal(24,9)").alias("c"),
+        ).collect()
+        contrib = {r["degz"]: r["c"] for r in rows}
+    import decimal
+
+    zero = decimal.Decimal(0)
+    n_common: dict = {}
+    aa: dict = {}
+    for z in centers:
+        c = contrib[deg[z]]
+        ns = sorted(nbrs[z])
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                key = (a, b)
+                n_common[key] = n_common.get(key, 0) + 1
+                aa[key] = aa.get(key, zero) + c
+    out = []
+    for (a, b), nc in n_common.items():
+        if nc < min_common or (a, b) in es:
+            continue
+        out.append((
+            a, b, nc,
+            float(_round_half_up(nc / float(deg[a] + deg[b] - nc), 6)),
+            float(_round_half_up(float(aa[(a, b)]), 6)),
+        ))
+    t = _coerced_type(und, "u", "v")
+    return spark.createDataFrame(
+        _sorted_rows(out),
+        StructType([
+            StructField("a", t), StructField("b", t),
+            StructField("n_common", LongType()),
+            StructField("jaccard", DoubleType()),
+            StructField("adamic_adar", DoubleType()),
+        ]),
     )
 
 
@@ -1274,8 +1373,12 @@ def link_predict(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=True)
     )
+    head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
+    if len(head) <= _COMPONENT_COLLECT_MAX:
+        return _link_predict_local(edges.sparkSession, und, head,
+                                   max_degree, min_common)
+    und = und.localCheckpoint(eager=True)
     adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )

@@ -56,6 +56,10 @@ def deterministic_walks(
         [c] = starts.columns
         starts = starts.select(F.col(c).cast("string").alias("start"))
 
+    local = _walks_local(edges.sparkSession, e, starts, walk_len, n_walks)
+    if local is not None:
+        return local
+
     frontier = starts.select(
         "start",
         F.explode(
@@ -91,6 +95,57 @@ def deterministic_walks(
         frontier = nxt
         out = out.unionByName(frontier)
     return out.select("start", "walk", "step", "node")
+
+
+#: driver fast-path caps (cf. ops.graph._COMPONENT_COLLECT_MAX)
+_WALK_COLLECT_MAX = 200_000
+_WALK_ROWS_MAX = 2_000_000
+
+
+def _walks_local(spark, e: DataFrame, starts: DataFrame,
+                 walk_len: int, n_walks: int):
+    """Driver replica of the per-step md5 lottery (hashlib.md5 of the
+    same ``start|walk|t|v`` string, winner = min (hex, v) — identical
+    to the distributed ``min(struct(md5, dst))``), or None past the
+    caps.  Null start nodes dead-end at step 0 exactly like the
+    null-key join."""
+    import hashlib
+
+    ehead = e.limit(_WALK_COLLECT_MAX + 1).collect()
+    if len(ehead) > _WALK_COLLECT_MAX:
+        return None
+    shead = starts.limit(_WALK_COLLECT_MAX + 1).collect()
+    if (len(shead) > _WALK_COLLECT_MAX
+            or len(shead) * n_walks * walk_len > _WALK_ROWS_MAX):
+        return None
+    adj: dict = {}
+    for r in ehead:
+        adj.setdefault(r["_src"], set()).add(r["_dst"])
+    rows = []
+    # duplicate start rows emit duplicate step-0 rows (the distributed
+    # frontier has one row per input start row) but merge from step 1
+    # on (the per-(start, walk) groupBy dedups them)
+    mult: dict = {}
+    for sr in shead:
+        mult[sr["start"]] = mult.get(sr["start"], 0) + 1
+    for start, m in mult.items():
+        for w in range(n_walks):
+            node = start
+            rows.extend([(start, w, 0, node)] * m)
+            for t in range(1, walk_len):
+                nxt = adj.get(node)
+                if not nxt:
+                    break
+                node = min(
+                    nxt,
+                    key=lambda v: (hashlib.md5(
+                        f"{start}|{w}|{t}|{v}".encode()).hexdigest(), v),
+                )
+                rows.append((start, w, t, node))
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: tuple((x is None, x) for x in r)),
+        "start string, walk int, step int, node string",
+    )
 
 
 def walk_sentences(walks: DataFrame) -> DataFrame:

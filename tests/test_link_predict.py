@@ -96,3 +96,30 @@ class TestLinkPredict:
             assert _got(link_predict(
                 _edges(spark, pairs), max_degree=md, min_common=mc)) == \
                 _naive(pairs, max_degree=md, min_common=mc), (md, mc)
+
+
+def test_link_predict_and_triangles_local_match_distributed(spark, monkeypatch):
+    import random
+
+    from rdf_spark.ops import graph as graphmod
+    from rdf_spark.ops.graph import link_predict, triangle_count
+
+    rng = random.Random(17)
+    pairs = list({tuple(sorted((f"h{rng.randrange(20)}",
+                                f"h{rng.randrange(20)}")))
+                  for _ in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "a string, b string")
+
+    def runs():
+        return [
+            sorted(tuple(r) for r in triangle_count(df).collect()),
+            sorted(tuple(r) for r in link_predict(df).collect()),
+            sorted(tuple(r) for r in
+                   link_predict(df, max_degree=3, min_common=2).collect()),
+        ]
+
+    fast = runs()
+    monkeypatch.setattr(graphmod, "_COMPONENT_COLLECT_MAX", 0)
+    slow = runs()
+    assert fast == slow

@@ -98,3 +98,31 @@ class TestWalks:
             deterministic_walks(e, walk_len=0)
         with pytest.raises(ValueError):
             deterministic_walks(e, walk_len=2, n_walks=0)
+
+
+def test_walks_local_matches_distributed(spark, monkeypatch):
+    import random
+
+    import rdf_spark.ops.walks as walksmod
+    from rdf_spark.ops.walks import deterministic_walks
+
+    rng = random.Random(9)
+    pairs = [(f"w{rng.randrange(15)}", f"w{rng.randrange(15)}")
+             for _ in range(40)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    # explicit starts WITH a duplicate row (step-0 duplication semantics)
+    starts = spark.createDataFrame([("w1",), ("w2",), ("w1",)], "s string")
+
+    def runs():
+        return [
+            sorted(tuple(r) for r in
+                   deterministic_walks(df, walk_len=5, n_walks=2).collect()),
+            sorted(tuple(r) for r in
+                   deterministic_walks(df, walk_len=4, starts=starts)
+                   .collect()),
+        ]
+
+    fast = runs()
+    monkeypatch.setattr(walksmod, "_WALK_COLLECT_MAX", 0)
+    slow = runs()
+    assert fast == slow
