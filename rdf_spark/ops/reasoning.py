@@ -459,6 +459,55 @@ OWL_TRANSITIVE = OWL_NS + "TransitiveProperty"
 _INSTANCE_MAX_ITER = 16
 
 
+#: local transitive-closure output bail (falls back to distributed)
+_INSTANCE_LOCAL_OUT_MAX = 2_000_000
+
+
+def _transitive_step_local(rows, with_kinds: bool, max_iter: int):
+    """Driver replica of the per-predicate squaring fixpoint below:
+    same join condition (p equal, a.o == b.s — kinds are carried, not
+    matched), same squaring-round count against ``max_iter``, and the
+    anti-join's SQL null rule (a null column never matches, so
+    null-carrying closure rows always count as new).  Returns the NEW
+    row tuples, or None past the output bail."""
+    r = set(rows)
+    n = len(r)
+    converged = n == 0
+    rounds = 0
+    while not converged and rounds < max_iter:
+        rounds += 1
+        by_ps: dict = {}
+        for t in r:
+            if t[0] is None or t[1] is None:
+                continue  # null join keys match nothing
+            by_ps.setdefault((t[0], t[1]), []).append(t)
+        new = set()
+        for a in r:
+            if a[0] is None or a[2] is None:
+                continue
+            for b in by_ps.get((a[0], a[2]), ()):
+                if with_kinds:
+                    new.add((a[0], a[1], b[2], a[3], b[4]))
+                else:
+                    new.add((a[0], a[1], b[2]))
+        r |= new
+        if len(r) > _INSTANCE_LOCAL_OUT_MAX:
+            return None
+        if len(r) == n:
+            converged = True
+        n = len(r)
+    if not converged:
+        raise RuntimeError(
+            "transitive property closure did not converge in %d rounds"
+            % max_iter
+        )
+    base = set(rows)
+    return [
+        t for t in r
+        if any(x is None for x in t) or t not in base
+    ]
+
+
 def owl_property_closure(
     triples: DataFrame,
     schema: DataFrame | None = None,
@@ -607,49 +656,63 @@ def owl_property_closure(
     base_res = inst
     if has_kind:
         base_res = inst.filter(F.col("o_kind") != KIND_LITERAL)
-    edges = (
+    edges_lazy = (
         base_res.join(F.broadcast(trans), base_res["p"] == F.col("_prop"))
         .select(*edge_cols)
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    closure = edges
-    n = closure.count()
-    for _ in range(max_iter):
-        if n == 0:
-            break
-        a, b = closure.alias("a"), closure.alias("b")
-        sel = [
-            F.col("a.p").alias("p"),
-            F.col("a.s").alias("s"),
-            F.col("b.o").alias("o"),
-        ]
-        if "s_kind" in kind_cols:
-            sel.append(F.col("a.s_kind").alias("s_kind"))
-        if "o_kind" in kind_cols:
-            sel.append(F.col("b.o_kind").alias("o_kind"))
-        step = a.join(
-            b,
-            (F.col("a.p") == F.col("b.p")) & (F.col("a.o") == F.col("b.s")),
-        ).select(*sel)
-        nxt = (
-            closure.unionByName(step)
-            .distinct()
-            .localCheckpoint(eager=True)
+    new_edges = None
+    head = edges_lazy.limit(_SCHEMA_COLLECT_MAX + 1).collect()
+    if len(head) <= _SCHEMA_COLLECT_MAX:
+        new_rows = _transitive_step_local(
+            [tuple(r) for r in head], bool(kind_cols), max_iter
         )
-        n2 = nxt.count()
-        if n2 == n:
-            break
-        closure, n = nxt, n2
-    else:
-        raise RuntimeError(
-            "transitive property closure did not converge in %d rounds"
-            % max_iter
-        )
+        if new_rows is not None:
+            new_edges = triples.sparkSession.createDataFrame(
+                sorted(new_rows,
+                       key=lambda t: tuple((x is None, x) for x in t)),
+                edges_lazy.schema,
+            )
+    if new_edges is None:
+        edges = edges_lazy.localCheckpoint(eager=True)
+        closure = edges
+        n = closure.count()
+        for _ in range(max_iter):
+            if n == 0:
+                break
+            a, b = closure.alias("a"), closure.alias("b")
+            sel = [
+                F.col("a.p").alias("p"),
+                F.col("a.s").alias("s"),
+                F.col("b.o").alias("o"),
+            ]
+            if "s_kind" in kind_cols:
+                sel.append(F.col("a.s_kind").alias("s_kind"))
+            if "o_kind" in kind_cols:
+                sel.append(F.col("b.o_kind").alias("o_kind"))
+            step = a.join(
+                b,
+                (F.col("a.p") == F.col("b.p"))
+                & (F.col("a.o") == F.col("b.s")),
+            ).select(*sel)
+            nxt = (
+                closure.unionByName(step)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n2 = nxt.count()
+            if n2 == n:
+                break
+            closure, n = nxt, n2
+        else:
+            raise RuntimeError(
+                "transitive property closure did not converge in %d rounds"
+                % max_iter
+            )
 
-    new_edges = closure.join(
-        edges, [c for c in edge_cols], "left_anti"
-    )
+        new_edges = closure.join(
+            edges, [c for c in edge_cols], "left_anti"
+        )
     over = {}
     for c in ("o_datatype", "o_lang", "graph", "graph_kind"):
         if c in triples.columns:

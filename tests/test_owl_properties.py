@@ -137,3 +137,21 @@ class TestOwlPropertyClosure:
                      rng.choice(nodes)))
         got = _got(owl_property_closure(_df(spark, trs)))
         assert got == _naive(trs), seed
+
+
+def test_instance_closure_local_matches_distributed(spark, monkeypatch):
+    import random
+
+    import rdf_spark.ops.reasoning as rmod
+
+    rng = random.Random(41)
+    preds = [f"u:p{i}" for i in range(3)]
+    nodes = [f"u:n{i}" for i in range(10)]
+    trs = {(preds[0], *TRN_T), (preds[1], INV, preds[0]),
+           (preds[2], *SYM_T), (preds[2], *TRN_T)}
+    for _ in range(25):
+        trs.add((rng.choice(nodes), rng.choice(preds), rng.choice(nodes)))
+    fast = _got(owl_property_closure(_df(spark, trs)))
+    monkeypatch.setattr(rmod, "_SCHEMA_COLLECT_MAX", 0)
+    slow = _got(owl_property_closure(_df(spark, trs)))
+    assert fast == slow
