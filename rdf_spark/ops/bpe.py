@@ -73,6 +73,38 @@ def _merge_expr(seq_col, x: str, y: str):
     )
 
 
+#: driver fast-path cap on word TYPES (cf. graph._COMPONENT_COLLECT_MAX)
+_VOCAB_COLLECT_MAX = 200_000
+
+
+def _train_bpe_local(vocab: list, n_merges: int) -> list[tuple[str, str]]:
+    """Driver replica of the merge rounds below over a collected word
+    vocabulary: same pair counting (adjacent symbol pairs weighted by
+    type count), same (count DESC, x ASC, y ASC) tie-break, and the
+    same left-to-right literal replace (str.replace ≡ the JVM replace —
+    the apply_bpe path-equivalence test pins that)."""
+    seqs = list(vocab)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for seq, n in seqs:
+            syms = [s for s in seq.split(SEP2) if s != ""]
+            if len(syms) < 2:
+                continue
+            for a, b in zip(syms[:-1], syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (x, y), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((x, y))
+        old = f"{SEP}{x}{SEP2}{y}{SEP}"
+        new = f"{SEP}{x}{y}{SEP}"
+        seqs = [(seq.replace(old, new), n) for seq, n in seqs]
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 10,
@@ -83,7 +115,12 @@ def train_bpe(
     early only when no adjacent pair is left anywhere (degenerate
     corpora); tie pairs resolve (count DESC, x ASC, y ASC), so the
     schedule is deterministic and engine-replayable."""
-    vocab = word_vocab(docs, text_col, id_col).localCheckpoint(eager=True)
+    vocab_df = word_vocab(docs, text_col, id_col)
+    head = vocab_df.limit(_VOCAB_COLLECT_MAX + 1).collect()
+    if len(head) <= _VOCAB_COLLECT_MAX:
+        return _train_bpe_local(
+            [(r["seq"], r["n"]) for r in head], n_merges)
+    vocab = vocab_df.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         syms = _symbols(F.col("seq"))

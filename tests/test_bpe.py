@@ -166,3 +166,19 @@ class TestBpe:
         finally:
             bpe._CHAIN_MAX_MERGES = orig
         assert got_py != set() and got_py == got_jvm
+
+
+def test_train_local_matches_distributed(spark, monkeypatch):
+    import rdf_spark.ops.bpe as bpemod
+    from rdf_spark.ops.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "low low newer",
+             "wide wider widest low", "er er er est est"])],
+        "doc_id long, text string",
+    )
+    fast = train_bpe(docs, n_merges=9)
+    monkeypatch.setattr(bpemod, "_VOCAB_COLLECT_MAX", 0)
+    slow = train_bpe(docs, n_merges=9)
+    assert fast == slow and len(fast) == 9
