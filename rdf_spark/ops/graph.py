@@ -939,6 +939,11 @@ def _link_predict_local(spark, und: DataFrame, head, max_degree: int,
         nbrs.setdefault(v, set()).add(u)
     deg = {n: len(s) for n, s in nbrs.items()}
     centers = [n for n, d in deg.items() if 2 <= d <= max_degree]
+    # wedge volume is quadratic in center degree and NOT bounded by the
+    # edge cap (one 10k-degree hub = 5e7 pairs) — leave those graphs to
+    # the shuffled wedge join
+    if sum(deg[z] * (deg[z] - 1) for z in centers) > 2 * 4_000_000:
+        return None
     degs = sorted({deg[z] for z in centers})
     contrib = {}
     if degs:
@@ -1376,8 +1381,10 @@ def link_predict(
     )
     head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= _COMPONENT_COLLECT_MAX:
-        return _link_predict_local(edges.sparkSession, und, head,
-                                   max_degree, min_common)
+        local = _link_predict_local(edges.sparkSession, und, head,
+                                    max_degree, min_common)
+        if local is not None:
+            return local
     und = und.localCheckpoint(eager=True)
     adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
