@@ -294,8 +294,9 @@ _COMPONENT_COLLECT_MAX = 200_000
 
 
 def _sorted_rows(rows):
-    """Deterministic output order; None sorts first (never compared to
-    a value — the tuple key short-circuits on the None flag)."""
+    """Deterministic output order; None sorts LAST per column (never
+    compared to a value — the tuple key short-circuits on the
+    is-None flag)."""
     return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
 
 
@@ -370,10 +371,14 @@ def connected_components_star(
     # orient + symmetrize once; invariant kept: edges point small ← large
     # (null-keyed and self-loop edges are dropped here exactly as the
     # u != v SQL filter drops them; their endpoints stay in all_nodes)
+    # checkpoint BEFORE the cap probe: a probe on the raw plan would run
+    # the dedup shuffle's map side once for the probe and again for the
+    # checkpoint on over-cap graphs (the scale path must stay one-pass)
     oriented = (
         raw.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
     )
     head = oriented.limit(_COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= _COMPONENT_COLLECT_MAX:
@@ -389,7 +394,7 @@ def connected_components_star(
             return edges.sparkSession.createDataFrame(
                 _sorted_rows(out), _pair_type(raw, "u", "v")("node", "comp")
             )
-    e = oriented.localCheckpoint(eager=True)
+    e = oriented
     n = e.count()
 
     def _min_nbr(df):
@@ -521,11 +526,10 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.dropDuplicates(["u", "v"])
+    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
     head = sym.limit(2 * _COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= 2 * _COMPONENT_COLLECT_MAX:
         return _cc_min_label_local(edges, e, head, max_iter)
-    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -783,26 +787,31 @@ def _hits_local(spark, proj, head, n_iter: int, round_to: int) -> DataFrame:
     def normalized(raw: dict) -> dict:
         if not raw:  # all-null edge list: SQL total is null -> null scores
             return {n: None for n in nodes}
+        # the L1 total includes a null GROUP's sum (SQL GROUP BY keeps
+        # it) even though the per-node left join can never claim it
         tot = float(sum(raw.values(), zero))
-        return {
-            n: float(_round_half_up(
-                (float(raw[n]) if n in raw else 0.0) / tot, round_to))
-            for n in nodes
-        }
+        out = {}
+        for n in nodes:
+            num = float(raw[n]) if (n is not None and n in raw) else 0.0
+            if tot == 0.0:  # Spark double division: 0/0 NaN, x/0 Inf;
+                out[n] = float("nan") if num == 0.0 else float("inf")
+            else:           # round() passes non-finite through anyway
+                out[n] = float(_round_half_up(num / tot, round_to))
+        return out
 
     hub = {n: 1.0 for n in nodes}
     auth: dict = {}
     for _ in range(n_iter):
         a_raw: dict = {}
         for s, d in elist:
-            if s is None or d is None:
-                continue
+            if s is None:
+                continue  # the hub join drops null src rows...
             c = _round_half_up(float(_round_half_up(hub[s], 14)), 14)
-            a_raw[d] = a_raw.get(d, zero) + c
+            a_raw[d] = a_raw.get(d, zero) + c  # ...null dst groups stay
         auth = normalized(a_raw)
         h_raw: dict = {}
         for s, d in elist:
-            if s is None or d is None:
+            if d is None:
                 continue
             c = _round_half_up(float(_round_half_up(auth[d], 14)), 14)
             h_raw[s] = h_raw.get(s, zero) + c
@@ -810,7 +819,8 @@ def _hits_local(spark, proj, head, n_iter: int, round_to: int) -> DataFrame:
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     t = _coerced_type(proj, "src", "dst")
-    rows = [(n, hub[n], auth[n]) for n in nodes]
+    # the final nodes⋈hub⋈auth inner equi-joins drop a null node row
+    rows = [(n, hub[n], auth[n]) for n in nodes if n is not None]
     return spark.createDataFrame(
         _sorted_rows(rows),
         StructType([StructField("node", t),
@@ -859,17 +869,17 @@ def triangle_count(
     exactly once and credited to all three corners.
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint before the probe (one-pass on over-cap graphs); the
+    # 5 downstream branch reads reuse it either way
     und = (
         raw.filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
     )
     head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= _COMPONENT_COLLECT_MAX:
         return _triangle_count_local(edges.sparkSession, und, head)
-    # 5 downstream reads (node table, degree table, wedge join) — one
-    # checkpoint beats re-running the dedup shuffle per branch
-    und = und.localCheckpoint(eager=True)
     nodes = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -1053,14 +1063,14 @@ def k_truss(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
     )
+    und = und.localCheckpoint(eager=True)
     thresh = k - 2
     if thresh == 0:
-        return und.localCheckpoint(eager=True)
+        return und
     head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= _COMPONENT_COLLECT_MAX:
         return _k_truss_local(edges.sparkSession, und, head, thresh,
                               max_iter)
-    und = und.localCheckpoint(eager=True)
     n_edges = und.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -1208,10 +1218,10 @@ def k_core(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
     )
+    und = und.localCheckpoint(eager=True)
     head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= _COMPONENT_COLLECT_MAX:
         return _k_core_local(edges.sparkSession, und, head, k, max_iter)
-    und = und.localCheckpoint(eager=True)
     n_edges = und.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -1305,6 +1315,7 @@ def label_propagation(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
     )
+    und = und.localCheckpoint(eager=True)
     head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= _COMPONENT_COLLECT_MAX:
         return _lpa_local(edges.sparkSession, und, head, n_iter)
@@ -1379,13 +1390,13 @@ def link_predict(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
     )
+    und = und.localCheckpoint(eager=True)
     head = und.limit(_COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= _COMPONENT_COLLECT_MAX:
         local = _link_predict_local(edges.sparkSession, und, head,
                                     max_degree, min_common)
         if local is not None:
             return local
-    und = und.localCheckpoint(eager=True)
     adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -1627,11 +1638,15 @@ def strongly_connected_components(
     web link graphs converge in a handful of phases).
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    distinct_edges = edges.select(src.alias("u"), dst.alias("v")).distinct()
+    distinct_edges = (
+        edges.select(src.alias("u"), dst.alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     head = distinct_edges.limit(_COMPONENT_COLLECT_MAX + 1).collect()
     if len(head) <= _COMPONENT_COLLECT_MAX:
         return _scc_local(edges, distinct_edges, head, max_phases)
-    live_edges = distinct_edges.localCheckpoint(eager=True)
+    live_edges = distinct_edges
     active = (
         live_edges.select(F.col("u").alias("node"))
         .unionByName(live_edges.select(F.col("v").alias("node")))

@@ -127,10 +127,9 @@ def _rdf_lists_local(spark, firsts_rows, rests_rows, max_len, stats,
         for fr in by_node.get(n, ())
     ]
     if not stats:
-        return spark.createDataFrame(
-            sorted(members, key=lambda t: tuple((x is None, x) for x in t)),
-            member_schema,
-        )
+        from rdf_spark.ops.graph import _sorted_rows
+
+        return spark.createDataFrame(_sorted_rows(members), member_schema)
     return spark.createDataFrame(
         [(len(good), len(members), len(heads) - len(good))],
         "n_lists long, n_members long, n_dropped_heads long",
@@ -175,6 +174,11 @@ def rdf_lists(
         .distinct()
     )
 
+    # checkpoint before the cap probe: the probe would otherwise run
+    # each distinct's map side once for the collect and again for the
+    # ~10 branch reads on over-cap stores
+    firsts = firsts.localCheckpoint(eager=True)
+    rests = rests.localCheckpoint(eager=True)
     f_head = firsts.limit(_COLLECT_MAX + 1).collect()
     r_head = rests.limit(_COLLECT_MAX + 1).collect()
     if len(f_head) <= _COLLECT_MAX and len(r_head) <= _COLLECT_MAX:

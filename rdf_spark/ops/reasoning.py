@@ -463,13 +463,27 @@ _INSTANCE_MAX_ITER = 16
 _INSTANCE_LOCAL_OUT_MAX = 2_000_000
 
 
-def _transitive_step_local(rows, with_kinds: bool, max_iter: int):
+def _transitive_step_local(rows, kind_cols: list, max_iter: int):
     """Driver replica of the per-predicate squaring fixpoint below:
     same join condition (p equal, a.o == b.s — kinds are carried, not
     matched), same squaring-round count against ``max_iter``, and the
     anti-join's SQL null rule (a null column never matches, so
-    null-carrying closure rows always count as new).  Returns the NEW
-    row tuples, or None past the output bail."""
+    null-carrying closure rows always count as new).  ``kind_cols``
+    mirrors the distributed column list: s_kind rides from the a-side
+    (position 3 when present), o_kind from the b-side (last position) —
+    either may be absent independently.  Returns the NEW row tuples,
+    or None past the output bail."""
+    has_s = "s_kind" in kind_cols
+    has_o = "o_kind" in kind_cols
+
+    def derive(a, b):
+        t = (a[0], a[1], b[2])
+        if has_s:
+            t += (a[3],)
+        if has_o:
+            t += (b[4] if has_s else b[3],)
+        return t
+
     r = set(rows)
     n = len(r)
     converged = n == 0
@@ -486,10 +500,7 @@ def _transitive_step_local(rows, with_kinds: bool, max_iter: int):
             if a[0] is None or a[2] is None:
                 continue
             for b in by_ps.get((a[0], a[2]), ()):
-                if with_kinds:
-                    new.add((a[0], a[1], b[2], a[3], b[4]))
-                else:
-                    new.add((a[0], a[1], b[2]))
+                new.add(derive(a, b))
         r |= new
         if len(r) > _INSTANCE_LOCAL_OUT_MAX:
             return None
@@ -660,21 +671,22 @@ def owl_property_closure(
         base_res.join(F.broadcast(trans), base_res["p"] == F.col("_prop"))
         .select(*edge_cols)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     new_edges = None
     head = edges_lazy.limit(_SCHEMA_COLLECT_MAX + 1).collect()
     if len(head) <= _SCHEMA_COLLECT_MAX:
         new_rows = _transitive_step_local(
-            [tuple(r) for r in head], bool(kind_cols), max_iter
+            [tuple(r) for r in head], kind_cols, max_iter
         )
         if new_rows is not None:
+            from rdf_spark.ops.graph import _sorted_rows
+
             new_edges = triples.sparkSession.createDataFrame(
-                sorted(new_rows,
-                       key=lambda t: tuple((x is None, x) for x in t)),
-                edges_lazy.schema,
+                _sorted_rows(new_rows), edges_lazy.schema,
             )
     if new_edges is None:
-        edges = edges_lazy.localCheckpoint(eager=True)
+        edges = edges_lazy
         closure = edges
         n = closure.count()
         for _ in range(max_iter):

@@ -142,8 +142,10 @@ def _walks_local(spark, e: DataFrame, starts: DataFrame,
                         f"{start}|{w}|{t}|{v}".encode()).hexdigest(), v),
                 )
                 rows.append((start, w, t, node))
+    from rdf_spark.ops.graph import _sorted_rows
+
     return spark.createDataFrame(
-        sorted(rows, key=lambda r: tuple((x is None, x) for x in r)),
+        _sorted_rows(rows),
         "start string, walk int, step int, node string",
     )
 

@@ -543,3 +543,17 @@ def test_rank_fast_paths_match_distributed(spark, monkeypatch):
     monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 0)
     slow = runs()
     assert fast == slow
+
+
+def test_hits_null_endpoints_match_distributed(spark, monkeypatch):
+    """A null endpoint's contribution joins the null GROUP (it inflates
+    the L1 total) but never a node row, and the final inner joins drop
+    the null node — the local replica must reproduce all three."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, "b"), ("b", "a")],
+        "src string, dst string")
+    fast = sorted(tuple(r) for r in graph.hits(df).collect())
+    monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 0)
+    slow = sorted(tuple(r) for r in graph.hits(df).collect())
+    assert fast == slow
+    assert {r[0] for r in fast} == {"a", "b"}

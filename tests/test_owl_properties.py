@@ -155,3 +155,19 @@ def test_instance_closure_local_matches_distributed(spark, monkeypatch):
     monkeypatch.setattr(rmod, "_SCHEMA_COLLECT_MAX", 0)
     slow = _got(owl_property_closure(_df(spark, trs)))
     assert fast == slow
+
+
+def test_instance_closure_single_kind_column(spark, monkeypatch):
+    """o_kind-only (and s_kind-only) inputs must close identically on
+    both paths — the local replica indexes kind positions per column."""
+    import rdf_spark.ops.reasoning as rmod
+
+    rows = [("u:p0", RDF_TYPE, OWL_TRANSITIVE, 1),
+            ("u:a", "u:p0", "u:b", 1), ("u:b", "u:p0", "u:c", 1)]
+    df = spark.createDataFrame(
+        rows, "s string, p string, o string, o_kind int")
+    fast = _got(owl_property_closure(df))
+    monkeypatch.setattr(rmod, "_SCHEMA_COLLECT_MAX", 0)
+    slow = _got(owl_property_closure(df))
+    assert fast == slow
+    assert ("u:a", "u:p0", "u:c") in {t[:3] for t in fast}
