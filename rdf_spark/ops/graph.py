@@ -801,20 +801,28 @@ def _hits_local(spark, proj, head, n_iter: int, round_to: int) -> DataFrame:
 
     hub = {n: 1.0 for n in nodes}
     auth: dict = {}
+    # once a pass has no contributing rows its SQL total is null and
+    # every later pass inherits null scores (null sums -> null total ->
+    # null divisions) — scores are all-null or all-valued, never mixed
+    null_scores = False
     for _ in range(n_iter):
         a_raw: dict = {}
-        for s, d in elist:
-            if s is None:
-                continue  # the hub join drops null src rows...
-            c = _round_half_up(float(_round_half_up(hub[s], 14)), 14)
-            a_raw[d] = a_raw.get(d, zero) + c  # ...null dst groups stay
+        if not null_scores:
+            for s, d in elist:
+                if s is None:
+                    continue  # the hub join drops null src rows...
+                c = _round_half_up(float(_round_half_up(hub[s], 14)), 14)
+                a_raw[d] = a_raw.get(d, zero) + c  # ...null dst groups stay
+        null_scores = null_scores or not a_raw
         auth = normalized(a_raw)
         h_raw: dict = {}
-        for s, d in elist:
-            if d is None:
-                continue
-            c = _round_half_up(float(_round_half_up(auth[d], 14)), 14)
-            h_raw[s] = h_raw.get(s, zero) + c
+        if not null_scores:
+            for s, d in elist:
+                if d is None:
+                    continue
+                c = _round_half_up(float(_round_half_up(auth[d], 14)), 14)
+                h_raw[s] = h_raw.get(s, zero) + c
+        null_scores = null_scores or not h_raw
         hub = normalized(h_raw)
     from pyspark.sql.types import DoubleType, StructField, StructType
 

@@ -499,6 +499,11 @@ def _transitive_step_local(rows, kind_cols: list, max_iter: int):
         for a in r:
             if a[0] is None or a[2] is None:
                 continue
+            # bail INSIDE the round: one squaring round over a
+            # hub-shaped predicate can derive |A|x|B| tuples — the
+            # driver must give up before materializing them, not after
+            if len(new) + n > _INSTANCE_LOCAL_OUT_MAX:
+                return None
             for b in by_ps.get((a[0], a[2]), ()):
                 new.add(derive(a, b))
         r |= new

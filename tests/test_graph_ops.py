@@ -557,3 +557,16 @@ def test_hits_null_endpoints_match_distributed(spark, monkeypatch):
     slow = sorted(tuple(r) for r in graph.hits(df).collect())
     assert fast == slow
     assert {r[0] for r in fast} == {"a", "b"}
+
+
+def test_hits_all_null_side_matches_distributed(spark, monkeypatch):
+    """All-null-src (and all-null-dst) edge slices: the distributed
+    plan yields null scores; the replica must propagate them instead of
+    crashing on Decimal(repr(None))."""
+    for rows in ([(None, "b")], [("a", None), ("c", None)]):
+        df = spark.createDataFrame(rows, "src string, dst string")
+        fast = sorted(tuple(r) for r in graph.hits(df, n_iter=2).collect())
+        monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 0)
+        slow = sorted(tuple(r) for r in graph.hits(df, n_iter=2).collect())
+        monkeypatch.setattr(graph, "_COMPONENT_COLLECT_MAX", 200_000)
+        assert fast == slow, rows

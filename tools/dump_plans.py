@@ -1,7 +1,8 @@
 """Dump .explain('formatted') for the named queries into plans/<dir>/.
 
 Usage: python tools/dump_plans.py <out_dir> <suffix> key1 key2 ...
-(run from the repo root whose __spark_entry__ should be dumped)
+(run from the repo root whose __spark_entry__ should be dumped;
+$SPARK_GRAFT_SF_DIR overrides the default sf0.1 data directory)
 """
 import os
 import sys
@@ -24,7 +25,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    sf = "/root/testdata/sf0.1"
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.makedirs(out_dir, exist_ok=True)
     for k in keys:
         df = qs[k](spark, sf)
